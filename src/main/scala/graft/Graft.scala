@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Tuned for the harness (single-JVM `local[N]`) but every setting is the
+  * one we'd ship on a real cluster: AQE on (runtime coalesce, skew-join
+  * split, join demotion), UTC session time, shuffle partitions sized to the
+  * parallelism instead of Spark's default 200. On a 1000-executor cluster
+  * the only knobs that change are master, shuffle partitions (sized to
+  * ~2-3x total cores) and memory.
+  */
+object Graft {
+
+  /** Default local parallelism: the harness runs `local[32]`. */
+  def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def session(
+      master: String = s"local[$defaultCpus]",
+      shufflePartitions: Int = defaultCpus.toInt,
+      appName: String = "graft"
+  ): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+      // The events table carries parquet TIMESTAMP(NANOS); without this
+      // Spark refuses the file outright.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

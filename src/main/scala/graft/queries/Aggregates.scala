@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Canon._
+import graft.sources.Tables
+
+/** Aggregations — SURVEY.md §2.4 (A1–A9).
+  *
+  * All group-bys are single-shuffle hash aggregates with map-side partials
+  * (HashAggregateExec partial/final). Money sums go through
+  * DECIMAL(18,2|4) so the result is order-independent and bit-identical to
+  * the oracle; averages divide the exact decimal sum by the count in
+  * double space so both engines perform the same single fp division.
+  *
+  * Reference semantics: A1 is `get_lastest_version` (DMS.py:385-392) with
+  * the numeric-max fix; A2 is `get_file_version` (DMS.py:368-383).
+  */
+object Aggregates {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "a1_max_per_group",
+      Some("""SELECT o_custkey, max(o_orderkey) AS latest_key,
+             strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS latest_date
+             FROM orders GROUP BY o_custkey ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.orders
+            .groupBy(col("o_custkey"))
+            .agg(
+              max(col("o_orderkey")).as("latest_key"),
+              tstr(max(col("o_orderdate"))).as("latest_date")
+            )
+        )
+      }
+    ),
+    Q(
+      "a2_group_collect",
+      // "all versions of a file" as a deterministic sorted list
+      Some("""SELECT o_custkey,
+             string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys
+             FROM orders WHERE o_custkey < 50 GROUP BY o_custkey
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.orders
+            .filter(col("o_custkey") < 50L)
+            .groupBy(col("o_custkey"))
+            .agg(
+              array_join(
+                transform(sort_array(collect_list(col("o_orderkey"))), _.cast("string")),
+                ","
+              ).as("order_keys")
+            )
+        )
+      }
+    ),
+    Q(
+      "a3_count_exists",
+      Some("""SELECT count(*) AS n_rows,
+             count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+             count(DISTINCT o_custkey) AS n_cust
+             FROM orders"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.orders.agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          countDistinct(col("o_custkey")).as("n_cust")
+        )
+      }
+    ),
+    Q(
+      "a4_hash_agg_q1",
+      // the TPC-H Q1 shape: the canonical partial+final hash aggregate
+      Some("""SELECT l_returnflag, l_linestatus,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 4) AS DOUBLE) AS sum_qty,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS sum_base,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))), 4) AS DOUBLE) AS sum_disc,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2))) * (1 + CAST(l_tax AS DECIMAL(8,2)))), 4) AS DOUBLE) AS sum_charge,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+             round(CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+             count(*) AS n
+             FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+             GROUP BY l_returnflag, l_linestatus ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val qty  = col("l_quantity").cast("decimal(18,2)")
+        val px   = col("l_extendedprice").cast("decimal(18,2)")
+        val disc = col("l_discount").cast("decimal(8,2)")
+        val tax  = col("l_tax").cast("decimal(8,2)")
+        ordered(
+          t.lineitem
+            .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-02 00:00:00")))
+            .groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(
+              round(sum(qty), 4).cast("double").as("sum_qty"),
+              round(sum(px), 4).cast("double").as("sum_base"),
+              round(sum(px * (lit(1) - disc)), 4).cast("double").as("sum_disc"),
+              round(sum(px * (lit(1) - disc) * (lit(1) + tax)), 4).cast("double").as("sum_charge"),
+              round(sum(qty).cast("double") / count(lit(1)), 4).as("avg_qty"),
+              round(sum(disc).cast("double") / count(lit(1)), 4).as("avg_disc"),
+              count(lit(1)).as("n")
+            )
+        )
+      }
+    ),
+    Q(
+      "a4_min_max",
+      Some("""SELECT l_returnflag,
+             min(l_extendedprice) AS min_px, max(l_extendedprice) AS max_px,
+             min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+             FROM lineitem GROUP BY l_returnflag ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.lineitem
+            .groupBy(col("l_returnflag"))
+            .agg(
+              min(col("l_extendedprice")).as("min_px"),
+              max(col("l_extendedprice")).as("max_px"),
+              min(col("l_quantity")).as("min_qty"),
+              max(col("l_quantity")).as("max_qty")
+            )
+        )
+      }
+    ),
+    Q(
+      "a5_distinct_agg",
+      Some("""SELECT l_returnflag,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT l_partkey) AS n_part
+             FROM lineitem GROUP BY l_returnflag ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.lineitem
+            .groupBy(col("l_returnflag"))
+            .agg(
+              countDistinct(col("l_suppkey")).as("n_supp"),
+              countDistinct(col("l_partkey")).as("n_part")
+            )
+        )
+      }
+    ),
+    Q(
+      "a5_distinct_rows",
+      Some("""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(t.orders.select(col("o_orderstatus"), col("o_orderpriority")).distinct())
+      }
+    ),
+    Q(
+      "a6_approx_distinct",
+      // HLL++: tested as a bounded-error property vs the exact count, not
+      // hash-equality (approx results are engine-specific). rsd=0.01 on
+      // ~1.5k distinct keys keeps |approx/exact - 1| well under 0.05.
+      None,
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val ap = t.orders.agg(
+          approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"),
+          countDistinct(col("o_custkey")).as("exact_cust")
+        )
+        ap.withColumn(
+          "within_5pct",
+          (abs(col("approx_cust").cast("double") / col("exact_cust") - 1.0) < 0.05)
+        )
+      }
+    ),
+    Q(
+      "a7_rollup",
+      Some("""SELECT COALESCE(r.r_name, 'ALL') AS region_name,
+             COALESCE(n.n_name, 'ALL') AS nation_name,
+             count(*) AS n_cust
+             FROM customer c
+             JOIN nation n ON c.c_nationkey = n.n_nationkey
+             JOIN region r ON n.n_regionkey = r.r_regionkey
+             GROUP BY ROLLUP (r.r_name, n.n_name) ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.customer
+            .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+            .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+            .rollup(col("r_name"), col("n_name"))
+            .agg(count(lit(1)).as("n_cust"))
+            .select(
+              coalesce(col("r_name"), lit("ALL")).as("region_name"),
+              coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+              col("n_cust")
+            )
+        )
+      }
+    ),
+    Q(
+      "a7_cube",
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             count(*) AS n
+             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.orders
+            .cube(col("o_orderstatus"), col("o_orderpriority"))
+            .agg(count(lit(1)).as("n"))
+            .select(
+              coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              col("n")
+            )
+        )
+      }
+    ),
+    Q(
+      "a9_stats",
+      // percentile over integer-valued doubles: exact interpolation math is
+      // identical in both engines; stddev via the exact decimal-sum identity
+      Some("""SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+             round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+             round(sqrt(greatest(
+               (CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+               / (count(*) - 1), 0)), 4) AS sd_qty
+             FROM lineitem GROUP BY l_returnflag ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val qd = col("l_quantity").cast("decimal(18,2)")
+        ordered(
+          t.lineitem
+            .groupBy(col("l_returnflag"))
+            .agg(
+              round(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"),
+              round(percentile(col("l_quantity"), lit(0.9)), 4).as("p90_qty"),
+              round(
+                sqrt(
+                  greatest(
+                    (sum(qd * qd).cast("double")
+                      - sum(qd).cast("double") * sum(qd).cast("double") / count(lit(1)))
+                      / (count(lit(1)) - 1),
+                    lit(0.0)
+                  )
+                ),
+                4
+              ).as("sd_qty")
+            )
+        )
+      }
+    )
+  )
+}

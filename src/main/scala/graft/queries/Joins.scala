@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Canon._
+import graft.sources.Tables
+
+/** The full join surface — SURVEY.md §2.3 (J1–J10).
+  *
+  * Strategy discipline for 100 TB: dimension tables (region, nation,
+  * supplier, customer at this ratio) are explicitly `broadcast()`; the big
+  * fact-fact joins (lineitem ⋈ orders) shuffle on their equi-keys and rely
+  * on AQE for skew split; non-equi joins keep the small side broadcastable
+  * so they plan as BroadcastNestedLoopJoin instead of a cartesian shuffle.
+  */
+object Joins {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "j1_inner_equi",
+      Some("""SELECT c.c_mktsegment, count(*) AS n_orders,
+             CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS total
+             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             GROUP BY c.c_mktsegment ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.orders
+            .join(t.customer, t.orders("o_custkey") === t.customer("c_custkey"), "inner")
+            .groupBy(col("c_mktsegment"))
+            .agg(
+              count(lit(1)).as("n_orders"),
+              round(sum(col("o_totalprice").cast("decimal(18,2)")), 4).cast("double").as("total")
+            )
+        )
+      }
+    ),
+    Q(
+      "j2_broadcast_dims",
+      Some("""SELECT r.r_name, n.n_name, count(*) AS n_cust
+             FROM customer c
+             JOIN nation n ON c.c_nationkey = n.n_nationkey
+             JOIN region r ON n.n_regionkey = r.r_regionkey
+             GROUP BY r.r_name, n.n_name ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.customer
+            .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+            .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+            .groupBy(col("r_name"), col("n_name"))
+            .agg(count(lit(1)).as("n_cust"))
+        )
+      }
+    ),
+    Q(
+      "j3_left_outer",
+      Some("""SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+             FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+             GROUP BY c.c_custkey ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.customer
+            .join(t.orders, t.orders("o_custkey") === t.customer("c_custkey"), "left_outer")
+            .groupBy(col("c_custkey"))
+            .agg(count(col("o_orderkey")).as("n_orders"))
+        )
+      }
+    ),
+    Q(
+      "j3_full_outer",
+      Some("""SELECT COALESCE(a.k, b.k) AS k, a.n_c AS n_cust, b.n_s AS n_supp FROM
+               (SELECT c_nationkey AS k, count(*) AS n_c FROM customer GROUP BY 1) a
+               FULL OUTER JOIN
+               (SELECT s_nationkey AS k, count(*) AS n_s FROM supplier WHERE s_nationkey < 10 GROUP BY 1) b
+               ON a.k = b.k
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val a = t.customer.groupBy(col("c_nationkey").as("ka")).agg(count(lit(1)).as("n_cust"))
+        val b = t.supplier.filter(col("s_nationkey") < 10)
+          .groupBy(col("s_nationkey").as("kb")).agg(count(lit(1)).as("n_supp"))
+        ordered(
+          a.join(b, a("ka") === b("kb"), "full_outer")
+            .select(coalesce(col("ka"), col("kb")).as("k"), col("n_cust"), col("n_supp"))
+        )
+      }
+    ),
+    Q(
+      "j4_left_semi",
+      Some("""SELECT c_custkey, c_name FROM customer c
+             WHERE EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val big = t.orders.filter(col("o_totalprice") > 400000.0)
+        ordered(
+          t.customer
+            .join(big, t.customer("c_custkey") === big("o_custkey"), "left_semi")
+            .select(col("c_custkey"), col("c_name"))
+        )
+      }
+    ),
+    Q(
+      "j5_left_anti",
+      Some("""SELECT c_custkey, c_name FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val big = t.orders.filter(col("o_totalprice") > 350000.0)
+        ordered(
+          t.customer
+            .join(big, t.customer("c_custkey") === big("o_custkey"), "left_anti")
+            .select(col("c_custkey"), col("c_name"))
+        )
+      }
+    ),
+    Q(
+      "j6_cross",
+      Some("""SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(t.region.crossJoin(t.nation).select(col("r_name"), col("n_name")))
+      }
+    ),
+    Q(
+      "j7_theta_range",
+      // pure non-equi: plans as BroadcastNestedLoopJoin (both sides tiny;
+      // at scale the small side must stay broadcastable)
+      Some("""SELECT n.n_name, r.r_name FROM nation n JOIN region r
+             ON n.n_regionkey < r.r_regionkey
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.nation
+            .join(broadcast(t.region), col("n_regionkey") < col("r_regionkey"))
+            .select(col("n_name"), col("r_name"))
+        )
+      }
+    ),
+    Q(
+      "j8_asof",
+      // As-of join: for each purchase, the latest error by the same user at
+      // ts <= purchase ts. Union + last(ignoreNulls) over an event-time
+      // window — one shuffle on user_id, no range explosion. SURVEY §2.3 J8.
+      Some("""WITH u AS (
+               SELECT user_id, ts, event_id, NULL::BIGINT AS err_id, 0 AS is_q
+               FROM events WHERE event_type = 'error'
+               UNION ALL
+               SELECT user_id, ts, NULL::BIGINT, NULL::BIGINT, 1
+               FROM events WHERE event_type = 'purchase'
+             ), m AS (
+               SELECT user_id, ts, is_q,
+                 last_value(CASE WHEN is_q = 0 THEN event_id END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, is_q, event_id ASC NULLS LAST
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_id
+               FROM u
+             )
+             SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, last_error_id
+             FROM m WHERE is_q = 1 ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val ev = t.events
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            lit(null).cast("long").as("err_id"), lit(0).as("is_q"))
+        val queries = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+            lit(null).cast("long").as("err_id"), lit(1).as("is_q"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("is_q"), col("event_id").asc_nulls_last)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val merged = errors.unionByName(queries)
+          .withColumn("last_error_id",
+            last(when(col("is_q") === 0, col("event_id")), ignoreNulls = true).over(w))
+        ordered(
+          merged.filter(col("is_q") === 1)
+            .select(col("user_id"), tstr(col("ts")).as("ts_s"), col("last_error_id"))
+        )
+      }
+    ),
+    Q(
+      "j9_interval_overlap",
+      // interval-overlap join: order "activity windows" overlapping a fixed
+      // probe window; conjunctive range predicate on a broadcast side
+      Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS d
+             FROM orders
+             WHERE o_orderdate < TIMESTAMP '1995-03-01 00:00:00' + INTERVAL 30 DAY
+               AND o_orderdate + INTERVAL 7 DAY > TIMESTAMP '1995-03-01 00:00:00'
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val probeLo = to_timestamp(lit("1995-03-01 00:00:00"))
+        ordered(
+          t.orders
+            .filter(
+              col("o_orderdate") < probeLo + expr("INTERVAL 30 DAYS") &&
+                col("o_orderdate") + expr("INTERVAL 7 DAYS") > probeLo
+            )
+            .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+        )
+      }
+    ),
+    Q(
+      "j10_self_join_pairs",
+      // near-dup-pair shape: same-key self-join, a.id < b.id kills mirrors
+      Some("""SELECT a.o_custkey AS custkey, a.o_orderkey AS k1, b.o_orderkey AS k2
+             FROM orders a JOIN orders b
+               ON a.o_custkey = b.o_custkey
+              AND a.o_orderdate = b.o_orderdate
+              AND a.o_orderkey < b.o_orderkey
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val a = t.orders.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate")).alias("a")
+        val b = t.orders.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate")).alias("b")
+        ordered(
+          a.join(
+              b,
+              col("a.o_custkey") === col("b.o_custkey") &&
+                col("a.o_orderdate") === col("b.o_orderdate") &&
+                col("a.o_orderkey") < col("b.o_orderkey")
+            )
+            .select(
+              col("a.o_custkey").as("custkey"),
+              col("a.o_orderkey").as("k1"),
+              col("b.o_orderkey").as("k2")
+            )
+        )
+      }
+    )
+  )
+}

@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Canon._
+import graft.sources.Tables
+
+/** Scans, filters, projections, sorts, limits, set ops — SURVEY.md §2.1,
+  * §2.2, §2.6, §2.7.
+  *
+  * Everything here is a declarative DataFrame expression: filters and
+  * projections reach the parquet scan (PushedFilters / ReadSchema), sorts
+  * with limits plan as TakeOrderedAndProject, set ops as hash aggregates.
+  * Reference semantics: full scan `get_all_file` (DMS.py:358-366), point
+  * lookup `fetch` (DMS.py:114), regex row filter (DMS.py:363,373), key
+  * synthesis `'v'+version+'.'+file` (DMS.py:102).
+  */
+object Relational {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "s1_full_scan",
+      Some("""SELECT r_regionkey, r_name FROM region ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(t.region.select(col("r_regionkey"), col("r_name")))
+      }
+    ),
+    Q(
+      "s2_point_lookup",
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate
+             FROM orders WHERE o_orderkey = 42 ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.orders
+            .filter(col("o_orderkey") === 42L)
+            .select(
+              col("o_orderkey"),
+              col("o_custkey"),
+              col("o_orderstatus"),
+              col("o_totalprice"),
+              tstr(col("o_orderdate")).as("o_orderdate")
+            )
+        )
+      }
+    ),
+    Q(
+      "p3_regex_predicate",
+      Some("""SELECT c_custkey, c_name FROM customer
+             WHERE regexp_matches(c_name, 'Customer#0*1[0-9]{2}$')
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.customer
+            .filter(col("c_name").rlike("Customer#0*1[0-9]{2}$"))
+            .select(col("c_custkey"), col("c_name"))
+        )
+      }
+    ),
+    Q(
+      "p4_existence",
+      Some("""SELECT count(*) AS n_found FROM orders
+             WHERE o_orderkey = 42 AND o_orderstatus IS NOT NULL"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.orders
+          .filter(col("o_orderkey") === 42L && col("o_orderstatus").isNotNull)
+          .agg(count(lit(1)).as("n_found"))
+      }
+    ),
+    Q(
+      "p5_compound_predicates",
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+             FROM lineitem
+             WHERE l_quantity BETWEEN 45 AND 50
+               AND l_returnflag IN ('A', 'R')
+               AND NOT (l_linestatus = 'O')
+               AND l_discount IS NOT NULL
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.lineitem
+            .filter(
+              col("l_quantity").between(45, 50) &&
+                col("l_returnflag").isin("A", "R") &&
+                !(col("l_linestatus") === "O") &&
+                col("l_discount").isNotNull
+            )
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+        )
+      }
+    ),
+    Q(
+      "p6_computed_projection",
+      // the reference's composite row key v{version}.{filename} (DMS.py:102)
+      Some("""SELECT concat('v', CAST(o_orderkey AS VARCHAR), '.', o_orderstatus) AS row_key,
+             o_totalprice
+             FROM orders WHERE o_custkey < 20 ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.orders
+            .filter(col("o_custkey") < 20L)
+            .select(
+              concat(lit("v"), col("o_orderkey").cast("string"), lit("."), col("o_orderstatus"))
+                .as("row_key"),
+              col("o_totalprice")
+            )
+        )
+      }
+    ),
+    Q(
+      "p1_nested_projection",
+      Some("""SELECT o_orderkey, year(o_orderdate) AS o_year, o_orderpriority
+             FROM orders WHERE o_custkey BETWEEN 100 AND 120
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.orders
+            .filter(col("o_custkey").between(100L, 120L))
+            .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
+        )
+      }
+    ),
+    Q(
+      "o1_sort",
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+             ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.customer
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          .orderBy(col("c_acctbal").desc_nulls_last, col("c_custkey").asc)
+      }
+    ),
+    Q(
+      "o2_limit",
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             ORDER BY o_orderkey ASC LIMIT 100"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.orders
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey").asc)
+          .limit(100)
+      }
+    ),
+    Q(
+      "o3_topk_global",
+      // plans as TakeOrderedAndProject: no full sort, per-partition top-k
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.orders
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(25)
+      }
+    ),
+    Q(
+      "u1_union",
+      Some("""SELECT nationkey, src FROM (
+               SELECT DISTINCT c_nationkey AS nationkey, 'c' AS src FROM customer
+               UNION ALL
+               SELECT DISTINCT s_nationkey AS nationkey, 's' AS src FROM supplier
+             ) ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val c = t.customer.select(col("c_nationkey").as("nationkey")).distinct()
+          .withColumn("src", lit("c"))
+        val s = t.supplier.select(col("s_nationkey").as("nationkey")).distinct()
+          .withColumn("src", lit("s"))
+        ordered(c.unionByName(s))
+      }
+    ),
+    Q(
+      "u2_intersect",
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             INTERSECT
+             SELECT s_nationkey FROM supplier
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.customer.select(col("c_nationkey").as("nationkey"))
+            .intersect(t.supplier.select(col("s_nationkey").as("nationkey")))
+        )
+      }
+    ),
+    Q(
+      "u3_except",
+      Some("""SELECT o_custkey AS custkey FROM orders
+             EXCEPT
+             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.orders.select(col("o_custkey").as("custkey"))
+            .except(
+              t.customer.filter(col("c_mktsegment") === "BUILDING")
+                .select(col("c_custkey").as("custkey"))
+            )
+        )
+      }
+    )
+  )
+}

@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Canon._
+import graft.sources.Tables
+
+/** Scalar function surface — SURVEY.md §2.8.
+  *
+  * The reference's entire "expression language" is string splitting and
+  * concatenation over row keys and metadata (DMS.py:83-85, 102, 379,
+  * 413-414); here each function group gets a codegen'd built-in (no UDFs
+  * anywhere in the hot path).
+  */
+object Scalars {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "sc_string",
+      Some("""SELECT c_custkey,
+             concat('k#', CAST(c_custkey AS VARCHAR)) AS key_synth,
+             string_split(c_name, '#')[2] AS cust_num,
+             regexp_replace(c_name, '0+', '0') AS squeezed,
+             lower(c_mktsegment) AS seg_lower,
+             upper(substr(c_name, 1, 8)) AS head_up,
+             length(c_name) AS name_len,
+             strpos(c_name, '#') AS hash_pos,
+             lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nk_pad,
+             trim(concat('  ', c_mktsegment, ' ')) AS trimmed
+             FROM customer WHERE c_custkey < 100 ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.customer
+            .filter(col("c_custkey") < 100L)
+            .select(
+              col("c_custkey"),
+              concat(lit("k#"), col("c_custkey").cast("string")).as("key_synth"),
+              element_at(split(col("c_name"), "#"), 2).as("cust_num"),
+              regexp_replace(col("c_name"), "0+", "0").as("squeezed"),
+              lower(col("c_mktsegment")).as("seg_lower"),
+              upper(substring(col("c_name"), 1, 8)).as("head_up"),
+              length(col("c_name")).as("name_len"),
+              instr(col("c_name"), "#").as("hash_pos"),
+              lpad(col("c_nationkey").cast("string"), 4, "0").as("nk_pad"),
+              trim(concat(lit("  "), col("c_mktsegment"), lit(" "))).as("trimmed")
+            )
+        )
+      }
+    ),
+    Q(
+      "sc_datetime",
+      Some("""SELECT o_orderkey,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m-%d %H:%M:%S') AS month_start,
+             year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+             date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch_start,
+             strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d %H:%M:%S') AS due_date,
+             CAST(epoch(o_orderdate) AS BIGINT) AS unix_ts
+             FROM orders WHERE o_orderkey < 200 ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.orders
+            .filter(col("o_orderkey") < 200L)
+            .select(
+              col("o_orderkey"),
+              tstr(date_trunc("month", col("o_orderdate"))).as("month_start"),
+              year(col("o_orderdate")).as("y"),
+              month(col("o_orderdate")).as("m"),
+              dayofmonth(col("o_orderdate")).as("d"),
+              datediff(col("o_orderdate"), to_timestamp(lit("1995-01-01 00:00:00")))
+                .as("days_since_epoch_start"),
+              tstr(col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"),
+              unix_timestamp(col("o_orderdate")).as("unix_ts")
+            )
+        )
+      }
+    ),
+    Q(
+      "sc_math",
+      Some("""SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice * l_discount, 4) AS disc_amt,
+             abs(l_quantity - 25) AS dist_from_25,
+             ceil(l_extendedprice / 1000) AS px_bucket,
+             floor(l_quantity / 10) AS qty_decade,
+             round(pow(l_quantity, 2), 4) AS qty_sq,
+             round(sqrt(l_extendedprice), 4) AS px_root,
+             round(ln(l_extendedprice + 1), 4) AS px_ln,
+             ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS key_mod,
+             greatest(l_quantity, 10.0) AS qty_floor10,
+             least(l_quantity, 40.0) AS qty_cap40
+             FROM lineitem WHERE l_orderkey < 100 ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.lineitem
+            .filter(col("l_orderkey") < 100L)
+            .select(
+              col("l_orderkey"),
+              col("l_linenumber"),
+              round(col("l_extendedprice") * col("l_discount"), 4).as("disc_amt"),
+              abs(col("l_quantity") - 25).as("dist_from_25"),
+              ceil(col("l_extendedprice") / 1000).as("px_bucket"),
+              floor(col("l_quantity") / 10).as("qty_decade"),
+              round(pow(col("l_quantity"), 2), 4).as("qty_sq"),
+              round(sqrt(col("l_extendedprice")), 4).as("px_root"),
+              round(log(col("l_extendedprice") + 1), 4).as("px_ln"),
+              pmod(col("l_orderkey"), lit(7L)).as("key_mod"),
+              greatest(col("l_quantity"), lit(10.0)).as("qty_floor10"),
+              least(col("l_quantity"), lit(40.0)).as("qty_cap40")
+            )
+        )
+      }
+    ),
+    Q(
+      "sc_conditional",
+      Some("""SELECT o_orderkey,
+             CASE WHEN o_totalprice > 300000 THEN 'big'
+                  WHEN o_totalprice > 100000 THEN 'mid'
+                  ELSE 'small' END AS size_class,
+             coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_urgent
+             FROM orders WHERE o_orderkey < 500 ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.orders
+            .filter(col("o_orderkey") < 500L)
+            .select(
+              col("o_orderkey"),
+              when(col("o_totalprice") > 300000.0, "big")
+                .when(col("o_totalprice") > 100000.0, "mid")
+                .otherwise("small").as("size_class"),
+              coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_or_open"),
+              when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0).as("is_urgent")
+            )
+        )
+      }
+    ),
+    Q(
+      "sc_array",
+      // higher-order functions over tokenized text: transform / filter /
+      // aggregate are the same primitives D6 uses for vector math
+      Some("""WITH toks AS (
+               SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                          x -> x <> '') AS tok
+               FROM documents WHERE doc_id < 50
+             )
+             SELECT doc_id,
+               len(tok) AS n_tok,
+               array_to_string(list_sort(list_distinct(tok)), ' ') AS vocab,
+               CAST(list_contains(tok, 'spark') AS INT) AS has_spark,
+               array_to_string(list_slice(tok, 1, 5), ' ') AS head5,
+               len(list_filter(tok, x -> length(x) > 4)) AS n_long,
+               list_sum(list_transform(tok, x -> length(x))) AS total_chars
+             FROM toks ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val tok = filter(split(trim(col("text")), "\\s+"), _ =!= "")
+        ordered(
+          t.documents
+            .filter(col("doc_id") < 50L)
+            .withColumn("tok", tok)
+            .select(
+              col("doc_id"),
+              size(col("tok")).as("n_tok"),
+              array_join(sort_array(array_distinct(col("tok"))), " ").as("vocab"),
+              array_contains(col("tok"), "spark").cast("int").as("has_spark"),
+              array_join(slice(col("tok"), 1, 5), " ").as("head5"),
+              size(filter(col("tok"), x => length(x) > 4)).as("n_long"),
+              aggregate(col("tok"), lit(0), (acc, x) => acc + length(x)).as("total_chars")
+            )
+        )
+      }
+    ),
+    Q(
+      "sc_map",
+      // the `meta` MapType surface (§1.2): build a per-row map, read it back
+      Some("""SELECT doc_id, lang AS meta_lang, source AS meta_source,
+             'lang,source' AS meta_keys, CAST(n_chars AS VARCHAR) AS meta_chars
+             FROM documents WHERE doc_id < 30 ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.documents
+            .filter(col("doc_id") < 30L)
+            .withColumn(
+              "meta",
+              map(
+                lit("lang"), col("lang"),
+                lit("source"), col("source"),
+                lit("chars"), col("n_chars").cast("string")
+              )
+            )
+            .select(
+              col("doc_id"),
+              element_at(col("meta"), "lang").as("meta_lang"),
+              element_at(col("meta"), "source").as("meta_source"),
+              array_join(sort_array(map_keys(map(lit("lang"), col("lang"), lit("source"), col("source")))), ",")
+                .as("meta_keys"),
+              element_at(col("meta"), "chars").as("meta_chars")
+            )
+        )
+      }
+    ),
+    Q(
+      "sc_json",
+      Some("""SELECT event_id,
+             json_extract_string(props, '$.k') AS k_str,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+             FROM events WHERE event_id < 200 ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.events
+            .filter(col("event_id") < 200L)
+            .select(
+              col("event_id"),
+              get_json_object(col("props"), "$.k").as("k_str"),
+              get_json_object(col("props"), "$.k").cast("long").as("k_num")
+            )
+        )
+      }
+    ),
+    Q(
+      "sc_hash",
+      Some("""SELECT doc_id,
+             md5(text) AS text_md5,
+             sha256(text) AS text_sha
+             FROM documents WHERE doc_id < 50 ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.documents
+            .filter(col("doc_id") < 50L)
+            .select(
+              col("doc_id"),
+              md5(col("text")).as("text_md5"),
+              sha2(col("text"), 256).as("text_sha")
+            )
+        )
+      }
+    ),
+    Q(
+      "sc_hash_native",
+      // xxhash64 / crc32: Spark-native 64-bit hashes (exact-dedup keys,
+      // partitioners); no cross-engine oracle — rows-only check
+      None,
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.documents
+            .filter(col("doc_id") < 50L)
+            .select(
+              col("doc_id"),
+              xxhash64(col("text")).as("text_xx64"),
+              crc32(col("text")).as("text_crc"),
+              hash(col("text")).as("text_murmur")
+            )
+        )
+      }
+    )
+  )
+}

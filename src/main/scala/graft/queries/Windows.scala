@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Canon._
+import graft.sources.Tables
+
+/** Window functions — SURVEY.md §2.5 (W1–W5).
+  *
+  * W1 is the engine's flagship: the reference's `get_lastest_version`
+  * (DMS.py:385-392) generalized to every key as a single ranking window —
+  * one shuffle on the partition key, no per-key rescans (the reference
+  * rescans the table per lookup, DMS.py:373-375).
+  *
+  * Every window ORDER BY below is a total order within its partition
+  * (explicit tie-break columns), otherwise rank/lag results are
+  * nondeterministic across engines.
+  */
+object Windows {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "w1_latest_per_key",
+      Some("""SELECT o_custkey, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_totalprice
+             FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+             WHERE rn = 1 ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        ordered(
+          t.orders
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(
+              col("o_custkey"),
+              col("o_orderkey"),
+              tstr(col("o_orderdate")).as("o_orderdate"),
+              col("o_totalprice")
+            )
+        )
+      }
+    ),
+    Q(
+      "w2_ranking",
+      Some("""SELECT c_nationkey, c_custkey,
+             rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+             ntile(4) OVER w AS quartile
+             FROM customer
+             WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        ordered(
+          t.customer.select(
+            col("c_nationkey"),
+            col("c_custkey"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            ntile(4).over(w).as("quartile")
+          )
+        )
+      }
+    ),
+    Q(
+      "w3_lag_lead",
+      Some("""SELECT user_id, event_id,
+             lag(event_id, 1) OVER w AS prev_id,
+             lead(event_id, 1) OVER w AS next_id,
+             first_value(event_id) OVER w AS first_id
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        ordered(
+          t.events.select(
+            col("user_id"),
+            col("event_id"),
+            lag(col("event_id"), 1).over(w).as("prev_id"),
+            lead(col("event_id"), 1).over(w).as("next_id"),
+            first(col("event_id")).over(w).as("first_id")
+          )
+        )
+      }
+    ),
+    Q(
+      "w4_row_frames",
+      // running sum + trailing moving average over an exact decimal view
+      Some("""SELECT user_id, event_id,
+             CAST(round(sum(CAST(value AS DECIMAL(18,2))) OVER
+               (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS running_v,
+             CAST(round(sum(CAST(value AS DECIMAL(18,2))) OVER
+               (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS trail4_sum
+             FROM events ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val base = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        val vdec = col("value").cast("decimal(18,2)")
+        ordered(
+          t.events.select(
+            col("user_id"),
+            col("event_id"),
+            round(sum(vdec).over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4)
+              .cast("double").as("running_v"),
+            round(sum(vdec).over(base.rowsBetween(-3, Window.currentRow)), 4)
+              .cast("double").as("trail4_sum")
+          )
+        )
+      }
+    ),
+    Q(
+      "w5_range_frames",
+      // range frame over a numeric ordering: all orders within ±10000 of
+      // this order's totalprice for the same status
+      Some("""SELECT o_orderstatus, o_orderkey,
+             count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+               RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS n_near
+             FROM orders WHERE o_custkey < 100 ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+          .rangeBetween(-10000L, 10000L)
+        ordered(
+          t.orders
+            .filter(col("o_custkey") < 100L)
+            .select(
+              col("o_orderstatus"),
+              col("o_orderkey"),
+              count(lit(1)).over(w).as("n_near")
+            )
+        )
+      }
+    ),
+    Q(
+      "o3_topk_per_key",
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice
+             FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
+             WHERE rn <= 3 ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        ordered(
+          t.orders
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 3)
+            .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        )
+      }
+    )
+  )
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Tables
+
+/** Shared session for all suites: building one SparkSession per suite class
+  * would pay JVM+context startup repeatedly. */
+object SharedSpark {
+  lazy val spark = Graft.session(master = "local[4]", shufflePartitions = 4,
+    appName = "graft-test")
+  val sf = "/root/testdata/sf0.001"
+}
+
+class CoreQueriesSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query runs non-empty at sf0.001") {
+    val empties = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val n = run(name).count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empties.isEmpty, s"empty results: $empties")
+  }
+
+  test("every oracle key has a matching query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty)
+  }
+
+  test("W1 latest-per-key agrees with A1 groupBy-max (top-1 window ≡ max)") {
+    val t = Tables(spark, sf)
+    val w1 = run("w1_latest_per_key").select("o_custkey", "o_orderkey")
+    val a1 = t.orders.groupBy(col("o_custkey"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+      .select(col("o_custkey"), col("m.o_orderkey").as("o_orderkey"))
+    assert(w1.except(a1).isEmpty && a1.except(w1).isEmpty)
+  }
+
+  test("P3 regex filter is a subset of S1-style full scan") {
+    val t = Tables(spark, sf)
+    val all = t.customer.select("c_custkey")
+    val filtered = t.customer.filter(col("c_name").rlike("1$")).select("c_custkey")
+    assert(filtered.except(all).isEmpty)
+  }
+
+  test("U1/U3: (a except b) union (a intersect b) == distinct a when b ⊆ a") {
+    val t = Tables(spark, sf)
+    val a = t.orders.select(col("o_custkey").as("k"))
+    val b = t.customer.filter(col("c_custkey") < 100).select(col("c_custkey").as("k"))
+      .intersect(a.distinct())
+    val rebuilt = a.except(b).union(a.distinct().intersect(b)).distinct()
+    assert(rebuilt.except(a.distinct()).isEmpty && a.distinct().except(rebuilt).isEmpty)
+  }
+
+  test("A5 distinct is idempotent") {
+    val t = Tables(spark, sf)
+    val d1 = t.orders.select("o_orderstatus").distinct()
+    assert(d1.distinct().count() == d1.count())
+  }
+
+  test("J4 semi + J5 anti partition the left side") {
+    val t = Tables(spark, sf)
+    val big = t.orders.filter(col("o_totalprice") > 350000.0)
+    val semi = t.customer.join(big, t.customer("c_custkey") === big("o_custkey"), "left_semi")
+    val anti = t.customer.join(big, t.customer("c_custkey") === big("o_custkey"), "left_anti")
+    assert(semi.count() + anti.count() == t.customer.count())
+  }
+}
