@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-pipeline mandate (SURVEY.md §2.9):
+  * tokenization, shingling, language-ID heuristic, quality scoring, token
+  * counting, document fingerprinting. All pure Column expressions
+  * (codegen'd built-ins) — no UDFs, so the whole surface stays inside
+  * whole-stage codegen and is reproducible in the DuckDB oracle.
+  */
+object Text {
+
+  /** Whitespace tokenizer: lowercase, trim, split, drop empties.
+    * (The reference delegates tokenization to Solr out-of-band,
+    * DMS.py:345-356; this is the in-engine equivalent.) */
+  def tokenize(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+
+  /** Word n-gram shingles over a token array: positions i..i+n-1 joined by
+    * a single space. Docs shorter than n tokens yield an empty array. */
+  def shingles(tokens: Column, n: Int): Column =
+    // guard: Spark's sequence(1, 0) counts DOWN, so short docs must
+    // short-circuit to an empty array instead
+    when(size(tokens) >= n,
+      transform(
+        sequence(lit(1), size(tokens) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(tokens, i + k)): _*)
+      )
+    ).otherwise(array().cast("array<string>"))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokenize(text))
+
+  /** BPE-ish subword count: alnum runs + single non-space punctuation —
+    * a cheap proxy for a real tokenizer's piece count. RE2-compatible
+    * pattern (no lookarounds) so the DuckDB oracle can reproduce it. */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z0-9]+|[^a-z0-9\\s]"))
+
+  /** Small per-language marker vocabularies for the n-gram/stopword
+    * language-ID heuristic. Deterministic, dependency-free. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "la", "los", "que", "de"),
+    "zh" -> Seq("的", "是", "了", "在", "我")
+  )
+
+  /** Language-ID: the language whose marker words hit the most tokens;
+    * 'und' (undetermined) when nothing matches. Ties break by language
+    * code ascending for determinism. */
+  def langId(tokens: Column): Column = {
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val score = size(filter(tokens, t => t.isin(markers.map(m => lit(m)): _*)))
+      struct(score.as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality score in [0,1]: mean-word-length band + alpha ratio +
+    * repetition penalty (distinct/total tokens). The shape every
+    * training-data pipeline wants; every term is an exact expression. */
+  def qualityScore(text: Column): Column = {
+    val toks     = tokenize(text)
+    val nTok     = size(toks).cast("double")
+    val meanLen  = when(nTok > 0, length(concat_ws("", toks)).cast("double") / nTok).otherwise(0.0)
+    val alphaRatio = when(
+      length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[a-zA-Z ]", ""))).cast("double") / length(text)
+    ).otherwise(0.0)
+    val distinctRatio = when(nTok > 0, size(array_distinct(toks)).cast("double") / nTok).otherwise(0.0)
+    val lenBand = when(meanLen >= 3.0 && meanLen <= 10.0, 1.0).otherwise(0.5)
+    (lenBand * 0.3 + alphaRatio * 0.4 + distinctRatio * 0.3)
+  }
+
+  /** Karp–Rabin document fingerprint: strict left fold of
+    * `acc*31 + ascii(char) mod 1e9+7` over the characters. Identical
+    * `list_reduce` in DuckDB. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      filter(split(text, ""), c => c =!= ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * 31L + ascii(ch), lit(1000000007L))
+    )
+}

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ArrayType(FloatType)` embedding columns, built from
+  * codegen'd higher-order functions (no UDFs) — SURVEY.md §2.9 D6.
+  *
+  * Determinism contract: every reduction is a strict left fold in DOUBLE
+  * (`aggregate` with a 0.0 seed), so a result is bit-identical across
+  * engines/runs for the same element order — this is what lets cosine
+  * scores hash-match a DuckDB `list_reduce` oracle.
+  */
+object Vectors {
+
+  /** Exact widening of a float vector to double. */
+  def toDouble(v: Column): Column = v.cast("array<double>")
+
+  /** dot(a, b) as a strict left fold over pairwise products. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 norm. */
+  def normSq(a: Column): Column = dot(a, a)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity; 0 when either side has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d  = dot(a, b)
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
+  }
+
+  /** Sign-LSH bucket key: the sign bits of `nPlanes` pseudo-random
+    * hyperplane projections, packed into a long. Plane coefficients are
+    * derived per (plane, dimension) from xxhash64 — deterministic, no
+    * stored model, identical on every executor. The 100 TB ANN path:
+    * bucket both sides, join on bucket, rerank the candidates exactly.
+    */
+  def lshBucket(v: Column, nPlanes: Int, seed: Long = 42L): Column = {
+    val dv = toDouble(v)
+    val bits = (0 until nPlanes).map { p =>
+      // plane coefficient for (p, i): xxhash64 → uniform in [-1, 1]
+      val proj = aggregate(
+        zip_with(
+          dv,
+          sequence(lit(0), size(dv) - 1),
+          (x, i) =>
+            x * (xxhash64(lit(p), i, lit(seed)).cast("double") / lit(Long.MaxValue.toDouble))
+        ),
+        lit(0.0),
+        (acc, x) => acc + x
+      )
+      when(proj >= 0.0, lit(1L) << p).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _).as("lsh_bucket")
+  }
+}
