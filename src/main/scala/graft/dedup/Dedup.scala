@@ -106,13 +106,9 @@ object Dedup {
     * where token bit i comes from the i-th nibble-derived bit of
     * md5(token) — string-domain bit extraction both engines share. */
   def simhash32(tokens: Column): Column = {
-    // bit i of token t = (hex digit at position i of md5(t)) & 1
-    val bits = (0 until 32).map { i =>
-      val hexDigit = substring(md5(tokens), i + 1, 1) // applied per-element below
-      hexDigit
-    }
-    // implemented over the token array with transform + aggregate per bit
-    val contributions = (0 until 32).map { i =>
+    // bit i of token t = (hex digit at position i of md5(t)) & 1,
+    // implemented over the token array with aggregate per bit
+    val contributions: Seq[Column] = (0 until 32).map { i =>
       val votes = aggregate(
         tokens,
         lit(0L),
@@ -122,7 +118,7 @@ object Dedup {
             1L
           ).otherwise(-1L)
       )
-      when(votes >= 0, lit(1L) << i).otherwise(lit(0L))
+      when(votes >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     contributions.reduce(_ + _)
   }

@@ -42,7 +42,7 @@ object Vectors {
     */
   def lshBucket(v: Column, nPlanes: Int, seed: Long = 42L): Column = {
     val dv = toDouble(v)
-    val bits = (0 until nPlanes).map { p =>
+    val bits: Seq[Column] = (0 until nPlanes).map { p =>
       // plane coefficient for (p, i): xxhash64 → uniform in [-1, 1]
       val proj = aggregate(
         zip_with(
@@ -54,7 +54,7 @@ object Vectors {
         lit(0.0),
         (acc, x) => acc + x
       )
-      when(proj >= 0.0, lit(1L) << p).otherwise(lit(0L))
+      when(proj >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _).as("lsh_bucket")
   }
