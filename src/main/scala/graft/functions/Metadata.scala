@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Binary metadata extraction — SURVEY.md §2.9 D1, the engine-native
+  * replacement for the reference's hachoir dependency (DMS.py:70-91):
+  * magic-byte sniffing of JPEG/PNG/GIF/PDF headers, pure JVM, offline.
+  *
+  * Returns the same shape the reference produced — an open-ended
+  * `Map[String, String]` of metadata keys (mime, width, height, byte
+  * length) that lands in the documents table's `meta` column (§1.2).
+  */
+object Metadata {
+
+  /** Big-endian unsigned 16-bit read. */
+  private def u16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  /** Big-endian unsigned 32-bit read. */
+  private def u32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  /** Little-endian unsigned 16-bit read (GIF dimensions). */
+  private def u16le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  /** Sniff mime + dimensions from the leading bytes of a binary blob. */
+  def sniff(bytes: Array[Byte]): Map[String, String] = {
+    if (bytes == null) return Map.empty
+    val base = Map("length" -> bytes.length.toString)
+    val meta: Map[String, String] =
+      if (bytes.length >= 24 &&
+        (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') {
+        // PNG: IHDR is always the first chunk; width/height at offsets 16/20
+        Map("mime" -> "image/png",
+          "width" -> u32(bytes, 16).toString,
+          "height" -> u32(bytes, 20).toString)
+      } else if (bytes.length >= 4 &&
+        (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+        // JPEG: walk segment markers to the first SOFn frame header
+        var i = 2
+        var dims: Option[(Int, Int)] = None
+        while (dims.isEmpty && i + 9 < bytes.length && (bytes(i) & 0xff) == 0xff) {
+          val marker = bytes(i + 1) & 0xff
+          if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 &&
+            marker != 0xc8 && marker != 0xcc) {
+            dims = Some((u16(bytes, i + 7), u16(bytes, i + 5))) // (width, height)
+          } else {
+            val len = u16(bytes, i + 2)
+            i += 2 + len
+          }
+        }
+        Map("mime" -> "image/jpeg") ++ dims.map { case (w, h) =>
+          Map("width" -> w.toString, "height" -> h.toString)
+        }.getOrElse(Map.empty)
+      } else if (bytes.length >= 10 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') {
+        Map("mime" -> "image/gif",
+          "width" -> u16le(bytes, 6).toString,
+          "height" -> u16le(bytes, 8).toString)
+      } else if (bytes.length >= 4 && bytes(0) == '%' && bytes(1) == 'P' &&
+        bytes(2) == 'D' && bytes(3) == 'F') {
+        Map("mime" -> "application/pdf")
+      } else if (bytes.forall(b => (b & 0xff) >= 0x09)) {
+        // no NUL/control bytes below tab => treat as text (unsigned
+        // compare: UTF-8 multibyte chars are negative as JVM bytes)
+        Map("mime" -> "text/plain")
+      } else {
+        Map("mime" -> "application/octet-stream")
+      }
+    base ++ meta
+  }
+
+  /** Column form of [[sniff]] (a Scala UDF: the branchy byte-walk isn't
+    * expressible as built-ins; promote to a codegen Expression only if
+    * profiling ever shows it hot — D1 runs once per ingest, not per query).
+    */
+  val sniffUdf: Column => Column = {
+    val f = udf((b: Array[Byte]) => sniff(b))
+    c => f(c)
+  }
+}

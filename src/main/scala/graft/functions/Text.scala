@@ -52,9 +52,13 @@ object Text {
     * 'und' (undetermined) when nothing matches. Ties break by language
     * code ascending for determinism. */
   def langId(tokens: Column): Column = {
-    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+    val langs = langMarkers.toSeq.sortBy(_._1)
+    val n = langs.size
+    val scored = langs.zipWithIndex.map { case ((lang, markers), i) =>
       val score = size(filter(tokens, t => t.isin(markers.map(m => lit(m)): _*)))
-      struct(score.as("score"), lit(lang).as("lang"))
+      // tie-break ascending by language code: greatest() picks the max
+      // struct, so rank codes in reverse-alphabetical index order
+      struct(score.as("score"), lit(n - 1 - i).as("idx"), lit(lang).as("lang"))
     }
     val best = greatest(scored: _*)
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))

@@ -58,4 +58,35 @@ object Vectors {
     }
     bits.reduce(_ + _).as("lsh_bucket")
   }
+
+  /** Multi-table sign-LSH keys: `nTables` independent tables of
+    * `planesPerTable` hyperplanes each, every key tagged with its table id
+    * (`table * 2^k + bucket`) so keys from different tables never join.
+    * Explode + equi-join on the key, then rerank candidates exactly.
+    *
+    * This is the actual 100 TB ANN path: single-table recall decays with
+    * bucket count, but P(miss) = (1 - p^k)^L decays exponentially in L, so
+    * recall is a dial (more tables) that costs linear work, not quadratic.
+    */
+  def lshTables(v: Column, planesPerTable: Int, nTables: Int, seed: Long = 42L): Column = {
+    val keys: Seq[Column] = (0 until nTables).map { t =>
+      val dv = toDouble(v)
+      val bits: Seq[Column] = (0 until planesPerTable).map { p =>
+        val plane = t * planesPerTable + p
+        val proj = aggregate(
+          zip_with(
+            dv,
+            sequence(lit(0), size(dv) - 1),
+            (x, i) =>
+              x * (xxhash64(lit(plane), i, lit(seed)).cast("double") / lit(Long.MaxValue.toDouble))
+          ),
+          lit(0.0),
+          (acc, x) => acc + x
+        )
+        when(proj >= 0.0, lit(1L << p)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _) + lit(t.toLong * (1L << planesPerTable))
+    }
+    array(keys: _*)
+  }
 }

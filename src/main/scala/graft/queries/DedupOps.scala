@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Canon._
+import graft.dedup.Dedup
+import graft.functions.Text
+import graft.sources.Tables
+
+/** Deduplication over the documents corpus — SURVEY.md §2.9 D4/D5 + the
+  * LLM-pipeline mandate (exact, MinHash+LSH, n-gram Jaccard, SimHash).
+  *
+  * Every pipeline is shuffle-shaped (hash aggregate / inverted-index join /
+  * band join) — no driver-side loop, no cross product over the corpus. At
+  * 100 TB the only quadratic term left is candidate pairs that truly share
+  * a band bucket or shingle, which is the point of LSH.
+  *
+  * All hashes are seeded string hashes (md5) that DuckDB computes
+  * identically, so even the MinHash estimates are exact-hash-checkable.
+  */
+object DedupOps {
+
+  /** Shared DuckDB CTE: whitespace tokens per document (mirrors
+    * [[Text.tokenize]]). */
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                     x -> x <> '') AS tokens
+      |  FROM documents
+      |)""".stripMargin
+
+  /** Shared DuckDB CTE: distinct 3-token shingles per document (mirrors
+    * [[Text.shingles]] at width 3 — empty when the doc has < 3 tokens). */
+  private val shinglesCte =
+    s"""$toksCte,
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest([array_to_string(tokens[i:i+2], ' ')
+       |                 FOR i IN range(1, len(tokens) - 1)]) AS shingle
+       |  FROM toks WHERE len(tokens) >= 3
+       |)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "d4_exact_dedup",
+      // sf0.01 documents are all distinct, so dedup over the corpus alone
+      // is vacuous; union a shifted copy so every text has exactly two
+      // claimants and the keeper choice (min id) is actually exercised.
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+             |)
+             |SELECT sha256(text) AS content_sha,
+             |       min(doc_id)  AS keeper_id,
+             |       count(*)     AS n_copies
+             |FROM u GROUP BY 1
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val d = t.documents.select(col("doc_id"), col("text"))
+        val u = d.unionByName(d.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+        ordered(Dedup.exactGroups(u, col("doc_id"), col("text")))
+      }
+    ),
+    Q(
+      "d5_minhash_pairs",
+      Some(s"""WITH $shinglesCte,
+              |sigs AS (
+              |  SELECT doc_id, seed,
+              |         min(md5(concat(seed::VARCHAR, '|', shingle))) AS sig
+              |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed)
+              |  GROUP BY doc_id, seed
+              |),
+              |bands AS (
+              |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+              |         string_agg(sig, '' ORDER BY sig) AS band_key
+              |  FROM sigs GROUP BY doc_id, band
+              |),
+              |cands AS (
+              |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              |  FROM bands x JOIN bands y
+              |    ON x.band = y.band AND x.band_key = y.band_key
+              |   AND x.doc_id < y.doc_id
+              |)
+              |SELECT c.a, c.b,
+              |       sum(CASE WHEN sx.sig = sy.sig THEN 1 ELSE 0 END) / 8.0
+              |         AS est_jaccard
+              |FROM cands c
+              |JOIN sigs sx ON sx.doc_id = c.a
+              |JOIN sigs sy ON sy.doc_id = c.b AND sy.seed = sx.seed
+              |GROUP BY c.a, c.b
+              |HAVING est_jaccard >= 0.5
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val docs = t.documents.select(col("doc_id"), col("text"))
+        ordered(
+          Dedup.minhashPairs(docs, shingleWidth = 3, numHashes = 8,
+            rowsPerBand = 2, minEstJaccard = 0.5)
+        )
+      }
+    ),
+    Q(
+      "d5_ngram_jaccard",
+      Some(s"""WITH $shinglesCte,
+              |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+              |inter AS (
+              |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+              |  FROM sh x JOIN sh y
+              |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              |  GROUP BY 1, 2
+              |)
+              |SELECT a, b,
+              |       round(inter * 1.0 / (na.n_sh + nb.n_sh - inter), 4) AS jaccard
+              |FROM inter
+              |JOIN sizes na ON na.doc_id = a
+              |JOIN sizes nb ON nb.doc_id = b
+              |WHERE inter * 1.0 / (na.n_sh + nb.n_sh - inter) >= 0.5
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val docs = t.documents.select(col("doc_id"), col("text"))
+        ordered(
+          Dedup.ngramJaccardPairs(docs, shingleWidth = 3, minJaccard = 0.5)
+            .select(col("a"), col("b"), r4(col("jaccard")).as("jaccard"))
+        )
+      }
+    ),
+    Q(
+      "d5_simhash",
+      // per-bit majority vote over md5 hex-digit parity — both engines
+      // compute the identical 32-bit value, so this is hash-checkable
+      Some(s"""WITH $toksCte,
+              |tok AS (
+              |  SELECT doc_id, unnest(tokens) AS t FROM toks
+              |  WHERE len(tokens) > 0
+              |),
+              |votes AS (
+              |  SELECT doc_id, b,
+              |         sum(CASE WHEN (strpos('0123456789abcdef',
+              |                               substring(md5(t), b + 1, 1)) - 1) % 2 = 1
+              |                  THEN 1 ELSE -1 END) AS vote
+              |  FROM tok CROSS JOIN (SELECT unnest(range(32)) AS b)
+              |  GROUP BY doc_id, b
+              |)
+              |SELECT doc_id,
+              |       sum(CASE WHEN vote >= 0 THEN (1::BIGINT << b) ELSE 0 END)
+              |         AS simhash
+              |FROM votes GROUP BY doc_id
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val toks = Text.tokenize(col("text"))
+        ordered(
+          t.documents
+            .filter(size(toks) > 0)
+            .select(col("doc_id"), Dedup.simhash32(toks).as("simhash"))
+        )
+      }
+    ),
+    Q(
+      "d5_simhash_near_pairs",
+      // near-dup pairs by simhash hamming distance; the band join on the
+      // two 16-bit halves keeps this from being a cross product (any pair
+      // with hamming <= 1 shares at least one exact half — pigeonhole)
+      Some(s"""WITH $toksCte,
+              |tok AS (
+              |  SELECT doc_id, unnest(tokens) AS t FROM toks
+              |  WHERE len(tokens) > 0
+              |),
+              |votes AS (
+              |  SELECT doc_id, b,
+              |         sum(CASE WHEN (strpos('0123456789abcdef',
+              |                               substring(md5(t), b + 1, 1)) - 1) % 2 = 1
+              |                  THEN 1 ELSE -1 END) AS vote
+              |  FROM tok CROSS JOIN (SELECT unnest(range(32)) AS b)
+              |  GROUP BY doc_id, b
+              |),
+              |sims AS (
+              |  SELECT doc_id,
+              |         sum(CASE WHEN vote >= 0 THEN (1::BIGINT << b) ELSE 0 END)
+              |           AS simhash
+              |  FROM votes GROUP BY doc_id
+              |),
+              |halves AS (
+              |  SELECT doc_id, simhash,
+              |         simhash // 65536 AS hi, simhash % 65536 AS lo
+              |  FROM sims
+              |),
+              |cands AS (
+              |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+              |         x.simhash AS sa, y.simhash AS sb
+              |  FROM halves x JOIN halves y
+              |    ON (x.hi = y.hi OR x.lo = y.lo) AND x.doc_id < y.doc_id
+              |)
+              |SELECT a, b, bit_count(xor(sa, sb)) AS hamming
+              |FROM cands
+              |WHERE bit_count(xor(sa, sb)) <= 1
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val toks = Text.tokenize(col("text"))
+        val sims = t.documents
+          .filter(size(toks) > 0)
+          .select(col("doc_id"), Dedup.simhash32(toks).as("simhash"))
+        val halves = sims
+          .withColumn("hi", col("simhash").divide(65536).cast("long"))
+          .withColumn("lo", pmod(col("simhash"), lit(65536L)))
+        // two shuffled equi-joins (hi-half match, lo-half match) unioned —
+        // an OR join would plan as a nested loop, quadratic at scale
+        val cands = Seq("hi", "lo").map { half =>
+          val x = halves.select(col("doc_id").as("a"), col("simhash").as("sa"),
+            col(half).as("k"))
+          val y = halves.select(col("doc_id").as("b"), col("simhash").as("sb"),
+            col(half).as("k"))
+          x.join(y, Seq("k")).filter(col("a") < col("b"))
+            .select(col("a"), col("b"), col("sa"), col("sb"))
+        }.reduce(_ unionByName _).distinct()
+        ordered(
+          cands
+            .select(col("a"), col("b"), Dedup.hamming32(col("sa"), col("sb")).as("hamming"))
+            .filter(col("hamming") <= 1)
+        )
+      }
+    )
+  )
+}

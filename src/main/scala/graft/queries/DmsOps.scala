@@ -1,5 +1,174 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Canon._
+import graft.functions.Metadata
+import graft.sources.Tables
+
+/** The DMS-native surface — SURVEY.md §2.9: versioned upsert (D8, fixing
+  * the reference's string-sorted versions, DMS.py:391), row-level delete
+  * as an anti-join rewrite (S8, DMS.py:279-311), truncate-by-predicate
+  * (S9, DMS.py:407-419 — split on the FIRST dot only, fixing the
+  * filename-truncation bug), and metadata extraction (D1, DMS.py:70-91).
+  *
+  * The versioned-corpus view derives deterministically from documents:
+  * filename = "doc" || (doc_id % 50), version = doc_id / 50 + 1 — 50
+  * files x 10 versions, enough to exercise every versioning path.
+  */
 object DmsOps {
-  val all: Seq[Q] = Seq()
+
+  /** The versioned view: (filename, version, doc_id, text). */
+  private def versioned(t: Tables): DataFrame =
+    t.documents.select(
+      concat(lit("doc"), (col("doc_id") % 50).cast("string")).as("filename"),
+      (col("doc_id") / 50).cast("int").plus(1).as("version"),
+      col("doc_id"),
+      col("text")
+    )
+
+  private val versionedCte =
+    """v AS (
+      |  SELECT concat('doc', CAST(doc_id % 50 AS VARCHAR)) AS filename,
+      |         CAST(doc_id // 50 AS INT) + 1 AS version,
+      |         doc_id, text
+      |  FROM documents
+      |)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "d8_next_version",
+      // upload()'s version assignment (DMS.py:113-117) as one aggregate:
+      // next = coalesce(max(version), 0) + 1, NUMERIC max (v10 > v2)
+      Some(s"""WITH $versionedCte
+              |SELECT filename, max(version) + 1 AS next_version
+              |FROM v GROUP BY filename
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          versioned(t)
+            .groupBy(col("filename"))
+            .agg((max(col("version")) + 1).as("next_version"))
+        )
+      }
+    ),
+    Q(
+      "d8_upsert_latest",
+      // append a new batch for doc0..doc4 at next_version, then ask for
+      // the latest version of every file — the upsert round-trip
+      Some(s"""WITH $versionedCte,
+              |nxt AS (
+              |  SELECT filename, max(version) + 1 AS version FROM v
+              |  WHERE filename IN ('doc0','doc1','doc2','doc3','doc4')
+              |  GROUP BY filename
+              |),
+              |u AS (
+              |  SELECT filename, version FROM v
+              |  UNION ALL SELECT filename, version FROM nxt
+              |)
+              |SELECT filename, max(version) AS latest
+              |FROM u GROUP BY filename
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val v = versioned(t).select(col("filename"), col("version"))
+        val batch = Seq("doc0", "doc1", "doc2", "doc3", "doc4")
+        val nxt = v.filter(col("filename").isin(batch: _*))
+          .groupBy(col("filename"))
+          .agg((max(col("version")) + 1).as("version"))
+        ordered(
+          v.unionByName(nxt)
+            .groupBy(col("filename"))
+            .agg(max(col("version")).as("latest"))
+        )
+      }
+    ),
+    Q(
+      "s8_delete_antijoin",
+      // delete() (DMS.py:279-311) as rewrite-on-delete: anti-join the
+      // tombstone set, survivors keep their counts
+      Some(s"""WITH $versionedCte,
+              |del AS (
+              |  SELECT filename, version FROM v
+              |  WHERE filename = 'doc7' OR (filename = 'doc3' AND version <= 5)
+              |)
+              |SELECT v.filename, count(*) AS n_versions
+              |FROM v ANTI JOIN del
+              |  ON v.filename = del.filename AND v.version = del.version
+              |GROUP BY v.filename
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val v = versioned(t)
+        val del = v.filter(col("filename") === "doc7" ||
+            (col("filename") === "doc3" && col("version") <= 5))
+          .select(col("filename"), col("version"))
+        ordered(
+          v.join(del, Seq("filename", "version"), "left_anti")
+            .groupBy(col("filename"))
+            .agg(count(lit(1)).as("n_versions"))
+        )
+      }
+    ),
+    Q(
+      "s9_row_key_roundtrip",
+      // the reference's composite row key, split on the FIRST dot only
+      // (fixing delete_all's key.split('.')[1] truncation, DMS.py:413):
+      // synthesize v{version}.{filename}, parse it back, prove lossless
+      Some(s"""WITH $versionedCte,
+              |keys AS (
+              |  SELECT concat('v', CAST(version AS VARCHAR), '.', filename) AS row_key,
+              |         filename, version FROM v
+              |)
+              |SELECT row_key,
+              |       CAST(regexp_extract(row_key, '^v(\\d+)\\.', 1) AS INT) AS parsed_version,
+              |       regexp_extract(row_key, '^v\\d+\\.(.*)$$', 1) AS parsed_filename,
+              |       (regexp_extract(row_key, '^v\\d+\\.(.*)$$', 1) = filename
+              |        AND CAST(regexp_extract(row_key, '^v(\\d+)\\.', 1) AS INT) = version)
+              |         AS lossless
+              |FROM keys
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val keys = versioned(t).select(
+          concat(lit("v"), col("version").cast("string"), lit("."), col("filename"))
+            .as("row_key"),
+          col("filename"), col("version"))
+        ordered(
+          keys.select(
+            col("row_key"),
+            regexp_extract(col("row_key"), "^v(\\d+)\\.", 1).cast("int").as("parsed_version"),
+            regexp_extract(col("row_key"), "^v\\d+\\.(.*)$", 1).as("parsed_filename"),
+            (regexp_extract(col("row_key"), "^v\\d+\\.(.*)$", 1) === col("filename") &&
+              regexp_extract(col("row_key"), "^v(\\d+)\\.", 1).cast("int") === col("version"))
+              .as("lossless")
+          )
+        )
+      }
+    ),
+    Q(
+      "d1_metadata_sniff",
+      // D1 over the corpus: text bytes sniff as text/plain with exact byte
+      // length; image-header parsing is covered by MetadataSpec goldens
+      Some("""SELECT doc_id,
+             |       'text/plain' AS mime,
+             |       CAST(octet_length(encode(text)) AS VARCHAR) AS byte_length
+             |FROM documents
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val meta = Metadata.sniffUdf(encode(col("text"), "UTF-8"))
+        ordered(
+          t.documents
+            .select(col("doc_id"), meta.as("meta"))
+            .select(
+              col("doc_id"),
+              element_at(col("meta"), "mime").as("mime"),
+              element_at(col("meta"), "length").as("byte_length")
+            )
+        )
+      }
+    )
+  )
 }

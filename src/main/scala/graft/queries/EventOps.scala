@@ -1,5 +1,208 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Canon._
+import graft.sources.Tables
+
+/** Event-time operators over the events table — SURVEY.md §2.10.
+  *
+  * These are the BATCH equivalents of the streaming surface: the exact
+  * same expressions run under `readStream` in [[graft.streaming.Streams]]
+  * (verified with MemoryStream in StreamingSpec); here they run on the
+  * batch relation so the DuckDB oracle can hash-check the semantics —
+  * window alignment, session gap boundaries (new session iff
+  * gap >= threshold), dedup keeper choice.
+  *
+  * Money-style sums go through decimal(18,4) so the result is independent
+  * of partition/accumulation order — double sums are neither.
+  */
 object EventOps {
-  val all: Seq[Q] = Seq()
+
+  /** Microsecond-precision timestamp rendering (event ts granularity). */
+  private def tus(c: org.apache.spark.sql.Column) =
+    date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "t1_tumbling_window",
+      Some("""SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+             |       event_type, count(*) AS n,
+             |       sum(value::DECIMAL(18,4))::DOUBLE AS total
+             |FROM events GROUP BY 1, 2
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.events
+            .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              // exact decimal sum (order-independent), one cast back to
+              // double at the end so both engines emit a float column
+              sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+            .select(tstr(col("w.start")).as("w_start"), col("event_type"),
+              col("n"), col("total"))
+        )
+      }
+    ),
+    Q(
+      "t2_sliding_window",
+      // 1h windows sliding by 15m: every event lands in 4 windows, starts
+      // aligned to 15-minute epoch boundaries (Spark's alignment)
+      Some("""SELECT strftime(time_bucket(INTERVAL 15 MINUTES, ts)
+             |                - j * INTERVAL 15 MINUTES, '%Y-%m-%d %H:%M:%S') AS w_start,
+             |       event_type, count(*) AS n
+             |FROM events CROSS JOIN (SELECT unnest(range(4)) AS j)
+             |GROUP BY 1, 2
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.events
+            .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+              col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .select(tstr(col("w.start")).as("w_start"), col("event_type"), col("n"))
+        )
+      }
+    ),
+    Q(
+      "t3_session_window",
+      // session gap 30m; session end = last event + gap (exclusive). New
+      // session iff ts - prev >= gap — the gaps-and-islands oracle pins
+      // Spark's boundary semantics exactly
+      Some("""WITH x AS (
+             |  SELECT user_id, ts,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |),
+             |y AS (
+             |  SELECT user_id, ts,
+             |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |                          ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM x
+             |)
+             |SELECT user_id,
+             |       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_start,
+             |       strftime(max(ts) + INTERVAL 30 MINUTES,
+             |                '%Y-%m-%d %H:%M:%S.%f') AS s_end,
+             |       count(*) AS n_events
+             |FROM y GROUP BY user_id, sid
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.events
+            .groupBy(session_window(col("ts"), "30 minutes").as("s"), col("user_id"))
+            .agg(count(lit(1)).as("n_events"))
+            .select(col("user_id"), tus(col("s.start")).as("s_start"),
+              tus(col("s.end")).as("s_end"), col("n_events"))
+        )
+      }
+    ),
+    Q(
+      "t5_sessions_gaps_islands",
+      // same sessions built the analytic-window way (lag + cumulative
+      // flag) — cross-validates session_window against first principles
+      Some("""WITH x AS (
+             |  SELECT user_id, ts,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |),
+             |y AS (
+             |  SELECT user_id, ts,
+             |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |                          ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM x
+             |)
+             |SELECT user_id, sid, count(*) AS n_events,
+             |       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_start
+             |FROM y GROUP BY user_id, sid
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val flagged = t.events.withColumn("new_s",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >= 1800000000L,
+            1L).otherwise(0L))
+        val wc = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ordered(
+          flagged.withColumn("sid", sum(col("new_s")).over(wc))
+            .groupBy(col("user_id"), col("sid"))
+            .agg(count(lit(1)).as("n_events"), tus(min(col("ts"))).as("s_start"))
+        )
+      }
+    ),
+    Q(
+      "t6_dedup_first_event",
+      // deterministic stream-dedup keeper: earliest (ts, event_id) per
+      // (user, type) — dropDuplicates keeps an arbitrary row, min(struct)
+      // keeps a defined one
+      Some("""WITH r AS (
+             |  SELECT user_id, event_type, event_id, ts,
+             |         row_number() OVER (PARTITION BY user_id, event_type
+             |                            ORDER BY ts, event_id) AS rn
+             |  FROM events
+             |)
+             |SELECT user_id, event_type, event_id AS first_event_id,
+             |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts
+             |FROM r WHERE rn = 1
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.events
+            .groupBy(col("user_id"), col("event_type"))
+            .agg(min(struct(col("ts"), col("event_id"))).as("m"))
+            .select(col("user_id"), col("event_type"),
+              col("m.event_id").as("first_event_id"), tus(col("m.ts")).as("first_ts"))
+        )
+      }
+    ),
+    Q(
+      "t7_stream_static_join",
+      // stream-static enrichment shape: fact events x broadcast dim
+      Some("""SELECT c.c_mktsegment, e.event_type, count(*) AS n,
+             |       sum(e.value::DECIMAL(18,4))::DOUBLE AS total
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY 1, 2
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.events
+            .join(broadcast(t.customer), col("user_id") === col("c_custkey"))
+            .groupBy(col("c_mktsegment"), col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+        )
+      }
+    ),
+    Q(
+      "t_props_json",
+      // events.props is a JSON string — extraction surface (§2.8 JSON)
+      Some("""SELECT event_type,
+             |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+             |       count(*) AS n
+             |FROM events GROUP BY 1
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.events
+            .groupBy(col("event_type"))
+            .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"),
+              count(lit(1)).as("n"))
+        )
+      }
+    )
+  )
 }

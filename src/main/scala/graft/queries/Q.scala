@@ -20,6 +20,6 @@ object Q {
   /** All registered query modules, assembled for SparkEntry. */
   def registry: Seq[Q] =
     Relational.all ++ Joins.all ++ Aggregates.all ++ Windows.all ++
-      Scalars.all ++ TextOps.all ++ VectorOps.all ++ EventOps.all ++
-      DmsOps.all
+      Scalars.all ++ TextOps.all ++ DedupOps.all ++ VectorOps.all ++
+      EventOps.all ++ DmsOps.all
 }

@@ -1,5 +1,237 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.Canon._
+import graft.functions.Text
+import graft.sources.Tables
+
+/** Text-analysis surface over the documents corpus — SURVEY.md §2.9
+  * D2/D3/D7 + the LLM-pipeline mandate (language-ID, quality scoring,
+  * token counting, fingerprinting).
+  *
+  * Everything is a pure Column expression (no UDFs), so the whole module
+  * runs inside whole-stage codegen and every query is reproducible in the
+  * DuckDB oracle. Full-text search is the engine-native replacement for
+  * the reference's out-of-band Solr delegation (DMS.py:345-356): an
+  * inverted postings DataFrame + TF-IDF scoring.
+  */
 object TextOps {
-  val all: Seq[Q] = Seq()
+
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                     x -> x <> '') AS tokens
+      |  FROM documents
+      |)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "d2_tokenize_tf",
+      // corpus term/document frequencies — the postings backbone
+      Some(s"""WITH $toksCte,
+              |tok AS (SELECT doc_id, unnest(tokens) AS term FROM toks)
+              |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+              |FROM tok GROUP BY term
+              |HAVING count(*) >= 20
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.documents
+            .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
+            .groupBy(col("term"))
+            .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+            .filter(col("tf") >= 20)
+        )
+      }
+    ),
+    Q(
+      "d3_search_tfidf",
+      // full-text search: score = sum over query terms of tf * ln(N/df),
+      // top 20 by score — the Solr replacement (DMS.py:345-356)
+      Some(s"""WITH $toksCte,
+              |tok AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+              |postings AS (
+              |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+              |),
+              |dfreq AS (
+              |  SELECT term, count(*) AS df FROM postings GROUP BY 1
+              |),
+              |n AS (SELECT count(*) AS n_docs FROM documents),
+              |scored AS (
+              |  SELECT p.doc_id,
+              |         sum(p.tf * ln(n.n_docs * 1.0 / d.df)) AS score
+              |  FROM postings p
+              |  JOIN dfreq d ON p.term = d.term
+              |  CROSS JOIN n
+              |  WHERE p.term IN ('spark', 'window', 'shuffle')
+              |  GROUP BY p.doc_id
+              |)
+              |SELECT doc_id, round(score, 4) AS score
+              |FROM scored
+              |ORDER BY score DESC, doc_id ASC
+              |LIMIT 20""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val queryTerms = Seq("spark", "window", "shuffle")
+        val postings = t.documents
+          .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
+        postings
+          .filter(col("term").isin(queryTerms: _*))
+          .join(broadcast(dfreq), "term")
+          .crossJoin(broadcast(nDocs))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("tf") * log(col("n_docs").cast("double") / col("df"))).as("score"))
+          .select(col("doc_id"), r4(col("score")).as("score"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(20)
+      }
+    ),
+    Q(
+      "d7_text_stats",
+      Some(s"""WITH $toksCte
+              |SELECT d.lang, d.source, count(*) AS n_docs,
+              |       round(avg(d.n_chars), 4) AS avg_chars,
+              |       sum(len(t.tokens)) AS total_tokens
+              |FROM documents d JOIN toks t USING (doc_id)
+              |GROUP BY d.lang, d.source
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.documents
+            .groupBy(col("lang"), col("source"))
+            .agg(
+              count(lit(1)).as("n_docs"),
+              r4(avg(col("n_chars"))).as("avg_chars"),
+              sum(size(Text.tokenize(col("text"))).cast("long")).as("total_tokens")
+            )
+        )
+      }
+    ),
+    Q(
+      "d7_token_counts",
+      Some("""SELECT doc_id,
+             |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      x -> x <> '')) AS ws_tokens,
+             |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))
+             |    AS bpeish_tokens
+             |FROM documents
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.documents.select(
+            col("doc_id"),
+            Text.tokenCount(col("text")).as("ws_tokens"),
+            Text.bpeishTokenCount(col("text")).as("bpeish_tokens")
+          )
+        )
+      }
+    ),
+    Q(
+      "d7_lang_id",
+      // n-gram/stopword language-ID heuristic; ties break by language
+      // code ascending, no markers at all => 'und'
+      Some(s"""WITH $toksCte,
+              |langs AS (
+              |  SELECT * FROM (VALUES
+              |    ('de', ['der','die','und','das','ist']),
+              |    ('en', ['the','and','of','to','a']),
+              |    ('es', ['el','la','los','que','de']),
+              |    ('fr', ['le','la','et','les','des']),
+              |    ('zh', ['的','是','了','在','我'])
+              |  ) AS v(lang, markers)
+              |),
+              |scores AS (
+              |  SELECT t.doc_id, l.lang,
+              |         len(list_filter(t.tokens, x -> list_contains(l.markers, x)))
+              |           AS score
+              |  FROM toks t CROSS JOIN langs l
+              |),
+              |best AS (
+              |  SELECT doc_id, lang, score,
+              |         row_number() OVER (PARTITION BY doc_id
+              |                            ORDER BY score DESC, lang ASC) AS rn
+              |  FROM scores
+              |)
+              |SELECT doc_id,
+              |       CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_id
+              |FROM best WHERE rn = 1
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.documents.select(
+            col("doc_id"),
+            Text.langId(Text.tokenize(col("text"))).as("lang_id")
+          )
+        )
+      }
+    ),
+    Q(
+      "d7_quality_score",
+      Some("""WITH q AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                x -> x <> '') AS toks,
+             |    text
+             |  FROM documents
+             |), m AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(toks) > 0
+             |         THEN len(array_to_string(toks, '')) * 1.0 / len(toks)
+             |         ELSE 0.0 END AS mean_len,
+             |    CASE WHEN len(text) > 0
+             |         THEN (len(text) - len(regexp_replace(text, '[a-zA-Z ]', '', 'g')))
+             |              * 1.0 / len(text)
+             |         ELSE 0.0 END AS alpha_ratio,
+             |    CASE WHEN len(toks) > 0
+             |         THEN len(list_distinct(toks)) * 1.0 / len(toks)
+             |         ELSE 0.0 END AS distinct_ratio
+             |  FROM q
+             |)
+             |SELECT doc_id,
+             |  floor(((CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+             |        * 0.3 + alpha_ratio * 0.4 + distinct_ratio * 0.3) * 10000 + 0.5)
+             |    / 10000 AS quality
+             |FROM m
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.documents.select(
+            col("doc_id"),
+            // floor(x*1e4 + 0.5)/1e4 instead of round(): Spark rounds via
+            // exact BigDecimal, DuckDB via fp multiply — they disagree at
+            // .5 boundaries; this form is pure IEEE ops, identical in both
+            (floor(Text.qualityScore(col("text")) * 10000 + 0.5) / 10000).as("quality")
+          )
+        )
+      }
+    ),
+    Q(
+      "d7_fingerprint",
+      // Karp–Rabin rolling-hash document fingerprint: strict left fold
+      // acc*31 + ascii(char) mod 1e9+7 — identical fold in both engines
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT),
+             |      [CAST(ascii(c) AS BIGINT) FOR c IN string_split(text, '')]),
+             |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+             |FROM documents
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.documents.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        )
+      }
+    )
+  )
 }

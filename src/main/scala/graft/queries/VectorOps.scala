@@ -1,5 +1,164 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Canon._
+import graft.functions.{Centroid, Vectors}
+import graft.sources.Tables
+
+/** Similarity search + vector aggregation over the embeddings table —
+  * SURVEY.md §2.9 D6 + §2.4 A10 (LLM-pipeline mandate).
+  *
+  * Brute-force top-k is the correctness baseline: broadcast the (small)
+  * query set against the full corpus — one scan, no shuffle of the corpus.
+  * The 100 TB path is sign-LSH: bucket both sides on hyperplane sign bits,
+  * equi-join on bucket, rerank candidates exactly; corpus-side work drops
+  * from |Q|×|C| to the bucket collision set.
+  *
+  * Dot products are strict left folds in double ([[Vectors.dot]]), so the
+  * scores are reproducible enough to exact-hash-match the DuckDB oracle
+  * after round(4).
+  */
 object VectorOps {
-  val all: Seq[Q] = Seq()
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "d6_cosine_topk",
+      // top-10 nearest candidates (vec_id >= 5) per query vector
+      // (vec_id < 5), ranked by rounded cosine then candidate id
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+             |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id >= 5),
+             |scored AS (
+             |  SELECT q_id, c_id,
+             |    round(
+             |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        [qe[i]::DOUBLE * ce[i]::DOUBLE FOR i IN range(1, len(qe) + 1)]),
+             |        (acc, x) -> acc + x)
+             |      / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           [qe[i]::DOUBLE * qe[i]::DOUBLE FOR i IN range(1, len(qe) + 1)]),
+             |           (acc, x) -> acc + x))
+             |       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           [ce[i]::DOUBLE * ce[i]::DOUBLE FOR i IN range(1, len(ce) + 1)]),
+             |           (acc, x) -> acc + x))), 4) AS cos
+             |  FROM q CROSS JOIN c
+             |),
+             |ranked AS (
+             |  SELECT q_id, c_id, cos,
+             |         row_number() OVER (PARTITION BY q_id
+             |                            ORDER BY cos DESC, c_id ASC) AS rn
+             |  FROM scored
+             |)
+             |SELECT q_id, rn, c_id, cos FROM ranked WHERE rn <= 10
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val e = t.embeddings
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val c = e.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        val scored = c.crossJoin(broadcast(q))
+          .select(col("q_id"), col("c_id"),
+            r4(Vectors.cosine(col("qe"), col("ce"))).as("cos"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("c_id").asc)
+        ordered(
+          scored.withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 10)
+            .select(col("q_id"), col("rn"), col("c_id"), col("cos"))
+        )
+      }
+    ),
+    Q(
+      "d6_lsh_ann",
+      // multi-table sign-LSH ANN: xxhash64-derived hyperplanes have no
+      // DuckDB equivalent, so this is a rows-only check; FunctionsSpec
+      // verifies recall against the brute-force baseline
+      None,
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val e = t.embeddings
+        val withKeys = e.select(col("vec_id"), col("embedding"),
+          explode(Vectors.lshTables(col("embedding"), planesPerTable = 4,
+            nTables = 8)).as("bucket"))
+        val q = withKeys.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
+        val c = withKeys.filter(col("vec_id") >= 20)
+          .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("bucket"))
+        // same (q, c) pair can collide in several tables — dedup before rerank
+        val cand = c.join(broadcast(q), "bucket")
+          .select(col("q_id"), col("qe"), col("c_id"), col("ce")).distinct()
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("c_id").asc)
+        ordered(
+          cand.select(col("q_id"), col("c_id"),
+              r4(Vectors.cosine(col("qe"), col("ce"))).as("cos"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 5)
+        )
+      }
+    ),
+    Q(
+      "a10_centroid",
+      // custom typed Aggregator (partial/final over fixed-width buffers),
+      // posexploded to rows so the oracle can hash-check per dimension
+      Some("""WITH e AS (
+             |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+             |         unnest(embedding) AS v
+             |  FROM embeddings
+             |)
+             |SELECT label, dim, round(avg(v::DOUBLE), 4) AS centroid
+             |FROM e GROUP BY label, dim
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val centroid = udaf(Centroid)
+        ordered(
+          t.embeddings
+            .groupBy(col("label"))
+            .agg(centroid(col("embedding")).as("c"))
+            .select(col("label"), posexplode(col("c")).as(Seq("dim", "v")))
+            .select(col("label"), col("dim"), r4(col("v")).as("centroid"))
+        )
+      }
+    ),
+    Q(
+      "d6_pairwise_label_sim",
+      // mean intra- vs inter-label cosine over a deterministic sample —
+      // the "is my embedding space any good" diagnostic
+      Some("""WITH s AS (SELECT vec_id, label, embedding AS e FROM embeddings WHERE vec_id % 5 = 0),
+             |p AS (
+             |  SELECT a.label AS la, b.label AS lb,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      [a.e[i]::DOUBLE * b.e[i]::DOUBLE FOR i IN range(1, len(a.e) + 1)]),
+             |      (acc, x) -> acc + x)
+             |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         [a.e[i]::DOUBLE * a.e[i]::DOUBLE FOR i IN range(1, len(a.e) + 1)]),
+             |         (acc, x) -> acc + x))
+             |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         [b.e[i]::DOUBLE * b.e[i]::DOUBLE FOR i IN range(1, len(b.e) + 1)]),
+             |         (acc, x) -> acc + x))) AS cos
+             |  FROM s a JOIN s b ON a.vec_id < b.vec_id
+             |)
+             |SELECT CASE WHEN la = lb THEN 'intra' ELSE 'inter' END AS kind,
+             |       count(*) AS n_pairs, round(avg(cos), 4) AS mean_cos
+             |FROM p GROUP BY 1
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val s = t.embeddings.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id"), col("label"), col("embedding"))
+        val a = s.select(col("vec_id").as("ida"), col("label").as("la"), col("embedding").as("ea"))
+        val b = s.select(col("vec_id").as("idb"), col("label").as("lb"), col("embedding").as("eb"))
+        ordered(
+          a.join(b, col("ida") < col("idb"))
+            .select(
+              when(col("la") === col("lb"), lit("intra")).otherwise(lit("inter")).as("kind"),
+              Vectors.cosine(col("ea"), col("eb")).as("cos"))
+            .groupBy(col("kind"))
+            .agg(count(lit(1)).as("n_pairs"), r4(avg(col("cos"))).as("mean_cos"))
+        )
+      }
+    )
+  )
 }

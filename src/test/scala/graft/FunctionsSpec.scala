@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+import graft.functions.{Metadata, Text, Vectors}
+
+/** Unit tests for the function library: D1 metadata goldens, D5 dedup
+  * estimator sanity, D6 LSH recall vs brute force.
+  */
+class FunctionsSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  // --- D1 metadata sniffing goldens (synthetic magic-byte fixtures) ---
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(24)
+    b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+    b.array()
+  }
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    // SOI + APP0 (16 bytes) + SOF0 with dims + EOI
+    val b = java.nio.ByteBuffer.allocate(64)
+    b.put(Array(0xff, 0xd8).map(_.toByte))
+    b.put(Array(0xff, 0xe0).map(_.toByte)).putShort(16).put(new Array[Byte](14))
+    b.put(Array(0xff, 0xc0).map(_.toByte)).putShort(11).put(8.toByte)
+      .putShort(h.toShort).putShort(w.toShort)
+    b.put(Array(0xff, 0xd9).map(_.toByte))
+    b.array()
+  }
+
+  private def gifBytes(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("GIF89a".getBytes).putShort(w.toShort).putShort(h.toShort)
+    b.array()
+  }
+
+  test("D1: PNG dimensions from IHDR") {
+    val m = Metadata.sniff(pngBytes(640, 480))
+    assert(m("mime") == "image/png" && m("width") == "640" && m("height") == "480")
+  }
+
+  test("D1: JPEG dimensions from SOF0 marker walk") {
+    val m = Metadata.sniff(jpegBytes(1024, 768))
+    assert(m("mime") == "image/jpeg" && m("width") == "1024" && m("height") == "768")
+  }
+
+  test("D1: GIF little-endian dims, PDF magic, text, binary fallback") {
+    val g = Metadata.sniff(gifBytes(320, 200))
+    assert(g("mime") == "image/gif" && g("width") == "320" && g("height") == "200")
+    assert(Metadata.sniff("%PDF-1.7".getBytes)("mime") == "application/pdf")
+    assert(Metadata.sniff("hello wörld".getBytes("UTF-8"))("mime") == "text/plain")
+    assert(Metadata.sniff(Array[Byte](0, 1, 2))("mime") == "application/octet-stream")
+  }
+
+  test("D1: sniff works distributed as a UDF over a binary column") {
+    import spark.implicits._
+    val df = Seq(pngBytes(10, 20), jpegBytes(30, 40)).toDF("content")
+    val got = df.select(element_at(Metadata.sniffUdf(col("content")), "mime"))
+      .as[String].collect().toSet
+    assert(got == Set("image/png", "image/jpeg"))
+  }
+
+  // --- D5 dedup sanity ---
+
+  test("D5: minhash estimate tracks exact jaccard for near-dups") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 57).map(i => s"tok$i").mkString(" ") + " x y z"
+    val far = (100 to 160).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, shingleWidth = 3, numHashes = 16,
+      rowsPerBand = 2, minEstJaccard = 0.3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && !pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    val exact = Dedup.ngramJaccardPairs(docs, shingleWidth = 3, minJaccard = 0.3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.contains((1L, 2L)))
+  }
+
+  test("D5: exact dedup keeps min-id row per distinct content") {
+    import spark.implicits._
+    val docs = Seq((5L, "aa"), (3L, "aa"), (9L, "bb")).toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 9L))
+  }
+
+  test("D5: simhash of near-identical token sets has small hamming distance") {
+    import spark.implicits._
+    val a = (1 to 50).map(i => s"w$i").mkString(" ")
+    val b = (1 to 48).map(i => s"w$i").mkString(" ") + " q r"
+    val c = (200 to 250).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.simhash32(Text.tokenize(col("text"))).as("sh"))
+    val m = df.as[(Long, Long)].collect().toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
+  }
+
+  // --- D6 LSH recall ---
+
+  test("D6: multi-table sign-LSH has usable top-1 recall vs brute force") {
+    import spark.implicits._
+    val t = graft.sources.Tables(spark, sf)
+    val e = t.embeddings.cache()
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    // brute-force top-1 per query
+    val brute = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("c_id"), Vectors.cosine(col("qe"), col("ce")).as("cos"))
+      .groupBy("q_id").agg(max(struct(col("cos"), col("c_id"))).as("m"))
+      .select(col("q_id"), col("m.c_id").as("best"))
+      .as[(Long, Long)].collect().toMap
+    // 8 tables x 4 planes: P(miss) = (1 - p^4)^8, exponentially small in
+    // table count for correlated vectors
+    def keyed(df: org.apache.spark.sql.DataFrame, id: String, emb: String) =
+      df.select(col(id), col(emb),
+        explode(Vectors.lshTables(col(emb), 4, 8)).as("b"))
+    val qb = keyed(q, "q_id", "qe")
+    val cb = keyed(c, "c_id", "ce")
+    val lsh = cb.join(broadcast(qb), "b")
+      .select(col("q_id"), col("c_id"), Vectors.cosine(col("qe"), col("ce")).as("cos"))
+      .distinct()
+      .groupBy("q_id").agg(max(struct(col("cos"), col("c_id"))).as("m"))
+      .select(col("q_id"), col("m.c_id").as("best"))
+      .as[(Long, Long)].collect().toMap
+    e.unpersist()
+    val recall = brute.count { case (k, v) => lsh.get(k).contains(v) }.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH top-1 recall $recall too low")
+  }
+
+  test("D6: cosine is 1 for identical vectors, 0 for zero vector") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f), Array(0.0f, 0.0f)))
+      .toDF("a", "b", "z")
+    val row = df.select(
+      round(Vectors.cosine(col("a"), col("b")), 6),
+      Vectors.cosine(col("a"), col("z"))).head()
+    assert(row.getDouble(0) == 1.0 && row.getDouble(1) == 0.0)
+  }
+}

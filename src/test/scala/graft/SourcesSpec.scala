@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source/sink surface — SURVEY.md §2.1: CSV/JSON with explicit schemas
+  * (S4), binary-file source (S5), parquet append/overwrite sinks (S6/S7),
+  * truncate (S9). Each test is a write -> read-back round trip.
+  */
+class SourcesSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private def tmp(): String = Files.createTempDirectory("graft_src").toString
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("score", DoubleType)))
+
+  test("S4: CSV round trip with explicit schema (header, no inference)") {
+    import spark.implicits._
+    val dir = tmp()
+    val df = Seq((1L, "a", 1.5), (2L, "b,with,commas", 2.5), (3L, null, 3.5))
+      .toDF("id", "name", "score")
+    df.write.option("header", "true").mode("overwrite").csv(dir)
+    val back = spark.read.option("header", "true").schema(schema).csv(dir)
+    assert(back.schema == schema)
+    assert(back.except(df).isEmpty && df.except(back).isEmpty)
+  }
+
+  test("S4: JSON round trip with explicit schema") {
+    import spark.implicits._
+    val dir = tmp()
+    val df = Seq((1L, "x", 0.1), (2L, "y", 0.2)).toDF("id", "name", "score")
+    df.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(schema).json(dir)
+    assert(back.except(df).isEmpty && df.except(back).isEmpty)
+  }
+
+  test("S5: binaryFile source reads content + length + path metadata") {
+    val dir = tmp()
+    val payload = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3)
+    Files.write(java.nio.file.Paths.get(dir, "blob.bin"), payload)
+    val df = spark.read.format("binaryFile").load(dir)
+    val row = df.select("length", "content").head()
+    assert(row.getLong(0) == payload.length)
+    assert(row.getAs[Array[Byte]](1).sameElements(payload))
+  }
+
+  test("S6: parquet append sink accumulates batches") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Seq((1L, "v1")).toDF("k", "v").write.mode("append").parquet(dir)
+    Seq((2L, "v2")).toDF("k", "v").write.mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("S7: dynamic partition overwrite replaces only touched partitions") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((1L, "a"), (2L, "b")).toDF("k", "part").write
+        .partitionBy("part").mode("overwrite").parquet(dir)
+      // overwrite only part=a; part=b must survive
+      Seq((9L, "a")).toDF("k", "part").write
+        .partitionBy("part").mode("overwrite").parquet(dir)
+      val got = spark.read.parquet(dir).select("k", "part")
+        .as[(Long, String)].collect().toSet
+      assert(got == Set((9L, "a"), (2L, "b")))
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  }
+
+  test("S9: truncate = overwrite with empty frame of same schema") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Seq((1L, "x")).toDF("k", "v").write.parquet(dir)
+    spark.read.parquet(dir).limit(0).write.mode("overwrite").parquet(dir + "2")
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      spark.read.parquet(dir).schema).write.mode("overwrite").parquet(dir)
+    assert(spark.read.parquet(dir).isEmpty)
+    assert(spark.read.parquet(dir).schema.fieldNames.sameElements(Array("k", "v")))
+  }
+
+  test("A10: centroid aggregator merges partials correctly across partitions") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Array(1.0f, 3.0f)), (0, Array(3.0f, 5.0f)), (1, Array(10.0f, 20.0f))
+    ).toDF("label", "embedding").repartition(3)
+    val centroid = udaf(graft.functions.Centroid)
+    val got = df.groupBy("label").agg(centroid(col("embedding")).as("c"))
+      .as[(Int, Array[Double])].collect().toMap
+    assert(got(0).sameElements(Array(2.0, 4.0)))
+    assert(got(1).sameElements(Array(10.0, 20.0)))
+  }
+}

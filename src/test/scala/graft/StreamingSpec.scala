@@ -1,0 +1,129 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+
+/** Structured Streaming semantics — SURVEY.md §2.10. Each test drives a
+  * stream from MemoryStream and asserts against the batch result of the
+  * same transform (the unified-API contract), plus the watermark
+  * late-drop behavior that only exists in streaming.
+  */
+/** Top-level so Spark can derive an Encoder (inner classes can't). */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+class StreamingSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val fixture = Seq(
+    Ev(0, ts("2024-01-01 00:05:00"), 1, "click", 1.0, "{}"),
+    Ev(1, ts("2024-01-01 00:20:00"), 1, "click", 2.0, "{}"),
+    Ev(2, ts("2024-01-01 01:05:00"), 1, "view", 3.0, "{}"),
+    Ev(3, ts("2024-01-01 00:40:00"), 2, "click", 4.0, "{}"),
+    Ev(4, ts("2024-01-01 02:30:00"), 2, "view", 5.0, "{}"),
+    Ev(5, ts("2024-01-01 02:59:00"), 2, "view", 6.0, "{}")
+  )
+
+  test("T1 tumbling window: stream (complete mode) equals batch") {
+    import spark.implicits._
+    val mem = MemoryStream[Ev](1, spark, None)
+    mem.addData(fixture: _*)
+    Streams.runToMemory(Streams.tumblingCounts(mem.toDF()), "t1_sink",
+      OutputMode.Complete())
+    val got = spark.table("t1_sink")
+      .select("w_start", "event_type", "n", "total").collect().toSet
+    val want = Streams.tumblingCounts(fixture.toDF())
+      .select("w_start", "event_type", "n", "total").collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("T3 session window: stream equals batch, gap boundary is >= 30m") {
+    import spark.implicits._
+    val mem = MemoryStream[Ev](2, spark, None)
+    mem.addData(fixture: _*)
+    Streams.runToMemory(Streams.sessionCounts(mem.toDF()), "t3_sink",
+      OutputMode.Complete())
+    val got = spark.table("t3_sink").as[(Timestamp, Timestamp, Long, Long)]
+      .collect().toSet
+    // user 2: events at 02:30 and 02:59 are 29m apart -> ONE session;
+    // 00:40 is its own session. user 1: 00:05+00:20 merge, 01:05 separate.
+    val u2 = got.filter(_._3 == 2L)
+    assert(u2.size == 2)
+    assert(u2.exists(s => s._4 == 2L)) // merged 02:30+02:59 session
+    val batch = Streams.sessionCounts(fixture.toDF())
+      .as[(Timestamp, Timestamp, Long, Long)].collect().toSet
+    assert(got == batch)
+  }
+
+  test("T4 watermark drops late rows in append mode") {
+    import spark.implicits._
+    val mem = MemoryStream[Ev](3, spark, None)
+    val q = Streams.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("t4_sink")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: advance event time (and thus the watermark) to 03:00
+    mem.addData(
+      Ev(10, ts("2024-01-01 00:10:00"), 1, "click", 1.0, "{}"),
+      Ev(11, ts("2024-01-01 03:00:00"), 1, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    // batch 2: a row for the long-closed 00:00 window — beyond the
+    // 10-minute watermark, must be dropped
+    mem.addData(Ev(12, ts("2024-01-01 00:01:00"), 9, "late", 99.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val sunk = spark.table("t4_sink")
+    assert(sunk.filter(col("event_type") === "late").isEmpty)
+    // the closed 00:00 window was emitted with only the on-time row
+    val w0 = sunk.filter(col("event_type") === "click").select("n")
+      .as[Long].collect()
+    assert(w0.sameElements(Array(1L)))
+  }
+
+  test("T5 stateful sessionization matches session_window") {
+    import spark.implicits._
+    val evs = fixture.map(e => (e.user_id, e.ts.getTime * 1000L)).toDS()
+    val got = Streams.statefulSessions(evs).collect()
+      .map(s => (s.userId, s.startMicros, s.nEvents)).toSet
+    val want = Streams.sessionCounts(fixture.toDF())
+      .select(col("user_id"), unix_micros(col("s_start")), col("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("T6 stream dedup by event_id") {
+    import spark.implicits._
+    val mem = MemoryStream[Ev](4, spark, None)
+    mem.addData(fixture: _*)
+    mem.addData(fixture.take(3): _*) // replay duplicates
+    Streams.runToMemory(Streams.dedupEvents(mem.toDF()), "t6_sink")
+    assert(spark.table("t6_sink").count() == fixture.size)
+  }
+
+  test("T7 stream-static join enriches every event") {
+    import spark.implicits._
+    val mem = MemoryStream[Ev](5, spark, None)
+    mem.addData(fixture: _*)
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("cust_id", "tier")
+    Streams.runToMemory(Streams.enrich(mem.toDF(), dim, "user_id", "cust_id"), "t7_sink")
+    val got = spark.table("t7_sink")
+    assert(got.count() == fixture.size)
+    assert(got.filter(col("tier").isNull).isEmpty)
+  }
+
+  test("T8/S10 file streaming source: AvailableNow drains the directory") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    fixture.toDF().write.mode("overwrite").parquet(dir)
+    Streams.runToMemory(
+      Streams.tumblingCounts(Streams.eventsFileStream(spark, dir)),
+      "t8_sink", OutputMode.Complete())
+    val want = Streams.tumblingCounts(fixture.toDF()).count()
+    assert(spark.table("t8_sink").count() == want)
+  }
+}
