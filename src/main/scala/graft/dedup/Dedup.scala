@@ -9,11 +9,12 @@ import graft.functions.Text
   *
   * Scale design: every variant is shuffle-shaped (groupBy / band-join),
   * never a driver-side loop. Exact dedup is one hash aggregate. MinHash
-  * is explode → per-(doc, seed) min → band-key join, so candidate
-  * generation touches only docs sharing a band bucket — the classic
-  * LSH trick that turns O(n²) pair comparison into O(n·bands + matches).
-  * All hash seeds are fixed, so results are deterministic and
-  * oracle-reproducible (min over md5 hex strings, identical in DuckDB).
+  * signatures are computed per-row (no shuffle at all until the band
+  * join), so candidate generation touches only docs sharing a band
+  * bucket — the classic LSH trick that turns O(n²) pair comparison into
+  * O(n·bands + matches). All hash seeds are fixed, so results are
+  * deterministic and oracle-reproducible (min over md5 hex strings,
+  * identical in DuckDB).
   */
 object Dedup {
 
@@ -30,27 +31,40 @@ object Dedup {
     df.join(keep, idCol)
   }
 
-  /** Per-(doc, seed) MinHash signature rows over word shingles.
-    * Signature component = lexicographic min of md5(seed || '|' || shingle)
-    * — a string-domain minwise hash both engines compute identically. */
+  /** Per-doc MinHash signature ARRAY (length numHashes):
+    * signature[seed] = lexicographic min over shingles of
+    * md5(seed || '|' || shingle).
+    *
+    * Shape matters for codegen: explode shingles, compute the numHashes
+    * md5s as PLAIN expressions (whole-stage codegen'd — higher-order
+    * `transform` lambdas are interpreted and ~10x slower here), then take
+    * all component minimums in ONE hash aggregate with map-side partials,
+    * so the shuffle carries numHashes strings per doc, not per shingle. */
   def minhashSignatures(
       docs: DataFrame, // (doc_id, text)
       shingleWidth: Int,
       numHashes: Int
   ): DataFrame = {
+    // no distinct(): duplicate shingles cannot change a minimum, and
+    // dropping it removes an entire shuffle of the shingle strings
     val sh = docs
-      .select(col("doc_id"), explode(Text.shingles(Text.tokenize(col("text")), shingleWidth)).as("shingle"))
-      .distinct()
-    val seeds = (0 until numHashes).map(lit(_))
-    sh.select(col("doc_id"), col("shingle"), explode(array(seeds: _*)).as("seed"))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("shingle")))).as("sig"))
+      .select(col("doc_id"),
+        explode(Text.shingles(Text.tokenize(col("text")), shingleWidth)).as("shingle"))
+    val hashes = (0 until numHashes).map(seed =>
+      md5(concat(lit(seed.toString), lit("|"), col("shingle"))).as(s"h$seed"))
+    val mins = (0 until numHashes).map(seed => min(col(s"h$seed")).as(s"s$seed"))
+    sh.select(col("doc_id") +: hashes: _*)
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(s => col(s"s$s")): _*).as("sig"))
   }
 
   /** MinHash+LSH near-dup candidate pairs with their estimated Jaccard
     * (fraction of agreeing signature components). Bands of `rowsPerBand`
-    * signature rows are concatenated into one bucket key; docs sharing
-    * any bucket become candidates; the estimate then filters.
+    * signature slots are concatenated into one bucket key; docs sharing
+    * any bucket become candidates; the estimate (computed directly from
+    * the signature arrays riding along the join) then filters.
     */
   def minhashPairs(
       docs: DataFrame,
@@ -59,23 +73,26 @@ object Dedup {
       rowsPerBand: Int = 2,
       minEstJaccard: Double = 0.5
   ): DataFrame = {
+    val nBands = numHashes / rowsPerBand
     val sigs = minhashSignatures(docs, shingleWidth, numHashes)
-    // band key: seed DIV rowsPerBand + ordered concat of the band's sigs
-    val bands = sigs
-      .groupBy(col("doc_id"), (col("seed") / rowsPerBand).cast("int").as("band"))
-      .agg(concat_ws("", sort_array(collect_list(col("sig")))).as("band_key"))
-    val cands = bands.as("x")
-      .join(bands.as("y"), col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(nBands - 1)),
+          b => struct(b.as("band"),
+            concat_ws("", sort_array(slice(col("sig"), b * rowsPerBand + 1,
+              lit(rowsPerBand)))).as("band_key")))).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val x = bands.select(col("doc_id").as("a"), col("sig").as("sa"),
+      col("band"), col("band_key"))
+    val y = bands.select(col("doc_id").as("b"), col("sig").as("sb"),
+      col("band"), col("band_key"))
+    x.join(y, Seq("band", "band_key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sa"), col("sb"))
       .distinct()
-    // estimated Jaccard = matching signature components / numHashes
-    val sx = sigs.select(col("doc_id").as("a"), col("seed"), col("sig").as("sig_a"))
-    val sy = sigs.select(col("doc_id").as("b"), col("seed"), col("sig").as("sig_b"))
-    cands
-      .join(sx, "a")
-      .join(sy, Seq("b", "seed"))
-      .groupBy(col("a"), col("b"))
-      .agg((sum(when(col("sig_a") === col("sig_b"), 1).otherwise(0)) / numHashes.toDouble).as("est_jaccard"))
+      .select(col("a"), col("b"),
+        (size(filter(zip_with(col("sa"), col("sb"), (p, q) => p === q),
+          m => m)) / lit(numHashes.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
@@ -86,8 +103,14 @@ object Dedup {
       shingleWidth: Int = 3,
       minJaccard: Double = 0.5
   ): DataFrame = {
+    // shingle identity = its xxhash64: the distinct + self-join shuffle
+    // 8-byte longs instead of ~30-char strings. Collision odds over n
+    // distinct shingles are ~n^2/2^64 (≈1e-8 at one billion shingles);
+    // the oracle joins on the raw string and agrees.
     val sh = docs
-      .select(col("doc_id"), explode(Text.shingles(Text.tokenize(col("text")), shingleWidth)).as("shingle"))
+      .select(col("doc_id"),
+        explode(Text.shingles(Text.tokenize(col("text")), shingleWidth)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x")
@@ -102,27 +125,53 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** 32-bit SimHash over tokens: per-bit majority vote of token hashes,
-    * where token bit i comes from the i-th nibble-derived bit of
-    * md5(token) — string-domain bit extraction both engines share. */
+  /** 32-bit SimHash over tokens: per-bit majority vote of token-hash bits,
+    * where token bit i = parity of hex digit i of md5(token). ONE md5 per
+    * token: each token contributes a ±1 vote vector, votes are summed
+    * element-wise in a single fold, then sign bits pack into a long. */
   def simhash32(tokens: Column): Column = {
-    // bit i of token t = (hex digit at position i of md5(t)) & 1,
-    // implemented over the token array with aggregate per bit
-    val contributions: Seq[Column] = (0 until 32).map { i =>
-      val votes = aggregate(
-        tokens,
-        lit(0L),
-        (acc, t) =>
-          acc + when(
-            (instr(lit("0123456789abcdef"), substring(md5(t), i + 1, 1)) - 1) % 2 === 1,
-            1L
-          ).otherwise(-1L)
-      )
-      when(votes >= 0, lit(1L << i)).otherwise(lit(0L))
+    val hexDigits = lit("0123456789abcdef")
+    // ±1 vote vector for one token, from its single md5
+    def tokenVotes(t: Column): Column = {
+      val h = md5(t)
+      transform(sequence(lit(1), lit(32)),
+        j => when((instr(hexDigits, h.substr(j, lit(1))) - 1) % 2 === 1, 1L)
+          .otherwise(-1L))
     }
-    contributions.reduce(_ + _)
+    val votes = aggregate(
+      tokens,
+      array_repeat(lit(0L), 32),
+      (acc, t) => zip_with(acc, tokenVotes(t), (a, b) => a + b)
+    )
+    val powers = typedLit((0 until 32).map(i => 1L << i))
+    aggregate(
+      zip_with(votes, powers, (v, p) => when(v >= 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Hamming distance between two simhash values (popcount of XOR). */
   def hamming32(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Corpus-scale SimHash: (doc_id, simhash) for every doc with >= 1
+    * token. Same value as [[simhash32]], different shape: explode tokens
+    * (duplicates kept — every occurrence votes), ONE md5 per token row,
+    * 32 plain ±1 vote columns, then 32 sums in a single hash aggregate.
+    * Everything stays in whole-stage codegen; the shuffle carries 32
+    * longs per doc. */
+  def simhashes(docs: DataFrame): DataFrame = {
+    val hexDigits = lit("0123456789abcdef")
+    val tok = docs
+      .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("t"))
+      .withColumn("h", md5(col("t")))
+    val votes = (0 until 32).map(i =>
+      when((instr(hexDigits, substring(col("h"), i + 1, 1)) - 1) % 2 === 1, 1L)
+        .otherwise(-1L).as(s"v$i"))
+    val sums = (0 until 32).map(i => sum(col(s"v$i")).as(s"vs$i"))
+    val packed = (0 until 32).map(i =>
+      when(col(s"vs$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+    tok.select(col("doc_id") +: votes: _*)
+      .groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), packed.reduce(_ + _).as("simhash"))
+  }
 }

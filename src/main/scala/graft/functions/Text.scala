@@ -18,16 +18,23 @@ object Text {
     filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
 
   /** Word n-gram shingles over a token array: positions i..i+n-1 joined by
-    * a single space. Docs shorter than n tokens yield an empty array. */
+    * a single space. Docs shorter than n tokens yield an empty array.
+    *
+    * The `transform(array(tokens), ts => ...)` wrapper is load-bearing:
+    * it binds the token expression to a lambda variable evaluated ONCE per
+    * row. Referencing `tokens` directly in each element_at would make
+    * Catalyst inline (and re-evaluate) the whole upstream expression —
+    * e.g. a full split+filter of the text — n times per shingle. */
   def shingles(tokens: Column, n: Int): Column =
-    // guard: Spark's sequence(1, 0) counts DOWN, so short docs must
-    // short-circuit to an empty array instead
-    when(size(tokens) >= n,
-      transform(
-        sequence(lit(1), size(tokens) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(tokens, i + k)): _*)
-      )
-    ).otherwise(array().cast("array<string>"))
+    flatten(transform(array(tokens), ts =>
+      // guard: Spark's sequence(1, 0) counts DOWN, so short docs must
+      // short-circuit to an empty array instead
+      when(size(ts) >= n,
+        transform(
+          sequence(lit(1), size(ts) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + k)): _*)
+        )
+      ).otherwise(array().cast("array<string>"))))
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokenize(text))
@@ -54,31 +61,35 @@ object Text {
   def langId(tokens: Column): Column = {
     val langs = langMarkers.toSeq.sortBy(_._1)
     val n = langs.size
-    val scored = langs.zipWithIndex.map { case ((lang, markers), i) =>
-      val score = size(filter(tokens, t => t.isin(markers.map(m => lit(m)): _*)))
-      // tie-break ascending by language code: greatest() picks the max
-      // struct, so rank codes in reverse-alphabetical index order
-      struct(score.as("score"), lit(n - 1 - i).as("idx"), lit(lang).as("lang"))
-    }
-    val best = greatest(scored: _*)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+    // bind the token array once (see shingles for why)
+    element_at(transform(array(tokens), ts => {
+      val scored = langs.zipWithIndex.map { case ((lang, markers), i) =>
+        val score = size(filter(ts, t => t.isin(markers.map(m => lit(m)): _*)))
+        // tie-break ascending by language code: greatest() picks the max
+        // struct, so rank codes in reverse-alphabetical index order
+        struct(score.as("score"), lit(n - 1 - i).as("idx"), lit(lang).as("lang"))
+      }
+      val best = greatest(scored: _*)
+      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+    }), 1)
   }
 
   /** Quality score in [0,1]: mean-word-length band + alpha ratio +
     * repetition penalty (distinct/total tokens). The shape every
     * training-data pipeline wants; every term is an exact expression. */
-  def qualityScore(text: Column): Column = {
-    val toks     = tokenize(text)
-    val nTok     = size(toks).cast("double")
-    val meanLen  = when(nTok > 0, length(concat_ws("", toks)).cast("double") / nTok).otherwise(0.0)
-    val alphaRatio = when(
-      length(text) > 0,
-      (length(text) - length(regexp_replace(text, "[a-zA-Z ]", ""))).cast("double") / length(text)
-    ).otherwise(0.0)
-    val distinctRatio = when(nTok > 0, size(array_distinct(toks)).cast("double") / nTok).otherwise(0.0)
-    val lenBand = when(meanLen >= 3.0 && meanLen <= 10.0, 1.0).otherwise(0.5)
-    (lenBand * 0.3 + alphaRatio * 0.4 + distinctRatio * 0.3)
-  }
+  def qualityScore(text: Column): Column =
+    // bind the token array once (see shingles for why)
+    element_at(transform(array(tokenize(text)), toks => {
+      val nTok     = size(toks).cast("double")
+      val meanLen  = when(nTok > 0, length(concat_ws("", toks)).cast("double") / nTok).otherwise(0.0)
+      val alphaRatio = when(
+        length(text) > 0,
+        (length(text) - length(regexp_replace(text, "[a-zA-Z ]", ""))).cast("double") / length(text)
+      ).otherwise(0.0)
+      val distinctRatio = when(nTok > 0, size(array_distinct(toks)).cast("double") / nTok).otherwise(0.0)
+      val lenBand = when(meanLen >= 3.0 && meanLen <= 10.0, 1.0).otherwise(0.5)
+      (lenBand * 0.3 + alphaRatio * 0.4 + distinctRatio * 0.3)
+    }), 1)
 
   /** Karp–Rabin document fingerprint: strict left fold of
     * `acc*31 + ascii(char) mod 1e9+7` over the characters. Identical

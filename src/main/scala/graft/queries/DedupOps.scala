@@ -151,12 +151,7 @@ object DedupOps {
               |ORDER BY ALL NULLS FIRST""".stripMargin),
       (spark, dir) => {
         val t = Tables(spark, dir)
-        val toks = Text.tokenize(col("text"))
-        ordered(
-          t.documents
-            .filter(size(toks) > 0)
-            .select(col("doc_id"), Dedup.simhash32(toks).as("simhash"))
-        )
+        ordered(Dedup.simhashes(t.documents.select(col("doc_id"), col("text"))))
       }
     ),
     Q(
@@ -200,10 +195,7 @@ object DedupOps {
               |ORDER BY ALL NULLS FIRST""".stripMargin),
       (spark, dir) => {
         val t = Tables(spark, dir)
-        val toks = Text.tokenize(col("text"))
-        val sims = t.documents
-          .filter(size(toks) > 0)
-          .select(col("doc_id"), Dedup.simhash32(toks).as("simhash"))
+        val sims = Dedup.simhashes(t.documents.select(col("doc_id"), col("text")))
         val halves = sims
           .withColumn("hi", col("simhash").divide(65536).cast("long"))
           .withColumn("lo", pmod(col("simhash"), lit(65536L)))

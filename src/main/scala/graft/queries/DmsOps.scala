@@ -148,6 +148,31 @@ object DmsOps {
       }
     ),
     Q(
+      "mm_media_features",
+      // multimodal plumbing end-to-end over synthesized media binaries:
+      // ingest (header sniff) -> partition-local decode (stub codec) ->
+      // per-kind feature stats; rows-only (stub features have no SQL oracle)
+      None,
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val raw = t.documents
+          .select(
+            col("doc_id").as("media_id"),
+            element_at(array(lit("image"), lit("audio"), lit("video")),
+              (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+            encode(col("text"), "UTF-8").as("content"))
+        val feats = graft.multimodal.Multimodal.pipeline(spark, raw).toDF()
+        ordered(
+          feats
+            .groupBy(col("kind"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("n_frames")).as("total_frames"),
+              r4(avg(aggregate(col("features"), lit(0.0),
+                (acc, x) => acc + abs(x)))).as("mean_abs_feat"))
+        )
+      }
+    ),
+    Q(
       "d1_metadata_sniff",
       // D1 over the corpus: text bytes sniff as text/plain with exact byte
       // length; image-header parsing is covered by MetadataSpec goldens
