@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Vector math over `ArrayType(FloatType)` embedding columns, built from
   * codegen'd higher-order functions (no UDFs) — SURVEY.md §2.9 D6.
@@ -33,6 +34,18 @@ object Vectors {
     val nb = norm(b)
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
   }
+
+  /** Native codegen'd cosine ([[graft.plans.CosineF32]]): bit-identical to
+    * [[cosine]] (same per-accumulator fold order) but a tight primitive
+    * loop instead of interpreted lambdas — the ANN rerank hot path. */
+  def cosineFast(a: Column, b: Column): Column =
+    ColumnBridge.column(graft.plans.CosineF32(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Native codegen'd dot product ([[graft.plans.DotF32]]). */
+  def dotFast(a: Column, b: Column): Column =
+    ColumnBridge.column(graft.plans.DotF32(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Sign-LSH bucket key: the sign bits of `nPlanes` pseudo-random
     * hyperplane projections, packed into a long. Plane coefficients are

@@ -1,0 +1,29 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook: registers the engine's native expressions
+  * so they are usable from SQL (`vec_cosine_f32(a, b)`) as well as the
+  * Column API. Wire up with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[DotF32].getName, null, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot_f32"),
+      info("vec_dot_f32", "vec_dot_f32(a, b) - dot product of two float vectors in double."),
+      ((args: Seq[Expression]) => DotF32(args(0), args(1))): FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("vec_cosine_f32"),
+      info("vec_cosine_f32", "vec_cosine_f32(a, b) - cosine similarity of two float vectors."),
+      ((args: Seq[Expression]) => CosineF32(args(0), args(1))): FunctionRegistry.FunctionBuilder))
+  }
+}

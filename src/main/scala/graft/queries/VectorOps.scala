@@ -59,7 +59,7 @@ object VectorOps {
           .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
         val scored = c.crossJoin(broadcast(q))
           .select(col("q_id"), col("c_id"),
-            r4(Vectors.cosine(col("qe"), col("ce"))).as("cos"))
+            r4(Vectors.cosineFast(col("qe"), col("ce"))).as("cos"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("c_id").asc)
         ordered(
@@ -92,7 +92,7 @@ object VectorOps {
           .orderBy(col("cos").desc, col("c_id").asc)
         ordered(
           cand.select(col("q_id"), col("c_id"),
-              r4(Vectors.cosine(col("qe"), col("ce"))).as("cos"))
+              r4(Vectors.cosineFast(col("qe"), col("ce"))).as("cos"))
             .withColumn("rn", row_number().over(w))
             .filter(col("rn") <= 5)
         )
