@@ -123,6 +123,50 @@ object VectorOps {
       }
     ),
     Q(
+      "d5_embedding_neardup",
+      // embedding-cosine near-dup pairs (mandate dedup variant #5): exact
+      // all-pairs at test scale with the native cosine expression. Cosine
+      // admits no exact pre-filter (norm-invariant), so the honest exact
+      // path is quadratic; at 100 TB you run d6_lsh_ann's multi-table
+      // candidates first and accept its recall, or shard the cross
+      // product. The oracle is the same exact computation in DuckDB.
+      Some("""SELECT a.vec_id AS i, b.vec_id AS j,
+             |  round(
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      [a.embedding[k]::DOUBLE * b.embedding[k]::DOUBLE FOR k IN range(1, len(a.embedding) + 1)]),
+             |      (acc, x) -> acc + x)
+             |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         [a.embedding[k]::DOUBLE * a.embedding[k]::DOUBLE FOR k IN range(1, len(a.embedding) + 1)]),
+             |         (acc, x) -> acc + x))
+             |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         [b.embedding[k]::DOUBLE * b.embedding[k]::DOUBLE FOR k IN range(1, len(b.embedding) + 1)]),
+             |         (acc, x) -> acc + x))), 4) AS cos
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      [a.embedding[k]::DOUBLE * b.embedding[k]::DOUBLE FOR k IN range(1, len(a.embedding) + 1)]),
+             |      (acc, x) -> acc + x)
+             |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         [a.embedding[k]::DOUBLE * a.embedding[k]::DOUBLE FOR k IN range(1, len(a.embedding) + 1)]),
+             |         (acc, x) -> acc + x))
+             |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         [b.embedding[k]::DOUBLE * b.embedding[k]::DOUBLE FOR k IN range(1, len(b.embedding) + 1)]),
+             |         (acc, x) -> acc + x))) >= 0.45
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val a = t.embeddings.select(col("vec_id").as("i"), col("embedding").as("ea"))
+        val b = t.embeddings.select(col("vec_id").as("j"), col("embedding").as("eb"))
+        ordered(
+          a.join(b, col("i") < col("j"))
+            .select(col("i"), col("j"),
+              Vectors.cosineFast(col("ea"), col("eb")).as("c"))
+            .filter(col("c") >= 0.45)
+            .select(col("i"), col("j"), r4(col("c")).as("cos"))
+        )
+      }
+    ),
+    Q(
       "d6_pairwise_label_sim",
       // mean intra- vs inter-label cosine over a deterministic sample —
       // the "is my embedding space any good" diagnostic
