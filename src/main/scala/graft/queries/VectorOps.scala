@@ -85,15 +85,17 @@ object VectorOps {
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
         val c = withKeys.filter(col("vec_id") >= 20)
           .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("bucket"))
-        // same (q, c) pair can collide in several tables — dedup before rerank
+        // same (q, c) pair can collide in several tables: score first
+        // (cosine is deterministic, so duplicates are identical rows),
+        // then distinct over three scalars — never shuffle the vectors
         val cand = c.join(broadcast(q), "bucket")
-          .select(col("q_id"), col("qe"), col("c_id"), col("ce")).distinct()
+          .select(col("q_id"), col("c_id"),
+            r4(Vectors.cosineFast(col("qe"), col("ce"))).as("cos"))
+          .distinct()
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("c_id").asc)
         ordered(
-          cand.select(col("q_id"), col("c_id"),
-              r4(Vectors.cosineFast(col("qe"), col("ce"))).as("cos"))
-            .withColumn("rn", row_number().over(w))
+          cand.withColumn("rn", row_number().over(w))
             .filter(col("rn") <= 5)
         )
       }

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+import graft.functions.Text
+
+/** Property-based algebraic laws — SURVEY.md §5.2(3). ScalaCheck
+  * generators drawn with fixed seeds (scalatestplus glue isn't in the
+  * offline cache, so sampling is driven manually — same laws, same
+  * generator space, deterministic).
+  */
+class PropertySpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private def draws[A](gen: Gen[A], n: Int = 5): Seq[A] =
+    (1 to n).map(i => gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+  private val doc = Gen.listOfN(8, word).map(_.mkString(" "))
+  private val corpus = Gen.listOfN(10, doc)
+
+  test("D4 dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    import spark.implicits._
+    draws(corpus).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = Dedup.exactDedup(df, "doc_id", "text")
+      val twice = Dedup.exactDedup(once, "doc_id", "text")
+      assert(twice.except(once).isEmpty && once.except(twice).isEmpty)
+      val kept = once.select("text").collect().map(_.getString(0))
+      assert(kept.toSet.size == kept.length)
+    }
+  }
+
+  test("D8/A1 upsert law: latest(append(d, next)) == latest(d) + 1") {
+    import spark.implicits._
+    draws(Gen.listOfN(12, Gen.chooseNum(1, 5))).foreach { versions =>
+      val df = versions.zipWithIndex
+        .map { case (v, i) => (s"f${i % 3}", v) }.toDF("filename", "version")
+      val latest = df.groupBy($"filename").agg(max($"version").as("v"))
+      val upserted = df.unionByName(
+        latest.select($"filename", ($"v" + 1).as("version")))
+      val after = upserted.groupBy($"filename").agg(max($"version").as("v"))
+      val bad = latest.as("l").join(after.as("a"), "filename")
+        .filter(col("a.v") =!= col("l.v") + 1)
+      assert(bad.isEmpty)
+    }
+  }
+
+  test("U1/U3 set law: (a except b) union (a intersect b) == distinct a, b ⊆ a") {
+    import spark.implicits._
+    val pair = Gen.zip(Gen.nonEmptyListOf(Gen.chooseNum(0, 20)),
+      Gen.listOf(Gen.chooseNum(0, 20)))
+    draws(pair).foreach { case (as, bsRaw) =>
+      val a = as.toDF("k")
+      val b = bsRaw.toDF("k").intersect(a) // force b ⊆ a
+      val rebuilt = a.except(b).union(a.distinct().intersect(b)).distinct()
+      assert(rebuilt.except(a.distinct()).isEmpty &&
+        a.distinct().except(rebuilt).isEmpty)
+    }
+  }
+
+  test("D2/D5 shingle law: 0 shingles iff tokens < n; count == tokens - n + 1") {
+    import spark.implicits._
+    draws(Gen.zip(Gen.listOf(word), Gen.chooseNum(2, 4)), 8).foreach { case (tokens, n) =>
+      val df = Seq(tokens.mkString(" ")).toDF("text")
+      val got = df.select(
+        size(Text.tokenize($"text")).as("nt"),
+        size(Text.shingles(Text.tokenize($"text"), n)).as("ns")
+      ).head()
+      val (nt, ns) = (got.getInt(0), got.getInt(1))
+      assert(if (nt < n) ns == 0 else ns == nt - n + 1, s"nt=$nt n=$n ns=$ns")
+    }
+  }
+
+  test("D5 minhash estimate is 1 for identical docs") {
+    import spark.implicits._
+    draws(doc).foreach { t =>
+      val df = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+      val est = Dedup.minhashPairs(df, 3, 8, 2, 0.0)
+        .select("est_jaccard").collect()
+      assert(est.length == 1 && est.head.getDouble(0) == 1.0)
+    }
+  }
+
+  test("W1 ≡ A1: top-1-by-version window equals groupBy max") {
+    import spark.implicits._
+    draws(Gen.listOfN(15, Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(1, 9)))).foreach { rows =>
+      val df = rows.distinct.map { case (f, v) => (s"f$f", v) }
+        .toDF("filename", "version")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"filename").orderBy($"version".desc)
+      val w1 = df.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1).select($"filename", $"version")
+      val a1 = df.groupBy($"filename").agg(max($"version").as("version"))
+      assert(w1.except(a1).isEmpty && a1.except(w1).isEmpty)
+    }
+  }
+
+  test("P3 ⊆ S1: any regex filter result is a subset of the full scan") {
+    import spark.implicits._
+    draws(Gen.zip(corpus, Gen.oneOf("^a", "ta$", "e", "zz", "a.*a")), 8)
+      .foreach { case (texts, pat) =>
+        val df = texts.toDF("text")
+        assert(df.filter($"text".rlike(pat)).except(df).isEmpty)
+      }
+  }
+}
