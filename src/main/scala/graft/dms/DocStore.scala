@@ -1,0 +1,202 @@
+package graft.dms
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.{Metadata, Text}
+
+/** The DMS facade: every public entry point of the reference's `DMS`
+  * class (src/DMS.py), re-expressed Spark-natively over a parquet-backed
+  * versioned document store. A reference user can switch 1:1:
+  *
+  * | reference (src/DMS.py)            | here                     |
+  * |-----------------------------------|--------------------------|
+  * | upload(file)            :94-172   | [[upload]]               |
+  * | download(file)          :174-200  | [[download]]             |
+  * | update(file)            :202-277  | [[update]] (bugs fixed)  |
+  * | delete(file, version)   :279-311  | [[delete]]               |
+  * | get_file_meta_data(f,v) :313-331  | [[metadata]]             |
+  * | get_file_content(f,v)   :333-343  | [[content]]              |
+  * | search(text)            :345-356  | [[search]]               |
+  * | get_all_file()          :358-366  | [[all]] / [[scanRegex]]  |
+  * | get_file_version(f)     :368-383  | [[versions]]             |
+  * | get_lastest_version(f)  :385-392  | [[latestVersion]] (numeric — fixes the string-sort bug at :391) |
+  * | delete_all_version(f)   :394-405  | [[deleteAllVersions]]    |
+  * | delete_all()            :407-419  | [[truncate]]             |
+  *
+  * Storage: snapshot generations. Data lives under `root/g<N>/` parquet;
+  * `root/_current` names the live generation. Appends add files to the
+  * live generation; rewrites (delete/update/truncate) plan against g<N>,
+  * write g<N+1>, then atomically flip the pointer — no read-overwrite
+  * conflict, readers of an old generation are unaffected, and the layout
+  * is the same manifest-pointer idea production table formats use. All
+  * mutations are DataFrame plans (anti-joins, window dedup), never
+  * driver-side row loops; only the single-document ingest path
+  * materializes one row on the driver, which is its natural home.
+  *
+  * Fixed reference bugs (SURVEY.md §0): numeric version ordering, update
+  * writing content (not the filename string), exact-filename matching
+  * (regex scan is its own explicit operator), first-dot-only key parsing.
+  */
+class DocStore(spark: SparkSession, root: String) {
+
+  /** Canonical schema — SURVEY.md §1.2. */
+  val schema: StructType = StructType(Seq(
+    StructField("filename", StringType, nullable = false),
+    StructField("version", IntegerType, nullable = false),
+    StructField("content", BinaryType),
+    StructField("meta", MapType(StringType, StringType)),
+    StructField("ingested_at", TimestampType)
+  ))
+
+  private val rootPath = Paths.get(root)
+  private val currentPtr = rootPath.resolve("_current")
+  Files.createDirectories(rootPath)
+
+  private def currentGen: Int =
+    if (Files.exists(currentPtr))
+      new String(Files.readAllBytes(currentPtr), StandardCharsets.UTF_8).trim.toInt
+    else 0
+
+  private def genDir(g: Int): String = s"$root/g$g"
+
+  private def flipTo(g: Int): Unit = {
+    val tmp = rootPath.resolve(s"_current.tmp$g")
+    Files.write(tmp, g.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The live table (empty frame with the right schema before first write). */
+  def all: DataFrame = {
+    val dir = Paths.get(genDir(currentGen))
+    if (Files.exists(dir) && Files.list(dir).findFirst().isPresent)
+      spark.read.schema(schema).parquet(dir.toString)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  /** Rewrite path: plan `df` against the live generation, write the next
+    * generation, flip the pointer. */
+  private def rewrite(df: DataFrame): Unit = {
+    val next = currentGen + 1
+    df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .write.mode("overwrite").parquet(genDir(next))
+    flipTo(next)
+  }
+
+  /** Append rows (already schema-shaped) to the live generation. */
+  private def append(df: DataFrame): Unit = {
+    val g = currentGen
+    df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .write.mode("append").parquet(genDir(g))
+    if (!Files.exists(currentPtr)) flipTo(g)
+  }
+
+  /** upload: assign next version (numeric max + 1, DMS.py:113-117 minus
+    * the string-sort bug), extract metadata (D1), append. Returns the
+    * assigned version. */
+  def upload(filename: String, bytes: Array[Byte]): Int = {
+    val next = latestVersion(filename).getOrElse(0) + 1
+    val meta = Metadata.sniff(bytes)
+    val row = Row(filename, next, bytes, meta,
+      new java.sql.Timestamp(System.currentTimeMillis()))
+    append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1), schema))
+    next
+  }
+
+  /** download: content of the latest (or given) version. */
+  def download(filename: String, version: Option[Int] = None): Option[Array[Byte]] =
+    version.orElse(latestVersion(filename)).flatMap(v => content(filename, v))
+
+  /** update: replace the latest version's content in place (the reference
+    * meant to do this and instead wrote the filename string and crashed
+    * on an undefined variable — DMS.py:225,228). */
+  def update(filename: String, bytes: Array[Byte]): Boolean =
+    latestVersion(filename) match {
+      case None => false
+      case Some(v) =>
+        val meta = Metadata.sniff(bytes)
+        val replacement = spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(Row(filename, v, bytes, meta,
+            new java.sql.Timestamp(System.currentTimeMillis()))), 1), schema)
+        rewrite(all.filter(!(col("filename") === filename && col("version") === v))
+          .unionByName(replacement))
+        true
+    }
+
+  /** delete one (filename, version) — anti-join rewrite (S8). */
+  def delete(filename: String, version: Int): Unit =
+    rewrite(all.filter(!(col("filename") === filename && col("version") === version)))
+
+  /** delete every version of a file. Exact filename equality — the
+    * reference's unanchored-regex match (DMS.py:373) also deleted
+    * `bad-a.txt` when asked for `a.txt`. */
+  def deleteAllVersions(filename: String): Unit =
+    rewrite(all.filter(col("filename") =!= filename))
+
+  /** delete_all: truncate to an empty generation. */
+  def truncate(): Unit =
+    rewrite(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
+
+  /** Latest version per file, numeric (A1/W1). */
+  def latestVersions: DataFrame =
+    all.groupBy(col("filename")).agg(max(col("version")).as("version"))
+
+  /** Numeric latest version of one file. */
+  def latestVersion(filename: String): Option[Int] =
+    latestVersions.filter(col("filename") === filename)
+      .select("version").collect().headOption.map(_.getInt(0))
+
+  /** All versions of one file, ascending (A2). */
+  def versions(filename: String): Seq[Int] =
+    all.filter(col("filename") === filename)
+      .select("version").orderBy(col("version"))
+      .collect().toIndexedSeq.map(_.getInt(0))
+
+  /** Metadata map of one (filename, version). */
+  def metadata(filename: String, version: Int): Option[Map[String, String]] =
+    all.filter(col("filename") === filename && col("version") === version)
+      .select("meta").collect().headOption
+      .map(_.getMap[String, String](0).toMap)
+
+  /** Content bytes of one (filename, version). */
+  def content(filename: String, version: Int): Option[Array[Byte]] =
+    all.filter(col("filename") === filename && col("version") === version)
+      .select("content").collect().headOption.map(_.getAs[Array[Byte]](0))
+
+  /** Regex scan over filenames — the reference's RowFilter pushdown
+    * (DMS.py:363,373), kept as an explicit operator (P3). */
+  def scanRegex(pattern: String): DataFrame =
+    all.filter(col("filename").rlike(pattern))
+
+  /** Full-text TF-IDF search over latest-version text content — the
+    * Solr replacement (D3). Returns (filename, version, score) ranked. */
+  def search(query: String, topK: Int = 10): DataFrame = {
+    val latest = all.withColumn("rn",
+        row_number().over(Window.partitionBy(col("filename"))
+          .orderBy(col("version").desc)))
+      .filter(col("rn") === 1)
+      .select(col("filename"), col("version"),
+        decode(col("content"), "UTF-8").as("text"))
+    val postings = latest
+      .select(col("filename"), col("version"),
+        explode(Text.tokenize(col("text"))).as("term"))
+      .groupBy(col("filename"), col("version"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = latest.agg(count(lit(1)).as("n_docs"))
+    val terms = Text.tokenize(lit(query))
+    postings
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .filter(array_contains(terms, col("term")))
+      .groupBy(col("filename"), col("version"))
+      .agg(sum(col("tf") * log(col("n_docs").cast("double") / col("df"))).as("score"))
+      .orderBy(col("score").desc, col("filename").asc)
+      .limit(topK)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dms.DocStore
+
+/** End-to-end facade test: the reference's DMS surface (upload/download/
+  * update/delete/versions/metadata/search) over the snapshot-generation
+  * store, including the reference bugs we fixed (numeric version order,
+  * update content, exact-filename delete).
+  */
+class DocStoreSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private def newStore() =
+    new DocStore(spark, Files.createTempDirectory("graft_dms").toString)
+
+  test("upload assigns 1..n and survives past v10 (numeric, not string, order)") {
+    val s = newStore()
+    // the reference string-sorted versions, so v10 < v2; prove 11 > 10 > 2
+    val versions = (1 to 11).map(i => s.upload("a.txt", s"alpha beta v$i".getBytes))
+    assert(versions == (1 to 11))
+    assert(s.latestVersion("a.txt").contains(11))
+    assert(s.versions("a.txt") == (1 to 11))
+  }
+
+  test("download returns latest content; update replaces content in place") {
+    val s = newStore()
+    s.upload("doc.txt", "first version".getBytes)
+    s.upload("doc.txt", "second version".getBytes)
+    assert(new String(s.download("doc.txt").get) == "second version")
+    // reference update() wrote the FILENAME string as content (DMS.py:225)
+    // and then crashed; ours replaces the latest version's bytes
+    assert(s.update("doc.txt", "patched".getBytes))
+    assert(new String(s.download("doc.txt").get) == "patched")
+    assert(s.latestVersion("doc.txt").contains(2)) // no new version minted
+    assert(new String(s.content("doc.txt", 1).get) == "first version")
+    assert(!s.update("missing.txt", "x".getBytes))
+  }
+
+  test("delete is exact-match; dotted filenames survive (key-parse bug fixed)") {
+    val s = newStore()
+    s.upload("a.txt", "one".getBytes)
+    s.upload("bad-a.txt", "two".getBytes)
+    s.upload("v1.my.doc.txt", "three".getBytes)
+    // reference's regex match would have hit bad-a.txt too (DMS.py:373)
+    s.deleteAllVersions("a.txt")
+    assert(s.all.count() == 2)
+    assert(s.download("bad-a.txt").isDefined)
+    assert(s.download("v1.my.doc.txt").isDefined)
+    s.upload("b.txt", "x1".getBytes); s.upload("b.txt", "x2".getBytes)
+    s.delete("b.txt", 1)
+    assert(s.versions("b.txt") == Seq(2))
+  }
+
+  test("metadata extraction lands in the meta map (hachoir replacement)") {
+    val s = newStore()
+    val png = {
+      val b = java.nio.ByteBuffer.allocate(24)
+      b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      b.putInt(13).put("IHDR".getBytes).putInt(800).putInt(600)
+      b.array()
+    }
+    s.upload("pic.png", png)
+    val m = s.metadata("pic.png", 1).get
+    assert(m("mime") == "image/png" && m("width") == "800" && m("height") == "600")
+    assert(m("length") == png.length.toString)
+  }
+
+  test("search ranks by TF-IDF over latest versions only") {
+    val s = newStore()
+    s.upload("hit.txt", "spark spark spark window".getBytes)
+    s.upload("meh.txt", "window table row".getBytes)
+    s.upload("old.txt", "spark spark spark spark".getBytes)
+    s.upload("old.txt", "nothing relevant here".getBytes) // v2 shadows v1
+    val got = s.search("spark").collect().map(_.getString(0))
+    assert(got.headOption.contains("hit.txt"))
+    assert(!got.contains("old.txt")) // latest version has no 'spark'
+  }
+
+  test("scanRegex is the explicit regex operator; truncate empties the store") {
+    val s = newStore()
+    s.upload("report_2024.txt", "x".getBytes)
+    s.upload("report_2025.txt", "y".getBytes)
+    s.upload("notes.md", "z".getBytes)
+    assert(s.scanRegex("^report_\\d+").count() == 2)
+    s.truncate()
+    assert(s.all.isEmpty)
+    // store stays usable after truncate
+    assert(s.upload("fresh.txt", "w".getBytes) == 1)
+    assert(s.all.count() == 1)
+  }
+}
