@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.SkewJoin
+
+/** Plan-shape assertions for the 100 TB posture: bucketed co-located
+  * joins eliminate the shuffle, salted joins spread hot keys, and the
+  * big aggregates keep partial/final structure.
+  */
+class ScaleShapeSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // force AQE final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    // external tables (explicit path), so the static warehouse dir is moot
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val facts = (1L to 1000L).map(i => (i % 50, s"f$i")).toDF("k", "v")
+    val dims = (0L until 50L).map(i => (i, s"d$i")).toDF("k", "d")
+    facts.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .option("path", s"$wh/facts_b").saveAsTable("facts_b")
+    dims.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .option("path", s"$wh/dims_b").saveAsTable("dims_b")
+    // disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("facts_b").join(spark.table("dims_b"), "k")
+      val plan = executedPlan(joined)
+      assert(joined.count() == 1000)
+      assert(plan.contains("SortMergeJoin"))
+      // bucket co-location: no shuffle exchange anywhere in the join plan
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle in bucketed join plan:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS facts_b")
+      spark.sql("DROP TABLE IF EXISTS dims_b")
+    }
+  }
+
+  test("salted join matches the plain join and spreads the hot key") {
+    import spark.implicits._
+    // 90% of left rows share one hot key
+    val left = (1L to 2000L).map(i => (if (i % 10 == 0) i % 7 else 999L, i))
+      .toDF("k", "payload")
+    val right = Seq((999L, "hot"), (0L, "a"), (1L, "b"), (2L, "c"),
+      (3L, "d"), (4L, "e"), (5L, "f"), (6L, "g")).toDF("k", "d")
+    val plain = left.join(right, "k")
+    val salted = SkewJoin.saltedInnerJoin(left, right, "k", col("payload"), 8)
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "payload", "d").except(plain.select("k", "payload", "d")).isEmpty)
+    assert(plain.select("k", "payload", "d").except(salted.select("k", "payload", "d")).isEmpty)
+    // the hot key's rows really do land in multiple salt buckets
+    val spread = left.filter($"k" === 999L)
+      .select(pmod(xxhash64($"payload"), lit(8)).as("salt"))
+      .distinct().count()
+    assert(spread > 4)
+  }
+
+  test("flagship aggregate keeps partial/final structure with pushed filter") {
+    val df = SparkEntry.queries("a4_hash_agg_q1")(spark, sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+  }
+}
