@@ -196,19 +196,18 @@ object DedupOps {
       (spark, dir) => {
         val t = Tables(spark, dir)
         val sims = Dedup.simhashes(t.documents.select(col("doc_id"), col("text")))
-        val halves = sims
-          .withColumn("hi", col("simhash").divide(65536).cast("long"))
-          .withColumn("lo", pmod(col("simhash"), lit(65536L)))
-        // two shuffled equi-joins (hi-half match, lo-half match) unioned —
-        // an OR join would plan as a nested loop, quadratic at scale
-        val cands = Seq("hi", "lo").map { half =>
-          val x = halves.select(col("doc_id").as("a"), col("simhash").as("sa"),
-            col(half).as("k"))
-          val y = halves.select(col("doc_id").as("b"), col("simhash").as("sb"),
-            col(half).as("k"))
-          x.join(y, Seq("k")).filter(col("a") < col("b"))
-            .select(col("a"), col("b"), col("sa"), col("sb"))
-        }.reduce(_ unionByName _).distinct()
+        // one row per (doc, half): the half id is folded into the key so
+        // hi-keys never join lo-keys; a single equi-join replaces the OR
+        // join (nested loop) AND the two-join union (4 recomputations of
+        // the simhash pipeline — this shape computes it twice)
+        val halves = sims.select(col("doc_id"), col("simhash"),
+          explode(array(
+            col("simhash").divide(65536).cast("long") * 2L,
+            pmod(col("simhash"), lit(65536L)) * 2L + 1L)).as("k"))
+        val x = halves.select(col("doc_id").as("a"), col("simhash").as("sa"), col("k"))
+        val y = halves.select(col("doc_id").as("b"), col("simhash").as("sb"), col("k"))
+        val cands = x.join(y, Seq("k")).filter(col("a") < col("b"))
+          .select(col("a"), col("b"), col("sa"), col("sb")).distinct()
         ordered(
           cands
             .select(col("a"), col("b"), Dedup.hamming32(col("sa"), col("sb")).as("hamming"))
