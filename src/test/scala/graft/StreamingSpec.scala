@@ -116,6 +116,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(col("tier").isNull).isEmpty)
   }
 
+  test("T8 exactly-once file sink: restart from checkpoint does not duplicate") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_eos").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    // split in event-time order: a batch-2 row behind batch-1's watermark
+    // would be (correctly) dropped as late, which is T4's test, not this one
+    val byTime = fixture.sortBy(_.ts.getTime)
+    byTime.take(3).toDF().write.mode("append").parquet(src)
+    def drain(): Unit = {
+      val q = Streams.dedupEvents(
+          spark.readStream.schema(fixture.toDF().schema).parquet(src))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() == 3)
+    // restart with new + already-processed data: checkpoint must skip the
+    // old files, dedup must drop the replayed event ids
+    byTime.drop(3).toDF().write.mode("append").parquet(src)
+    drain()
+    val ids = spark.read.parquet(out).select("event_id").as[Long].collect().sorted
+    assert(ids.sameElements(fixture.map(_.event_id).sorted), ids.mkString(","))
+  }
+
   test("T8/S10 file streaming source: AvailableNow drains the directory") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
