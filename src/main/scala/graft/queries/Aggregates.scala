@@ -255,5 +255,28 @@ object Aggregates {
         )
       }
     )
+    ,
+    Q(
+      "a7_grouping_sets",
+      // explicit GROUPING SETS with grouping_id disambiguation (A7) —
+      // Spark's grouping_id bit order matches DuckDB's GROUPING(...)
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             GROUPING(o_orderstatus, o_orderpriority) AS gid, count(*) AS n
+             FROM orders
+             GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.orders.createOrReplaceTempView("orders_gs")
+        ordered(
+          spark.sql(
+            """SELECT o_orderstatus, o_orderpriority,
+              |       grouping_id(o_orderstatus, o_orderpriority) AS gid, count(*) AS n
+              |FROM orders_gs
+              |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+              |""".stripMargin)
+        )
+      }
+    )
   )
 }

@@ -157,5 +157,27 @@ object Windows {
         )
       }
     )
+    ,
+    Q(
+      "w2_pct_rank",
+      // percent_rank + cume_dist over a deterministic total order (W2)
+      Some("""SELECT o_orderkey,
+             round(percent_rank() OVER w, 4) AS pr,
+             round(cume_dist() OVER w, 4) AS cd
+             FROM orders WHERE o_custkey < 50
+             WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        ordered(
+          t.orders.filter(col("o_custkey") < 50)
+            .select(col("o_orderkey"),
+              round(percent_rank().over(w), 4).as("pr"),
+              round(cume_dist().over(w), 4).as("cd"))
+        )
+      }
+    )
   )
 }
