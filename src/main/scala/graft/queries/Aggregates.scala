@@ -278,5 +278,26 @@ object Aggregates {
         )
       }
     )
+    ,
+    Q(
+      "a9_corr",
+      // Pearson correlation (A9): corr over co-movement of price and
+      // quantity per return flag; both engines compute the same
+      // sample-covariance formula in double
+      Some("""SELECT l_returnflag,
+             round(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
+             count(*) AS n
+             FROM lineitem GROUP BY l_returnflag
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.lineitem
+            .groupBy(col("l_returnflag"))
+            .agg(round(corr(col("l_extendedprice"), col("l_quantity")), 4).as("corr_pq"),
+              count(lit(1)).as("n"))
+        )
+      }
+    )
   )
 }

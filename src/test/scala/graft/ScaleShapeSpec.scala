@@ -62,6 +62,19 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(spread > 4)
   }
 
+  test("partition-pruned scan reads only the matching partition") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    (1 to 1000).map(i => (i.toLong, s"2024-0${i % 3 + 1}", i * 1.0))
+      .toDF("id", "month", "v")
+      .write.partitionBy("month").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter($"month" === "2024-02").agg(sum($"v"))
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(month"),
+      s"partition filter not pushed:\n$scan")
+    assert(q.head().getDouble(0) > 0)
+  }
+
   test("flagship aggregate keeps partial/final structure with pushed filter") {
     val df = SparkEntry.queries("a4_hash_agg_q1")(spark, sf)
     val plan = executedPlan(df)
