@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN index — the second mandate ANN path next to
+  * sign-LSH ([[Vectors.lshTables]]).
+  *
+  * Everything is DataFrame-shaped: training is Lloyd's iterations where
+  * assignment is a broadcast join against the (tiny) centroid relation
+  * and the update step is the [[Centroid]] typed aggregator; the index is
+  * one `(cluster, vec_id, embedding)` relation, naturally partitionable
+  * by cluster at 100 TB; search probes the `nProbe` nearest clusters and
+  * reranks exactly with the native codegen'd cosine. Seeding is
+  * deterministic (k lowest vec_ids), so the index is reproducible.
+  *
+  * Recall/cost dial: nProbe (search) and k (train). The brute-force
+  * baseline is `d6_cosine_topk`; FunctionsSpec measures IVF recall
+  * against it.
+  */
+object Ivf {
+
+  /** Train k centroids with `iters` Lloyd iterations. Returns
+    * (cluster: int, centroid: array<double>). */
+  def train(embeddings: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    val centroidAgg = udaf(Centroid)
+    // deterministic seeding: the k lowest vec_ids
+    var cents = embeddings.orderBy(col("vec_id")).limit(k)
+      .select(row_number().over(Window.orderBy(col("vec_id"))).minus(1).as("cluster"),
+        col("embedding").cast("array<double>").as("centroid"))
+      .localCheckpoint()
+    (0 until iters).foreach { _ =>
+      cents = assign(embeddings, cents)
+        .join(embeddings, "vec_id")
+        .groupBy(col("cluster"))
+        .agg(centroidAgg(col("embedding")).as("centroid"))
+        .localCheckpoint() // keep the lineage flat across iterations
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment: (vec_id, cluster). */
+  def assign(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    embeddings.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct(Vectors.cosine(col("embedding"), col("centroid")).as("sim"),
+          col("cluster").as("cluster")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sc")).as("best"))
+      .select(col("vec_id"), col("best.cluster").as("cluster"))
+
+  /** The inverted file: (cluster, vec_id, embedding). At scale this is
+    * what you bucket/partition by cluster on disk. */
+  def index(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    assign(embeddings, cents).join(embeddings, "vec_id")
+      .select(col("cluster"), col("vec_id"), col("embedding"))
+
+  /** Top-k cosine search probing the nProbe nearest clusters per query.
+    * `queries` = (q_id, qe: array<float>). */
+  def search(
+      ivf: DataFrame,
+      cents: DataFrame,
+      queries: DataFrame,
+      nProbe: Int,
+      topK: Int
+  ): DataFrame = {
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cluster").asc)
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qe"), col("cluster"),
+        Vectors.cosine(col("qe"), col("centroid")).as("sim"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("qe"), col("cluster"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    ivf.join(broadcast(probes), "cluster")
+      .select(col("q_id"), col("vec_id"),
+        Vectors.cosineFast(col("qe"), col("embedding")).as("cos"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= topK)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("cos"))
+  }
+}

@@ -206,5 +206,26 @@ object VectorOps {
         )
       }
     )
+    ,
+    Q(
+      "d6_ivf_ann",
+      // IVF ANN (mandate's second scale path): 8 coarse centroids, 2
+      // Lloyd iterations, probe the 2 nearest lists, exact rerank.
+      // Training is data-dependent, so rows-only here; FunctionsSpec
+      // measures recall against brute force.
+      None,
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val e = t.embeddings
+        val cents = graft.functions.Ivf.train(e, k = 8, iters = 2)
+        val ivf = graft.functions.Ivf.index(e.filter(col("vec_id") >= 20), cents)
+        val queries = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        ordered(
+          graft.functions.Ivf.search(ivf, cents, queries, nProbe = 2, topK = 5)
+            .select(col("q_id"), col("rn"), col("vec_id"), r4(col("cos")).as("cos"))
+        )
+      }
+    )
   )
 }

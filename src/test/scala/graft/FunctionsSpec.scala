@@ -134,6 +134,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH top-1 recall $recall too low")
   }
 
+  test("D6: IVF probe search has usable top-1 recall vs brute force") {
+    import spark.implicits._
+    val e = graft.sources.Tables(spark, sf).embeddings.cache()
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val brute = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("c_id"), Vectors.cosine(col("qe"), col("ce")).as("cos"))
+      .groupBy("q_id").agg(max(struct(col("cos"), col("c_id"))).as("m"))
+      .select(col("q_id"), col("m.c_id").as("best"))
+      .as[(Long, Long)].collect().toMap
+    val cents = graft.functions.Ivf.train(e, k = 8, iters = 2)
+    val ivf = graft.functions.Ivf.index(e.filter(col("vec_id") >= 10), cents)
+    val got = graft.functions.Ivf.search(ivf, cents, q, nProbe = 3, topK = 1)
+      .select(col("q_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toMap
+    e.unpersist()
+    val recall = brute.count { case (k, v) => got.get(k).contains(v) }.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF top-1 recall $recall too low")
+  }
+
   test("D6: cosine is 1 for identical vectors, 0 for zero vector") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f), Array(0.0f, 0.0f)))
