@@ -156,6 +156,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF top-1 recall $recall too low")
   }
 
+  test("A6: approx_count_distinct lands within its rsd of the exact count") {
+    import spark.implicits._
+    val t = graft.sources.Tables(spark, sf)
+    val row = t.orders.agg(
+      countDistinct(col("o_custkey")).as("exact"),
+      approx_count_distinct(col("o_custkey"), 0.05).as("hll")).head()
+    val (exact, hll) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(hll - exact) / exact < 0.15,
+      s"HLL $hll vs exact $exact beyond tolerance")
+  }
+
   test("D6: cosine is 1 for identical vectors, 0 for zero vector") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f), Array(0.0f, 0.0f)))

@@ -61,6 +61,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("T2 sliding window: stream (complete mode) equals batch") {
+    import spark.implicits._
+    val mem = MemoryStream[Ev](7, spark, None)
+    mem.addData(fixture: _*)
+    Streams.runToMemory(Streams.slidingCounts(mem.toDF()), "t2_sink",
+      OutputMode.Complete())
+    val got = spark.table("t2_sink").collect().toSet
+    val want = Streams.slidingCounts(fixture.toDF()).collect().toSet
+    assert(got == want && got.nonEmpty)
+    // every event appears in 4 sliding windows (1h window, 15m slide)
+    val totalN = spark.table("t2_sink").agg(sum("n")).head().getLong(0)
+    assert(totalN == fixture.size * 4)
+  }
+
   test("T4 watermark drops late rows in append mode") {
     import spark.implicits._
     val mem = MemoryStream[Ev](3, spark, None)
