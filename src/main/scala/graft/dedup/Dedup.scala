@@ -32,14 +32,18 @@ object Dedup {
   }
 
   /** Per-doc MinHash signature ARRAY (length numHashes):
-    * signature[seed] = lexicographic min over shingles of
-    * md5(seed || '|' || shingle).
+    * signature[seed] = min over shingles of the first 60 bits of
+    * md5(seed || '|' || shingle), as a long. (The 15-hex-char prefix
+    * preserves the minwise property — it is still a uniform hash — and
+    * DuckDB computes the identical value via ('0x' || substring)::BIGINT.)
     *
     * Shape matters for codegen: explode shingles, compute the numHashes
-    * md5s as PLAIN expressions (whole-stage codegen'd — higher-order
+    * hashes as PLAIN expressions (whole-stage codegen'd — higher-order
     * `transform` lambdas are interpreted and ~10x slower here), then take
-    * all component minimums in ONE hash aggregate with map-side partials,
-    * so the shuffle carries numHashes strings per doc, not per shingle. */
+    * all component minimums in ONE aggregate with map-side partials. Long
+    * (not string) signature components keep that aggregate a
+    * HashAggregate with fixed-width buffers — min(string) would demote
+    * the whole stage to sort-based aggregation. */
   def minhashSignatures(
       docs: DataFrame, // (doc_id, text)
       shingleWidth: Int,
@@ -51,7 +55,8 @@ object Dedup {
       .select(col("doc_id"),
         explode(Text.shingles(Text.tokenize(col("text")), shingleWidth)).as("shingle"))
     val hashes = (0 until numHashes).map(seed =>
-      md5(concat(lit(seed.toString), lit("|"), col("shingle"))).as(s"h$seed"))
+      conv(substring(md5(concat(lit(seed.toString), lit("|"), col("shingle"))), 1, 15),
+        16, 10).cast("long").as(s"h$seed"))
     val mins = (0 until numHashes).map(seed => min(col(s"h$seed")).as(s"s$seed"))
     sh.select(col("doc_id") +: hashes: _*)
       .groupBy(col("doc_id"))
@@ -76,9 +81,11 @@ object Dedup {
     val nBands = numHashes / rowsPerBand
     val sigs = minhashSignatures(docs, shingleWidth, numHashes)
     val bands = sigs.select(col("doc_id"), col("sig"),
+        // "," separator: numeric components would otherwise collide on
+        // concatenation ("12"+"3" == "1"+"23")
         explode(transform(sequence(lit(0), lit(nBands - 1)),
           b => struct(b.as("band"),
-            concat_ws("", sort_array(slice(col("sig"), b * rowsPerBand + 1,
+            concat_ws(",", sort_array(slice(col("sig"), b * rowsPerBand + 1,
               lit(rowsPerBand)))).as("band_key")))).as("bk"))
       .select(col("doc_id"), col("sig"),
         col("bk.band").as("band"), col("bk.band_key").as("band_key"))

@@ -68,13 +68,13 @@ object DedupOps {
       Some(s"""WITH $shinglesCte,
               |sigs AS (
               |  SELECT doc_id, seed,
-              |         min(md5(concat(seed::VARCHAR, '|', shingle))) AS sig
+              |         min(('0x' || substring(md5(concat(seed::VARCHAR, '|', shingle)), 1, 15))::BIGINT) AS sig
               |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed)
               |  GROUP BY doc_id, seed
               |),
               |bands AS (
               |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-              |         string_agg(sig, '' ORDER BY sig) AS band_key
+              |         string_agg(sig::VARCHAR, ',' ORDER BY sig) AS band_key
               |  FROM sigs GROUP BY doc_id, band
               |),
               |cands AS (
