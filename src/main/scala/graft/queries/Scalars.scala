@@ -259,5 +259,65 @@ object Scalars {
         )
       }
     )
+    ,
+    Q(
+      "sc_string2",
+      // format_string/translate/substring_index/reverse/repeat/bround —
+      // the 2.8 stragglers; bround inputs are exact eighths so the
+      // half-even boundary is deterministic in both engines
+      Some("""SELECT o_orderkey,
+             printf('%s-%05d', o_orderstatus, o_orderkey) AS tag,
+             translate(o_orderpriority, '-', '_') AS pri,
+             split_part(o_orderpriority, '-', 1) AS pri_code,
+             reverse(o_orderstatus) AS rev,
+             repeat(o_orderstatus, 3) AS rep,
+             round_even(o_orderkey * 0.125, 2) AS br
+             FROM orders WHERE o_custkey < 30
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.orders.filter(col("o_custkey") < 30)
+            .select(col("o_orderkey"),
+              format_string("%s-%05d", col("o_orderstatus"), col("o_orderkey")).as("tag"),
+              translate(col("o_orderpriority"), "-", "_").as("pri"),
+              substring_index(col("o_orderpriority"), "-", 1).as("pri_code"),
+              reverse(col("o_orderstatus")).as("rev"),
+              repeat(col("o_orderstatus"), 3).as("rep"),
+              bround(col("o_orderkey") * 0.125, 2).as("br"))
+        )
+      }
+    ),
+    Q(
+      "sc_array_map2",
+      // arrays_zip + posexplode + map_from_entries/map_concat + to_json
+      Some("""WITH base AS (
+             SELECT n_nationkey AS k, n_name AS name, n_regionkey AS rk FROM nation
+             )
+             SELECT k,
+             [struct_extract(x, 1) + struct_extract(x, 2) FOR x IN list_zip([k, rk], [rk, k])][1] AS zsum,
+             map_from_entries([('nk', k), ('rk', rk)])['nk'][1] AS nk_val,
+             map_concat(MAP(['n'],[name]), MAP(['r'],[rk::VARCHAR]))['r'][1] AS r_val,
+             to_json(struct_pack(k := k, name := name)) AS js
+             FROM base ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.nation.select(
+            col("n_nationkey").as("k"),
+            element_at(transform(
+              arrays_zip(array(col("n_nationkey"), col("n_regionkey")),
+                array(col("n_regionkey"), col("n_nationkey"))),
+              x => x.getField("0") + x.getField("1")), 1).as("zsum"),
+            element_at(map_from_entries(array(
+              struct(lit("nk").as("k"), col("n_nationkey").as("v")),
+              struct(lit("rk").as("k"), col("n_regionkey").as("v")))), "nk").as("nk_val"),
+            element_at(map_concat(
+              map(lit("n"), col("n_name")),
+              map(lit("r"), col("n_regionkey").cast("string"))), "r").as("r_val"),
+            to_json(struct(col("n_nationkey").as("k"), col("n_name").as("name"))).as("js"))
+        )
+      }
+    )
   )
 }
