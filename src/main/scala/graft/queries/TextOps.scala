@@ -216,6 +216,76 @@ object TextOps {
       }
     ),
     Q(
+      "d9_pipeline_e2e",
+      // capstone: the full training-data pipeline as ONE composed plan —
+      // exact dedup (keeper = min id per sha over a corpus with planted
+      // duplicates) -> language gate -> quality gate -> token-count gate
+      // -> per-source stats. Every stage is an operator verified
+      // individually above; this proves they compose into a single
+      // Catalyst plan with no materialization between stages.
+      Some(s"""WITH corpus AS (
+              |  SELECT doc_id, source, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 10000 AS doc_id, source, text FROM documents
+              |  WHERE doc_id % 3 = 0
+              |),
+              |dedup AS (
+              |  SELECT doc_id, source, text,
+              |         row_number() OVER (PARTITION BY sha256(text)
+              |                            ORDER BY doc_id) AS rn
+              |  FROM corpus
+              |),
+              |kept AS (SELECT doc_id, source, text FROM dedup WHERE rn = 1),
+              |feat AS (
+              |  SELECT doc_id, source,
+              |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              |                x -> x <> '') AS toks,
+              |    text
+              |  FROM kept
+              |),
+              |scored AS (
+              |  SELECT doc_id, source, len(toks) AS n_tok,
+              |    (CASE WHEN len(toks) > 0 AND
+              |               len(array_to_string(toks, '')) * 1.0 / len(toks)
+              |                 BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+              |    + (CASE WHEN len(text) > 0
+              |            THEN (len(text) - len(regexp_replace(text, '[a-zA-Z ]', '', 'g')))
+              |                 * 1.0 / len(text) ELSE 0.0 END) * 0.4
+              |    + (CASE WHEN len(toks) > 0
+              |            THEN len(list_distinct(toks)) * 1.0 / len(toks)
+              |            ELSE 0.0 END) * 0.3 AS q
+              |  FROM feat
+              |)
+              |SELECT source, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+              |       round(avg(q), 4) AS mean_quality
+              |FROM scored
+              |WHERE q >= 0.55 AND n_tok BETWEEN 10 AND 500
+              |GROUP BY source
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val base = t.documents.select(col("doc_id"), col("source"), col("text"))
+        val corpus = base.unionByName(
+          base.filter(col("doc_id") % 3 === 0)
+            .select((col("doc_id") + 10000L).as("doc_id"), col("source"), col("text")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
+        val kept = corpus.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        val scored = kept.select(col("source"),
+          Text.tokenCount(col("text")).as("n_tok"),
+          Text.qualityScore(col("text")).as("q"))
+        ordered(
+          scored
+            .filter(col("q") >= 0.55 && col("n_tok").between(10, 500))
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_tok").cast("long")).as("total_tokens"),
+              r4(avg(col("q"))).as("mean_quality"))
+        )
+      }
+    ),
+    Q(
       "d7_fingerprint",
       // Karp–Rabin rolling-hash document fingerprint: strict left fold
       // acc*31 + ascii(char) mod 1e9+7 — identical fold in both engines
