@@ -93,6 +93,55 @@ object TextOps {
       }
     ),
     Q(
+      "d3_search_bm25",
+      // BM25 ranking (k1=1.2, b=0.75) — the production-grade D3 scorer:
+      // idf = ln((N - df + 0.5)/(df + 0.5) + 1), tf saturation + doc
+      // length normalization. Same postings backbone as d3_search_tfidf.
+      Some(s"""WITH $toksCte,
+              |tok AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+              |postings AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+              |dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY 1),
+              |stats AS (SELECT avg(dlen) AS avgdl,
+              |                 (SELECT count(*) FROM documents) AS n FROM dl)
+              |SELECT p.doc_id,
+              |  round(sum(
+              |    ln((stats.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+              |    * (p.tf * 2.2)
+              |    / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dlen / stats.avgdl))
+              |  ), 4) AS bm25
+              |FROM postings p
+              |JOIN (SELECT term, count(*) AS df FROM postings GROUP BY 1) d USING (term)
+              |JOIN dl USING (doc_id) CROSS JOIN stats
+              |WHERE p.term IN ('spark', 'window', 'shuffle')
+              |GROUP BY p.doc_id
+              |ORDER BY bm25 DESC, doc_id ASC
+              |LIMIT 20""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val queryTerms = Seq("spark", "window", "shuffle")
+        val tok = t.documents
+          .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
+        val postings = tok.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dlen"))
+        val nDocs = t.documents.agg(count(lit(1)).as("n"))
+        val stats = dl.agg(avg(col("dlen")).as("avgdl")).crossJoin(nDocs)
+        val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+        val score = idf * (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(1) - lit(0.75) + lit(0.75) * col("dlen") / col("avgdl")))
+        postings
+          .filter(col("term").isin(queryTerms: _*))
+          .join(broadcast(dfreq), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .groupBy(col("doc_id"))
+          .agg(r4(sum(score)).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id").asc)
+          .limit(20)
+      }
+    ),
+    Q(
       "d7_text_stats",
       Some(s"""WITH $toksCte
               |SELECT d.lang, d.source, count(*) AS n_docs,
