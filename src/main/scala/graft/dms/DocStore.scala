@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
 import graft.functions.{Metadata, Text}
 
 /** The DMS facade: every public entry point of the reference's `DMS`
@@ -41,7 +42,7 @@ import graft.functions.{Metadata, Text}
   * writing content (not the filename string), exact-filename matching
   * (regex scan is its own explicit operator), first-dot-only key parsing.
   */
-class DocStore(spark: SparkSession, root: String) {
+class DocStore(spark: SparkSession, root: String, nShards: Int = 16) {
 
   /** Canonical schema — SURVEY.md §1.2. */
   val schema: StructType = StructType(Seq(
@@ -51,6 +52,21 @@ class DocStore(spark: SparkSession, root: String) {
     StructField("meta", MapType(StringType, StringType)),
     StructField("ingested_at", TimestampType)
   ))
+
+  /** Filename -> shard, used BOTH as the partition column at write time
+    * and driver-side to prune point lookups to one partition directory.
+    * Plain JVM String.hashCode so the two sides agree by construction
+    * (an executor-side hash like xxhash64 would need a driver
+    * reimplementation that could drift). */
+  def shardOf(filename: String): Int =
+    math.floorMod(filename.hashCode, nShards)
+
+  private val shardUdf = udf((f: String) => shardOf(f))
+
+  /** Point-lookup pruning: shard equality (a partition filter — only one
+    * of nShards directories is read) plus the filename filter. */
+  private def forFile(filename: String) =
+    col("shard") === shardOf(filename) && col("filename") === filename
 
   private val rootPath = Paths.get(root)
   private val currentPtr = rootPath.resolve("_current")
@@ -70,20 +86,26 @@ class DocStore(spark: SparkSession, root: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** The live table (empty frame with the right schema before first write). */
+  /** On-disk schema: canonical columns + the shard partition column. */
+  private val storedSchema: StructType = schema.add(StructField("shard", IntegerType))
+
+  /** The live table (empty frame with the right schema before first write).
+    * Includes the `shard` partition column so filters on it prune
+    * partition directories. */
   def all: DataFrame = {
     val dir = Paths.get(genDir(currentGen))
     if (Files.exists(dir) && Files.list(dir).findFirst().isPresent)
-      spark.read.schema(schema).parquet(dir.toString)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      spark.read.schema(storedSchema).parquet(dir.toString)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], storedSchema)
   }
 
   /** Rewrite path: plan `df` against the live generation, write the next
-    * generation, flip the pointer. */
+    * generation (sharded), flip the pointer. */
   private def rewrite(df: DataFrame): Unit = {
     val next = currentGen + 1
     df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-      .write.mode("overwrite").parquet(genDir(next))
+      .withColumn("shard", shardUdf(col("filename")))
+      .write.partitionBy("shard").mode("overwrite").parquet(genDir(next))
     flipTo(next)
   }
 
@@ -91,7 +113,8 @@ class DocStore(spark: SparkSession, root: String) {
   private def append(df: DataFrame): Unit = {
     val g = currentGen
     df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-      .write.mode("append").parquet(genDir(g))
+      .withColumn("shard", shardUdf(col("filename")))
+      .write.partitionBy("shard").mode("append").parquet(genDir(g))
     if (!Files.exists(currentPtr)) flipTo(g)
   }
 
@@ -123,7 +146,8 @@ class DocStore(spark: SparkSession, root: String) {
         val replacement = spark.createDataFrame(
           spark.sparkContext.parallelize(Seq(Row(filename, v, bytes, meta,
             new java.sql.Timestamp(System.currentTimeMillis()))), 1), schema)
-        rewrite(all.filter(!(col("filename") === filename && col("version") === v))
+        rewrite(all.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+          .filter(!(col("filename") === filename && col("version") === v))
           .unionByName(replacement))
         true
     }
@@ -146,26 +170,26 @@ class DocStore(spark: SparkSession, root: String) {
   def latestVersions: DataFrame =
     all.groupBy(col("filename")).agg(max(col("version")).as("version"))
 
-  /** Numeric latest version of one file. */
+  /** Numeric latest version of one file (shard-pruned point lookup). */
   def latestVersion(filename: String): Option[Int] =
-    latestVersions.filter(col("filename") === filename)
-      .select("version").collect().headOption.map(_.getInt(0))
+    all.filter(forFile(filename)).agg(max(col("version")))
+      .collect().headOption.filterNot(_.isNullAt(0)).map(_.getInt(0))
 
-  /** All versions of one file, ascending (A2). */
+  /** All versions of one file, ascending (A2; shard-pruned). */
   def versions(filename: String): Seq[Int] =
-    all.filter(col("filename") === filename)
+    all.filter(forFile(filename))
       .select("version").orderBy(col("version"))
       .collect().toIndexedSeq.map(_.getInt(0))
 
-  /** Metadata map of one (filename, version). */
+  /** Metadata map of one (filename, version) — shard-pruned. */
   def metadata(filename: String, version: Int): Option[Map[String, String]] =
-    all.filter(col("filename") === filename && col("version") === version)
+    all.filter(forFile(filename) && col("version") === version)
       .select("meta").collect().headOption
       .map(_.getMap[String, String](0).toMap)
 
-  /** Content bytes of one (filename, version). */
+  /** Content bytes of one (filename, version) — shard-pruned. */
   def content(filename: String, version: Int): Option[Array[Byte]] =
-    all.filter(col("filename") === filename && col("version") === version)
+    all.filter(forFile(filename) && col("version") === version)
       .select("content").collect().headOption.map(_.getAs[Array[Byte]](0))
 
   /** Regex scan over filenames — the reference's RowFilter pushdown

@@ -78,6 +78,21 @@ class DocStoreSpec extends AnyFunSuite {
     assert(!got.contains("old.txt")) // latest version has no 'spark'
   }
 
+  test("point lookups prune to one shard partition directory") {
+    val s = newStore()
+    (0 until 20).foreach(i => s.upload(s"file$i.txt", s"content $i".getBytes))
+    // the lookup plan must carry a shard partition filter
+    val plan = s.all.filter(org.apache.spark.sql.functions.col("shard") ===
+        s.shardOf("file3.txt") &&
+        org.apache.spark.sql.functions.col("filename") === "file3.txt")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"),
+      s"no shard partition filter:\n$plan")
+    // and the lookup itself still answers correctly
+    assert(new String(s.download("file3.txt").get) == "content 3")
+    assert(s.versions("file3.txt") == Seq(1))
+  }
+
   test("scanRegex is the explicit regex operator; truncate empties the store") {
     val s = newStore()
     s.upload("report_2024.txt", "x".getBytes)
