@@ -42,26 +42,57 @@ import graft.functions.{Metadata, Text}
   * writing content (not the filename string), exact-filename matching
   * (regex scan is its own explicit operator), first-dot-only key parsing.
   */
+object DocStore {
+  /** Filename -> shard. Plain JVM String.hashCode so driver-side pruning
+    * and the executor-side partition column agree by construction. Lives
+    * on the (serializable-free) companion so UDF closures capture nothing
+    * but the shard count. */
+  def shardOf(filename: String, nShards: Int): Int =
+    math.floorMod(filename.hashCode, nShards)
+}
+
 class DocStore(spark: SparkSession, root: String, nShards: Int = 16) {
 
-  /** Canonical schema — SURVEY.md §1.2. */
+  /** Canonical schema — SURVEY.md §1.2. `hdfs_status` is the typed
+    * FileStatus subset the reference writes per row (src/DMS.py:122,
+    * 145-155): the dict it stored as dynamic `meta_data:*` columns lands
+    * here as a real struct so length/owner/modification_time queries have
+    * typed columns to hit. */
   val schema: StructType = StructType(Seq(
     StructField("filename", StringType, nullable = false),
     StructField("version", IntegerType, nullable = false),
     StructField("content", BinaryType),
     StructField("meta", MapType(StringType, StringType)),
+    StructField("hdfs_status", StructType(Seq(
+      StructField("length", LongType),
+      StructField("owner", StringType),
+      StructField("modification_time", TimestampType),
+      StructField("permission", StringType)
+    ))),
     StructField("ingested_at", TimestampType)
   ))
+
+  /** FileStatus for a fresh ingest: byte length, JVM user, now,
+    * default parquet-file permission bits. */
+  private def fileStatusOf(bytes: Array[Byte], at: java.sql.Timestamp): Row =
+    Row(bytes.length.toLong, System.getProperty("user.name", "spark"),
+      at, "rw-r--r--")
 
   /** Filename -> shard, used BOTH as the partition column at write time
     * and driver-side to prune point lookups to one partition directory.
     * Plain JVM String.hashCode so the two sides agree by construction
     * (an executor-side hash like xxhash64 would need a driver
     * reimplementation that could drift). */
-  def shardOf(filename: String): Int =
-    math.floorMod(filename.hashCode, nShards)
+  def shardOf(filename: String): Int = DocStore.shardOf(filename, nShards)
 
-  private val shardUdf = udf((f: String) => shardOf(f))
+  /** Captures only the shard count (an Int) — NOT `this`, which holds the
+    * SparkSession and is not serializable (a closure over an instance
+    * method would ship the whole DocStore to executors and throw
+    * Task not serializable). */
+  private val shardUdf = {
+    val n = nShards
+    udf((f: String) => DocStore.shardOf(f, n))
+  }
 
   /** Point-lookup pruning: shard equality (a partition filter — only one
     * of nShards directories is read) plus the filename filter. */
@@ -124,8 +155,8 @@ class DocStore(spark: SparkSession, root: String, nShards: Int = 16) {
   def upload(filename: String, bytes: Array[Byte]): Int = {
     val next = latestVersion(filename).getOrElse(0) + 1
     val meta = Metadata.sniff(bytes)
-    val row = Row(filename, next, bytes, meta,
-      new java.sql.Timestamp(System.currentTimeMillis()))
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val row = Row(filename, next, bytes, meta, fileStatusOf(bytes, now), now)
     append(spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(row), 1), schema))
     next
@@ -143,9 +174,10 @@ class DocStore(spark: SparkSession, root: String, nShards: Int = 16) {
       case None => false
       case Some(v) =>
         val meta = Metadata.sniff(bytes)
+        val now = new java.sql.Timestamp(System.currentTimeMillis())
         val replacement = spark.createDataFrame(
-          spark.sparkContext.parallelize(Seq(Row(filename, v, bytes, meta,
-            new java.sql.Timestamp(System.currentTimeMillis()))), 1), schema)
+          spark.sparkContext.parallelize(
+            Seq(Row(filename, v, bytes, meta, fileStatusOf(bytes, now), now)), 1), schema)
         rewrite(all.select(schema.fieldNames.map(col).toIndexedSeq: _*)
           .filter(!(col("filename") === filename && col("version") === v))
           .unionByName(replacement))

@@ -67,6 +67,24 @@ class DocStoreSpec extends AnyFunSuite {
     assert(m("length") == png.length.toString)
   }
 
+  test("hdfs_status struct is populated on upload (FileStatus subset, DMS.py:145-155)") {
+    val s = newStore()
+    s.upload("st.txt", "twelve bytes".getBytes)
+    val row = s.all.filter(org.apache.spark.sql.functions.col("filename") === "st.txt")
+      .select("hdfs_status.length", "hdfs_status.owner",
+        "hdfs_status.modification_time", "hdfs_status.permission")
+      .collect().head
+    assert(row.getLong(0) == "twelve bytes".getBytes.length.toLong)
+    assert(row.getString(1).nonEmpty)
+    assert(row.getTimestamp(2) != null)
+    assert(row.getString(3) == "rw-r--r--")
+    // update refreshes the status in place
+    s.update("st.txt", "longer replacement bytes".getBytes)
+    val len2 = s.all.filter(org.apache.spark.sql.functions.col("filename") === "st.txt")
+      .select("hdfs_status.length").collect().head.getLong(0)
+    assert(len2 == "longer replacement bytes".getBytes.length.toLong)
+  }
+
   test("search ranks by TF-IDF over latest versions only") {
     val s = newStore()
     s.upload("hit.txt", "spark spark spark window".getBytes)
