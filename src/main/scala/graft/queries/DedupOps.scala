@@ -145,8 +145,8 @@ object DedupOps {
               |  GROUP BY doc_id, b
               |)
               |SELECT doc_id,
-              |       sum(CASE WHEN vote >= 0 THEN (1::BIGINT << b) ELSE 0 END)
-              |         AS simhash
+              |       CAST(sum(CASE WHEN vote >= 0 THEN (1::BIGINT << b) ELSE 0 END)
+              |            AS BIGINT) AS simhash
               |FROM votes GROUP BY doc_id
               |ORDER BY ALL NULLS FIRST""".stripMargin),
       (spark, dir) => {

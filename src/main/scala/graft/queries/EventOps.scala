@@ -108,7 +108,7 @@ object EventOps {
       // same sessions built the analytic-window way (lag + cumulative
       // flag) — cross-validates session_window against first principles
       Some("""WITH x AS (
-             |  SELECT user_id, ts,
+             |  SELECT user_id, ts, event_id,
              |         CASE WHEN lag(ts) OVER w IS NULL
              |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
              |              THEN 1 ELSE 0 END AS new_s
@@ -117,8 +117,10 @@ object EventOps {
              |),
              |y AS (
              |  SELECT user_id, ts,
-             |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-             |                          ROWS UNBOUNDED PRECEDING) AS sid
+             |         CAST(sum(new_s) OVER (PARTITION BY user_id
+             |                               ORDER BY ts, event_id
+             |                               ROWS UNBOUNDED PRECEDING)
+             |              AS BIGINT) AS sid
              |  FROM x
              |)
              |SELECT user_id, sid, count(*) AS n_events,
@@ -132,7 +134,10 @@ object EventOps {
           when(lag(col("ts"), 1).over(w).isNull ||
             unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >= 1800000000L,
             1L).otherwise(0L))
-        val wc = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        // same (ts, event_id) tie-break as the lag window `w` — with tied
+        // timestamps an orderBy(ts)-only cumulative sum assigns sids
+        // nondeterministically vs the oracle
+        val wc = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ordered(
           flagged.withColumn("sid", sum(col("new_s")).over(wc))
@@ -190,7 +195,8 @@ object EventOps {
       "t_props_json",
       // events.props is a JSON string — extraction surface (§2.8 JSON)
       Some("""SELECT event_type,
-             |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+             |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             |            AS BIGINT) AS k_sum,
              |       count(*) AS n
              |FROM events GROUP BY 1
              |ORDER BY ALL NULLS FIRST""".stripMargin),

@@ -80,8 +80,8 @@ object Scalars {
       Some("""SELECT l_orderkey, l_linenumber,
              round(l_extendedprice * l_discount, 4) AS disc_amt,
              abs(l_quantity - 25) AS dist_from_25,
-             ceil(l_extendedprice / 1000) AS px_bucket,
-             floor(l_quantity / 10) AS qty_decade,
+             CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS px_bucket,
+             CAST(floor(l_quantity / 10) AS BIGINT) AS qty_decade,
              round(pow(l_quantity, 2), 4) AS qty_sq,
              round(sqrt(l_extendedprice), 4) AS px_root,
              round(ln(l_extendedprice + 1), 4) AS px_ln,
@@ -151,7 +151,7 @@ object Scalars {
                CAST(list_contains(tok, 'spark') AS INT) AS has_spark,
                array_to_string(list_slice(tok, 1, 5), ' ') AS head5,
                len(list_filter(tok, x -> length(x) > 4)) AS n_long,
-               list_sum(list_transform(tok, x -> length(x))) AS total_chars
+               CAST(list_sum(list_transform(tok, x -> length(x))) AS INT) AS total_chars
              FROM toks ORDER BY ALL NULLS FIRST"""),
       (spark, dir) => {
         val t = Tables(spark, dir)

@@ -146,7 +146,7 @@ object TextOps {
       Some(s"""WITH $toksCte
               |SELECT d.lang, d.source, count(*) AS n_docs,
               |       round(avg(d.n_chars), 4) AS avg_chars,
-              |       sum(len(t.tokens)) AS total_tokens
+              |       CAST(sum(len(t.tokens)) AS BIGINT) AS total_tokens
               |FROM documents d JOIN toks t USING (doc_id)
               |GROUP BY d.lang, d.source
               |ORDER BY ALL NULLS FIRST""".stripMargin),
@@ -305,7 +305,8 @@ object TextOps {
               |            ELSE 0.0 END) * 0.3 AS q
               |  FROM feat
               |)
-              |SELECT source, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+              |SELECT source, count(*) AS n_docs,
+              |       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
               |       round(avg(q), 4) AS mean_quality
               |FROM scored
               |WHERE q >= 0.55 AND n_tok BETWEEN 10 AND 500

@@ -26,7 +26,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype.kind == "f":
-            df[c] = df[c].round(4)
+            pass  # exact compare — the driver hashes raw values, no rounding
         elif df[c].dtype == object:
             df[c] = df[c].map(lambda v: str(v) if v is not None else None)
         elif str(df[c].dtype).startswith("datetime"):
@@ -77,10 +77,17 @@ def main() -> int:
         mismatch = None
         for c in g.columns:
             a, b = g[c], w[c]
-            if a.dtype.kind == "f" or b.dtype.kind == "f":
+            # The driver stringifies values before hashing, so an int64 27
+            # vs float64 27.0 IS a mismatch. Only compare numerically when
+            # both sides agree they are floats.
+            if a.dtype.kind == "f" and b.dtype.kind == "f":
                 af = a.astype(float)
                 bf = b.astype(float)
                 bad = ~((af == bf) | (af.isna() & bf.isna()))
+            elif a.dtype.kind != b.dtype.kind and "f" in (a.dtype.kind, b.dtype.kind):
+                a2 = a.map(lambda v: str(v) if v is not None else None)
+                b2 = b.map(lambda v: str(v) if v is not None else None)
+                bad = ~((a2 == b2) | (a.isna() & b.isna()))
             else:
                 a2 = a.astype(str).where(~a.isna(), None)
                 b2 = b.astype(str).where(~b.isna(), None)
