@@ -8,14 +8,18 @@ object Bench {
     val cpus = Graft.defaultCpus
     val spark = Graft.session(master = s"local[$cpus]", shufflePartitions = cpus.toInt,
       appName = "graft-bench")
+    // force FULL materialization of every column — under count() Catalyst
+    // prunes sorts and projections, understating the verified query
+    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // JIT + parquet-footer warmup so per-query numbers measure the plan,
     // not first-touch class loading
     SparkEntry.queries.get("w1_latest_per_key").foreach { fn =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try run(fn) catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -31,14 +31,28 @@ object Ivf {
         col("embedding").cast("array<double>").as("centroid"))
       .localCheckpoint()
     (0 until iters).foreach { _ =>
-      cents = assign(embeddings, cents)
-        .join(embeddings, "vec_id")
+      // one embeddings scan per iteration: the vector rides through the
+      // argmax aggregate, so the update step needs no second scan and no
+      // shuffle join back onto embeddings
+      cents = assignKeepVec(embeddings, cents)
         .groupBy(col("cluster"))
         .agg(centroidAgg(col("embedding")).as("centroid"))
         .localCheckpoint() // keep the lineage flat across iterations
     }
     cents
   }
+
+  /** Nearest-centroid assignment carrying the vector:
+    * (vec_id, embedding, cluster). The embedding is constant per vec_id
+    * across the centroid cross join, so `first` is exact. */
+  private def assignKeepVec(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    embeddings.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"),
+        struct(Vectors.cosine(col("embedding"), col("centroid")).as("sim"),
+          col("cluster").as("cluster")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sc")).as("best"), first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("best.cluster").as("cluster"))
 
   /** Nearest-centroid assignment: (vec_id, cluster). */
   def assign(embeddings: DataFrame, cents: DataFrame): DataFrame =
@@ -53,7 +67,7 @@ object Ivf {
   /** The inverted file: (cluster, vec_id, embedding). At scale this is
     * what you bucket/partition by cluster on disk. */
   def index(embeddings: DataFrame, cents: DataFrame): DataFrame =
-    assign(embeddings, cents).join(embeddings, "vec_id")
+    assignKeepVec(embeddings, cents)
       .select(col("cluster"), col("vec_id"), col("embedding"))
 
   /** Top-k cosine search probing the nProbe nearest clusters per query.

@@ -195,7 +195,13 @@ object DedupOps {
               |ORDER BY ALL NULLS FIRST""".stripMargin),
       (spark, dir) => {
         val t = Tables(spark, dir)
+        // materialize the simhash relation ONCE: it feeds both sides of
+        // the self-join below, and without a cut Spark re-derives the
+        // whole tokenize→md5→32-bit-vote pipeline per side — the most
+        // expensive scan in the query, doubled. (At 100 TB this is a
+        // persisted signatures table; localCheckpoint is its local stand-in.)
         val sims = Dedup.simhashes(t.documents.select(col("doc_id"), col("text")))
+          .localCheckpoint()
         // one row per (doc, half): the half id is folded into the key so
         // hi-keys never join lo-keys; a single equi-join replaces the OR
         // join (nested loop) AND the two-join union (4 recomputations of
