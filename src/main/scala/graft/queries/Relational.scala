@@ -46,6 +46,43 @@ object Relational {
       }
     ),
     Q(
+      "s4_csv_source",
+      // CSV source with an explicit schema (no inference), exercised
+      // against the oracle: the committed fixture has quoted embedded
+      // commas, and the weights are exact binary fractions so the grouped
+      // sums are order-independent. Joined to the nation parquet so the
+      // CSV relation participates in a real plan, not just a round trip.
+      Some("""SELECT z.zone, count(*) AS n_nations, sum(z.weight) AS zone_weight
+             |FROM nation n
+             |JOIN read_csv('/root/repo/fixtures/s4_region_zones.csv',
+             |       header = true,
+             |       columns = {'r_regionkey': 'INTEGER',
+             |                  'zone': 'VARCHAR',
+             |                  'weight': 'DOUBLE'}) z
+             |  ON n.n_regionkey = z.r_regionkey
+             |GROUP BY z.zone
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val zschema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("r_regionkey",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("zone",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("weight",
+            org.apache.spark.sql.types.DoubleType)))
+        val zones = spark.read.option("header", "true").schema(zschema)
+          .csv("/root/repo/fixtures/s4_region_zones.csv")
+        ordered(
+          t.nation
+            .join(broadcast(zones), col("n_regionkey") === col("r_regionkey"))
+            .groupBy(col("zone"))
+            .agg(count(lit(1)).as("n_nations"),
+              sum(col("weight")).as("zone_weight"))
+        )
+      }
+    ),
+    Q(
       "p3_regex_predicate",
       Some("""SELECT c_custkey, c_name FROM customer
              WHERE regexp_matches(c_name, 'Customer#0*1[0-9]{2}$')
