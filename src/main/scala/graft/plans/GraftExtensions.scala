@@ -13,17 +13,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[DotF32].getName, null, name)
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_dot_f32"),
-      info("vec_dot_f32", "vec_dot_f32(a, b) - dot product of two float vectors in double."),
+      info(classOf[DotF32], "vec_dot_f32",
+        "vec_dot_f32(a, b) - dot product of two float vectors in double."),
       ((args: Seq[Expression]) => DotF32(args(0), args(1))): FunctionRegistry.FunctionBuilder))
     ext.injectFunction((
       FunctionIdentifier("vec_cosine_f32"),
-      info("vec_cosine_f32", "vec_cosine_f32(a, b) - cosine similarity of two float vectors."),
+      info(classOf[CosineF32], "vec_cosine_f32",
+        "vec_cosine_f32(a, b) - cosine similarity of two float vectors."),
       ((args: Seq[Expression]) => CosineF32(args(0), args(1))): FunctionRegistry.FunctionBuilder))
   }
 }

@@ -19,21 +19,27 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * oracle).
   */
 
-/** dot(a, b) over two array<float> columns, accumulated in double. */
+/** dot(a, b) over two array<float> columns, accumulated in double.
+  * Matches the HOF (`zip_with`) formulation exactly, including its null
+  * semantics: NULL when the lengths differ or any element is null. */
 case class DotF32(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = VectorExprCheck.floatArrays(left, right)
   override def dataType: DataType = DoubleType
+  // can produce null from non-null inputs (ragged / null-element arrays)
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot_f32"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -46,12 +52,17 @@ case class DotF32(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -62,21 +73,26 @@ case class DotF32(left: Expression, right: Expression)
 /** cosine(a, b) over two array<float> columns in ONE pass (three
   * accumulators); 0.0 when either norm is zero. Each accumulator folds in
   * the same order as the separate-fold formulation, so values match
-  * [[graft.functions.Vectors.cosine]] bit-for-bit. */
+  * [[graft.functions.Vectors.cosine]] bit-for-bit — including its null
+  * semantics: NULL when the lengths differ or any element is null. */
 case class CosineF32(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = VectorExprCheck.floatArrays(left, right)
   override def dataType: DataType = DoubleType
+  // can produce null from non-null inputs (ragged / null-element arrays)
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_cosine_f32"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var d = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       d += xv * yv; na += xv * xv; nb += yv * yv
@@ -93,16 +109,23 @@ case class CosineF32(left: Expression, right: Expression)
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       val nna = ctx.freshName("nna"); val nnb = ctx.freshName("nnb")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $d = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = (double) $a.getFloat($i);
-         |  double $yv = (double) $b.getFloat($i);
-         |  $d += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xv = (double) $a.getFloat($i);
+         |    double $yv = (double) $b.getFloat($i);
+         |    $d += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double $nna = java.lang.Math.sqrt($na);
+         |    double $nnb = java.lang.Math.sqrt($nb);
+         |    ${ev.value} = ($nna == 0.0 || $nnb == 0.0) ? 0.0 : $d / ($nna * $nnb);
+         |  }
          |}
-         |double $nna = java.lang.Math.sqrt($na);
-         |double $nnb = java.lang.Math.sqrt($nb);
-         |${ev.value} = ($nna == 0.0 || $nnb == 0.0) ? 0.0 : $d / ($nna * $nnb);
        """.stripMargin
     })
 

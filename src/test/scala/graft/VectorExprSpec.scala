@@ -50,4 +50,36 @@ class VectorExprSpec extends AnyFunSuite {
       "SELECT vec_dot_f32(CAST(NULL AS ARRAY<FLOAT>), array(1.0F))").head()
     assert(r.isNullAt(0))
   }
+
+  test("ragged lengths and null elements yield NULL, matching zip_with") {
+    // the HOF formulation returns NULL for both cases (zip_with pads the
+    // shorter side with null); the native expressions must agree, not
+    // silently truncate to min(length)
+    val rows = spark.sql(
+      """SELECT vec_dot_f32(array(1.0F, 2.0F), array(1.0F)) AS ragged_dot,
+        |       vec_cosine_f32(array(1.0F, 2.0F), array(1.0F)) AS ragged_cos,
+        |       vec_dot_f32(array(1.0F, CAST(NULL AS FLOAT)), array(1.0F, 2.0F)) AS nullel_dot,
+        |       vec_cosine_f32(array(1.0F, CAST(NULL AS FLOAT)), array(1.0F, 2.0F)) AS nullel_cos
+        |""".stripMargin).head()
+    (0 until 4).foreach(i => assert(rows.isNullAt(i), s"col $i should be NULL"))
+    // and the HOF versions agree on the same inputs
+    import spark.implicits._
+    val hof = Seq((Array(1.0f, 2.0f), Array(1.0f)))
+      .toDF("a", "b")
+      .select(Vectors.dot(col("a"), col("b")).as("d"),
+        Vectors.cosine(col("a"), col("b")).as("c"))
+      .head()
+    assert(hof.isNullAt(0) && hof.isNullAt(1))
+  }
+
+  test("DESCRIBE FUNCTION exposes the right class and usage per function") {
+    val desc = spark.sql("DESCRIBE FUNCTION EXTENDED vec_cosine_f32")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("CosineF32"))
+    assert(desc.contains("cosine similarity"))
+    val desc2 = spark.sql("DESCRIBE FUNCTION EXTENDED vec_dot_f32")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc2.contains("DotF32"))
+    assert(desc2.contains("dot product"))
+  }
 }
