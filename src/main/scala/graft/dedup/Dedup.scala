@@ -104,21 +104,44 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard for doc pairs that share at least one shingle
-    * (inverted-index join, no cross product). */
+    * (inverted-index join, no cross product).
+    *
+    * `maxShingleDf` is the 100 TB safety valve: a stop-shingle shared by
+    * most of the corpus makes its inverted-index bucket quadratic (every
+    * co-occurring doc pair joins through it). Capping document frequency
+    * drops those buckets before the self-join — the standard
+    * posting-list-truncation trade (hot shingles carry almost no Jaccard
+    * signal anyway, but exact parity with the uncapped oracle is lost, so
+    * the default is off). The hot set is tiny by construction (few
+    * shingles can exceed a large df), so it broadcasts.
+    */
   def ngramJaccardPairs(
       docs: DataFrame,
       shingleWidth: Int = 3,
-      minJaccard: Double = 0.5
+      minJaccard: Double = 0.5,
+      maxShingleDf: Long = Long.MaxValue
   ): DataFrame = {
     // shingle identity = its xxhash64: the distinct + self-join shuffle
     // 8-byte longs instead of ~30-char strings. Collision odds over n
     // distinct shingles are ~n^2/2^64 (≈1e-8 at one billion shingles);
     // the oracle joins on the raw string and agrees.
-    val sh = docs
+    val exploded = docs
       .select(col("doc_id"),
         explode(Text.shingles(Text.tokenize(col("text")), shingleWidth)).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .distinct()
+    val sh =
+      if (maxShingleDf == Long.MaxValue) exploded
+      else {
+        val hot = exploded.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf)
+          .select(col("shingle"))
+        exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
+      }
+    // sizes AFTER the cap: both the intersection and the union see the
+    // same truncated shingle sets, so jaccard stays a true Jaccard of
+    // the capped sets (and is still 1.0 for identical docs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x")
       .join(sh.as("y"), col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))

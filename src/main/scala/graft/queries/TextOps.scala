@@ -352,6 +352,137 @@ object TextOps {
           t.documents.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
         )
       }
+    ),
+    Q(
+      "d7_repetition_gates",
+      // Gopher-style repetition filters: top-token fraction and duplicate
+      // 2-gram fraction per doc, plus the keep verdict. The standard
+      // "templated / boilerplate text" gate in training-data pipelines.
+      Some(s"""WITH $toksCte,
+              |tok AS (SELECT doc_id, unnest(tokens) AS t FROM toks
+              |        WHERE len(tokens) >= 2),
+              |tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+              |top AS (SELECT doc_id, max(c) AS top_c,
+              |               CAST(sum(c) AS BIGINT) AS n_tok
+              |        FROM tc GROUP BY 1),
+              |g2 AS (SELECT doc_id,
+              |         [array_to_string(tokens[i:i+1], ' ')
+              |          FOR i IN range(1, len(tokens))] AS grams
+              |       FROM toks WHERE len(tokens) >= 2),
+              |g2s AS (SELECT doc_id, len(grams) AS n2,
+              |               len(list_distinct(grams)) AS d2 FROM g2)
+              |SELECT t.doc_id, t.n_tok,
+              |       t.top_c * 1.0 / t.n_tok AS top_tok_frac,
+              |       1.0 - s.d2 * 1.0 / s.n2 AS dup_2gram_frac,
+              |       (t.top_c * 1.0 / t.n_tok <= 0.1
+              |        AND 1.0 - s.d2 * 1.0 / s.n2 <= 0.1) AS keep
+              |FROM top t JOIN g2s s USING (doc_id)
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val toks = t.documents
+          .select(col("doc_id"), Text.tokenize(col("text")).as("tokens"))
+          .filter(size(col("tokens")) >= 2)
+        val top = toks
+          .select(col("doc_id"), explode(col("tokens")).as("t"))
+          .groupBy(col("doc_id"), col("t"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_tok"))
+        val g2s = toks
+          .select(col("doc_id"), Text.shingles(col("tokens"), 2).as("grams"))
+          .select(col("doc_id"), size(col("grams")).as("n2"),
+            size(array_distinct(col("grams"))).as("d2"))
+        val topFrac = col("top_c") * 1.0 / col("n_tok")
+        val dupFrac = lit(1.0) - col("d2") * 1.0 / col("n2")
+        ordered(
+          top.join(g2s, "doc_id")
+            .select(col("doc_id"), col("n_tok"),
+              topFrac.as("top_tok_frac"),
+              dupFrac.as("dup_2gram_frac"),
+              (topFrac <= 0.1 && dupFrac <= 0.1).as("keep"))
+        )
+      }
+    ),
+    Q(
+      "d7_pii_scrub",
+      // PII redaction over a deterministically augmented corpus (the raw
+      // synthetic docs contain no PII, so emails/phones derived from the
+      // doc id are appended first — redaction volume then varies per doc
+      // and the scrubbed output is pinned by md5). RE2-safe patterns only.
+      Some("""WITH aug AS (
+             |  SELECT doc_id,
+             |         text || repeat(' contact u' || doc_id ||
+             |                        '@example.com now', doc_id % 3)
+             |              || repeat(' call +1 555 ' ||
+             |                        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+             |                        doc_id % 2) AS text
+             |  FROM documents
+             |)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text,
+             |       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT)
+             |    AS n_emails,
+             |  CAST(len(regexp_extract_all(text, '\+1 555 [0-9]{4}')) AS BIGINT)
+             |    AS n_phones,
+             |  md5(regexp_replace(regexp_replace(text,
+             |        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             |        '\+1 555 [0-9]{4}', '<PHONE>', 'g')) AS scrubbed_md5
+             |FROM aug
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+        val phoneRe = "\\+1 555 [0-9]{4}"
+        val aug = t.documents.select(col("doc_id"),
+          concat(col("text"),
+            repeat(concat(lit(" contact u"), col("doc_id"), lit("@example.com now")),
+              pmod(col("doc_id"), lit(3)).cast("int")),
+            repeat(concat(lit(" call +1 555 "),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")),
+              pmod(col("doc_id"), lit(2)).cast("int"))).as("text"))
+        ordered(
+          aug.select(col("doc_id"),
+            regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+            regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+            md5(regexp_replace(
+              regexp_replace(col("text"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).as("scrubbed_md5"))
+        )
+      }
+    ),
+    Q(
+      "d10_chunking",
+      // token-window chunking with overlap (window 50, stride 40): the
+      // doc -> training-sample explosion every LLM data pipeline ends
+      // with. Chunk identity is pinned by md5 of the joined tokens.
+      Some(s"""WITH $toksCte,
+              |starts AS (
+              |  SELECT doc_id, tokens, unnest(range(1, len(tokens) + 1, 40)) AS s
+              |  FROM toks WHERE len(tokens) >= 1 AND doc_id < 200
+              |)
+              |SELECT doc_id, CAST((s - 1) // 40 AS BIGINT) AS chunk_idx,
+              |       len(tokens[s:s+49]) AS n_chunk_tok,
+              |       md5(array_to_string(tokens[s:s+49], ' ')) AS chunk_md5
+              |FROM starts
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val toks = t.documents
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"), Text.tokenize(col("text")).as("tokens"))
+          .filter(size(col("tokens")) >= 1)
+        ordered(
+          toks
+            .select(col("doc_id"), col("tokens"),
+              explode(sequence(lit(1), size(col("tokens")), lit(40))).as("s"))
+            .select(col("doc_id"),
+              ((col("s") - 1) / 40).cast("long").as("chunk_idx"),
+              size(slice(col("tokens"), col("s"), lit(50))).as("n_chunk_tok"),
+              md5(array_join(slice(col("tokens"), col("s"), lit(50)), " "))
+                .as("chunk_md5"))
+        )
+      }
     )
   )
 }

@@ -80,6 +80,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(exact.contains((1L, 2L)))
   }
 
+  test("D5: shingle df-cap prunes hot-shingle buckets without touching real near-dups") {
+    import spark.implicits._
+    // every doc shares the same stop-shingle phrase; only docs 1 and 2
+    // are genuinely near-identical. Uncapped, the stop-shingle joins all
+    // pairs through its bucket; capped at df<=2 it is dropped and the
+    // true near-dup pair survives on its distinctive shingles.
+    val stop = "the quick brown fox"
+    val docs = (1L to 6L).map { i =>
+      val body =
+        if (i <= 2) (1 to 30).map(j => s"dup$j").mkString(" ")
+        else (1 to 30).map(j => s"doc${i}tok$j").mkString(" ")
+      (i, s"$stop $body")
+    }.toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(docs, shingleWidth = 3,
+      minJaccard = 0.5, maxShingleDf = 2L)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L)))
+    // and with the cap the inverted index contains no shingle with df > 2
+    val sh = docs.select(col("doc_id"),
+        explode(Text.shingles(Text.tokenize(col("text")), 3)).as("s"))
+      .distinct().groupBy("s").count()
+    assert(sh.filter(col("count") > 2).count() > 0) // hot shingles exist uncapped
+  }
+
   test("D5: exact dedup keeps min-id row per distinct content") {
     import spark.implicits._
     val docs = Seq((5L, "aa"), (3L, "aa"), (9L, "bb")).toDF("doc_id", "text")
