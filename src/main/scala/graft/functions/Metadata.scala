@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions.udf
 
 /** Binary metadata extraction — SURVEY.md §2.9 D1, the engine-native
   * replacement for the reference's hachoir dependency (DMS.py:70-91):
-  * magic-byte sniffing of JPEG/PNG/GIF/PDF headers, pure JVM, offline.
+  * magic-byte sniffing + real header decoding of JPEG/PNG/GIF/BMP images
+  * (dimensions), WAV audio (sample rate / channels / bits / duration via
+  * RIFF chunk walk) and PDF, pure JVM, offline.
   *
   * Returns the same shape the reference produced — an open-ended
   * `Map[String, String]` of metadata keys (mime, width, height, byte
@@ -22,9 +24,14 @@ object Metadata {
     ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
       ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
 
-  /** Little-endian unsigned 16-bit read (GIF dimensions). */
+  /** Little-endian unsigned 16-bit read (GIF/BMP/WAV fields). */
   private def u16le(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  /** Little-endian unsigned 32-bit read (BMP/WAV fields). */
+  private def u32le(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
 
   /** Sniff mime + dimensions from the leading bytes of a binary blob. */
   def sniff(bytes: Array[Byte]): Map[String, String] = {
@@ -62,6 +69,40 @@ object Metadata {
       } else if (bytes.length >= 4 && bytes(0) == '%' && bytes(1) == 'P' &&
         bytes(2) == 'D' && bytes(3) == 'F') {
         Map("mime" -> "application/pdf")
+      } else if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M') {
+        // BMP: BITMAPINFOHEADER width/height at offsets 18/22 (LE,
+        // height may be negative = top-down; report magnitude)
+        Map("mime" -> "image/bmp",
+          "width" -> u32le(bytes, 18).toInt.toString,
+          "height" -> math.abs(u32le(bytes, 22).toInt).toString)
+      } else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') {
+        // WAV: walk RIFF chunks for fmt (channels/rate/bits) and data
+        // (byte count -> duration). Chunk sizes are LE32, chunks are
+        // word-aligned.
+        var i = 12
+        var m = Map("mime" -> "audio/wav")
+        var rate = 0L; var channels = 0; var bits = 0; var dataLen = -1L
+        while (i + 8 <= bytes.length) {
+          val id = new String(bytes.slice(i, i + 4), "US-ASCII")
+          val sz = u32le(bytes, i + 4)
+          if (id == "fmt " && i + 24 <= bytes.length) {
+            channels = u16le(bytes, i + 10)
+            rate = u32le(bytes, i + 12)
+            bits = u16le(bytes, i + 22)
+            m ++= Map("channels" -> channels.toString,
+              "sample_rate" -> rate.toString, "bits" -> bits.toString)
+          } else if (id == "data") {
+            dataLen = sz
+          }
+          i += 8 + sz.toInt + (sz.toInt & 1)
+        }
+        if (dataLen >= 0 && rate > 0 && channels > 0 && bits > 0) {
+          val durationMs = dataLen * 8000L / (rate * channels * bits)
+          m += ("duration_ms" -> durationMs.toString)
+        }
+        m
       } else if (bytes.forall(b => (b & 0xff) >= 0x09)) {
         // no NUL/control bytes below tab => treat as text (unsigned
         // compare: UTF-8 multibyte chars are negative as JVM bytes)

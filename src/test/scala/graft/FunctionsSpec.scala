@@ -37,6 +37,43 @@ class FunctionsSpec extends AnyFunSuite {
     b.array()
   }
 
+  private def wavBytes(rate: Int, channels: Int, bits: Int, dataBytes: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(rate)
+      .putInt(rate * channels * bits / 8) // byte rate
+      .putShort((channels * bits / 8).toShort) // block align
+      .putShort(bits.toShort)
+    b.put("data".getBytes).putInt(dataBytes).put(new Array[Byte](dataBytes))
+    b.array()
+  }
+
+  private def bmpBytes(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("BM".getBytes).putInt(54).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h)
+    b.array()
+  }
+
+  test("D1: WAV fmt/data chunk walk yields rate, channels, bits, duration") {
+    // 1 second of 16-bit stereo at 8 kHz = 32000 data bytes
+    val m = Metadata.sniff(wavBytes(rate = 8000, channels = 2, bits = 16, dataBytes = 32000))
+    assert(m("mime") == "audio/wav")
+    assert(m("sample_rate") == "8000" && m("channels") == "2" && m("bits") == "16")
+    assert(m("duration_ms") == "1000")
+  }
+
+  test("D1: BMP dims incl. top-down (negative height) form") {
+    val m = Metadata.sniff(bmpBytes(800, 600))
+    assert(m("mime") == "image/bmp" && m("width") == "800" && m("height") == "600")
+    val td = Metadata.sniff(bmpBytes(800, -600))
+    assert(td("height") == "600")
+  }
+
   test("D1: PNG dimensions from IHDR") {
     val m = Metadata.sniff(pngBytes(640, 480))
     assert(m("mime") == "image/png" && m("width") == "640" && m("height") == "480")
