@@ -229,30 +229,77 @@ class DocStore(spark: SparkSession, root: String, nShards: Int = 16) {
   def scanRegex(pattern: String): DataFrame =
     all.filter(col("filename").rlike(pattern))
 
-  /** Full-text TF-IDF search over latest-version text content — the
-    * Solr replacement (D3). Returns (filename, version, score) ranked. */
-  def search(query: String, topK: Int = 10): DataFrame = {
-    val latest = all.withColumn("rn",
+  /** Latest-version rows with decoded text — the corpus both search
+    * paths tokenize. */
+  private def latestText: DataFrame =
+    all.withColumn("rn",
         row_number().over(Window.partitionBy(col("filename"))
           .orderBy(col("version").desc)))
       .filter(col("rn") === 1)
       .select(col("filename"), col("version"),
         decode(col("content"), "UTF-8").as("text"))
-    val postings = latest
+
+  /** (filename, version, term, tf) postings of a text corpus. */
+  private def postingsOf(corpus: DataFrame): DataFrame =
+    corpus
       .select(col("filename"), col("version"),
         explode(Text.tokenize(col("text"))).as("term"))
       .groupBy(col("filename"), col("version"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = latest.agg(count(lit(1)).as("n_docs"))
+
+  private def scoreAndRank(
+      postings: DataFrame, dfreq: DataFrame, nDocs: DataFrame,
+      query: String, topK: Int): DataFrame = {
     val terms = Text.tokenize(lit(query))
+    // filter BOTH sides explicitly: at scale dfreq is vocabulary-sized,
+    // and only the query's terms should be broadcast
     postings
-      .join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(nDocs))
       .filter(array_contains(terms, col("term")))
+      .join(broadcast(dfreq.filter(array_contains(terms, col("term")))), "term")
+      .crossJoin(broadcast(nDocs))
       .groupBy(col("filename"), col("version"))
       .agg(sum(col("tf") * log(col("n_docs").cast("double") / col("df"))).as("score"))
       .orderBy(col("score").desc, col("filename").asc)
       .limit(topK)
+  }
+
+  /** Full-text TF-IDF search over latest-version text content — the
+    * Solr replacement (D3). Returns (filename, version, score) ranked.
+    * Rebuilds postings per call — exact but re-tokenizes the corpus;
+    * [[buildIndex]] + [[searchIndexed]] is the production shape. */
+  def search(query: String, topK: Int = 10): DataFrame = {
+    val latest = latestText
+    val postings = postingsOf(latest)
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = latest.agg(count(lit(1)).as("n_docs"))
+    scoreAndRank(postings, dfreq, nDocs, query, topK)
+  }
+
+  /** Persist the inverted index of the CURRENT latest-version corpus:
+    * postings sorted by term (so parquet row-group min/max statistics
+    * make the per-term search filter skip non-matching row groups — the
+    * on-disk analogue of posting-list seeks), plus the term document
+    * frequencies and corpus size. Stale after writes until rebuilt —
+    * the usual search-index contract. */
+  def buildIndex(): Unit = {
+    val latest = latestText.localCheckpoint() // one corpus scan for all three
+    val postings = postingsOf(latest)
+    postings.repartition(col("term")).sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$root/_index/postings")
+    postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$root/_index/dfreq")
+    latest.agg(count(lit(1)).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$root/_index/stats")
+  }
+
+  /** TF-IDF search against the persisted index: reads ONLY postings rows
+    * whose term matches the query (an IN filter pushed to the parquet
+    * scan), never re-tokenizes the corpus. Same ranking as [[search]]
+    * while the index is fresh. */
+  def searchIndexed(query: String, topK: Int = 10): DataFrame = {
+    val postings = spark.read.parquet(s"$root/_index/postings")
+    val dfreq = spark.read.parquet(s"$root/_index/dfreq")
+    val nDocs = spark.read.parquet(s"$root/_index/stats")
+    scoreAndRank(postings, dfreq, nDocs, query, topK)
   }
 }

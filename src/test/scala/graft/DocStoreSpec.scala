@@ -96,6 +96,25 @@ class DocStoreSpec extends AnyFunSuite {
     assert(!got.contains("old.txt")) // latest version has no 'spark'
   }
 
+  test("persisted index: searchIndexed matches search, reads only query terms, goes stale until rebuilt") {
+    val s = newStore()
+    s.upload("hit.txt", "spark spark spark window".getBytes)
+    s.upload("meh.txt", "window table row".getBytes)
+    s.buildIndex()
+    val live = s.search("spark window").collect().map(r => (r.getString(0), r.getDouble(2)))
+    val idx = s.searchIndexed("spark window").collect().map(r => (r.getString(0), r.getDouble(2)))
+    assert(idx.toSeq == live.toSeq)
+    // the term predicate reaches the postings parquet scan
+    val plan = s.searchIndexed("spark").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("term"),
+      s"term filter not pushed to the postings scan:\n$plan")
+    // index is a snapshot: a new upload is invisible until rebuild
+    s.upload("new.txt", "spark spark spark spark spark".getBytes)
+    assert(!s.searchIndexed("spark").collect().map(_.getString(0)).contains("new.txt"))
+    s.buildIndex()
+    assert(s.searchIndexed("spark").collect().map(_.getString(0)).headOption.contains("new.txt"))
+  }
+
   test("point lookups prune to one shard partition directory") {
     val s = newStore()
     (0 until 20).foreach(i => s.upload(s"file$i.txt", s"content $i".getBytes))
