@@ -79,7 +79,11 @@ object Dedup {
       minEstJaccard: Double = 0.5
   ): DataFrame = {
     val nBands = numHashes / rowsPerBand
-    val sigs = minhashSignatures(docs, shingleWidth, numHashes)
+    // materialize the signatures ONCE: they feed both sides of the band
+    // self-join below, and without a cut Spark re-derives the whole
+    // shingle->hash->min pipeline (the expensive corpus scan) per side.
+    // At 100 TB this is a persisted signatures table.
+    val sigs = minhashSignatures(docs, shingleWidth, numHashes).localCheckpoint()
     val bands = sigs.select(col("doc_id"), col("sig"),
         // "," separator: numeric components would otherwise collide on
         // concatenation ("12"+"3" == "1"+"23")
@@ -130,7 +134,10 @@ object Dedup {
         explode(Text.shingles(Text.tokenize(col("text")), shingleWidth)).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .distinct()
-    val sh =
+    // materialize the posting list ONCE: it feeds the self-join (twice)
+    // and both size lookups — four full corpus re-tokenizations without
+    // the cut. At 100 TB this is the persisted inverted index.
+    val sh = (
       if (maxShingleDf == Long.MaxValue) exploded
       else {
         val hot = exploded.groupBy(col("shingle"))
@@ -139,6 +146,7 @@ object Dedup {
           .select(col("shingle"))
         exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
       }
+    ).localCheckpoint()
     // sizes AFTER the cap: both the intersection and the union see the
     // same truncated shingle sets, so jaccard stays a true Jaccard of
     // the capped sets (and is still 1.0 for identical docs)

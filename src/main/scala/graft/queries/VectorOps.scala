@@ -192,8 +192,10 @@ object VectorOps {
              |ORDER BY ALL NULLS FIRST""".stripMargin),
       (spark, dir) => {
         val t = Tables(spark, dir)
+        // materialized once — the sample feeds both sides of the pair join
         val s = t.embeddings.filter(col("vec_id") % 5 === 0)
           .select(col("vec_id"), col("label"), col("embedding"))
+          .localCheckpoint()
         val a = s.select(col("vec_id").as("ida"), col("label").as("la"), col("embedding").as("ea"))
         val b = s.select(col("vec_id").as("idb"), col("label").as("lb"), col("embedding").as("eb"))
         ordered(
