@@ -21,5 +21,5 @@ object Q {
   def registry: Seq[Q] =
     Relational.all ++ Joins.all ++ Aggregates.all ++ Windows.all ++
       Scalars.all ++ TextOps.all ++ DedupOps.all ++ VectorOps.all ++
-      EventOps.all ++ DmsOps.all
+      EventOps.all ++ DmsOps.all ++ SampleOps.all
 }

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Canon._
+import graft.sources.Tables
+
+/** Corpus sampling / domain mixing — the curation step every
+  * training-data pipeline runs between filtering and tokenization:
+  * down-sample over-represented sources to a target mixture, stratified
+  * by a deterministic per-row bucket.
+  *
+  * Scale design: sampling is a pure per-row predicate on a hash bucket —
+  * no shuffle, no RNG state, reproducible across engines and re-runs
+  * (Spark's sample()/sampleBy() RNG is engine-private, so a pipeline
+  * that must be auditable uses hash buckets instead). The mix plan is a
+  * tiny per-source aggregate broadcast back onto the corpus.
+  */
+object SampleOps {
+
+  /** Deterministic bucket in [0, 100): first 60 bits of md5(doc_id) mod
+    * 100 — the engine-portable uniform hash (oracle-parity-proven
+    * pattern: conv/substring in Spark == ('0x' || ...)::BIGINT in
+    * DuckDB). */
+  private def bucket100(id: org.apache.spark.sql.Column) =
+    pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long"), lit(100L))
+
+  private val bucketSql =
+    "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100)"
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "d11_stratified_sample",
+      // per-source sampling rates (over-represented sources down-sampled
+      // hard, high-quality ones kept): keep a row iff its bucket < the source's rate.
+      // The achieved per-source counts land within the bucket
+      // granularity of the targets — asserted by the oracle itself.
+      Some(s"""WITH rates AS (
+              |  SELECT * FROM (VALUES
+              |    ('src0', 20), ('src1', 80), ('src2', 100),
+              |    ('src3', 50), ('src4', 40), ('src5', 10),
+              |    ('src6', 65), ('src7', 95)
+              |  ) AS v(source, pct)
+              |),
+              |kept AS (
+              |  SELECT d.doc_id, d.source
+              |  FROM documents d JOIN rates r USING (source)
+              |  WHERE $bucketSql < r.pct
+              |)
+              |SELECT source, count(*) AS n_kept,
+              |       CAST(min(doc_id) AS BIGINT) AS first_id,
+              |       CAST(max(doc_id) AS BIGINT) AS last_id
+              |FROM kept GROUP BY source
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val rates = Seq(("src0", 20), ("src1", 80), ("src2", 100),
+          ("src3", 50), ("src4", 40), ("src5", 10),
+          ("src6", 65), ("src7", 95))
+        import spark.implicits._
+        val rdf = rates.toDF("source", "pct")
+        ordered(
+          t.documents
+            .join(broadcast(rdf), "source")
+            .filter(bucket100(col("doc_id")) < col("pct"))
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n_kept"),
+              min(col("doc_id")).cast("long").as("first_id"),
+              max(col("doc_id")).cast("long").as("last_id"))
+        )
+      }
+    ),
+    Q(
+      "d11_domain_mix",
+      // up-sampling side of domain mixing: repeat each kept doc
+      // `epochs(source)` times (src2 seen 3x per epoch, src0 once),
+      // emitting (doc_id, copy) training rows. The explode is the only
+      // row-multiplier; at scale this is the last step before sharding
+      // to the tokenizer.
+      Some("""WITH epochs AS (
+             |  SELECT * FROM (VALUES
+             |    ('src0', 1), ('src1', 2), ('src2', 3), ('src3', 2), ('src4', 1)
+             |  ) AS v(source, n)
+             |),
+             |expanded AS (
+             |  SELECT d.doc_id, d.source, unnest(range(e.n)) AS copy
+             |  FROM documents d JOIN epochs e USING (source)
+             |  WHERE d.doc_id < 200
+             |)
+             |SELECT source, count(*) AS n_rows,
+             |       count(DISTINCT doc_id) AS n_docs,
+             |       CAST(max(copy) AS BIGINT) AS max_copy
+             |FROM expanded GROUP BY source
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        import spark.implicits._
+        val epochs = Seq(("src0", 1), ("src1", 2), ("src2", 3),
+          ("src3", 2), ("src4", 1)).toDF("source", "n")
+        ordered(
+          t.documents
+            .filter(col("doc_id") < 200)
+            .join(broadcast(epochs), "source")
+            .select(col("doc_id"), col("source"),
+              explode(sequence(lit(0L), col("n").cast("long") - 1L)).as("copy"))
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n_rows"),
+              countDistinct(col("doc_id")).as("n_docs"),
+              max(col("copy")).as("max_copy"))
+        )
+      }
+    )
+  )
+}
