@@ -159,17 +159,24 @@ object Aggregates {
       // HLL++: tested as a bounded-error property vs the exact count, not
       // hash-equality (approx results are engine-specific). rsd=0.01 on
       // ~1.5k distinct keys keeps |approx/exact - 1| well under 0.05.
+      //
+      // Shape matters: countDistinct and approx_count_distinct in ONE agg
+      // makes Catalyst's distinct-agg rewrite group by the key and build a
+      // full rsd-sized HLL buffer (1639 words at 0.01) PER DISTINCT KEY —
+      // gigabytes of aggregation state shuffled for nothing. HLL is
+      // duplicate-insensitive, so distinct first, then one tiny global
+      // aggregate over the keys gives the identical estimate.
       None,
       (spark, dir) => {
         val t = Tables(spark, dir)
-        val ap = t.orders.agg(
-          approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"),
-          countDistinct(col("o_custkey")).as("exact_cust")
-        )
-        ap.withColumn(
-          "within_5pct",
-          (abs(col("approx_cust").cast("double") / col("exact_cust") - 1.0) < 0.05)
-        )
+        t.orders.select(col("o_custkey")).distinct()
+          .agg(
+            approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"),
+            count(lit(1)).as("exact_cust"))
+          .withColumn(
+            "within_5pct",
+            (abs(col("approx_cust").cast("double") / col("exact_cust") - 1.0) < 0.05)
+          )
       }
     ),
     Q(
