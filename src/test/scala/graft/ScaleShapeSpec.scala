@@ -81,4 +81,31 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum") || plan.contains("HashAggregate"))
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"))
   }
+
+  test("s4 CSV dim joins as a broadcast, never shuffling the fact side") {
+    val df = SparkEntry.queries("s4_csv_source")(spark, sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"), s"CSV dim not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("stratified sample is a per-row predicate: no shuffle before the final aggregate") {
+    val df = SparkEntry.queries("d11_stratified_sample")(spark, sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"), s"rates dim not broadcast:\n$plan")
+    // exactly the aggregate's own exchange — sampling itself shuffles
+    // nothing (AQE's toString repeats the plan under "== Initial Plan ==";
+    // count only the final one)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(exchanges <= 1, s"sampling should add no shuffle beyond the final agg:\n$plan")
+  }
+
+  test("chunking is scan -> explode -> project with no join or aggregate") {
+    val df = SparkEntry.queries("d10_chunking")(spark, sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("Generate explode"), s"no generator in chunking plan:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"unexpected aggregate:\n$plan")
+  }
 }
