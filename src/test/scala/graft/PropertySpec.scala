@@ -108,4 +108,46 @@ class PropertySpec extends AnyFunSuite {
         assert(df.filter($"text".rlike(pat)).except(df).isEmpty)
       }
   }
+
+  test("D10 chunking law: dropping each chunk's overlap reconstructs the token stream") {
+    import spark.implicits._
+    // window 50 / stride 40: chunks after the first re-carry the last 10
+    // tokens of their predecessor; removing that overlap and concatenating
+    // in chunk order must reproduce the original tokenization exactly
+    val longDoc = Gen.listOfN(137, word).map(_.mkString(" "))
+    draws(longDoc, 4).foreach { text =>
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val chunks = df
+        .select(col("doc_id"), Text.tokenize(col("text")).as("tokens"))
+        .filter(size(col("tokens")) >= 1)
+        .select(col("doc_id"), col("tokens"),
+          explode(sequence(lit(1), size(col("tokens")), lit(40))).as("s"))
+        .select(col("s"), slice(col("tokens"), col("s"), lit(50)).as("chunk"))
+        .orderBy(col("s"))
+        .collect()
+      val rebuilt = chunks.zipWithIndex.flatMap { case (r, i) =>
+        val c = r.getSeq[String](1)
+        if (i == 0) c else c.drop(10) // stride 40 of window 50 => 10 overlap
+      }.toList
+      val expected = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toList
+      assert(rebuilt == expected)
+    }
+  }
+
+  test("D11 sampling laws: deterministic, monotone in rate, exact at 0 and 100") {
+    import spark.implicits._
+    val ids = (0L until 400L).toDF("doc_id")
+    def kept(pct: Int): Set[Long] = ids.filter(
+      pmod(conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(100L)) < pct)
+      .as[Long].collect().toSet
+    assert(kept(0).isEmpty && kept(100).size == 400)
+    // re-evaluation returns the identical sample (no RNG state)
+    assert(kept(35) == kept(35))
+    // monotone: a higher rate strictly contains every lower-rate sample
+    val k20 = kept(20); val k50 = kept(50); val k80 = kept(80)
+    assert(k20.subsetOf(k50) && k50.subsetOf(k80))
+    // rate is honored within bucket granularity on uniform buckets
+    assert(math.abs(k50.size / 400.0 - 0.5) < 0.15)
+  }
 }
