@@ -149,6 +149,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(kept == Set(3L, 9L))
   }
 
+  test("D5: simhashes (shift-mask votes) is bit-identical to simhash32 (digit-parity fold)") {
+    import spark.implicits._
+    val t = graft.sources.Tables(spark, sf)
+    val docs = t.documents.select(col("doc_id"), col("text")).limit(100)
+    val corpus = Dedup.simhashes(docs)
+    val perRow = docs.select(col("doc_id"),
+      Dedup.simhash32(Text.tokenize(col("text"))).as("simhash"))
+      .filter(org.apache.spark.sql.functions.size(Text.tokenize(col("text"))) > 0)
+    assert(corpus.count() == 100)
+    assert(corpus.except(perRow).isEmpty && perRow.except(corpus).isEmpty)
+  }
+
   test("D5: simhash of near-identical token sets has small hamming distance") {
     import spark.implicits._
     val a = (1 to 50).map(i => s"w$i").mkString(" ")
