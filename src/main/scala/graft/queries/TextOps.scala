@@ -37,11 +37,17 @@ object TextOps {
               |ORDER BY ALL NULLS FIRST""".stripMargin),
       (spark, dir) => {
         val t = Tables(spark, dir)
+        // two-level aggregate instead of count + countDistinct in one:
+        // the mixed form makes Catalyst Expand every row 2x for the
+        // distinct rewrite; per-(term, doc) counts then a plain rollup
+        // gives tf = sum(c), df = count(*) with no row multiplication
         ordered(
           t.documents
             .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
+            .groupBy(col("term"), col("doc_id"))
+            .agg(count(lit(1)).as("c"))
             .groupBy(col("term"))
-            .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+            .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
             .filter(col("tf") >= 20)
         )
       }
