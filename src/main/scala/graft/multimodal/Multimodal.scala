@@ -21,14 +21,19 @@ import graft.functions.Metadata
   */
 object Multimodal {
 
-  /** Typed media row: the storage schema for a multimodal table. */
+  /** Typed media row: the storage schema for a multimodal table.
+    * Dimension fields are -1 when unknown / not applicable to the kind
+    * (images carry width/height, audio carries sample_rate/duration_ms —
+    * both decoded from real headers by [[Metadata.sniff]]). */
   case class MediaRow(
       media_id: Long,
       kind: String, // image | audio | video
       content: Array[Byte],
       mime: String,
-      width: Int, // -1 when unknown / not applicable
-      height: Int)
+      width: Int,
+      height: Int,
+      sample_rate: Int,
+      duration_ms: Long)
 
   /** Decoded feature row: fixed-width embedding per media item. */
   case class MediaFeatures(
@@ -82,7 +87,11 @@ object Multimodal {
         coalesce(element_at(col("m"), "mime"),
           lit("application/octet-stream")).as("mime"),
         coalesce(element_at(col("m"), "width").cast("int"), lit(-1)).as("width"),
-        coalesce(element_at(col("m"), "height").cast("int"), lit(-1)).as("height"))
+        coalesce(element_at(col("m"), "height").cast("int"), lit(-1)).as("height"),
+        coalesce(element_at(col("m"), "sample_rate").cast("int"), lit(-1))
+          .as("sample_rate"),
+        coalesce(element_at(col("m"), "duration_ms").cast("long"), lit(-1L))
+          .as("duration_ms"))
   }
 
   /** Feature extraction over a typed media Dataset: partition-local decode

@@ -18,13 +18,24 @@ class MultimodalSpec extends AnyFunSuite {
     b.array()
   }
 
+  private def wav(rate: Int, channels: Int, bits: Int, dataBytes: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(channels.toShort)
+      .putInt(rate).putInt(rate * channels * bits / 8)
+      .putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+    b.put("data".getBytes).putInt(dataBytes).put(new Array[Byte](dataBytes))
+    b.array()
+  }
+
   private def raw = {
     import spark.implicits._
     Seq(
       (1L, "image", png(64, 32)),
       (2L, "image", png(128, 256)),
       (3L, "video", Array.fill[Byte](100)(7)),
-      (4L, "audio", "RIFFxxxxWAVE".getBytes)
+      (4L, "audio", wav(rate = 16000, channels = 1, bits = 16, dataBytes = 16000))
     ).toDF("media_id", "kind", "content")
   }
 
@@ -32,13 +43,20 @@ class MultimodalSpec extends AnyFunSuite {
     import spark.implicits._
     val m = Multimodal.ingest(raw)
     assert(m.schema.fieldNames.toSeq ==
-      Seq("media_id", "kind", "content", "mime", "width", "height"))
+      Seq("media_id", "kind", "content", "mime", "width", "height",
+        "sample_rate", "duration_ms"))
     val img = m.filter(col("media_id") === 1L)
       .select("mime", "width", "height").as[(String, Int, Int)].head()
     assert(img == ("image/png", 64, 32))
+    // audio carries real header metadata in its typed columns
+    // (16000 B of 16-bit mono at 16 kHz = 500 ms)
+    val audio = m.filter(col("media_id") === 4L)
+      .select("mime", "sample_rate", "duration_ms", "width")
+      .as[(String, Int, Long, Int)].head()
+    assert(audio == ("audio/wav", 16000, 500L, -1))
     // unknown codecs degrade to a safe default, never fail ingest
-    val audio = m.filter(col("media_id") === 4L).select("width").as[Int].head()
-    assert(audio == -1)
+    val vid = m.filter(col("media_id") === 3L).select("width").as[Int].head()
+    assert(vid == -1)
   }
 
   test("feature extraction is deterministic and partition-independent") {
