@@ -31,19 +31,30 @@ object Dedup {
     df.join(keep, idCol)
   }
 
+  /** MinHash universal-hash family: h_seed(x) = (x * a_seed + b_seed)
+    * mod P over the 60-bit md5 prefix of the shingle, P = 2^31 - 1.
+    * ONE md5 per shingle row (the expensive op), then each seed is two
+    * integer ops — 8x fewer digests than hashing seed||shingle per
+    * seed, same minwise property, and every term is exact BIGINT
+    * arithmetic DuckDB reproduces digit-for-digit (operands < 2^31 keep
+    * products < 2^62: no overflow in either engine). */
+  val MinhashP = 2147483647L // 2^31 - 1, prime
+  def minhashA(seed: Int): Long = ((2L * seed + 1L) * 1103515245L) % MinhashP
+  def minhashB(seed: Int): Long = (seed.toLong * 40503L + 12345L) % MinhashP
+
   /** Per-doc MinHash signature ARRAY (length numHashes):
-    * signature[seed] = min over shingles of the first 60 bits of
-    * md5(seed || '|' || shingle), as a long. (The 15-hex-char prefix
-    * preserves the minwise property — it is still a uniform hash — and
-    * DuckDB computes the identical value via ('0x' || substring)::BIGINT.)
+    * signature[seed] = min over shingles of h_seed(base(shingle)), with
+    * base = first 60 md5 bits mod P (see [[MinhashP]]).
     *
-    * Shape matters for codegen: explode shingles, compute the numHashes
-    * hashes as PLAIN expressions (whole-stage codegen'd — higher-order
-    * `transform` lambdas are interpreted and ~10x slower here), then take
-    * all component minimums in ONE aggregate with map-side partials. Long
-    * (not string) signature components keep that aggregate a
-    * HashAggregate with fixed-width buffers — min(string) would demote
-    * the whole stage to sort-based aggregation. */
+    * Shape matters for codegen: explode shingles, ONE md5 per row bound
+    * to its own column (so Catalyst cannot inline the digest once per
+    * seed), the numHashes derived hashes as PLAIN expressions
+    * (whole-stage codegen'd — higher-order `transform` lambdas are
+    * interpreted and ~10x slower here), then all component minimums in
+    * ONE aggregate with map-side partials. Long (not string) signature
+    * components keep that aggregate a HashAggregate with fixed-width
+    * buffers — min(string) would demote the whole stage to sort-based
+    * aggregation. */
   def minhashSignatures(
       docs: DataFrame, // (doc_id, text)
       shingleWidth: Int,
@@ -54,9 +65,11 @@ object Dedup {
     val sh = docs
       .select(col("doc_id"),
         explode(Text.shingles(Text.tokenize(col("text")), shingleWidth)).as("shingle"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"),
+          lit(MinhashP)).as("base"))
     val hashes = (0 until numHashes).map(seed =>
-      conv(substring(md5(concat(lit(seed.toString), lit("|"), col("shingle"))), 1, 15),
-        16, 10).cast("long").as(s"h$seed"))
+      pmod(col("base") * minhashA(seed) + minhashB(seed), lit(MinhashP)).as(s"h$seed"))
     val mins = (0 until numHashes).map(seed => min(col(s"h$seed")).as(s"s$seed"))
     sh.select(col("doc_id") +: hashes: _*)
       .groupBy(col("doc_id"))

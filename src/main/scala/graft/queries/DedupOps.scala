@@ -67,8 +67,14 @@ object DedupOps {
       "d5_minhash_pairs",
       Some(s"""WITH $shinglesCte,
               |sigs AS (
+              |  -- same universal-hash family as Dedup.minhashSignatures:
+              |  -- h_seed(x) = (x*a + b) mod P over the 60-bit md5 prefix
               |  SELECT doc_id, seed,
-              |         min(('0x' || substring(md5(concat(seed::VARCHAR, '|', shingle)), 1, 15))::BIGINT) AS sig
+              |         min(((('0x' || substring(md5(shingle), 1, 15))::BIGINT
+              |                % 2147483647)
+              |              * (((2 * seed + 1) * 1103515245) % 2147483647)
+              |              + ((seed * 40503 + 12345) % 2147483647))
+              |             % 2147483647) AS sig
               |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed)
               |  GROUP BY doc_id, seed
               |),
