@@ -42,13 +42,21 @@ object Ivf {
     cents
   }
 
+  /** Centroids with the vector as array<float>: lets the assignment and
+    * probe cross joins use the native codegen'd CosineF32 (requires both
+    * sides f32). The cast runs once on the k-row broadcast side; the
+    * float rounding of centroid components only moves assignment
+    * boundaries (measured recall is unchanged — FunctionsSpec). */
+  private def centsF32(cents: DataFrame): DataFrame =
+    cents.select(col("cluster"), col("centroid").cast("array<float>").as("centroid"))
+
   /** Nearest-centroid assignment carrying the vector:
     * (vec_id, embedding, cluster). The embedding is constant per vec_id
     * across the centroid cross join, so `first` is exact. */
   private def assignKeepVec(embeddings: DataFrame, cents: DataFrame): DataFrame =
-    embeddings.crossJoin(broadcast(cents))
+    embeddings.crossJoin(broadcast(centsF32(cents)))
       .select(col("vec_id"), col("embedding"),
-        struct(Vectors.cosine(col("embedding"), col("centroid")).as("sim"),
+        struct(Vectors.cosineFast(col("embedding"), col("centroid")).as("sim"),
           col("cluster").as("cluster")).as("sc"))
       .groupBy(col("vec_id"))
       .agg(max(col("sc")).as("best"), first(col("embedding")).as("embedding"))
@@ -56,9 +64,9 @@ object Ivf {
 
   /** Nearest-centroid assignment: (vec_id, cluster). */
   def assign(embeddings: DataFrame, cents: DataFrame): DataFrame =
-    embeddings.crossJoin(broadcast(cents))
+    embeddings.crossJoin(broadcast(centsF32(cents)))
       .select(col("vec_id"),
-        struct(Vectors.cosine(col("embedding"), col("centroid")).as("sim"),
+        struct(Vectors.cosineFast(col("embedding"), col("centroid")).as("sim"),
           col("cluster").as("cluster")).as("sc"))
       .groupBy(col("vec_id"))
       .agg(max(col("sc")).as("best"))
@@ -80,9 +88,9 @@ object Ivf {
       topK: Int
   ): DataFrame = {
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cluster").asc)
-    val probes = queries.crossJoin(broadcast(cents))
+    val probes = queries.crossJoin(broadcast(centsF32(cents)))
       .select(col("q_id"), col("qe"), col("cluster"),
-        Vectors.cosine(col("qe"), col("centroid")).as("sim"))
+        Vectors.cosineFast(col("qe"), col("centroid")).as("sim"))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nProbe)
       .select(col("q_id"), col("qe"), col("cluster"))

@@ -202,7 +202,10 @@ object VectorOps {
           a.join(b, col("ida") < col("idb"))
             .select(
               when(col("la") === col("lb"), lit("intra")).otherwise(lit("inter")).as("kind"),
-              Vectors.cosine(col("ea"), col("eb")).as("cos"))
+              // native codegen'd cosine — bit-identical to the HOF fold
+              // (VectorExprSpec), so oracle parity is preserved while the
+              // 2M-pair cartesian stays in whole-stage codegen
+              Vectors.cosineFast(col("ea"), col("eb")).as("cos"))
             .groupBy(col("kind"))
             .agg(count(lit(1)).as("n_pairs"), r4(avg(col("cos"))).as("mean_cos"))
         )
