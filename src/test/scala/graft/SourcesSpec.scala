@@ -38,6 +38,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.except(df).isEmpty && df.except(back).isEmpty)
   }
 
+  test("S3: parquet schema evolution — mergeSchema unions old and new columns") {
+    import spark.implicits._
+    // the 100 TB reality: years of appends where later writers added
+    // columns. Old files must read as null for new columns, not fail.
+    val dir = tmp() + "/t"
+    Seq((1L, "a")).toDF("k", "v").write.mode("append").parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("k", "v", "score").write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.sorted.toSeq == Seq("k", "score", "v"))
+    val rows = merged.select("k", "score").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(rows(1L).isEmpty && rows(2L).contains(9.5))
+  }
+
   test("S5: binaryFile source reads content + length + path metadata") {
     val dir = tmp()
     val payload = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3)
