@@ -83,6 +83,41 @@ object Relational {
       }
     ),
     Q(
+      "s4_json_source",
+      // JSON-lines source with an explicit NESTED schema (struct field
+      // extraction, no inference), joined to the nation parquet and
+      // aggregated — the other half of S4 next to s4_csv_source. Weights
+      // are exact binary fractions (order-independent sums).
+      Some("""SELECT m.meta.tier AS tier, count(*) AS n_nations,
+             |       sum(m.meta.weight) AS tier_weight
+             |FROM nation n
+             |JOIN read_json('/root/repo/fixtures/s4_region_meta.jsonl',
+             |       format = 'newline_delimited',
+             |       columns = {'r_regionkey': 'INTEGER',
+             |                  'meta': 'STRUCT(tier VARCHAR, weight DOUBLE)'}) m
+             |  ON n.n_regionkey = m.r_regionkey
+             |GROUP BY 1
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.types._
+        val t = Tables(spark, dir)
+        val jschema = StructType(Seq(
+          StructField("r_regionkey", IntegerType),
+          StructField("meta", StructType(Seq(
+            StructField("tier", StringType),
+            StructField("weight", DoubleType))))))
+        val m = spark.read.schema(jschema)
+          .json("/root/repo/fixtures/s4_region_meta.jsonl")
+        ordered(
+          t.nation
+            .join(broadcast(m), col("n_regionkey") === col("r_regionkey"))
+            .groupBy(col("meta.tier").as("tier"))
+            .agg(count(lit(1)).as("n_nations"),
+              sum(col("meta.weight")).as("tier_weight"))
+        )
+      }
+    ),
+    Q(
       "p3_regex_predicate",
       Some("""SELECT c_custkey, c_name FROM customer
              WHERE regexp_matches(c_name, 'Customer#0*1[0-9]{2}$')
