@@ -101,6 +101,35 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"sampling should add no shuffle beyond the final agg:\n$plan")
   }
 
+  test("no accidental cartesians: nested-loop joins only where fenced") {
+    // BroadcastNestedLoopJoin / CartesianProduct are O(n*m) — acceptable
+    // only in queries that deliberately fence a small cross product.
+    // Everything else must plan hash/sort-merge/broadcast-hash joins.
+    val fenced = Set(
+      "j6_cross", // the cross-join operator itself
+      "j7_theta_range", // non-equi theta join (small sides)
+      "d5_embedding_neardup", // exact all-pairs oracle baseline, documented
+      "d6_pairwise_label_sim", // deliberate sampled all-pairs diagnostic
+      "j9_interval_overlap", // range-overlap theta join (small sides)
+      // deliberate broadcast-scalar / broadcast-tiny cross joins (the
+      // build side is 1 row of corpus stats, k centroids, or the query
+      // set — a BNLJ over a broadcast of constant size, not O(n*m)):
+      "d3_search_tfidf", "d3_search_bm25", // 1-row n_docs / avgdl stats
+      "d6_cosine_topk", // small query set x corpus, reranked top-k
+      "d6_ivf_ann" // k-row centroid relation x vectors (assignment)
+    )
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (fenced(name)) None
+      else {
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        if (plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"))
+          Some(name)
+        else None
+      }
+    }
+    assert(offenders.isEmpty, s"unfenced nested-loop joins in: $offenders")
+  }
+
   test("chunking is scan -> explode -> project with no join or aggregate") {
     val df = SparkEntry.queries("d10_chunking")(spark, sf)
     val plan = executedPlan(df)
