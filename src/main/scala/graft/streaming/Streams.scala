@@ -56,6 +56,18 @@ object Streams {
   def enrich(events: DataFrame, dim: DataFrame, eventKey: String, dimKey: String): DataFrame =
     events.join(dim, col(eventKey) === col(dimKey))
 
+  /** Incremental-ingest dedup — the production D4 shape: content-hash the
+    * incoming document stream, anti-join against the persisted sha index
+    * (only content the corpus has never seen passes), then stream-dedup on
+    * the hash so duplicates WITHIN the stream collapse to first arrival.
+    * At scale `knownShas` is the (tiny relative to content) hash column of
+    * the corpus; the anti join is stream-static, so no state grows with
+    * corpus size — only the in-stream dedup keeps state. */
+  def novelDocs(docs: DataFrame, knownShas: DataFrame): DataFrame =
+    docs.withColumn("content_sha", sha2(col("text"), 256))
+      .join(knownShas, Seq("content_sha"), "left_anti")
+      .dropDuplicates("content_sha")
+
   /** One running session per user for T5 mapGroupsWithState. */
   case class SessionState(start: Long, lastTs: Long, n: Long)
   case class SessionOut(userId: Long, startMicros: Long, endMicros: Long, nEvents: Long)

@@ -16,6 +16,8 @@ import graft.streaming.Streams
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)
 
+case class Doc(doc_id: Long, text: String)
+
 class StreamingSpec extends AnyFunSuite {
   import SharedSpark._
 
@@ -117,6 +119,22 @@ class StreamingSpec extends AnyFunSuite {
     mem.addData(fixture.take(3): _*) // replay duplicates
     Streams.runToMemory(Streams.dedupEvents(mem.toDF()), "t6_sink")
     assert(spark.table("t6_sink").count() == fixture.size)
+  }
+
+  test("incremental-ingest dedup: stream anti-joined on the persisted sha index") {
+    import spark.implicits._
+    val mem = MemoryStream[Doc](6, spark, None)
+    mem.addData(
+      Doc(10, "already in the corpus"), // known -> dropped by the anti join
+      Doc(11, "fresh content one"),
+      Doc(12, "fresh content two"),
+      Doc(13, "fresh content one") // in-stream duplicate -> collapsed
+    )
+    val known = Seq("already in the corpus").toDF("text")
+      .select(sha2(col("text"), 256).as("content_sha"))
+    Streams.runToMemory(Streams.novelDocs(mem.toDF(), known), "novel_sink")
+    val got = spark.table("novel_sink").select("doc_id").as[Long].collect().toSet
+    assert(got == Set(11L, 12L))
   }
 
   test("T7 stream-static join enriches every event") {
