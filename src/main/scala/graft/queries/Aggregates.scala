@@ -180,6 +180,33 @@ object Aggregates {
       }
     ),
     Q(
+      "a9_approx_quantiles",
+      // the 100 TB percentile path: GK-sketch approx_percentile has
+      // fixed-size partial state (exact percentile buffers every value
+      // per group). Engine-specific values => rows-only + the query
+      // self-asserts the approximation against the exact percentiles.
+      None,
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.lineitem
+            .groupBy(col("l_returnflag"))
+            .agg(
+              percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+                .as("p50_approx"),
+              percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
+                .as("p95_approx"),
+              expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+              expr("percentile(l_extendedprice, 0.95)").as("p95_exact"))
+            .select(col("l_returnflag"),
+              (abs(col("p50_approx") / col("p50_exact") - 1.0) < 0.01)
+                .as("p50_within_1pct"),
+              (abs(col("p95_approx") / col("p95_exact") - 1.0) < 0.01)
+                .as("p95_within_1pct"))
+        )
+      }
+    ),
+    Q(
       "a7_rollup",
       Some("""SELECT COALESCE(r.r_name, 'ALL') AS region_name,
              COALESCE(n.n_name, 'ALL') AS nation_name,

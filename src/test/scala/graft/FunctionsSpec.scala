@@ -173,6 +173,14 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
   }
 
+  test("A9: approx quantiles land within 1% of exact percentiles") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("a9_approx_quantiles")(spark, sf)
+      .select("p50_within_1pct", "p95_within_1pct")
+      .as[(Boolean, Boolean)].collect()
+    assert(rows.nonEmpty && rows.forall(r => r._1 && r._2))
+  }
+
   // --- D6 LSH recall ---
 
   test("D6: multi-table sign-LSH has usable top-1 recall vs brute force") {
