@@ -91,6 +91,15 @@ object Text {
       (lenBand * 0.3 + alphaRatio * 0.4 + distinctRatio * 0.3)
     }), 1)
 
+  /** C4-style text normalization: strip control characters, collapse
+    * whitespace runs to one space, trim, lowercase. Every step is an
+    * RE2-safe regexp_replace, so the DuckDB oracle reproduces it
+    * byte-for-byte (no ICU/NFC dependency). */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""),
+      "\\s+", " ")))
+
   /** Karp–Rabin document fingerprint: strict left fold of
     * `acc*31 + ascii(char) mod 1e9+7` over the characters. Identical
     * `list_reduce` in DuckDB. */

@@ -360,6 +360,37 @@ object TextOps {
       }
     ),
     Q(
+      "d7_normalize",
+      // C4-style cleaning over a deterministically dirtied corpus (the
+      // synthetic docs are already clean, so control chars + messy
+      // whitespace are injected first): control-strip -> whitespace
+      // collapse -> trim -> lowercase, pinned by md5 + length.
+      Some("""WITH dirty AS (
+             |  SELECT doc_id,
+             |         '  ' || chr(9) || text || chr(7) || chr(13) ||
+             |         chr(10) || '   trailing  ' || chr(11) AS text
+             |  FROM documents
+             |)
+             |SELECT doc_id,
+             |  length(lower(trim(regexp_replace(regexp_replace(text,
+             |    '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+             |    '\s+', ' ', 'g')))) AS n_chars,
+             |  md5(lower(trim(regexp_replace(regexp_replace(text,
+             |    '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+             |    '\s+', ' ', 'g')))) AS clean_md5
+             |FROM dirty
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val dirty = concat(lit("  \t"), col("text"), lit("\u0007\r\n   trailing  \u000b"))
+        ordered(
+          t.documents.select(col("doc_id"),
+            length(Text.normalize(dirty)).as("n_chars"),
+            md5(Text.normalize(dirty)).as("clean_md5"))
+        )
+      }
+    ),
+    Q(
       "d7_repetition_gates",
       // Gopher-style repetition filters: top-token fraction and duplicate
       // 2-gram fraction per doc, plus the keep verdict. The standard

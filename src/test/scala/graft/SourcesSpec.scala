@@ -52,6 +52,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows(1L).isEmpty && rows(2L).contains(9.5))
   }
 
+  test("S4: ORC round trip with predicate pushdown") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    (1L to 100L).map(i => (i, s"row$i", i * 0.5)).toDF("id", "name", "score")
+      .write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir).filter($"id" === 42L)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(id,42)"),
+      s"ORC filter not pushed:\n$plan")
+    assert(back.select("name").as[String].head() == "row42")
+  }
+
   test("S5: binaryFile source reads content + length + path metadata") {
     val dir = tmp()
     val payload = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3)
