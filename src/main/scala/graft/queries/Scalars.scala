@@ -222,6 +222,35 @@ object Scalars {
       }
     ),
     Q(
+      "sc_bitwise",
+      // bitwise surface (§2.8): and/or/xor/shifts/popcount — the
+      // primitives the simhash/LSH pipelines build on
+      Some("""SELECT l_orderkey, l_linenumber,
+             (l_orderkey & 255) AS low_byte,
+             (l_orderkey | 4096) AS with_flag,
+             xor(l_orderkey, l_partkey) AS key_mix,
+             (l_orderkey << 3) AS shifted_up,
+             (l_orderkey >> 2) AS shifted_down,
+             bit_count(l_orderkey) AS popcount
+             FROM lineitem WHERE l_orderkey < 200
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.lineitem
+            .filter(col("l_orderkey") < 200L)
+            .select(
+              col("l_orderkey"), col("l_linenumber"),
+              col("l_orderkey").bitwiseAND(lit(255L)).as("low_byte"),
+              col("l_orderkey").bitwiseOR(lit(4096L)).as("with_flag"),
+              col("l_orderkey").bitwiseXOR(col("l_partkey")).as("key_mix"),
+              shiftleft(col("l_orderkey"), 3).as("shifted_up"),
+              shiftright(col("l_orderkey"), 2).as("shifted_down"),
+              bit_count(col("l_orderkey")).as("popcount"))
+        )
+      }
+    ),
+    Q(
       "sc_hash",
       Some("""SELECT doc_id,
              md5(text) AS text_md5,

@@ -178,6 +178,55 @@ object Windows {
               round(cume_dist().over(w), 4).as("cd"))
         )
       }
+    ),
+    Q(
+      "w2_ntile",
+      // ntile bucketing over a deterministic total order (W2) — the
+      // quartile/decile assignment every stats pipeline wants
+      Some("""SELECT o_orderkey,
+             ntile(4) OVER w AS quartile,
+             ntile(10) OVER w AS decile
+             FROM orders WHERE o_custkey < 100
+             WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+        ordered(
+          t.orders.filter(col("o_custkey") < 100)
+            .select(col("o_orderkey"),
+              ntile(4).over(w).as("quartile"),
+              ntile(10).over(w).as("decile"))
+        )
+      }
+    ),
+    Q(
+      "w3_first_last_nth",
+      // first_value / last_value / nth_value over explicit frames (W3):
+      // last_value needs the full-partition frame, or it reads only up to
+      // the current row — the classic window-frame trap, pinned here
+      Some("""SELECT o_orderkey,
+             first_value(o_totalprice) OVER w AS cheapest,
+             last_value(o_totalprice) OVER w AS priciest,
+             nth_value(o_totalprice, 2) OVER w AS second_cheapest
+             FROM orders WHERE o_custkey < 50
+             WINDOW w AS (PARTITION BY o_orderstatus
+                          ORDER BY o_totalprice, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ordered(
+          t.orders.filter(col("o_custkey") < 50)
+            .select(col("o_orderkey"),
+              first(col("o_totalprice")).over(w).as("cheapest"),
+              last(col("o_totalprice")).over(w).as("priciest"),
+              nth_value(col("o_totalprice"), 2).over(w).as("second_cheapest"))
+        )
+      }
     )
   )
 }
