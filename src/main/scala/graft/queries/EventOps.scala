@@ -163,12 +163,24 @@ object EventOps {
              |ORDER BY ALL NULLS FIRST""".stripMargin),
       (spark, dir) => {
         val t = Tables(spark, dir)
+        // min(struct(...)) — and even min_by with a struct ordering —
+        // demotes the group-by to SortAggregate (structs are not mutable
+        // aggregation-buffer types). Packing the (ts, event_id) order
+        // into ONE decimal keeps every buffer slot fixed-width, so the
+        // stage stays a HashAggregate with map-side partials: the keeper
+        // choice is still exactly "smallest (ts, event_id)" for any
+        // event_id < 10^10 (the multiplier; widen it for larger domains —
+        // decimal(38,0) has 13 more digits of headroom).
+        val ord = (unix_micros(col("ts")).cast("decimal(28,0)") * lit(10000000000L)
+          + col("event_id")).cast("decimal(38,0)")
         ordered(
           t.events
             .groupBy(col("user_id"), col("event_type"))
-            .agg(min(struct(col("ts"), col("event_id"))).as("m"))
+            .agg(
+              min_by(col("event_id"), ord).as("first_event_id"),
+              min(col("ts")).as("min_ts"))
             .select(col("user_id"), col("event_type"),
-              col("m.event_id").as("first_event_id"), tus(col("m.ts")).as("first_ts"))
+              col("first_event_id"), tus(col("min_ts")).as("first_ts"))
         )
       }
     ),
