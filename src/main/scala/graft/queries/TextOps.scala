@@ -342,6 +342,81 @@ object TextOps {
       }
     ),
     Q(
+      "d9_pipeline_full",
+      // the COMPLETE training-data pipeline as one Catalyst plan:
+      // exact dedup (planted duplicates) -> token-count gate ->
+      // deterministic stratified sample (md5 bucket < 50) -> window-50/
+      // stride-40 chunking -> per-source chunk stats. Every stage is an
+      // operator verified individually (d4, d7, d11, d10); this proves
+      // they compose with no materialization between stages.
+      Some(s"""WITH corpus AS (
+              |  SELECT doc_id, source, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 10000 AS doc_id, source, text FROM documents
+              |  WHERE doc_id % 4 = 0
+              |),
+              |dedup AS (
+              |  SELECT doc_id, source, text,
+              |         row_number() OVER (PARTITION BY sha256(text)
+              |                            ORDER BY doc_id) AS rn
+              |  FROM corpus
+              |),
+              |kept AS (
+              |  SELECT doc_id, source,
+              |         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              |                     x -> x <> '') AS tokens
+              |  FROM dedup
+              |  WHERE rn = 1
+              |    AND (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              |         % 100) < 50
+              |),
+              |gated AS (
+              |  SELECT doc_id, source, tokens FROM kept
+              |  WHERE len(tokens) BETWEEN 10 AND 500
+              |),
+              |chunks AS (
+              |  SELECT doc_id, source,
+              |         len(tokens[s:s+49]) AS n_chunk_tok
+              |  FROM (SELECT doc_id, source, tokens,
+              |               unnest(range(1, len(tokens) + 1, 40)) AS s
+              |        FROM gated)
+              |)
+              |SELECT source,
+              |       count(*) AS n_chunks,
+              |       count(DISTINCT doc_id) AS n_docs,
+              |       CAST(sum(n_chunk_tok) AS BIGINT) AS total_chunk_tokens
+              |FROM chunks GROUP BY source
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val base = t.documents.select(col("doc_id"), col("source"), col("text"))
+        val corpus = base.unionByName(
+          base.filter(col("doc_id") % 4 === 0)
+            .select((col("doc_id") + 10000L).as("doc_id"), col("source"), col("text")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
+        val bucket = pmod(
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long"), lit(100L))
+        val gated = corpus.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && bucket < 50)
+          .select(col("doc_id"), col("source"),
+            Text.tokenize(col("text")).as("tokens"))
+          .filter(size(col("tokens")).between(10, 500))
+        ordered(
+          gated
+            .select(col("doc_id"), col("source"), col("tokens"),
+              explode(sequence(lit(1), size(col("tokens")), lit(40))).as("s"))
+            .select(col("doc_id"), col("source"),
+              size(slice(col("tokens"), col("s"), lit(50))).as("n_chunk_tok"))
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n_chunks"),
+              countDistinct(col("doc_id")).as("n_docs"),
+              sum(col("n_chunk_tok").cast("long")).as("total_chunk_tokens"))
+        )
+      }
+    ),
+    Q(
       "d7_fingerprint",
       // Karp–Rabin rolling-hash document fingerprint: strict left fold
       // acc*31 + ascii(char) mod 1e9+7 — identical fold in both engines
