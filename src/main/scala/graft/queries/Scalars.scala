@@ -222,6 +222,83 @@ object Scalars {
       }
     ),
     Q(
+      "sc_array_setops",
+      // array set algebra (§2.8): intersect/union/except/position/flatten.
+      // Result ORDER of intersect/union is engine-specific, so every set
+      // result is sorted before comparison; docs are filtered to >= 9
+      // tokens so both slices are full-width.
+      Some("""WITH toks AS (
+               SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                          x -> x <> '') AS tok
+               FROM documents WHERE doc_id < 40
+             ),
+             ab AS (
+               SELECT doc_id, tok[1:6] AS a, tok[4:9] AS b
+               FROM toks WHERE len(tok) >= 9
+             )
+             SELECT doc_id,
+               array_to_string(list_sort(list_intersect(a, b)), ' ') AS inter_sorted,
+               array_to_string(list_sort(list_distinct(a || b)), ' ') AS union_sorted,
+               array_to_string(list_sort(list_filter(list_distinct(a),
+                 x -> NOT list_contains(b, x))), ' ') AS except_sorted,
+               coalesce(list_position(a, b[1]), 0) AS b1_pos_in_a,
+               len(flatten([a, b])) AS n_flat
+             FROM ab ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val tok = filter(split(lower(trim(col("text"))), "\\s+"), _ =!= "")
+        ordered(
+          t.documents
+            .filter(col("doc_id") < 40L)
+            .withColumn("tok", tok)
+            .filter(size(col("tok")) >= 9)
+            .select(col("doc_id"),
+              slice(col("tok"), 1, 6).as("a"), slice(col("tok"), 4, 6).as("b"))
+            .select(col("doc_id"),
+              array_join(sort_array(array_intersect(col("a"), col("b"))), " ")
+                .as("inter_sorted"),
+              array_join(sort_array(array_union(col("a"), col("b"))), " ")
+                .as("union_sorted"),
+              array_join(sort_array(array_except(col("a"), col("b"))), " ")
+                .as("except_sorted"),
+              array_position(col("a"), element_at(col("b"), 1)).as("b1_pos_in_a"),
+              size(flatten(array(col("a"), col("b")))).as("n_flat"))
+        )
+      }
+    ),
+    Q(
+      "sc_trig",
+      // trigonometry / transcendentals (§2.8 math breadth). Both engines
+      // use IEEE doubles but different libm builds can differ in the last
+      // ulp, so every value goes through the floor(x*1e4+0.5)/1e4 form
+      // (pure IEEE ops, proven identical — see d7_quality_score).
+      Some("""SELECT l_orderkey, l_linenumber,
+             floor(sin(l_quantity) * 10000 + 0.5) / 10000 AS sin_q,
+             floor(cos(l_quantity) * 10000 + 0.5) / 10000 AS cos_q,
+             floor(atan2(l_quantity, l_linenumber) * 10000 + 0.5) / 10000 AS angle,
+             floor(degrees(atan2(l_quantity, l_linenumber)) * 10000 + 0.5) / 10000 AS angle_deg,
+             floor(exp(l_discount) * 10000 + 0.5) / 10000 AS exp_disc,
+             floor(log10(l_extendedprice) * 10000 + 0.5) / 10000 AS px_log10
+             FROM lineitem WHERE l_orderkey < 100
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        def r4f(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+        ordered(
+          t.lineitem
+            .filter(col("l_orderkey") < 100L)
+            .select(
+              col("l_orderkey"), col("l_linenumber"),
+              r4f(sin(col("l_quantity"))).as("sin_q"),
+              r4f(cos(col("l_quantity"))).as("cos_q"),
+              r4f(atan2(col("l_quantity"), col("l_linenumber"))).as("angle"),
+              r4f(degrees(atan2(col("l_quantity"), col("l_linenumber")))).as("angle_deg"),
+              r4f(exp(col("l_discount"))).as("exp_disc"),
+              r4f(log10(col("l_extendedprice"))).as("px_log10"))
+        )
+      }
+    ),
+    Q(
       "sc_bitwise",
       // bitwise surface (§2.8): and/or/xor/shifts/popcount — the
       // primitives the simhash/LSH pipelines build on
