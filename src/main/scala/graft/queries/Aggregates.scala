@@ -291,6 +291,29 @@ object Aggregates {
     )
     ,
     Q(
+      "a7_pivot",
+      // PIVOT: long-to-wide reshaping with an explicit value list (the
+      // only scale-safe form — inferring pivot values needs an extra
+      // collect pass). Oracle = conditional aggregation, the portable
+      // spelling of the same result.
+      Some("""SELECT o_orderpriority,
+             CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+             CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+             FROM orders GROUP BY o_orderpriority
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.orders
+            .groupBy(col("o_orderpriority"))
+            .pivot("o_orderstatus", Seq("O", "F", "P"))
+            .agg(count(lit(1)))
+            .na.fill(0L, Seq("O", "F", "P"))
+        )
+      }
+    ),
+    Q(
       "a7_grouping_sets",
       // explicit GROUPING SETS with grouping_id disambiguation (A7) —
       // Spark's grouping_id bit order matches DuckDB's GROUPING(...)

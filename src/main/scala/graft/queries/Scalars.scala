@@ -76,6 +76,35 @@ object Scalars {
       }
     ),
     Q(
+      "sc_datetime2",
+      // date/time breadth: calendar navigation + week numbering. DuckDB
+      // dayofweek is 0-based from Sunday, Spark's is 1-based — the +1
+      // pins the alignment; both engines' weekofyear is ISO.
+      Some("""SELECT o_orderkey,
+             strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+             strftime(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus_3m,
+             dayofweek(o_orderdate) + 1 AS dow,
+             weekofyear(o_orderdate) AS iso_week,
+             quarter(o_orderdate) AS q,
+             dayofyear(o_orderdate) AS doy
+             FROM orders WHERE o_orderkey < 200 ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.orders
+            .filter(col("o_orderkey") < 200L)
+            .select(
+              col("o_orderkey"),
+              date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+              date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus_3m"),
+              dayofweek(col("o_orderdate")).as("dow"),
+              weekofyear(col("o_orderdate")).as("iso_week"),
+              quarter(col("o_orderdate")).as("q"),
+              dayofyear(col("o_orderdate")).as("doy"))
+        )
+      }
+    ),
+    Q(
       "sc_math",
       Some("""SELECT l_orderkey, l_linenumber,
              round(l_extendedprice * l_discount, 4) AS disc_amt,
