@@ -328,6 +328,44 @@ object Scalars {
       }
     ),
     Q(
+      "sc_try_safe",
+      // ANSI-safe ingest surface: try_cast / try_divide / try_to_number
+      // return NULL instead of failing the job on malformed rows — the
+      // difference between a 100 TB load that finishes and one that dies
+      // at hour nine. Malformed inputs are synthesized deterministically.
+      Some("""WITH raw AS (
+             |  SELECT o_orderkey,
+             |         CASE WHEN o_orderkey % 3 = 0 THEN 'not-a-number'
+             |              ELSE CAST(o_orderkey AS VARCHAR) END AS numish,
+             |         (o_orderkey % 5) AS denom
+             |  FROM orders WHERE o_orderkey < 300
+             |)
+             |SELECT o_orderkey,
+             |       TRY_CAST(numish AS BIGINT) AS parsed,
+             |       CASE WHEN denom = 0 THEN NULL
+             |            ELSE o_orderkey * 1.0 / denom END AS ratio,
+             |       (TRY_CAST(numish AS BIGINT) IS NULL) AS is_bad
+             |FROM raw
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.orders
+            .filter(col("o_orderkey") < 300L)
+            .select(col("o_orderkey"),
+              when(col("o_orderkey") % 3 === 0, lit("not-a-number"))
+                .otherwise(col("o_orderkey").cast("string")).as("numish"),
+              (col("o_orderkey") % 5).as("denom"))
+            .select(col("o_orderkey"),
+              expr("try_cast(numish AS BIGINT)").as("parsed"),
+              // 1.0D: Spark SQL parses a bare 1.0 as a DECIMAL literal,
+              // which would make ratio a decimal, not the oracle's double
+              expr("try_divide(o_orderkey * 1.0D, denom)").as("ratio"),
+              expr("try_cast(numish AS BIGINT) IS NULL").as("is_bad"))
+        )
+      }
+    ),
+    Q(
       "sc_bitwise",
       // bitwise surface (§2.8): and/or/xor/shifts/popcount — the
       // primitives the simhash/LSH pipelines build on

@@ -34,6 +34,26 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(orphans.isEmpty)
   }
 
+  test("the SQL entry path: temp views + spark.sql + extension functions") {
+    // users of the library can work entirely in SQL: register the corpus
+    // as views, query with spark.sql, and call the engine's native
+    // functions (GraftExtensions) from SQL
+    val t = Tables(spark, sf)
+    t.orders.createOrReplaceTempView("orders_v")
+    t.embeddings.createOrReplaceTempView("emb_v")
+    val agg = spark.sql(
+      """SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+        |FROM orders_v GROUP BY o_orderstatus""".stripMargin)
+    assert(agg.count() == 3)
+    val knn = spark.sql(
+      """SELECT a.vec_id, b.vec_id AS other,
+        |       vec_cosine_f32(a.embedding, b.embedding) AS cos
+        |FROM emb_v a JOIN emb_v b ON a.vec_id = 0 AND b.vec_id BETWEEN 1 AND 5
+        |ORDER BY cos DESC""".stripMargin)
+    assert(knn.count() == 5)
+    assert(!knn.head().isNullAt(2))
+  }
+
   test("W1 latest-per-key agrees with A1 groupBy-max (top-1 window ≡ max)") {
     val t = Tables(spark, sf)
     val w1 = run("w1_latest_per_key").select("o_custkey", "o_orderkey")
