@@ -328,6 +328,33 @@ object Scalars {
       }
     ),
     Q(
+      "sc_regex_extract",
+      // capture-group extraction (§2.8 string/regex breadth): pull the
+      // numeric id and segment out of structured-ish name strings, count
+      // pattern occurrences. Patterns stay in the Java/RE2 common subset.
+      Some("""SELECT c_custkey,
+             regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS cust_num,
+             CAST(regexp_extract(c_name, '([0-9]{3})$', 1) AS BIGINT) AS last3,
+             length(regexp_replace(c_name, '[0-9]', '', 'g')) AS n_nondigit,
+             CASE WHEN regexp_matches(c_mktsegment, '^(AUTO|BUIL)') THEN 1 ELSE 0 END
+               AS seg_prefix
+             FROM customer WHERE c_custkey < 200
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.customer
+            .filter(col("c_custkey") < 200L)
+            .select(col("c_custkey"),
+              regexp_extract(col("c_name"), "Customer#([0-9]+)", 1).as("cust_num"),
+              regexp_extract(col("c_name"), "([0-9]{3})$", 1).cast("long").as("last3"),
+              length(regexp_replace(col("c_name"), "[0-9]", "")).as("n_nondigit"),
+              when(col("c_mktsegment").rlike("^(AUTO|BUIL)"), 1).otherwise(0)
+                .as("seg_prefix"))
+        )
+      }
+    ),
+    Q(
       "sc_try_safe",
       // ANSI-safe ingest surface: try_cast / try_divide / try_to_number
       // return NULL instead of failing the job on malformed rows — the

@@ -64,6 +64,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.select("name").as[String].head() == "row42")
   }
 
+  test("U1: unionByName with allowMissingColumns handles schema drift") {
+    import spark.implicits._
+    // two generations of the same feed, later one added a column; union
+    // must align by NAME (not position) and null-fill the missing column
+    val v1 = Seq((1L, "a")).toDF("k", "v")
+    val v2 = Seq(("b", 2L, 0.5)).toDF("v", "k", "score") // reordered + extra
+    val u = v1.unionByName(v2, allowMissingColumns = true)
+    assert(u.schema.fieldNames.toSeq == Seq("k", "v", "score"))
+    val rows = u.orderBy("k").as[(Long, String, Option[Double])].collect().toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "b", Some(0.5))))
+  }
+
   test("S5: binaryFile source reads content + length + path metadata") {
     val dir = tmp()
     val payload = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3)
