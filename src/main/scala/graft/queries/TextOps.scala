@@ -81,10 +81,15 @@ object TextOps {
       (spark, dir) => {
         val t = Tables(spark, dir)
         val queryTerms = Seq("spark", "window", "shuffle")
+        // postings materialized ONCE: they feed both the score join and
+        // dfreq — without the cut the corpus is re-tokenized per consumer
+        // (at scale this is the persisted inverted index,
+        // cf. DocStore.buildIndex)
         val postings = t.documents
           .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
           .groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
         val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
         postings
@@ -125,12 +130,16 @@ object TextOps {
       (spark, dir) => {
         val t = Tables(spark, dir)
         val queryTerms = Seq("spark", "window", "shuffle")
-        val tok = t.documents
+        // ONE tokenize pass: postings are materialized and every other
+        // relation derives from them — dfreq by term, and doc length as
+        // sum(tf) per doc (identical to counting the raw tokens)
+        val postings = t.documents
           .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
-        val postings = tok.groupBy(col("doc_id"), col("term"))
+          .groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
         val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dlen"))
+        val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
         val nDocs = t.documents.agg(count(lit(1)).as("n"))
         val stats = dl.agg(avg(col("dlen")).as("avgdl")).crossJoin(nDocs)
         val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
