@@ -251,6 +251,26 @@ object Relational {
       }
     ),
     Q(
+      "u1_union_by_name",
+      // schema-drift union: the second feed generation reorders columns
+      // and adds one; unionByName(allowMissingColumns) aligns by NAME and
+      // null-fills — DuckDB's UNION ALL BY NAME is the identical spelling
+      Some("""SELECT * FROM (
+             |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 100
+             |  UNION ALL BY NAME
+             |  SELECT o_totalprice, o_orderkey, o_orderpriority
+             |  FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 200
+             |) ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val gen1 = t.orders.filter(col("o_orderkey") < 100L)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val gen2 = t.orders.filter(col("o_orderkey") >= 100L && col("o_orderkey") < 200L)
+          .select(col("o_totalprice"), col("o_orderkey"), col("o_orderpriority"))
+        ordered(gen1.unionByName(gen2, allowMissingColumns = true))
+      }
+    ),
+    Q(
       "u2_intersect",
       Some("""SELECT c_nationkey AS nationkey FROM customer
              INTERSECT
