@@ -328,6 +328,32 @@ object Scalars {
       }
     ),
     Q(
+      "sc_encode",
+      // binary encodings over the content surface (§2.8): utf-8 encode,
+      // base64/hex render, and a base64 round trip back to text — the
+      // transforms a BinaryType content column actually goes through
+      Some("""SELECT doc_id,
+             to_base64(encode(substring(text, 1, 24))) AS b64,
+             hex(encode(substring(text, 1, 12))) AS hx,
+             octet_length(encode(text)) AS n_bytes,
+             decode(from_base64(to_base64(encode(substring(text, 1, 24))))) AS round_trip
+             FROM documents WHERE doc_id < 60
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.documents
+            .filter(col("doc_id") < 60L)
+            .select(col("doc_id"),
+              base64(encode(substring(col("text"), 1, 24), "UTF-8")).as("b64"),
+              hex(encode(substring(col("text"), 1, 12), "UTF-8")).as("hx"),
+              length(encode(col("text"), "UTF-8")).as("n_bytes"),
+              decode(unbase64(base64(encode(substring(col("text"), 1, 24), "UTF-8"))),
+                "UTF-8").as("round_trip"))
+        )
+      }
+    ),
+    Q(
       "sc_regex_extract",
       // capture-group extraction (§2.8 string/regex breadth): pull the
       // numeric id and segment out of structured-ish name strings, count
