@@ -328,6 +328,43 @@ object Scalars {
       }
     ),
     Q(
+      "sc_map_transform",
+      // map transformation HOFs (§2.8): transform_keys / transform_values
+      // / map_filter. Raw map columns render differently per engine, so
+      // every transformed map is canonicalized to a sorted k=v string.
+      Some("""WITH m AS (
+             |  SELECT o_orderkey,
+             |         MAP {'status': o_orderstatus, 'prio': o_orderpriority} AS props
+             |  FROM orders WHERE o_orderkey < 100
+             |)
+             |SELECT o_orderkey,
+             |  array_to_string(list_sort([upper(e.key) || '=' || e.value
+             |    FOR e IN map_entries(props)]), ',') AS upper_keys,
+             |  array_to_string(list_sort([e.key || '=' || substring(e.value, 1, 1)
+             |    FOR e IN map_entries(props)]), ',') AS first_char_vals,
+             |  array_to_string(list_sort([e.key || '=' || e.value
+             |    FOR e IN map_entries(props) IF e.value <> 'O']), ',') AS no_open
+             |FROM m ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        def render(m: org.apache.spark.sql.Column) =
+          array_join(sort_array(transform(map_entries(m),
+            e => concat(e.getField("key"), lit("="), e.getField("value")))), ",")
+        ordered(
+          t.orders
+            .filter(col("o_orderkey") < 100L)
+            .withColumn("props",
+              map(lit("status"), col("o_orderstatus"),
+                lit("prio"), col("o_orderpriority")))
+            .select(col("o_orderkey"),
+              render(transform_keys(col("props"), (k, _) => upper(k))).as("upper_keys"),
+              render(transform_values(col("props"), (_, v) => substring(v, 1, 1)))
+                .as("first_char_vals"),
+              render(map_filter(col("props"), (_, v) => v =!= "O")).as("no_open"))
+        )
+      }
+    ),
+    Q(
       "sc_encode",
       // binary encodings over the content surface (§2.8): utf-8 encode,
       // base64/hex render, and a base64 round trip back to text — the
