@@ -46,6 +46,27 @@ object Relational {
       }
     ),
     Q(
+      "s0_range_source",
+      // the zero-input synthetic source: spark.range is the generator
+      // every test harness and dimension-builder starts from (distributed
+      // row generation, no files). Derived columns pin the semantics.
+      Some("""SELECT range AS id,
+             range * range AS sq,
+             range % 7 AS bucket,
+             CASE WHEN range % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+             FROM range(0, 500)
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        ordered(
+          spark.range(0, 500)
+            .select(col("id"),
+              (col("id") * col("id")).as("sq"),
+              (col("id") % 7).as("bucket"),
+              when(col("id") % 2 === 0, "even").otherwise("odd").as("parity"))
+        )
+      }
+    ),
+    Q(
       "s4_csv_source",
       // CSV source with an explicit schema (no inference), exercised
       // against the oracle: the committed fixture has quoted embedded
