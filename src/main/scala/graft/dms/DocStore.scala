@@ -250,12 +250,16 @@ class DocStore(spark: SparkSession, root: String, nShards: Int = 16) {
   private def scoreAndRank(
       postings: DataFrame, dfreq: DataFrame, nDocs: DataFrame,
       query: String, topK: Int): DataFrame = {
-    val terms = Text.tokenize(lit(query))
+    // tokenize the query driver-side (same semantics as Text.tokenize):
+    // isin over literal strings becomes a data-source In filter on the
+    // parquet postings scan, where array_contains(<folded array>, term)
+    // would not push down at all
+    val terms = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     // filter BOTH sides explicitly: at scale dfreq is vocabulary-sized,
     // and only the query's terms should be broadcast
     postings
-      .filter(array_contains(terms, col("term")))
-      .join(broadcast(dfreq.filter(array_contains(terms, col("term")))), "term")
+      .filter(col("term").isin(terms: _*))
+      .join(broadcast(dfreq.filter(col("term").isin(terms: _*))), "term")
       .crossJoin(broadcast(nDocs))
       .groupBy(col("filename"), col("version"))
       .agg(sum(col("tf") * log(col("n_docs").cast("double") / col("df"))).as("score"))

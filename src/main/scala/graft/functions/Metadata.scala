@@ -96,7 +96,10 @@ object Metadata {
           } else if (id == "data") {
             dataLen = sz
           }
-          i += 8 + sz.toInt + (sz.toInt & 1)
+          // advance in Long space: a corrupt size >= 2^31 truncated via
+          // toInt would step 0 or negative (infinite loop / AIOOBE)
+          val next = i.toLong + 8L + sz + (sz & 1L)
+          i = if (next > bytes.length.toLong) bytes.length else next.toInt
         }
         if (dataLen >= 0 && rate > 0 && channels > 0 && bits > 0) {
           val durationMs = dataLen * 8000L / (rate * channels * bits)

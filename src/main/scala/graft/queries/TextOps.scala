@@ -418,10 +418,17 @@ object TextOps {
               explode(sequence(lit(1), size(col("tokens")), lit(40))).as("s"))
             .select(col("doc_id"), col("source"),
               size(slice(col("tokens"), col("s"), lit(50))).as("n_chunk_tok"))
+            // two-level rollup instead of count(*) + countDistinct in one
+            // aggregate: the mixed-distinct shape makes Catalyst Expand
+            // every chunk row 2x before the shuffle (same rationale as
+            // d1_term_stats / a6_approx_distinct)
+            .groupBy(col("source"), col("doc_id"))
+            .agg(count(lit(1)).as("doc_chunks"),
+              sum(col("n_chunk_tok").cast("long")).as("doc_tokens"))
             .groupBy(col("source"))
-            .agg(count(lit(1)).as("n_chunks"),
-              countDistinct(col("doc_id")).as("n_docs"),
-              sum(col("n_chunk_tok").cast("long")).as("total_chunk_tokens"))
+            .agg(sum(col("doc_chunks")).as("n_chunks"),
+              count(lit(1)).as("n_docs"),
+              sum(col("doc_tokens")).as("total_chunk_tokens"))
         )
       }
     ),

@@ -104,10 +104,12 @@ class DocStoreSpec extends AnyFunSuite {
     val live = s.search("spark window").collect().map(r => (r.getString(0), r.getDouble(2)))
     val idx = s.searchIndexed("spark window").collect().map(r => (r.getString(0), r.getDouble(2)))
     assert(idx.toSeq == live.toSeq)
-    // the term predicate reaches the postings parquet scan
+    // the term predicate reaches the postings parquet scan as a real
+    // data-source In filter ("term" merely appearing in the read schema
+    // would pass a looser contains check even with PushedFilters: [])
     val plan = s.searchIndexed("spark").queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") && plan.contains("term"),
-      s"term filter not pushed to the postings scan:\n$plan")
+    assert(plan.contains("In(term") || plan.contains("EqualTo(term"),
+      s"term In-filter not pushed to the postings scan:\n$plan")
     // index is a snapshot: a new upload is invisible until rebuild
     s.upload("new.txt", "spark spark spark spark spark".getBytes)
     assert(!s.searchIndexed("spark").collect().map(_.getString(0)).contains("new.txt"))
