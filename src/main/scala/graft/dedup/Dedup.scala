@@ -235,4 +235,58 @@ object Dedup {
       .agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), packed.reduce(_ + _).as("simhash"))
   }
+
+  /** Connected components over an undirected pair graph — the stage that
+    * turns near-dup PAIRS (minhash/simhash/jaccard candidates) into
+    * dedup CLUSTERS: transitive closure, component label = min doc_id.
+    *
+    * Algorithm: distributed min-label propagation. Each round joins the
+    * current labels across the (symmetrized) edge list and takes the
+    * per-node min — one shuffle join + one hash aggregate per round, no
+    * driver-side data. The driver only checks a did-anything-change
+    * scalar. Rounds = graph diameter; near-dup graphs are
+    * diameter-bounded by construction (a chain of pairwise-similar docs
+    * drifts apart quickly), so this converges in a handful of rounds.
+    * For adversarial diameters the alternating large-star/small-star
+    * scheme (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") trades more complex rounds for an O(log^2 n) bound; the
+    * survey's dedup graphs do not need it.
+    *
+    * Scale shape: runs ONLY over edge-endpoint nodes (the ~0.1% of a
+    * corpus that has any near-dup candidate), never over the full
+    * corpus — assignment back to the corpus is the caller's left join
+    * (see d5_dedup_clusters). localCheckpoint per round truncates the
+    * lineage so plan size stays O(1) in the round count.
+    *
+    * @param edges two Long columns `a`, `b` (one row per undirected pair)
+    * @return (id, comp) — comp = min node id reachable from id
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    // initialization folds in round 1: comp = min(id, direct neighbors).
+    // For the dominant case (isolated pairs/triangles) this IS the fixed
+    // point, so the loop below runs exactly one confirming round.
+    var labels = sym.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("comp"))
+      .select(col("src").as("id"), col("comp"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaEdges = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.union(viaEdges)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.comp") =!= col("p.comp"))
+        .limit(1).count() == 0L
+      labels = next
+      iter += 1
+    }
+    labels
+  }
 }

@@ -226,6 +226,83 @@ object DedupOps {
             .filter(col("hamming") <= 1)
         )
       }
+    ),
+    Q(
+      "d5_dedup_clusters",
+      // pairs -> CLUSTERS: connected components over the MinHash candidate
+      // graph (transitive closure — if a~b and b~c then {a,b,c} is ONE
+      // dedup group even when a,c never paired), cluster id = min doc_id,
+      // keeper = the id-bearing doc. The oracle walks the same graph with
+      // a recursive reachability CTE; Spark runs distributed min-label
+      // propagation (Dedup.connectedComponents) over edge endpoints only
+      // and left-joins the assignment back to the corpus.
+      Some(s"""WITH RECURSIVE $shinglesCte,
+              |sigs AS (
+              |  SELECT doc_id, seed,
+              |         min(((('0x' || substring(md5(shingle), 1, 15))::BIGINT
+              |                % 2147483647)
+              |              * (((2 * seed + 1) * 1103515245) % 2147483647)
+              |              + ((seed * 40503 + 12345) % 2147483647))
+              |             % 2147483647) AS sig
+              |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed)
+              |  GROUP BY doc_id, seed
+              |),
+              |bands AS (
+              |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+              |         string_agg(sig::VARCHAR, ',' ORDER BY sig) AS band_key
+              |  FROM sigs GROUP BY doc_id, band
+              |),
+              |cands AS (
+              |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              |  FROM bands x JOIN bands y
+              |    ON x.band = y.band AND x.band_key = y.band_key
+              |   AND x.doc_id < y.doc_id
+              |),
+              |pairs AS (
+              |  SELECT c.a, c.b
+              |  FROM cands c
+              |  JOIN sigs sx ON sx.doc_id = c.a
+              |  JOIN sigs sy ON sy.doc_id = c.b AND sy.seed = sx.seed
+              |  GROUP BY c.a, c.b
+              |  HAVING sum(CASE WHEN sx.sig = sy.sig THEN 1 ELSE 0 END) / 8.0 >= 0.5
+              |),
+              |edges AS (
+              |  SELECT a AS src, b AS dst FROM pairs
+              |  UNION ALL
+              |  SELECT b AS src, a AS dst FROM pairs
+              |),
+              |reach(node, r) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT reach.node, e.dst
+              |  FROM reach JOIN edges e ON e.src = reach.r
+              |),
+              |comp AS (
+              |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+              |)
+              |SELECT doc_id, cluster_id,
+              |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+              |       doc_id = cluster_id AS is_keeper
+              |FROM comp
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val docs = t.documents.select(col("doc_id"), col("text"))
+        val pairs = Dedup.minhashPairs(docs, shingleWidth = 3, numHashes = 8,
+          rowsPerBand = 2, minEstJaccard = 0.5).select(col("a"), col("b"))
+        val cc = Dedup.connectedComponents(pairs)
+        // assignment back to the corpus: singletons (no candidate pair —
+        // the overwhelming majority at scale) never enter the iteration
+        val assign = docs.select(col("doc_id"))
+          .join(cc, col("doc_id") === col("id"), "left")
+          .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+        ordered(
+          assign.select(col("doc_id"), col("cluster_id"),
+            count(lit(1)).over(w).as("cluster_size"),
+            (col("doc_id") === col("cluster_id")).as("is_keeper"))
+        )
+      }
     )
   )
 }

@@ -67,6 +67,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(m("duration_ms") == "1000")
   }
 
+  test("D1: corrupt WAV chunk size >= 2^31 terminates (no loop/AIOOBE)") {
+    // RIFF/WAVE header + one chunk claiming size 0xFFFFFFF8: the Int
+    // truncation of that size used to step the walk 0/negative
+    val b = java.nio.ByteBuffer.allocate(20).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(12).put("WAVE".getBytes)
+    b.put("junk".getBytes).putInt(0xFFFFFFF8)
+    val m = Metadata.sniff(b.array())
+    assert(m("mime") == "audio/wav") // and sniff() returned at all
+  }
+
   test("D1: BMP dims incl. top-down (negative height) form") {
     val m = Metadata.sniff(bmpBytes(800, 600))
     assert(m("mime") == "image/bmp" && m("width") == "800" && m("height") == "600")
@@ -147,6 +157,27 @@ class FunctionsSpec extends AnyFunSuite {
     val kept = Dedup.exactDedup(docs, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(3L, 9L))
+  }
+
+  test("D5: connected components closes pair chains transitively") {
+    import spark.implicits._
+    // two chains (1-2, 2-3, 3-4) and (10-11), plus 20-21 disjoint; a
+    // never-paired node (99) must NOT appear — singletons stay out of the
+    // iteration and are assigned by the caller's left join
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (21L, 20L))
+      .toDF("a", "b")
+    val comp = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("D5: connected components converges on a long path (diameter >> 2)") {
+    import spark.implicits._
+    // path 1-2-3-...-12: min label must walk 11 hops end to end
+    val edges = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(edges).as[(Long, Long)].collect()
+    assert(comp.length == 12 && comp.forall(_._2 == 1L))
   }
 
   test("D5: simhashes (shift-mask votes) is bit-identical to simhash32 (digit-parity fold)") {
