@@ -70,6 +70,142 @@ object VectorOps {
       }
     ),
     Q(
+      "d6_quantize_int8",
+      // per-vector symmetric int8 quantization — the 100 TB storage/IO
+      // codec for embeddings (4x smaller scans, integer candidate math).
+      // floor(x+0.5) not round(): IEEE-identical in both engines.
+      Some("""WITH dv AS (
+             |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+             |  FROM embeddings
+             |),
+             |mx AS (
+             |  SELECT vec_id, v, list_max([abs(x) FOR x IN v]) AS m FROM dv
+             |)
+             |SELECT vec_id, m / 127.0 AS scale,
+             |       [CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+             |             ELSE CAST(floor(x * 127.0 / m + 0.5) AS BIGINT) END
+             |        FOR x IN v] AS q
+             |FROM mx
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.embeddings.select(col("vec_id"),
+            Vectors.quantScale(col("embedding")).as("scale"),
+            Vectors.quantizeInt8(col("embedding")).as("q"))
+        )
+      }
+    ),
+    Q(
+      "d6_sq_rerank",
+      // two-stage ANN: stage 1 shortlists top-40 per query by INTEGER dot
+      // product of int8-quantized L2-normalized vectors (at scale the
+      // candidate flow carries only ids + int8 — float vectors never ride
+      // the shuffle); stage 2 re-fetches exact vectors BY ID and reranks
+      // by exact cosine. Every stage is deterministic, so the whole
+      // pipeline exact-hash-matches the oracle.
+      Some("""WITH dv AS (
+             |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+             |  FROM embeddings
+             |),
+             |un AS (
+             |  SELECT vec_id, v,
+             |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             [x * x FOR x IN v]), (acc, x) -> acc + x)) AS nrm
+             |  FROM dv
+             |),
+             |nv AS (
+             |  SELECT vec_id,
+             |         [CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END FOR x IN v] AS u
+             |  FROM un
+             |),
+             |qz AS (
+             |  SELECT vec_id, u, list_max([abs(x) FOR x IN u]) AS m FROM nv
+             |),
+             |quant AS (
+             |  SELECT vec_id,
+             |         [CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+             |               ELSE CAST(floor(x * 127.0 / m + 0.5) AS BIGINT) END
+             |          FOR x IN u] AS qv
+             |  FROM qz
+             |),
+             |cand AS (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |           [q.qv[i] * c.qv[i] FOR i IN range(1, len(q.qv) + 1)]),
+             |           (acc, x) -> acc + x) AS qdot
+             |  FROM quant q JOIN quant c ON q.vec_id < 5 AND c.vec_id >= 5
+             |),
+             |shortlist AS (
+             |  SELECT q_id, c_id,
+             |         row_number() OVER (PARTITION BY q_id
+             |                            ORDER BY qdot DESC, c_id ASC) AS rn1
+             |  FROM cand
+             |),
+             |rerank AS (
+             |  SELECT s.q_id, s.c_id,
+             |    round(
+             |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        [qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE
+             |         FOR i IN range(1, len(qe.embedding) + 1)]),
+             |        (acc, x) -> acc + x)
+             |      / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           [qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE
+             |            FOR i IN range(1, len(qe.embedding) + 1)]),
+             |           (acc, x) -> acc + x))
+             |       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           [ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE
+             |            FOR i IN range(1, len(ce.embedding) + 1)]),
+             |           (acc, x) -> acc + x))), 4) AS cos
+             |  FROM shortlist s
+             |  JOIN embeddings qe ON qe.vec_id = s.q_id
+             |  JOIN embeddings ce ON ce.vec_id = s.c_id
+             |  WHERE s.rn1 <= 40
+             |)
+             |SELECT q_id, rn, c_id, cos FROM (
+             |  SELECT q_id, c_id, cos,
+             |         row_number() OVER (PARTITION BY q_id
+             |                            ORDER BY cos DESC, c_id ASC) AS rn
+             |  FROM rerank)
+             |WHERE rn <= 10
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val e = t.embeddings
+        val qz = e.select(col("vec_id"),
+          Vectors.quantizeInt8(Vectors.normalized(col("embedding"))).as("qv"))
+        val q = qz.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("qv").as("qq"))
+        val c = qz.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("c_id"), col("qv").as("cq"))
+        val w1 = Window.partitionBy(col("q_id"))
+          .orderBy(col("qdot").desc, col("c_id").asc)
+        val shortlist = c.crossJoin(broadcast(q))
+          .select(col("q_id"), col("c_id"),
+            Vectors.dotInt(col("qq"), col("cq")).as("qdot"))
+          .withColumn("rn1", row_number().over(w1))
+          .filter(col("rn1") <= 40)
+          .select(col("q_id"), col("c_id"))
+        // rerank re-fetches exact vectors BY ID — the production shape:
+        // a point-lookup join against the vector store, never a second
+        // full-corpus scan through the candidate shuffle
+        val qe = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val ce = e.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        val w2 = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("c_id").asc)
+        ordered(
+          shortlist.join(ce, "c_id").join(broadcast(qe), "q_id")
+            .select(col("q_id"), col("c_id"),
+              r4(Vectors.cosineFast(col("qe"), col("ce"))).as("cos"))
+            .withColumn("rn", row_number().over(w2))
+            .filter(col("rn") <= 10)
+            .select(col("q_id"), col("rn"), col("c_id"), col("cos"))
+        )
+      }
+    ),
+    Q(
       "d6_lsh_ann",
       // multi-table sign-LSH ANN: xxhash64-derived hyperplanes have no
       // DuckDB equivalent, so this is a rows-only check; FunctionsSpec

@@ -246,6 +246,51 @@ class FunctionsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH top-1 recall $recall too low")
   }
 
+  test("D6: int8-quantized shortlist + exact rerank recovers the exact top-1") {
+    import spark.implicits._
+    val t = graft.sources.Tables(spark, sf)
+    val e = t.embeddings.cache()
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val c = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val brute = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("c_id"), Vectors.cosine(col("qe"), col("ce")).as("cos"))
+      .groupBy("q_id").agg(max(struct(col("cos"), col("c_id"))).as("m"))
+      .select(col("q_id"), col("m.c_id").as("best"))
+      .as[(Long, Long)].collect().toMap
+    // stage 1: integer dot of int8-quantized normalized vectors, top-40
+    val qq = q.select(col("q_id"),
+      Vectors.quantizeInt8(Vectors.normalized(col("qe"))).as("qv"))
+    val cq = c.select(col("c_id"),
+      Vectors.quantizeInt8(Vectors.normalized(col("ce"))).as("cv"))
+    val w1 = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("qdot").desc, col("c_id").asc)
+    val shortlist = cq.crossJoin(broadcast(qq))
+      .select(col("q_id"), col("c_id"), Vectors.dotInt(col("qv"), col("cv")).as("qdot"))
+      .withColumn("rn1", org.apache.spark.sql.functions.row_number().over(w1))
+      .filter(col("rn1") <= 40).select(col("q_id"), col("c_id"))
+    // stage 2: exact cosine on re-fetched vectors
+    val reranked = shortlist.join(c, "c_id").join(broadcast(q), "q_id")
+      .select(col("q_id"), col("c_id"), Vectors.cosine(col("qe"), col("ce")).as("cos"))
+      .groupBy("q_id").agg(max(struct(col("cos"), col("c_id"))).as("m"))
+      .select(col("q_id"), col("m.c_id").as("best"))
+      .as[(Long, Long)].collect().toMap
+    e.unpersist()
+    val recall = brute.count { case (k, v) => reranked.get(k).contains(v) }.toDouble / brute.size
+    assert(recall >= 0.9, s"quantized-rerank top-1 recall $recall too low")
+  }
+
+  test("D6: int8 quantization bounds values to [-127,127] and max hits 127") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0.5f, -1.0f, 0.25f)), (2L, Array(0f, 0f, 0f)))
+      .toDF("id", "v")
+      .select(col("id"), Vectors.quantizeInt8(col("v")).as("q"))
+    val m = df.as[(Long, Seq[Long])].collect().toMap
+    assert(m(1L) == Seq(64L, -127L, 32L)) // 0.5/1.0*127=63.5 -> floor(+.5)=64
+    assert(m(2L) == Seq(0L, 0L, 0L)) // zero vector guard
+  }
+
   test("D6: IVF probe search has usable top-1 recall vs brute force") {
     import spark.implicits._
     val e = graft.sources.Tables(spark, sf).embeddings.cache()

@@ -116,7 +116,9 @@ class ScaleShapeSpec extends AnyFunSuite {
       // set — a BNLJ over a broadcast of constant size, not O(n*m)):
       "d3_search_tfidf", "d3_search_bm25", // 1-row n_docs / avgdl stats
       "d6_cosine_topk", // small query set x corpus, reranked top-k
-      "d6_ivf_ann" // k-row centroid relation x vectors (assignment)
+      "d6_ivf_ann", // k-row centroid relation x vectors (assignment)
+      "d6_sq_rerank" // stage-1 shortlist: broadcast query set x corpus
+      // over int8 vectors (4x lighter than the float equivalent above)
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (fenced(name)) None
