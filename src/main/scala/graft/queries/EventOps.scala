@@ -204,6 +204,28 @@ object EventOps {
       }
     ),
     Q(
+      "t9_interval_attrib",
+      // stream-stream interval join, batch-checked: view→click attribution
+      // within a 30m horizon. Runs the SAME function the streaming path
+      // uses (Streams.attributionJoin — withWatermark is a no-op on batch);
+      // StreamingSpec drives it with two MemoryStreams for stream parity.
+      Some("""SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+             |       epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+             |FROM events c JOIN events v
+             |  ON c.user_id = v.user_id
+             | AND c.event_type = 'click' AND v.event_type = 'view'
+             | AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 30 MINUTES
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          graft.streaming.Streams.attributionJoin(
+            t.events.filter(col("event_type") === "view"),
+            t.events.filter(col("event_type") === "click"))
+        )
+      }
+    ),
+    Q(
       "t_props_json",
       // events.props is a JSON string — extraction surface (§2.8 JSON)
       Some("""SELECT event_type,

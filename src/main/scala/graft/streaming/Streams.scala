@@ -56,6 +56,31 @@ object Streams {
   def enrich(events: DataFrame, dim: DataFrame, eventKey: String, dimKey: String): DataFrame =
     events.join(dim, col(eventKey) === col(dimKey))
 
+  /** T9: stream-stream interval join — view→click attribution: each click
+    * matches views of the same user in (click.ts - 30m, click.ts]. BOTH
+    * sides carry watermarks and the join condition bounds event time, so
+    * Spark evicts buffered rows once the watermark passes the interval —
+    * without the time bound, stream-stream join state grows forever (the
+    * streaming equivalent of an unfenced cross product).
+    *
+    * Works identically on batch inputs (withWatermark is a no-op there):
+    * the batch oracle query t9_interval_attrib runs THIS function.
+    */
+  def attributionJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"),
+        col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    c.join(v,
+        col("user_id") === col("v_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") < col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+  }
+
   /** Incremental-ingest dedup — the production D4 shape: content-hash the
     * incoming document stream, anti-join against the persisted sha index
     * (only content the corpus has never seen passes), then stream-dedup on

@@ -148,6 +148,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(col("tier").isNull).isEmpty)
   }
 
+  test("T9 stream-stream interval join: two MemoryStreams equal batch") {
+    import spark.implicits._
+    val views = Seq(
+      Ev(100, ts("2024-01-01 00:00:00"), 1, "view", 0, "{}"),
+      Ev(101, ts("2024-01-01 01:00:00"), 1, "view", 0, "{}"),
+      Ev(102, ts("2024-01-01 00:10:00"), 2, "view", 0, "{}"))
+    val clicks = Seq(
+      Ev(200, ts("2024-01-01 00:20:00"), 1, "click", 0, "{}"), // <- 100 only
+      Ev(201, ts("2024-01-01 01:05:00"), 1, "click", 0, "{}"), // <- 101 only
+      Ev(202, ts("2024-01-01 00:45:00"), 2, "click", 0, "{}"), // 35m late: none
+      Ev(203, ts("2024-01-01 00:10:00"), 2, "click", 0, "{}")) // same instant: 102
+    val vMem = MemoryStream[Ev](7, spark, None)
+    val cMem = MemoryStream[Ev](8, spark, None)
+    vMem.addData(views: _*)
+    cMem.addData(clicks: _*)
+    Streams.runToMemory(
+      Streams.attributionJoin(vMem.toDF(), cMem.toDF()), "t9_sink")
+    val got = spark.table("t9_sink")
+      .select("user_id", "click_id", "view_id", "lag_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = Streams.attributionJoin(views.toDF(), clicks.toDF())
+      .select("user_id", "click_id", "view_id", "lag_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want && got == Set(
+      (1L, 200L, 100L, 1200000000L),
+      (1L, 201L, 101L, 300000000L),
+      (2L, 203L, 102L, 0L)))
+  }
+
   test("T8 exactly-once file sink: restart from checkpoint does not duplicate") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_eos").toString
