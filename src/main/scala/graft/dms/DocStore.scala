@@ -202,6 +202,19 @@ class DocStore(spark: SparkSession, root: String, nShards: Int = 16) {
   def latestVersions: DataFrame =
     all.groupBy(col("filename")).agg(max(col("version")).as("version"))
 
+  /** Snapshot read: every document exactly as it stood when `version` was
+    * the newest write — per filename, the largest version <= `version`
+    * (files first uploaded later are absent). Generalizes download's
+    * point read (DMS.py:174-200) to corpus time travel; one ranking
+    * window over the store, no self-join. */
+  def snapshotAsOf(version: Int): DataFrame =
+    all.filter(col("version") <= version)
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("filename"))
+          .orderBy(col("version").desc)))
+      .filter(col("rn") === 1)
+      .drop("rn")
+
   /** Numeric latest version of one file (shard-pruned point lookup). */
   def latestVersion(filename: String): Option[Int] =
     all.filter(forFile(filename)).agg(max(col("version")))

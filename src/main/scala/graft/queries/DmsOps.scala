@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Canon._
 import graft.functions.Metadata
@@ -81,6 +82,35 @@ object DmsOps {
           v.unionByName(nxt)
             .groupBy(col("filename"))
             .agg(max(col("version")).as("latest"))
+        )
+      }
+    ),
+    Q(
+      "d8_snapshot_asof",
+      // time travel over the versioned store: the corpus exactly as it
+      // stood when version 7 was the newest write — per filename, the
+      // largest version <= 7. Generalizes the reference's
+      // download(file, version) point read (DMS.py:174-200) to a
+      // whole-corpus snapshot; one ranking window, no self-join.
+      Some(s"""WITH $versionedCte,
+              |ranked AS (
+              |  SELECT filename, version, doc_id,
+              |         row_number() OVER (PARTITION BY filename
+              |                            ORDER BY version DESC, doc_id DESC) AS rn
+              |  FROM v WHERE version <= 7
+              |)
+              |SELECT filename, version AS asof_version, doc_id
+              |FROM ranked WHERE rn = 1
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val w = Window.partitionBy(col("filename"))
+          .orderBy(col("version").desc, col("doc_id").desc)
+        ordered(
+          versioned(t).filter(col("version") <= 7)
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("filename"), col("version").as("asof_version"), col("doc_id"))
         )
       }
     ),

@@ -24,6 +24,21 @@ class DocStoreSpec extends AnyFunSuite {
     assert(s.versions("a.txt") == (1 to 11))
   }
 
+  test("snapshotAsOf reads the store as of an old version boundary") {
+    val s = newStore()
+    s.upload("a.txt", "a v1".getBytes); s.upload("a.txt", "a v2".getBytes)
+    s.upload("a.txt", "a v3".getBytes)
+    s.upload("b.txt", "b v1".getBytes)
+    // c.txt first appears at v3 of the store's life — absent at asof 2
+    val snap = s.snapshotAsOf(2).select("filename", "version").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(snap == Set(("a.txt", 2), ("b.txt", 1)))
+    // full time travel: asof 3 sees a.txt v3
+    assert(s.snapshotAsOf(3)
+      .filter(org.apache.spark.sql.functions.col("filename") === "a.txt")
+      .select("version").collect().head.getInt(0) == 3)
+  }
+
   test("download returns latest content; update replaces content in place") {
     val s = newStore()
     s.upload("doc.txt", "first version".getBytes)
