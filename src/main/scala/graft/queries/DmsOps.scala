@@ -203,6 +203,33 @@ object DmsOps {
       }
     ),
     Q(
+      "mm_frame_sample",
+      // frame-sampling plumbing, HASH-checked: the full multimodal chain
+      // (ingest header-sniff -> partition-local stub decode -> every-4th
+      // frame explode) runs for real; the stub's deterministic frame
+      // count (1 + byte_length % 16 for video) is SQL-mirrorable, so the
+      // oracle checks the operator chain even though the codec is a seam.
+      Some("""SELECT doc_id AS media_id,
+             |       unnest(range(0, 1 + octet_length(encode(text)) % 16, 4))
+             |         AS frame_idx
+             |FROM documents WHERE doc_id % 3 = 2
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val raw = t.documents
+          .select(
+            col("doc_id").as("media_id"),
+            element_at(array(lit("image"), lit("audio"), lit("video")),
+              (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+            encode(col("text"), "UTF-8").as("content"))
+        val feats = graft.multimodal.Multimodal.pipeline(spark, raw)
+        ordered(
+          graft.multimodal.Multimodal.sampleFrames(feats, everyN = 4)
+            .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"))
+        )
+      }
+    ),
+    Q(
       "d1_metadata_sniff",
       // D1 over the corpus: text bytes sniff as text/plain with exact byte
       // length; image-header parsing is covered by MetadataSpec goldens
