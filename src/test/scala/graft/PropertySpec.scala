@@ -150,4 +150,50 @@ class PropertySpec extends AnyFunSuite {
     // rate is honored within bucket granularity on uniform buckets
     assert(math.abs(k50.size / 400.0 - 0.5) < 0.15)
   }
+
+  test("D5e CC laws: labels are a fixpoint; relabeling the graph is idempotent") {
+    import spark.implicits._
+    // random sparse graphs over 12 nodes
+    val edgeGen = Gen.listOfN(10,
+      Gen.zip(Gen.chooseNum(0L, 11L), Gen.chooseNum(0L, 11L))).map(
+      _.filter { case (a, b) => a != b })
+    draws(edgeGen).foreach { es =>
+      val edges = es.toDF("a", "b")
+      val comp = Dedup.connectedComponents(edges)
+      // fixpoint: every edge's endpoints share a component label
+      val la = comp.select(col("id").as("a"), col("comp").as("ca"))
+      val lb = comp.select(col("id").as("b"), col("comp").as("cb"))
+      val split = edges.join(la, "a").join(lb, "b")
+        .filter(col("ca") =!= col("cb"))
+      assert(split.isEmpty, "edge endpoints in different components")
+      // idempotence: rerunning CC over comp-labeled edges changes nothing
+      val again = Dedup.connectedComponents(
+        edges.join(la, "a").join(lb, "b")
+          .select(col("ca").as("a"), col("cb").as("b")))
+      // all relabeled edges are (c, c) self-loops, so CC over them is the
+      // identity labeling — each component label maps to itself
+      assert(again.filter(col("id") =!= col("comp")).isEmpty)
+    }
+  }
+
+  test("D6q quantization law: dequantized values within half a step of the input") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-1000, 1000).map(_ / 250.0f))
+    draws(vecGen).foreach { vs =>
+      val df = Seq((1L, vs.toArray)).toDF("id", "v")
+        .select(col("id"), col("v"),
+          graft.functions.Vectors.quantizeInt8(col("v")).as("q"),
+          graft.functions.Vectors.quantScale(col("v")).as("s"))
+      val row = df.collect().head
+      val orig = row.getSeq[Float](1)
+      val q = row.getSeq[Long](2)
+      val s = row.getDouble(3)
+      assert(q.forall(x => x >= -127 && x <= 127))
+      if (s > 0)
+        orig.zip(q).foreach { case (x, qi) =>
+          assert(math.abs(qi * s - x) <= s / 2 + 1e-9,
+            s"dequant error beyond half step: x=$x q=$qi s=$s")
+        }
+    }
+  }
 }
