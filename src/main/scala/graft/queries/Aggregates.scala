@@ -355,6 +355,28 @@ object Aggregates {
               count(lit(1)).as("n"))
         )
       }
+    ),
+    Q(
+      "a9_median_disc",
+      // EXACT discrete percentiles: percentile_disc returns an actual
+      // element of the group (no interpolation), so unlike quantile_cont
+      // there is no float formula to diverge on — both engines run the
+      // same ANSI WITHIN GROUP clause and must return the same element
+      Some("""SELECT l_returnflag,
+             |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_qty,
+             |  percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_qty
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.lineitem
+            .groupBy(col("l_returnflag"))
+            .agg(
+              expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50_qty"),
+              expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").as("p90_qty"))
+        )
+      }
     )
   )
 }

@@ -321,6 +321,36 @@ object Relational {
             )
         )
       }
+    ),
+    Q(
+      "u2_intersect_all",
+      // bag semantics: multiplicity = min(count in a, count in b)
+      Some("""SELECT o_custkey AS custkey FROM orders
+             INTERSECT ALL
+             SELECT c_custkey FROM customer
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.orders.select(col("o_custkey").as("custkey"))
+            .intersectAll(t.customer.select(col("c_custkey").as("custkey")))
+        )
+      }
+    ),
+    Q(
+      "u3_except_all",
+      // bag semantics: multiplicity = max(0, count in a - count in b)
+      Some("""SELECT o_custkey AS custkey FROM orders
+             EXCEPT ALL
+             SELECT c_custkey FROM customer
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.orders.select(col("o_custkey").as("custkey"))
+            .exceptAll(t.customer.select(col("c_custkey").as("custkey")))
+        )
+      }
     )
   )
 }

@@ -581,6 +581,24 @@ object Scalars {
             to_json(struct(col("n_nationkey").as("k"), col("n_name").as("name"))).as("js"))
         )
       }
+    ),
+    Q(
+      "sc_levenshtein",
+      // edit distance — the fuzzy-match primitive (near-dup filenames,
+      // OCR noise): integer result, identical DP definition both engines
+      Some("""SELECT p_partkey,
+             |       levenshtein(p_name, 'goldenrod lavender spring') AS dist
+             |FROM part
+             |WHERE levenshtein(p_name, 'goldenrod lavender spring') <= 20
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.part.select(col("p_partkey"),
+              levenshtein(col("p_name"), lit("goldenrod lavender spring")).as("dist"))
+            .filter(col("dist") <= 20)
+        )
+      }
     )
   )
 }

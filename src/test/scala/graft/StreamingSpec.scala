@@ -148,6 +148,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(col("tier").isNull).isEmpty)
   }
 
+  test("T8 update mode: per-batch deltas converge to the complete result") {
+    import spark.implicits._
+    val mem = MemoryStream[Ev](9, spark, None)
+    mem.addData(fixture: _*)
+    Streams.runToMemory(Streams.tumblingCounts(mem.toDF()), "t8u_sink",
+      OutputMode.Update())
+    // update mode emits one row per changed key per batch; with one batch
+    // the latest row per (window, type) must equal the complete result
+    val got = spark.table("t8u_sink")
+      .groupBy("w_start", "event_type")
+      .agg(last("n").as("n"), last("total").as("total"))
+      .select("w_start", "event_type", "n", "total").collect().toSet
+    val want = Streams.tumblingCounts(fixture.toDF())
+      .select("w_start", "event_type", "n", "total").collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("T9 stream-stream interval join: two MemoryStreams equal batch") {
     import spark.implicits._
     val views = Seq(
