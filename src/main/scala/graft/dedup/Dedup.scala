@@ -78,6 +78,33 @@ object Dedup {
         array((0 until numHashes).map(s => col(s"s$s")): _*).as("sig"))
   }
 
+  /** Per-ROW MinHash signature as one column expression (no explode, no
+    * aggregate) — bit-identical to [[minhashSignatures]] but stateless:
+    * safe inside a streaming query (a groupBy signature would need a
+    * state store; this needs nothing). Null when the doc has fewer than
+    * `shingleWidth` tokens. The outer `transform(array(...))` binds the
+    * md5-base array ONCE; referencing it per seed would re-run the
+    * whole shingle→md5 pipeline numHashes times. */
+  def minhashSigRow(text: Column, shingleWidth: Int, numHashes: Int): Column = {
+    val bases = transform(
+      Text.shingles(Text.tokenize(text), shingleWidth),
+      s => pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(MinhashP)))
+    flatten(transform(array(bases), bs =>
+      when(size(bs) > 0,
+        array((0 until numHashes).map(seed =>
+          array_min(transform(bs,
+            b => pmod(b * minhashA(seed) + minhashB(seed), lit(MinhashP))))): _*))))
+  }
+
+  /** LSH band keys of a signature: one string key per band
+    * ("band,slot1,slot2"), identical to the batch band join keys. */
+  def bandKeys(sig: Column, numHashes: Int, rowsPerBand: Int): Column = {
+    val nBands = numHashes / rowsPerBand
+    transform(sequence(lit(0), lit(nBands - 1)),
+      b => concat_ws(",", b.cast("string"),
+        sort_array(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).cast("array<string>")))
+  }
+
   /** MinHash+LSH near-dup candidate pairs with their estimated Jaccard
     * (fraction of agreeing signature components). Bands of `rowsPerBand`
     * signature slots are concatenated into one bucket key; docs sharing

@@ -319,4 +319,42 @@ class DocStore(spark: SparkSession, root: String, nShards: Int = 16) {
     val nDocs = spark.read.parquet(s"$root/_index/stats")
     scoreAndRank(postings, dfreq, nDocs, query, topK)
   }
+
+  private val NdHashes = 8
+  private val NdRowsPerBand = 2
+
+  /** Persist the MinHash band index of the latest-version corpus:
+    * (band_key, corpus_id, corpus_sig), bucketed by band_key on disk so
+    * probe joins read only colliding buckets. The near-dup analogue of
+    * [[buildIndex]] — same freshness contract. */
+  def buildNearDupIndex(): Unit = {
+    import graft.dedup.Dedup
+    val latest = latestText
+      .select(col("filename").as("corpus_id"),
+        Dedup.minhashSigRow(col("text"), 3, NdHashes).as("corpus_sig"))
+      .filter(col("corpus_sig").isNotNull)
+    latest
+      .select(col("corpus_id"), col("corpus_sig"),
+        explode(Dedup.bandKeys(col("corpus_sig"), NdHashes, NdRowsPerBand))
+          .as("band_key"))
+      .repartition(col("band_key")).sortWithinPartitions(col("band_key"))
+      .write.mode("overwrite").parquet(s"$root/_index/neardup")
+  }
+
+  /** Near-dup lookup against the persisted band index: signature the probe
+    * text per row, join only its band buckets, estimate Jaccard from the
+    * signatures riding along — never re-signatures the corpus. Returns
+    * (corpus_id, est_jaccard) ranked, threshold 0.5. */
+  def findNearDups(text: String, topK: Int = 10): DataFrame = {
+    val probe = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(0L, text))),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+    graft.streaming.Streams.nearDupCandidates(
+        probe, spark.read.parquet(s"$root/_index/neardup"),
+        shingleWidth = 3, numHashes = NdHashes, rowsPerBand = NdRowsPerBand)
+      .select(col("corpus_id"), col("est_jaccard")).distinct()
+      .orderBy(col("est_jaccard").desc, col("corpus_id").asc)
+      .limit(topK)
+  }
 }

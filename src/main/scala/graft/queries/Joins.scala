@@ -88,6 +88,28 @@ object Joins {
       }
     ),
     Q(
+      "j3_right_outer",
+      // right outer: every supplier nation row survives, customer side
+      // nullable — completes the J3 left/right/full triad
+      Some("""SELECT b.k, a.n_c AS n_cust FROM
+               (SELECT c_nationkey AS k, count(*) AS n_c FROM customer
+                WHERE c_nationkey < 10 GROUP BY 1) a
+               RIGHT OUTER JOIN
+               (SELECT s_nationkey AS k, count(*) AS n_s FROM supplier GROUP BY 1) b
+               ON a.k = b.k
+             ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val a = t.customer.filter(col("c_nationkey") < 10)
+          .groupBy(col("c_nationkey").as("ka")).agg(count(lit(1)).as("n_cust"))
+        val b = t.supplier.groupBy(col("s_nationkey").as("k")).agg(count(lit(1)).as("n_s"))
+        ordered(
+          a.join(b, a("ka") === b("k"), "right_outer")
+            .select(col("k"), col("n_cust"))
+        )
+      }
+    ),
+    Q(
       "j4_left_semi",
       Some("""SELECT c_custkey, c_name FROM customer c
              WHERE EXISTS (SELECT 1 FROM orders o

@@ -56,6 +56,46 @@ object Streams {
   def enrich(events: DataFrame, dim: DataFrame, eventKey: String, dimKey: String): DataFrame =
     events.join(dim, col(eventKey) === col(dimKey))
 
+  /** Streaming near-dup detection — the in-flight D5 shape: each incoming
+    * doc computes its MinHash signature and band keys PER ROW (stateless
+    * column expressions — no shuffle, no state store, state never grows
+    * with stream length) and probes the static band index of the
+    * persisted corpus (a stream-static equi-join, broadcast/hash like any
+    * dim join). Emits (doc_id, corpus_id, est_jaccard) candidates at or
+    * above the threshold. The index is refreshed out-of-band like any
+    * search index ([[graft.dms.DocStore.buildNearDupIndex]]).
+    *
+    * @param index (band_key, corpus_id, corpus_sig) — one row per band key
+    */
+  def nearDupCandidates(
+      docs: DataFrame, // (doc_id, text)
+      index: DataFrame,
+      shingleWidth: Int = 3,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    import graft.dedup.Dedup
+    val sig = Dedup.minhashSigRow(col("text"), shingleWidth, numHashes)
+    docs
+      .withColumn("sig", sig)
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("sig"),
+        explode(Dedup.bandKeys(col("sig"), numHashes, rowsPerBand)).as("band_key"))
+      .join(index, "band_key")
+      // string-compare the ids: stream and corpus id types may differ
+      // (long doc ids probing a filename-keyed index), and ANSI mode
+      // faults a long<->string cast
+      .filter(col("doc_id").cast("string") =!= col("corpus_id").cast("string"))
+      .select(col("doc_id"), col("corpus_id"),
+        (size(filter(zip_with(col("sig"), col("corpus_sig"), (p, q) => p === q),
+          m => m)) / lit(numHashes.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+    // NOTE deliberately no dropDuplicates: a pair sharing k bands emits k
+    // identical candidate rows, and collapsing them in-stream would need
+    // unbounded dedup state. Candidates are a hint stream; batch
+    // consumers (DocStore.findNearDups) distinct() them for free.
+  }
+
   /** T9: stream-stream interval join — view→click attribution: each click
     * matches views of the same user in (click.ts - 30m, click.ts]. BOTH
     * sides carry watermarks and the join condition bounds event time, so

@@ -132,6 +132,21 @@ class DocStoreSpec extends AnyFunSuite {
     assert(s.searchIndexed("spark").collect().map(_.getString(0)).headOption.contains("new.txt"))
   }
 
+  test("near-dup index: findNearDups ranks the overlapping doc, skips others") {
+    val s = newStore()
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    s.upload("orig.txt", base.getBytes)
+    s.upload("other.txt", (100 to 130).map(i => s"z$i").mkString(" ").getBytes)
+    s.buildNearDupIndex()
+    val probe = ((1 to 28).map(i => s"tok$i") ++ Seq("xx", "yy")).mkString(" ")
+    val got = s.findNearDups(probe).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == Seq("orig.txt"))
+    assert(got.head._2 >= 0.5)
+    // an unrelated probe matches nothing
+    assert(s.findNearDups("totally different words here entirely").isEmpty)
+  }
+
   test("point lookups prune to one shard partition directory") {
     val s = newStore()
     (0 until 20).foreach(i => s.upload(s"file$i.txt", s"content $i".getBytes))

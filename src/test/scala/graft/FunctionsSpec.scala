@@ -180,6 +180,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(comp.length == 12 && comp.forall(_._2 == 1L))
   }
 
+  test("D5: per-row minhash signature is bit-identical to the batch aggregate") {
+    import spark.implicits._
+    val t = graft.sources.Tables(spark, sf)
+    val docs = t.documents.select(col("doc_id"), col("text")).limit(100)
+    val batch = Dedup.minhashSignatures(docs, shingleWidth = 3, numHashes = 8)
+    val perRow = docs.select(col("doc_id"),
+        Dedup.minhashSigRow(col("text"), 3, 8).as("sig"))
+      .filter(col("sig").isNotNull)
+    assert(batch.except(perRow).isEmpty && perRow.except(batch).isEmpty)
+    assert(perRow.count() > 0)
+  }
+
   test("D5: simhashes (shift-mask votes) is bit-identical to simhash32 (digit-parity fold)") {
     import spark.implicits._
     val t = graft.sources.Tables(spark, sf)

@@ -148,6 +148,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(col("tier").isNull).isEmpty)
   }
 
+  test("streaming near-dup: stateless signatures probe the static band index") {
+    import spark.implicits._
+    val corpusDoc = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 28).map(i => s"tok$i") ++ Seq("xx", "yy")).mkString(" ")
+    val unrelated = (100 to 130).map(i => s"z$i").mkString(" ")
+    // static band index of the persisted corpus
+    val index = Seq((1000L, corpusDoc)).toDF("doc_id", "text")
+      .select(col("doc_id").as("corpus_id"),
+        graft.dedup.Dedup.minhashSigRow(col("text"), 3, 8).as("corpus_sig"))
+      .select(col("corpus_id"), col("corpus_sig"),
+        explode(graft.dedup.Dedup.bandKeys(col("corpus_sig"), 8, 2)).as("band_key"))
+    val mem = MemoryStream[Doc](10, spark, None)
+    mem.addData(Doc(1, nearDup), Doc(2, unrelated), Doc(3, "short"))
+    Streams.runToMemory(
+      Streams.nearDupCandidates(mem.toDF(), index), "nd_sink")
+    val got = spark.table("nd_sink")
+      .select("doc_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1000L))) // near-dup flagged; unrelated + short not
+  }
+
   test("T8 update mode: per-batch deltas converge to the complete result") {
     import spark.implicits._
     val mem = MemoryStream[Ev](9, spark, None)
