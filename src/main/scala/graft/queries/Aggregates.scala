@@ -377,6 +377,90 @@ object Aggregates {
               expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").as("p90_qty"))
         )
       }
+    ),
+    Q(
+      "tpch_q3",
+      // TPC-H Q3 shape (shipping priority): selective dim filter ->
+      // fact join -> decimal revenue aggregate -> global top-10. The
+      // filtered customer segment broadcasts; revenue is an exact
+      // decimal sum (order-independent) cast to double once at the end.
+      Some("""SELECT * FROM (
+             |  SELECT l_orderkey,
+             |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |                   * (1 - CAST(l_discount AS DECIMAL(8,2)))), 4)
+             |         AS DOUBLE) AS revenue,
+             |    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+             |    o_orderpriority
+             |  FROM customer
+             |  JOIN orders ON c_custkey = o_custkey
+             |  JOIN lineitem ON l_orderkey = o_orderkey
+             |  WHERE c_mktsegment = 'BUILDING'
+             |    AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+             |    AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+             |  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |  ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+             |  LIMIT 10)
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val px   = col("l_extendedprice").cast("decimal(18,2)")
+        val disc = col("l_discount").cast("decimal(8,2)")
+        val cutoff = to_timestamp(lit("1996-06-30 00:00:00"))
+        ordered(
+          t.customer.filter(col("c_mktsegment") === "BUILDING")
+            .join(t.orders, col("c_custkey") === col("o_custkey"))
+            .filter(col("o_orderdate") < cutoff)
+            .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+            .filter(col("l_shipdate") > cutoff)
+            .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+            .agg(round(sum(px * (lit(1) - disc)), 4).cast("double").as("revenue"))
+            .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+            .limit(10)
+            .select(col("l_orderkey"), col("revenue"),
+              tstr(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority"))
+        )
+      }
+    ),
+    Q(
+      "tpch_q5",
+      // TPC-H Q5 shape (local-supplier revenue): six-way join where the
+      // region/nation/supplier dims broadcast and the extra
+      // c_nationkey = s_nationkey condition rides the supplier join
+      Some("""SELECT n_name,
+             |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |                 * (1 - CAST(l_discount AS DECIMAL(8,2)))), 4)
+             |       AS DOUBLE) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY n_name
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val px   = col("l_extendedprice").cast("decimal(18,2)")
+        val disc = col("l_discount").cast("decimal(8,2)")
+        ordered(
+          t.customer
+            .join(t.orders, col("c_custkey") === col("o_custkey"))
+            .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+              col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+            .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+            .join(broadcast(t.supplier),
+              col("l_suppkey") === col("s_suppkey") &&
+                col("c_nationkey") === col("s_nationkey"))
+            .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+            .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+            .filter(col("r_name") === "ASIA")
+            .groupBy(col("n_name"))
+            .agg(round(sum(px * (lit(1) - disc)), 4).cast("double").as("revenue"))
+        )
+      }
     )
   )
 }
