@@ -379,6 +379,26 @@ object Aggregates {
       }
     ),
     Q(
+      "a6_hll_merge",
+      // mergeable sketches — the 100 TB distinct-count pattern: per-source
+      // HLL sketches (Datasketches) built independently, then UNIONED to a
+      // global estimate without rescanning anything. rows-only (sketch
+      // internals have no DuckDB oracle); FunctionsSpec pins the accuracy
+      // envelope and union-vs-direct agreement.
+      None,
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val perSource = t.documents.groupBy(col("source"))
+          .agg(hll_sketch_agg(col("doc_id")).as("sk"),
+            count(lit(1)).as("n_rows"))
+        ordered(
+          perSource.agg(
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct_docs"),
+            sum(col("n_rows")).as("n_rows"))
+        )
+      }
+    ),
+    Q(
       "tpch_q3",
       // TPC-H Q3 shape (shipping priority): selective dim filter ->
       // fact join -> decimal revenue aggregate -> global top-10. The

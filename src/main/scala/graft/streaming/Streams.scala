@@ -167,6 +167,58 @@ object Streams {
       }
   }
 
+  /** T5, truly incremental: sessionization that is correct when a user's
+    * events arrive across MANY micro-batches (the batch-contract
+    * [[statefulSessions]] assumes one delivery per key). State carries the
+    * open session; each batch merges new events in event-time order —
+    * a gap >= `gapMicros` closes the open session and starts a new one —
+    * and an EVENT-TIME TIMEOUT closes idle sessions once the watermark
+    * passes session end, so state is bounded and sessions are emitted
+    * even if the user never returns.
+    */
+  def sessionStream(
+      events: DataFrame, // needs user_id, ts (watermarked by caller or here)
+      gapMicros: Long = 30L * 60 * 1000000
+  ): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open session's end: close and evict
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.start, s.lastTs + gapMicros, s.n))
+          } else {
+            val sorted = rows.map(_._2.getTime * 1000L).toSeq.sorted // micros
+            val closed = Vector.newBuilder[SessionOut]
+            var open = state.getOption
+            sorted.foreach { ts =>
+              open match {
+                case None => open = Some(SessionState(ts, ts, 1))
+                case Some(s) =>
+                  if (ts - s.lastTs >= gapMicros) {
+                    closed += SessionOut(userId, s.start, s.lastTs + gapMicros, s.n)
+                    open = Some(SessionState(ts, ts, 1))
+                  } else
+                    open = Some(s.copy(lastTs = math.max(s.lastTs, ts), n = s.n + 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // close when the watermark passes the would-be session end
+              state.setTimeoutTimestamp((s.lastTs + gapMicros) / 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** T8: drive a stream to a memory sink until idle; returns the sink table
     * name to query. AvailableNow processes everything then stops — the
     * batch-parity trigger. */

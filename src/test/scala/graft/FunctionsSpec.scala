@@ -325,6 +325,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF top-1 recall $recall too low")
   }
 
+  test("A6: per-source HLL sketches union to the direct global estimate") {
+    import spark.implicits._
+    val t = graft.sources.Tables(spark, sf)
+    val docs = t.documents
+    val exact = docs.select(countDistinct(col("doc_id"))).as[Long].head()
+    // merged: independent per-source sketches, then one union
+    val merged = docs.groupBy(col("source"))
+      .agg(hll_sketch_agg(col("doc_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .as[Long].head()
+    // direct: one global sketch over the same stream
+    val direct = docs.agg(hll_sketch_estimate(hll_sketch_agg(col("doc_id"))))
+      .as[Long].head()
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"merged HLL estimate $merged vs exact $exact")
+    assert(math.abs(merged - direct).toDouble / math.max(direct, 1) < 0.05,
+      s"union-of-parts $merged diverges from direct $direct")
+  }
+
   test("A6: approx_count_distinct lands within its rsd of the exact count") {
     import spark.implicits._
     val t = graft.sources.Tables(spark, sf)

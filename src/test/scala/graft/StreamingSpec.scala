@@ -214,6 +214,44 @@ class StreamingSpec extends AnyFunSuite {
       (2L, 203L, 102L, 0L)))
   }
 
+  test("T5 incremental: sessions merge across batches, event-time timeout closes idle") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    def ev(id: Long, t: String) = Ev(id, ts(t), 1, "click", 0, "{}")
+    def drain(): Unit = {
+      val q = Streams.sessionStream(
+          spark.readStream.schema(fixture.toDF().schema).parquet(src))
+        .toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def sessions(): Set[(Long, Long)] =
+      spark.read.schema("userId BIGINT, startMicros BIGINT, endMicros BIGINT, nEvents BIGINT")
+        .parquet(out).select("startMicros", "nEvents")
+        .as[(Long, Long)].collect().toSet
+    def us(t: String) = ts(t).getTime * 1000L
+    // batch 1: two events 10m apart — ONE open session, nothing emitted
+    Seq(ev(0, "2024-01-01 00:00:00"), ev(1, "2024-01-01 00:10:00"))
+      .toDF().write.mode("append").parquet(src)
+    drain()
+    // batch 2 (separate run, state via checkpoint): event 2h later closes
+    // session 1 by gap and opens session 2
+    Seq(ev(2, "2024-01-01 02:00:00")).toDF().write.mode("append").parquet(src)
+    drain()
+    assert(sessions() == Set((us("2024-01-01 00:00:00"), 2L)))
+    // batch 3: an event far ahead advances the watermark past session 2's
+    // end; the no-data batch fires the event-time timeout and evicts it
+    Seq(Ev(3, ts("2024-01-01 05:00:00"), 2, "click", 0, "{}"))
+      .toDF().write.mode("append").parquet(src)
+    drain()
+    assert(sessions() == Set(
+      (us("2024-01-01 00:00:00"), 2L), // batch-1 pair
+      (us("2024-01-01 02:00:00"), 1L))) // closed by timeout, not by a new event
+  }
+
   test("T8 exactly-once file sink: restart from checkpoint does not duplicate") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_eos").toString
