@@ -599,6 +599,43 @@ object Scalars {
             .filter(col("dist") <= 20)
         )
       }
+    ),
+    Q(
+      "sc_zorder",
+      // Morton/Z-order layout key over (user_id, hour-of-epoch): one sort
+      // key that clusters BOTH dimensions for min/max file skipping. The
+      // oracle SQL is GENERATED from the same bit-interleave definition
+      // (Layout.zValueSql) so engine and oracle cannot drift.
+      Some {
+        val unzA = (0 until 16).map(i => s"(((z >> ${2 * i}) & 1) << $i)").mkString(" + ")
+        val unzB = (0 until 16).map(i => s"(((z >> ${2 * i + 1}) & 1) << $i)").mkString(" + ")
+        s"""WITH h AS (
+           |  SELECT event_id, user_id, epoch_us(ts) // 3600000000 AS hr
+           |  FROM events
+           |),
+           |zz AS (
+           |  SELECT event_id,
+           |         ${graft.functions.Layout.zValueSql("user_id", "hr")} AS z
+           |  FROM h
+           |)
+           |SELECT event_id, z,
+           |       $unzA AS user_id_rec,
+           |       $unzB AS hour_low16
+           |FROM zz
+           |ORDER BY ALL NULLS FIRST""".stripMargin
+      },
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val hour = expr("unix_micros(ts) div 3600000000")
+        ordered(
+          t.events
+            .select(col("event_id"),
+              graft.functions.Layout.zValue(col("user_id"), hour, 16).as("z"))
+            .select(col("event_id"), col("z"),
+              graft.functions.Layout.unzA(col("z"), 16).as("user_id_rec"),
+              graft.functions.Layout.unzB(col("z"), 16).as("hour_low16"))
+        )
+      }
     )
   )
 }

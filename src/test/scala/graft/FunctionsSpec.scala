@@ -325,6 +325,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF top-1 recall $recall too low")
   }
 
+  test("Layout: z-order key round-trips both dimensions and clusters files") {
+    import spark.implicits._
+    val pts = for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b)
+    val df = pts.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.functions.Layout.zValue(col("a"), col("b"), 16).as("z"))
+    // bijective on the grid; unz recovers both dimensions exactly
+    assert(df.select("z").distinct().count() == 64 * 64)
+    assert(df.filter(
+      graft.functions.Layout.unzA(col("z"), 16) =!= col("a") ||
+        graft.functions.Layout.unzB(col("z"), 16) =!= col("b")).isEmpty)
+    // layout property: range-partition the grid by z into 16 buckets —
+    // every bucket must span far less than the full 64-wide range in
+    // BOTH dimensions (single-column sort spans the full range in the
+    // other dimension; z-order bounds both)
+    val spans = df.repartitionByRange(16, col("z"))
+      .select(spark_partition_id().as("p"), col("a"), col("b"))
+      .groupBy("p")
+      .agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"))
+      .as[(Int, Long, Long)].collect()
+    assert(spans.forall { case (_, sa, sb) => sa <= 32 && sb <= 32 },
+      s"z-order buckets span too much: ${spans.mkString(",")}")
+  }
+
   test("A6: per-source HLL sketches union to the direct global estimate") {
     import spark.implicits._
     val t = graft.sources.Tables(spark, sf)
