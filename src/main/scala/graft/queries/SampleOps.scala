@@ -108,6 +108,85 @@ object SampleOps {
               max(col("copy")).as("max_copy"))
         )
       }
+    ),
+    Q(
+      "d11_train_val_test",
+      // deterministic 3-way split (80/10/10) from the same auditable hash
+      // bucket: a doc's split NEVER changes as the corpus grows (no RNG,
+      // no global sort), and the three sets are disjoint by construction.
+      // Output proves proportions AND per-split id checksums.
+      Some(s"""WITH tagged AS (
+              |  SELECT doc_id, source,
+              |         CASE WHEN $bucketSql < 80 THEN 'train'
+              |              WHEN $bucketSql < 90 THEN 'val'
+              |              ELSE 'test' END AS split
+              |  FROM documents
+              |)
+              |SELECT split, count(*) AS n,
+              |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+              |       count(DISTINCT source) AS n_sources
+              |FROM tagged GROUP BY split
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val b = bucket100(col("doc_id"))
+        ordered(
+          t.documents
+            .select(col("doc_id"), col("source"),
+              when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+            .groupBy(col("split"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("doc_id")).as("id_sum"),
+              countDistinct(col("source")).as("n_sources"))
+        )
+      }
+    ),
+    Q(
+      "d10_pack_shards",
+      // greedy sequence packing: documents stream into fixed-budget
+      // training shards (4096 tokens) in deterministic doc_id order per
+      // source — shard id = floor(running-token-cumsum / budget), one
+      // window cumsum, no driver loop. The per-shard stats prove both
+      // engines assigned identical shard boundaries.
+      Some("""WITH sized AS (
+             |  SELECT doc_id, source,
+             |         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |             x -> x <> '')) AS n_tok
+             |  FROM documents
+             |),
+             |packed AS (
+             |  SELECT doc_id, source, n_tok,
+             |         CAST((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+             |                                ROWS UNBOUNDED PRECEDING) - n_tok)
+             |              // 4096 AS BIGINT) AS shard
+             |  FROM sized
+             |)
+             |SELECT source, shard, count(*) AS n_docs,
+             |       CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+             |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+             |       CAST(max(doc_id) AS BIGINT) AS last_doc
+             |FROM packed GROUP BY source, shard
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        ordered(
+          t.documents
+            .select(col("doc_id"), col("source"),
+              graft.functions.Text.tokenCount(col("text")).cast("long").as("n_tok"))
+            // shard = floor(tokens-before-this-doc / budget): a doc starts
+            // in the shard its predecessor left open (greedy packing)
+            .withColumn("shard",
+              floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(4096L)))
+            .groupBy(col("source"), col("shard"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_tok")).as("shard_tokens"),
+              min(col("doc_id")).as("first_doc"),
+              max(col("doc_id")).as("last_doc"))
+        )
+      }
     )
   )
 }
