@@ -196,4 +196,46 @@ class PropertySpec extends AnyFunSuite {
         }
     }
   }
+
+  test("D10 packing law: every shard except a source's last is filled past budget - max_doc") {
+    import spark.implicits._
+    // greedy cumsum packing: a shard only closes when adding the next doc
+    // crosses the budget, so a non-final shard holds > budget - maxdoc tokens
+    val docs = draws(Gen.listOfN(40, Gen.chooseNum(50, 900)), n = 3)
+    docs.foreach { sizes =>
+      val budget = 1000L
+      val df = sizes.zipWithIndex.map { case (n, i) => (i.toLong, n.toLong) }
+        .toDF("doc_id", "n_tok")
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val shards = df
+        .withColumn("shard", floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(budget)))
+        .groupBy("shard").agg(sum(col("n_tok")).as("tok"))
+        .orderBy("shard").as[(Long, Long)].collect()
+      val maxDoc = sizes.max
+      shards.dropRight(1).foreach { case (sid, tok) =>
+        assert(tok > budget - maxDoc,
+          s"shard $sid underfilled: $tok of $budget (maxdoc $maxDoc)")
+      }
+      assert(shards.map(_._2).sum == sizes.map(_.toLong).sum) // nothing lost
+    }
+  }
+
+  test("D11 split law: train/val/test partition the corpus and are growth-stable") {
+    import spark.implicits._
+    def split(ids: Seq[Long]) = {
+      val b = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(100L))
+      ids.toDF("doc_id")
+        .select(col("doc_id"),
+          when(b < 80, "train").when(b < 90, "val").otherwise("test").as("s"))
+        .as[(Long, String)].collect().toMap
+    }
+    val small = split(0L until 300L)
+    val grown = split(0L until 600L)
+    // disjoint + exhaustive by construction; stability: growing the corpus
+    // never reassigns an existing doc's split
+    assert(small.forall { case (id, s) => grown(id) == s })
+    assert(small.values.toSet.subsetOf(Set("train", "val", "test")))
+  }
 }
