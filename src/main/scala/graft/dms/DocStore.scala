@@ -202,6 +202,18 @@ class DocStore(spark: SparkSession, root: String, nShards: Int = 16) {
   def latestVersions: DataFrame =
     all.groupBy(col("filename")).agg(max(col("version")).as("version"))
 
+  /** Store statistics in one scan: distinct files, total versions, total
+    * content bytes — the operational health check an admin runs. Two-level
+    * rollup (per-file, then global) instead of count + countDistinct in
+    * one aggregate, which would Expand every row 2x before the shuffle. */
+  def stats(): DataFrame =
+    all.select(col("filename"), length(col("content")).cast("long").as("len"))
+      .groupBy(col("filename"))
+      .agg(count(lit(1)).as("v"), sum(col("len")).as("b"))
+      .agg(count(lit(1)).as("n_files"),
+        coalesce(sum(col("v")), lit(0L)).as("n_versions"),
+        coalesce(sum(col("b")), lit(0L)).as("total_bytes"))
+
   /** Snapshot read: every document exactly as it stood when `version` was
     * the newest write — per filename, the largest version <= `version`
     * (files first uploaded later are absent). Generalizes download's

@@ -24,6 +24,15 @@ class DocStoreSpec extends AnyFunSuite {
     assert(s.versions("a.txt") == (1 to 11))
   }
 
+  test("stats reports files, versions, bytes in one scan") {
+    val s = newStore()
+    s.upload("a.txt", "12345".getBytes)
+    s.upload("a.txt", "123".getBytes)
+    s.upload("b.txt", "1234567".getBytes)
+    val r = s.stats().collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (2L, 3L, 15L))
+  }
+
   test("snapshotAsOf reads the store as of an old version boundary") {
     val s = newStore()
     s.upload("a.txt", "a v1".getBytes); s.upload("a.txt", "a v2".getBytes)

@@ -132,6 +132,27 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"unfenced nested-loop joins in: $offenders")
   }
 
+  test("t9 interval join is an equi-join on user_id, never a nested loop") {
+    val plan = executedPlan(SparkEntry.queries("t9_interval_attrib")(spark, sf))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"no hash/merge join in t9 plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join degenerated to a nested loop:\n$plan")
+  }
+
+  test("shard packing is one window pass: no join, single shuffle tree") {
+    val plan = executedPlan(SparkEntry.queries("d10_pack_shards")(spark, sf))
+    assert(!plan.contains("Join"), s"unexpected join in packing plan:\n$plan")
+    assert("\\bWindow\\b".r.findAllIn(plan).length >= 1)
+  }
+
+  test("train/val/test split is a pure projection before its aggregate") {
+    val plan = executedPlan(SparkEntry.queries("d11_train_val_test")(spark, sf))
+    assert(!plan.contains("Join"), s"unexpected join in split plan:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window in split plan:\n$plan")
+  }
+
   test("chunking is scan -> explode -> project with no join or aggregate") {
     val df = SparkEntry.queries("d10_chunking")(spark, sf)
     val plan = executedPlan(df)
