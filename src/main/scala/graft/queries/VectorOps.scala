@@ -305,6 +305,25 @@ object VectorOps {
       }
     ),
     Q(
+      "d6_pca_power",
+      // embedding-space diagnostic: dominant principal direction by
+      // distributed power iteration (one scan per round, driver holds
+      // only the 64-dim vector). rows-only — iterative float linear
+      // algebra has no SQL oracle; FunctionsSpec pins convergence and
+      // energy dominance instead.
+      None,
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val v = graft.functions.Pca.dominantDirection(
+          t.embeddings, "embedding", dim = 64, iters = 6)
+        import spark.implicits._
+        ordered(
+          v.zipWithIndex.map { case (c, i) => (i, c) }
+            .toSeq.toDF("dim", "component")
+        )
+      }
+    ),
+    Q(
       "d6_pairwise_label_sim",
       // mean intra- vs inter-label cosine over a deterministic sample —
       // the "is my embedding space any good" diagnostic

@@ -379,6 +379,30 @@ class FunctionsSpec extends AnyFunSuite {
       s"HLL $hll vs exact $exact beyond tolerance")
   }
 
+  test("D6: power iteration converges and dominates every coordinate axis") {
+    val t = graft.sources.Tables(spark, sf)
+    val e = t.embeddings.cache()
+    // the synthetic embeddings are near-isotropic (degenerate top
+    // eigenspace), so the DIRECTION may wander inside the top cluster —
+    // the meaningful convergent is the Rayleigh quotient (energy): the
+    // eigenvalue estimate must stabilize and dominate every coordinate
+    // axis. (That near-equality of energies IS the diagnostic: it says
+    // the corpus has no collapsed dominant direction.)
+    val v6 = graft.functions.Pca.dominantDirection(e, "embedding", 64, iters = 12)
+    val v8 = graft.functions.Pca.dominantDirection(e, "embedding", 64, iters = 20)
+    val lam6 = graft.functions.Pca.energy(e, "embedding", v6)
+    val lam8 = graft.functions.Pca.energy(e, "embedding", v8)
+    assert(math.abs(lam8 - lam6) / lam8 < 0.05,
+      s"eigenvalue estimate not stable: $lam6 vs $lam8")
+    assert(lam8 >= lam6 - 1e-9, "Rayleigh quotient must be non-decreasing")
+    (0 until 64 by 8).foreach { i =>
+      val axis = Array.tabulate(64)(j => if (j == i) 1.0 else 0.0)
+      val le = graft.functions.Pca.energy(e, "embedding", axis)
+      assert(lam8 >= le - 1e-9, s"axis $i energy $le exceeds principal $lam8")
+    }
+    e.unpersist()
+  }
+
   test("D6: cosine is 1 for identical vectors, 0 for zero vector") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f), Array(0.0f, 0.0f)))
