@@ -104,6 +104,45 @@ object TextOps {
       }
     ),
     Q(
+      "d3_search_phrase",
+      // phrase search ("table hash") over POSITIONAL postings: a doc
+      // matches where the terms sit at adjacent positions — the Solr
+      // phrase-query capability the reference delegated (DMS.py:350).
+      // Each side of the position join filters its term BEFORE joining,
+      // so the join carries two term posting lists, not the corpus; at
+      // scale both sides read a persisted positional postings table.
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                     x -> x <> '') AS tokens
+             |  FROM documents
+             |),
+             |pos AS (
+             |  SELECT doc_id, i AS pos, tokens[i] AS term
+             |  FROM toks, LATERAL (SELECT unnest(range(1, len(tokens) + 1)) AS i)
+             |)
+             |SELECT a.doc_id, count(*) AS n_hits
+             |FROM pos a JOIN pos b
+             |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |WHERE a.term = 'table' AND b.term = 'hash'
+             |GROUP BY a.doc_id
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val pos = t.documents.select(col("doc_id"),
+          posexplode(Text.tokenize(col("text"))).as(Seq("pos", "term")))
+        val a = pos.filter(col("term") === "table")
+          .select(col("doc_id"), col("pos").as("pa"))
+        val b = pos.filter(col("term") === "hash")
+          .select(col("doc_id").as("db"), col("pos").as("pb"))
+        ordered(
+          a.join(b, col("doc_id") === col("db") && col("pb") === col("pa") + 1)
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_hits"))
+        )
+      }
+    ),
+    Q(
       "d3_search_bm25",
       // BM25 ranking (k1=1.2, b=0.75) — the production-grade D3 scorer:
       // idf = ln((N - df + 0.5)/(df + 0.5) + 1), tf saturation + doc
