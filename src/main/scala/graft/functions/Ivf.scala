@@ -50,27 +50,48 @@ object Ivf {
   private def centsF32(cents: DataFrame): DataFrame =
     cents.select(col("cluster"), col("centroid").cast("array<float>").as("centroid"))
 
+  /** Argmax ordering packed into ONE decimal(38,0): max(struct(sim,
+    * cluster)) would demote the aggregate to SortAggregate (structs
+    * aren't mutable agg-buffer types); a packed numeric keeps the
+    * HashAggregate with map-side partials. sim in [-1,1] shifts to
+    * [0,1e15] at 1e-15 resolution (beyond double ulp near 1), low four
+    * digits carry the min-cluster tiebreak. */
+  private def packScore(sim: org.apache.spark.sql.Column,
+      cluster: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round((sim + 1.0) * 5e14).cast("decimal(38,0)") * 10000 +
+      (lit(9999) - cluster).cast("decimal(38,0)")
+
+  private def unpackCluster(packed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (lit(9999) - pmod(packed, lit(10000))).cast("int")
+
   /** Nearest-centroid assignment carrying the vector:
     * (vec_id, embedding, cluster). The embedding is constant per vec_id
-    * across the centroid cross join, so `first` is exact. */
+    * across the centroid cross join, so `first` is exact.
+    *
+    * Deliberate trade: `first` over an array buffer demotes this
+    * aggregate to sort-based (arrays aren't mutable agg-buffer types),
+    * but the partial/final structure still reduces k*n rows to n before
+    * the shuffle, and the alternative — aggregating ids only and shuffle-
+    * joining embeddings back per Lloyd iteration — costs a second corpus
+    * scan plus a join per iteration (measured worse in round 2). */
   private def assignKeepVec(embeddings: DataFrame, cents: DataFrame): DataFrame =
     embeddings.crossJoin(broadcast(centsF32(cents)))
       .select(col("vec_id"), col("embedding"),
-        struct(Vectors.cosineFast(col("embedding"), col("centroid")).as("sim"),
-          col("cluster").as("cluster")).as("sc"))
+        packScore(Vectors.cosineFast(col("embedding"), col("centroid")),
+          col("cluster")).as("p"))
       .groupBy(col("vec_id"))
-      .agg(max(col("sc")).as("best"), first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("embedding"), col("best.cluster").as("cluster"))
+      .agg(max(col("p")).as("best"), first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), unpackCluster(col("best")).as("cluster"))
 
   /** Nearest-centroid assignment: (vec_id, cluster). */
   def assign(embeddings: DataFrame, cents: DataFrame): DataFrame =
     embeddings.crossJoin(broadcast(centsF32(cents)))
       .select(col("vec_id"),
-        struct(Vectors.cosineFast(col("embedding"), col("centroid")).as("sim"),
-          col("cluster").as("cluster")).as("sc"))
+        packScore(Vectors.cosineFast(col("embedding"), col("centroid")),
+          col("cluster")).as("p"))
       .groupBy(col("vec_id"))
-      .agg(max(col("sc")).as("best"))
-      .select(col("vec_id"), col("best.cluster").as("cluster"))
+      .agg(max(col("p")).as("best"))
+      .select(col("vec_id"), unpackCluster(col("best")).as("cluster"))
 
   /** The inverted file: (cluster, vec_id, embedding). At scale this is
     * what you bucket/partition by cluster on disk. */
