@@ -368,6 +368,27 @@ class FunctionsSpec extends AnyFunSuite {
       s"union-of-parts $merged diverges from direct $direct")
   }
 
+  test("A6: count-min sketch frequency estimates bound true counts from above") {
+    import spark.implicits._
+    val t = graft.sources.Tables(spark, sf)
+    val events = t.events.select(col("event_type"))
+    val exact = events.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    // one aggregate pass builds the mergeable sketch (eps=1%, conf=99%)
+    val bytes = events
+      .agg(expr("count_min_sketch(event_type, 0.01d, 0.99d, 42)"))
+      .collect().head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    exact.foreach { case (k, c) =>
+      val est = cms.estimateCount(k)
+      // CMS never undercounts; overcount bounded by eps * total
+      assert(est >= c, s"$k undercounted: $est < $c")
+      assert(est <= c + (0.01 * n).toLong + 1, s"$k overcounted: $est vs $c (n=$n)")
+    }
+  }
+
   test("A6: approx_count_distinct lands within its rsd of the exact count") {
     import spark.implicits._
     val t = graft.sources.Tables(spark, sf)
