@@ -311,7 +311,7 @@ class DocStore(spark: SparkSession, root: String, nShards: Int = 16) {
     * frequencies and corpus size. Stale after writes until rebuilt —
     * the usual search-index contract. */
   def buildIndex(): Unit = {
-    val latest = latestText.localCheckpoint() // one corpus scan for all three
+    val latest = latestText.localCheckpoint() // one corpus scan for all four
     val postings = postingsOf(latest)
     postings.repartition(col("term")).sortWithinPartitions(col("term"))
       .write.mode("overwrite").parquet(s"$root/_index/postings")
@@ -319,6 +319,14 @@ class DocStore(spark: SparkSession, root: String, nShards: Int = 16) {
       .write.mode("overwrite").parquet(s"$root/_index/dfreq")
     latest.agg(count(lit(1)).as("n_docs"))
       .write.mode("overwrite").parquet(s"$root/_index/stats")
+    // positional postings (term-sorted like the tf postings, so the
+    // per-term pushed filter skips non-matching row groups): the extra
+    // relation that upgrades term search to phrase search
+    latest
+      .select(col("filename"), col("version"),
+        posexplode(Text.tokenize(col("text"))).as(Seq("pos", "term")))
+      .repartition(col("term")).sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$root/_index/positions")
   }
 
   /** TF-IDF search against the persisted index: reads ONLY postings rows
@@ -330,6 +338,34 @@ class DocStore(spark: SparkSession, root: String, nShards: Int = 16) {
     val dfreq = spark.read.parquet(s"$root/_index/dfreq")
     val nDocs = spark.read.parquet(s"$root/_index/stats")
     scoreAndRank(postings, dfreq, nDocs, query, topK)
+  }
+
+  /** Phrase search against the persisted positional index: term i of the
+    * phrase must appear at position p+i of the same (filename, version).
+    * Each term's position list is read with a pushed equality filter
+    * (term-sorted parquet skips other row groups) and the lists join on
+    * aligned positions — the Solr phrase-query capability (DMS.py:350),
+    * never re-tokenizing the corpus. Returns (filename, version, n_hits)
+    * ranked by hit count. */
+  def searchPhrase(phrase: String, topK: Int = 10): DataFrame = {
+    val terms = phrase.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "empty phrase")
+    val pos = spark.read.parquet(s"$root/_index/positions")
+    val first = pos.filter(col("term") === terms.head)
+      .select(col("filename"), col("version"), col("pos"))
+    val matches = terms.zipWithIndex.drop(1).foldLeft(first) { case (acc, (t, i)) =>
+      acc.join(
+          pos.filter(col("term") === t)
+            .select(col("filename").as("f2"), col("version").as("v2"),
+              (col("pos") - i).as("p2")),
+          col("filename") === col("f2") && col("version") === col("v2") &&
+            col("pos") === col("p2"))
+        .select(col("filename"), col("version"), col("pos"))
+    }
+    matches.groupBy(col("filename"), col("version"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("n_hits").desc, col("filename").asc)
+      .limit(topK)
   }
 
   private val NdHashes = 8

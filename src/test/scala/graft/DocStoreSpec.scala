@@ -141,6 +141,23 @@ class DocStoreSpec extends AnyFunSuite {
     assert(s.searchIndexed("spark").collect().map(_.getString(0)).headOption.contains("new.txt"))
   }
 
+  test("phrase search: adjacent positions only, multi-term, counts hits") {
+    val s = newStore()
+    s.upload("a.txt", "spark window functions beat spark window hacks".getBytes)
+    s.upload("b.txt", "window spark is reversed here".getBytes)
+    s.upload("c.txt", "spark alone and window alone".getBytes)
+    s.buildIndex()
+    // bigram: both occurrences in a.txt count; b.txt is reversed, c.txt split
+    val hits = s.searchPhrase("spark window").collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    assert(hits.toSeq == Seq(("a.txt", 2L)))
+    // trigram spans the first occurrence only
+    val tri = s.searchPhrase("spark window functions").collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    assert(tri.toSeq == Seq(("a.txt", 1L)))
+    assert(s.searchPhrase("window hacks beat").isEmpty)
+  }
+
   test("near-dup index: findNearDups ranks the overlapping doc, skips others") {
     val s = newStore()
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
