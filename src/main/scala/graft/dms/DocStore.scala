@@ -202,6 +202,22 @@ class DocStore(spark: SparkSession, root: String, nShards: Int = 16) {
   def latestVersions: DataFrame =
     all.groupBy(col("filename")).agg(max(col("version")).as("version"))
 
+  /** Garbage-collect superseded generations, keeping the live one plus
+    * `keep` predecessors (time-travel/readers-in-flight window — the
+    * vacuum contract of every copy-on-write table format). Never touches
+    * the live generation or the indexes. Returns the deleted dirs. */
+  def vacuum(keep: Int = 1): Seq[String] = {
+    val live = currentGen
+    val deletable = (0 until math.max(0, live - keep))
+      .map(genDir).filter(d => Files.exists(Paths.get(d)))
+    deletable.foreach { d =>
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(d)).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+    deletable
+  }
+
   /** Store statistics in one scan: distinct files, total versions, total
     * content bytes — the operational health check an admin runs. Two-level
     * rollup (per-file, then global) instead of count + countDistinct in

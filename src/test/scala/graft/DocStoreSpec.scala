@@ -24,6 +24,23 @@ class DocStoreSpec extends AnyFunSuite {
     assert(s.versions("a.txt") == (1 to 11))
   }
 
+  test("vacuum deletes superseded generations, keeps live + window") {
+    val s = newStore()
+    (1 to 3).foreach(i => s.upload("a.txt", s"content v$i".getBytes))
+    // updates rewrite into fresh generations (copy-on-write), leaving
+    // superseded generation dirs behind — what vacuum reclaims
+    (1 to 3).foreach(i => s.update("a.txt", s"updated $i".getBytes))
+    val before = s.all.count()
+    val deleted = s.vacuum(keep = 1)
+    assert(deleted.nonEmpty)
+    // live data unaffected, all versions still readable
+    assert(s.all.count() == before)
+    assert(s.versions("a.txt") == (1 to 3))
+    assert(new String(s.download("a.txt").get) == "updated 3")
+    // idempotent: second vacuum deletes nothing more
+    assert(s.vacuum(keep = 1).isEmpty)
+  }
+
   test("stats reports files, versions, bytes in one scan") {
     val s = newStore()
     s.upload("a.txt", "12345".getBytes)
