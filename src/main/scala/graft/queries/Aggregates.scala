@@ -442,6 +442,76 @@ object Aggregates {
       }
     ),
     Q(
+      "tpch_q6",
+      // TPC-H Q6 shape (forecast revenue): pure scan-filter-aggregate —
+      // every predicate reaches the parquet scan, one partial/final agg,
+      // no shuffle beyond the single-row final
+      Some("""SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |                     * CAST(l_discount AS DECIMAL(8,2))), 4)
+             |            AS DOUBLE) AS revenue,
+             |       count(*) AS n
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_discount BETWEEN 0.03 AND 0.07
+             |  AND l_quantity < 24
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.lineitem
+            .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+              col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+              col("l_discount").between(0.03, 0.07) &&
+              col("l_quantity") < 24)
+            .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)")
+                * col("l_discount").cast("decimal(8,2)")), 4)
+                .cast("double").as("revenue"),
+              count(lit(1)).as("n"))
+        )
+      }
+    ),
+    Q(
+      "tpch_q10",
+      // TPC-H Q10 shape (returned-item reporting): fact filter on the
+      // return flag -> order window filter -> customer/nation broadcast
+      // -> revenue per customer -> global top-20
+      Some("""SELECT * FROM (
+             |  SELECT c_custkey, c_name, n_name,
+             |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |                   * (1 - CAST(l_discount AS DECIMAL(8,2)))), 4)
+             |         AS DOUBLE) AS revenue
+             |  FROM customer
+             |  JOIN orders ON c_custkey = o_custkey
+             |  JOIN lineitem ON l_orderkey = o_orderkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  WHERE l_returnflag = 'R'
+             |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+             |  GROUP BY c_custkey, c_name, n_name
+             |  ORDER BY revenue DESC, c_custkey ASC
+             |  LIMIT 20)
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val px   = col("l_extendedprice").cast("decimal(18,2)")
+        val disc = col("l_discount").cast("decimal(8,2)")
+        ordered(
+          t.customer
+            .join(t.orders, col("c_custkey") === col("o_custkey"))
+            .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+              col("o_orderdate") < to_timestamp(lit("1996-07-01 00:00:00")))
+            .join(t.lineitem.filter(col("l_returnflag") === "R"),
+              col("o_orderkey") === col("l_orderkey"))
+            .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+            .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+            .agg(round(sum(px * (lit(1) - disc)), 4).cast("double").as("revenue"))
+            .orderBy(col("revenue").desc, col("c_custkey").asc)
+            .limit(20)
+        )
+      }
+    ),
+    Q(
       "tpch_q5",
       // TPC-H Q5 shape (local-supplier revenue): six-way join where the
       // region/nation/supplier dims broadcast and the extra
