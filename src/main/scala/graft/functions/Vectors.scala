@@ -86,29 +86,24 @@ object Vectors {
   def dotInt(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
-  /** Sign-LSH bucket key: the sign bits of `nPlanes` pseudo-random
-    * hyperplane projections, packed into a long. Plane coefficients are
-    * derived per (plane, dimension) from xxhash64 — deterministic, no
-    * stored model, identical on every executor. The 100 TB ANN path:
-    * bucket both sides, join on bucket, rerank the candidates exactly.
+  /** md5-derived hyperplane coefficient for (plane, dimension d):
+    * uniform in [-1, 1) from the top 60 bits of `md5("plane:d")` — the
+    * engine-portable hash family (same pattern as SampleOps.bucket100).
+    * DuckDB reproduces it bit-for-bit as
+    * `('0x' || substring(md5(plane || ':' || d), 1, 15))::BIGINT
+    *    / 1152921504606846976.0 * 2 - 1`
+    * (long→double is IEEE round-to-nearest in both engines; the divisor
+    * is a power of two, so the scaling is exact).
+    *
+    * Planes are data-independent constants, so they are computed ONCE
+    * driver-side and shipped as literal arrays — zero per-row hashing,
+    * and the projection stays a plain codegen'd fold.
     */
-  def lshBucket(v: Column, nPlanes: Int, seed: Long = 42L): Column = {
-    val dv = toDouble(v)
-    val bits: Seq[Column] = (0 until nPlanes).map { p =>
-      // plane coefficient for (p, i): xxhash64 → uniform in [-1, 1]
-      val proj = aggregate(
-        zip_with(
-          dv,
-          sequence(lit(0), size(dv) - 1),
-          (x, i) =>
-            x * (xxhash64(lit(p), i, lit(seed)).cast("double") / lit(Long.MaxValue.toDouble))
-        ),
-        lit(0.0),
-        (acc, x) => acc + x
-      )
-      when(proj >= 0.0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _).as("lsh_bucket")
+  def planeCoef(plane: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$plane:$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16).toDouble / (1L << 60).toDouble * 2.0 - 1.0
   }
 
   /** Multi-table sign-LSH keys: `nTables` independent tables of
@@ -119,22 +114,19 @@ object Vectors {
     * This is the actual 100 TB ANN path: single-table recall decays with
     * bucket count, but P(miss) = (1 - p^k)^L decays exponentially in L, so
     * recall is a dial (more tables) that costs linear work, not quadratic.
+    *
+    * Coefficients come from [[planeCoef]], so the identical bucket
+    * assignment is expressible in ANSI SQL — the whole candidate → rerank
+    * pipeline is exact-hash-checkable against DuckDB.
     */
-  def lshTables(v: Column, planesPerTable: Int, nTables: Int, seed: Long = 42L): Column = {
+  def lshTables(v: Column, planesPerTable: Int, nTables: Int, dim: Int = 64): Column = {
+    val dv = toDouble(v)
     val keys: Seq[Column] = (0 until nTables).map { t =>
-      val dv = toDouble(v)
       val bits: Seq[Column] = (0 until planesPerTable).map { p =>
         val plane = t * planesPerTable + p
-        val proj = aggregate(
-          zip_with(
-            dv,
-            sequence(lit(0), size(dv) - 1),
-            (x, i) =>
-              x * (xxhash64(lit(plane), i, lit(seed)).cast("double") / lit(Long.MaxValue.toDouble))
-          ),
-          lit(0.0),
-          (acc, x) => acc + x
-        )
+        val coefs = typedlit((0 until dim).map(d => planeCoef(plane, d)))
+        val proj = aggregate(zip_with(dv, coefs, (x, c) => x * c),
+          lit(0.0), (acc, x) => acc + x)
         when(proj >= 0.0, lit(1L << p)).otherwise(lit(0L))
       }
       bits.reduce(_ + _) + lit(t.toLong * (1L << planesPerTable))

@@ -21,6 +21,34 @@ import graft.sources.Tables
   */
 object VectorOps {
 
+  /** DuckDB twin of [[Vectors.lshTables]] over a double-list column `v`:
+    * the same md5-derived plane family ([[Vectors.planeCoef]]), the same
+    * left-fold projection, the same `table * 2^k + bucket` key packing —
+    * so bucket assignment is exact-hash-checkable across engines. */
+  private def lshKeysSql(v: String, planesPerTable: Int, nTables: Int): String = {
+    val tables = (0 until nTables).map { t =>
+      val bits = (0 until planesPerTable).map { p =>
+        val plane = t * planesPerTable + p
+        s"(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"[$v[i] * (('0x' || substring(md5('$plane:' || (i - 1)), 1, 15))::BIGINT " +
+          s"/ 1152921504606846976.0 * 2 - 1) FOR i IN range(1, len($v) + 1)]), " +
+          s"(acc, x) -> acc + x) >= 0.0 THEN ${1L << p} ELSE 0 END)"
+      }
+      s"(${bits.mkString(" + ")} + ${t.toLong * (1L << planesPerTable)})"
+    }
+    s"[${tables.mkString(", ")}]"
+  }
+
+  /** DuckDB cosine over two double-list columns — the strict-left-fold
+    * formula bit-identical to [[Vectors.cosineFast]]. */
+  private def cosSql(a: String, b: String): String =
+    s"(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"[$a[i] * $b[i] FOR i IN range(1, len($a) + 1)]), (acc, x) -> acc + x) " +
+      s"/ (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"[$a[i] * $a[i] FOR i IN range(1, len($a) + 1)]), (acc, x) -> acc + x)) " +
+      s"* sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"[$b[i] * $b[i] FOR i IN range(1, len($b) + 1)]), (acc, x) -> acc + x))))"
+
   val all: Seq[Q] = Seq(
     Q(
       "d6_cosine_topk",
@@ -74,25 +102,34 @@ object VectorOps {
       // per-vector symmetric int8 quantization — the 100 TB storage/IO
       // codec for embeddings (4x smaller scans, integer candidate math).
       // floor(x+0.5) not round(): IEEE-identical in both engines.
+      // Output is posexploded to scalar (vec_id, dim, scale, qval) rows —
+      // the a10_centroid shape — so the compare harness can canonicalize
+      // it (array-typed columns are unsortable in its pandas path).
       Some("""WITH dv AS (
              |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
              |  FROM embeddings
              |),
              |mx AS (
              |  SELECT vec_id, v, list_max([abs(x) FOR x IN v]) AS m FROM dv
+             |),
+             |qz AS (
+             |  SELECT vec_id, round(m / 127.0, 4) AS scale,
+             |         [CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+             |               ELSE CAST(floor(x * 127.0 / m + 0.5) AS BIGINT) END
+             |          FOR x IN v] AS q
+             |  FROM mx
              |)
-             |SELECT vec_id, m / 127.0 AS scale,
-             |       [CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
-             |             ELSE CAST(floor(x * 127.0 / m + 0.5) AS BIGINT) END
-             |        FOR x IN v] AS q
-             |FROM mx
+             |SELECT vec_id, generate_subscripts(q, 1) - 1 AS dim, scale,
+             |       unnest(q) AS qval
+             |FROM qz
              |ORDER BY ALL NULLS FIRST""".stripMargin),
       (spark, dir) => {
         val t = Tables(spark, dir)
         ordered(
           t.embeddings.select(col("vec_id"),
-            Vectors.quantScale(col("embedding")).as("scale"),
-            Vectors.quantizeInt8(col("embedding")).as("q"))
+            r4(Vectors.quantScale(col("embedding"))).as("scale"),
+            posexplode(Vectors.quantizeInt8(col("embedding"))).as(Seq("dim", "qval")))
+            .select(col("vec_id"), col("dim"), col("scale"), col("qval"))
         )
       }
     ),
@@ -207,10 +244,32 @@ object VectorOps {
     ),
     Q(
       "d6_lsh_ann",
-      // multi-table sign-LSH ANN: xxhash64-derived hyperplanes have no
-      // DuckDB equivalent, so this is a rows-only check; FunctionsSpec
-      // verifies recall against the brute-force baseline
-      None,
+      // multi-table sign-LSH ANN, exact-hash-checked: the md5-derived
+      // plane family (Vectors.planeCoef) is reproducible in ANSI SQL, so
+      // bucket assignment AND the candidate → rerank → top-k pipeline
+      // hash-match DuckDB; FunctionsSpec additionally pins recall vs the
+      // brute-force baseline
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+              |  FROM embeddings
+              |),
+              |k AS (
+              |  SELECT vec_id, v, unnest(${lshKeysSql("v", 4, 8)}) AS b FROM e
+              |),
+              |q AS (SELECT vec_id AS q_id, v AS qv, b FROM k WHERE vec_id < 20),
+              |c AS (SELECT vec_id AS c_id, v AS cv, b FROM k WHERE vec_id >= 20),
+              |cand AS (
+              |  SELECT DISTINCT q_id, c_id, round(${cosSql("qv", "cv")}, 4) AS cos
+              |  FROM c JOIN q USING (b)
+              |),
+              |ranked AS (
+              |  SELECT q_id, c_id, cos,
+              |         row_number() OVER (PARTITION BY q_id
+              |                            ORDER BY cos DESC, c_id ASC) AS rn
+              |  FROM cand
+              |)
+              |SELECT q_id, rn, c_id, cos FROM ranked WHERE rn <= 5
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
       (spark, dir) => {
         val t = Tables(spark, dir)
         val e = t.embeddings
@@ -233,6 +292,59 @@ object VectorOps {
         ordered(
           cand.withColumn("rn", row_number().over(w))
             .filter(col("rn") <= 5)
+            .select(col("q_id"), col("rn"), col("c_id"), col("cos"))
+        )
+      }
+    ),
+    Q(
+      "d5_embedding_neardup_lsh",
+      // the PRODUCTION embedding near-dup operator: LSH candidate
+      // generation (ids + bucket keys ride the shuffle, never vectors) →
+      // exact cosine rerank by id re-fetch → threshold. Same (i, j, cos)
+      // schema as the exact d5_embedding_neardup fence, but no cartesian
+      // anywhere in the plan (ScaleShapeSpec asserts it) — the shape you
+      // actually run on a 100 TB corpus. Exact-hash-checked end to end.
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+              |  FROM embeddings
+              |),
+              |k AS (
+              |  SELECT vec_id, unnest(${lshKeysSql("v", 4, 8)}) AS b FROM e
+              |),
+              |cand AS (
+              |  SELECT DISTINCT a.vec_id AS i, c.vec_id AS j
+              |  FROM k a JOIN k c ON a.b = c.b AND a.vec_id < c.vec_id
+              |),
+              |scored AS (
+              |  SELECT i, j, ${cosSql("ea.v", "eb.v")} AS c
+              |  FROM cand
+              |  JOIN e ea ON ea.vec_id = cand.i
+              |  JOIN e eb ON eb.vec_id = cand.j
+              |)
+              |SELECT i, j, round(c, 4) AS cos FROM scored WHERE c >= 0.45
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val e = t.embeddings
+        // keys computed once, both join sides read the materialized copy
+        val keys = e.select(col("vec_id"),
+          explode(Vectors.lshTables(col("embedding"), planesPerTable = 4,
+            nTables = 8)).as("b"))
+          .localCheckpoint()
+        val cand = keys.select(col("vec_id").as("i"), col("b"))
+          .join(keys.select(col("vec_id").as("j"), col("b")), "b")
+          .filter(col("i") < col("j"))
+          .select(col("i"), col("j"))
+          .distinct()
+        // rerank re-fetches vectors BY ID — two equi-joins, no cartesian
+        val ea = e.select(col("vec_id").as("i"), col("embedding").as("ea"))
+        val eb = e.select(col("vec_id").as("j"), col("embedding").as("eb"))
+        ordered(
+          cand.join(ea, "i").join(eb, "j")
+            .select(col("i"), col("j"),
+              Vectors.cosineFast(col("ea"), col("eb")).as("c"))
+            .filter(col("c") >= 0.45)
+            .select(col("i"), col("j"), r4(col("c")).as("cos"))
         )
       }
     ),

@@ -258,6 +258,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH top-1 recall $recall too low")
   }
 
+  test("D6: production near-dup (LSH candidates + exact rerank) vs exact pairs") {
+    import spark.implicits._
+    // the production operator must return a SUBSET of the exact >= 0.45
+    // pairs (precision 1.0 — the rerank is exact) with usable recall
+    val exact = SparkEntry.queries("d5_embedding_neardup")(spark, sf)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val prod = SparkEntry.queries("d5_embedding_neardup_lsh")(spark, sf)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(prod.subsetOf(exact),
+      s"LSH near-dup produced pairs outside the exact set: ${prod -- exact}")
+    if (exact.nonEmpty) {
+      val recall = prod.size.toDouble / exact.size
+      assert(recall >= 0.5, s"LSH near-dup recall $recall too low ($prod of $exact)")
+    }
+  }
+
   test("D6: int8-quantized shortlist + exact rerank recovers the exact top-1") {
     import spark.implicits._
     val t = graft.sources.Tables(spark, sf)

@@ -160,4 +160,16 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"unexpected join:\n$plan")
     assert(!plan.contains("HashAggregate"), s"unexpected aggregate:\n$plan")
   }
+
+  test("production embedding near-dup is bucketed equi-joins, never a cartesian") {
+    // d5_embedding_neardup_lsh is the scale-safe twin of the fenced exact
+    // all-pairs baseline: LSH bucket self-join (ids + keys only) → id
+    // re-fetch rerank. The plan must contain only equi-joins.
+    val plan = executedPlan(SparkEntry.queries("d5_embedding_neardup_lsh")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"cartesian in the production near-dup plan:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"no equi-join in the production near-dup plan:\n$plan")
+  }
 }
