@@ -25,10 +25,18 @@ object Ivf {
     * (cluster: int, centroid: array<double>). */
   def train(embeddings: DataFrame, k: Int, iters: Int = 2): DataFrame = {
     val centroidAgg = udaf(Centroid)
-    // deterministic seeding: the k lowest vec_ids
-    var cents = embeddings.orderBy(col("vec_id")).limit(k)
-      .select(row_number().over(Window.orderBy(col("vec_id"))).minus(1).as("cluster"),
-        col("embedding").cast("array<double>").as("centroid"))
+    // deterministic seeding: the k lowest vec_ids. Cluster ids come from
+    // a k-sized literal id→rank map (k rows already live on the driver by
+    // construction) — not a Window.orderBy over the whole relation, which
+    // would spam the misleading "No Partition Defined" scale warning.
+    val seeds = embeddings.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("centroid"))
+      .localCheckpoint()
+    val ranks: Map[Long, Int] = seeds.select(col("vec_id")).collect()
+      .map(_.getLong(0)).sorted.zipWithIndex.toMap
+    var cents = seeds
+      .select(element_at(typedlit(ranks), col("vec_id")).as("cluster"),
+        col("centroid"))
       .localCheckpoint()
     (0 until iters).foreach { _ =>
       // one embeddings scan per iteration: the vector rides through the
