@@ -480,6 +480,111 @@ object VectorOps {
     )
     ,
     Q(
+      "d6_ivf_assign",
+      // IVF nearest-centroid assignment over the FROZEN committed
+      // centroid fixture (fixtures/ivf_centroids.parquet, FixtureGen):
+      // with fixed centroids the packed-decimal argmax (Ivf.packScore) is
+      // exact integer math both engines reproduce — the assignment path
+      // of the IVF index is exact-hash-checked; only Lloyd training
+      // (float sums over shuffle order) stays spec-checked.
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+              |  FROM embeddings
+              |),
+              |cents AS (
+              |  SELECT cluster, [CAST(x AS DOUBLE) FOR x IN centroid] AS cv
+              |  FROM '/root/repo/fixtures/ivf_centroids.parquet'
+              |),
+              |scored AS (
+              |  SELECT e.vec_id, cents.cluster, ${cosSql("e.v", "cents.cv")} AS sim
+              |  FROM e CROSS JOIN cents
+              |),
+              |packed AS (
+              |  SELECT vec_id,
+              |         max(CAST(round((sim + 1.0) * 5e14) AS HUGEINT) * 10000
+              |             + (9999 - cluster)) AS p
+              |  FROM scored GROUP BY vec_id
+              |)
+              |SELECT vec_id, CAST(9999 - (p % 10000) AS INTEGER) AS cluster
+              |FROM packed
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val cents = spark.read.parquet("/root/repo/fixtures/ivf_centroids.parquet")
+        ordered(graft.functions.Ivf.assign(t.embeddings, cents))
+      }
+    ),
+    Q(
+      "d6_ivf_search",
+      // IVF probe search over the frozen centroids: index assignment
+      // (packed argmax), nProbe=2 probe selection, exact cosine rerank —
+      // every stage deterministic over the fixture, so the full search
+      // path exact-hash-matches DuckDB. d6_ivf_ann keeps live Lloyd
+      // training and stays rows-only + recall-spec'd.
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+              |  FROM embeddings
+              |),
+              |cents AS (
+              |  SELECT cluster, [CAST(x AS DOUBLE) FOR x IN centroid] AS cv
+              |  FROM '/root/repo/fixtures/ivf_centroids.parquet'
+              |),
+              |corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 20),
+              |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+              |ascore AS (
+              |  SELECT corpus.vec_id, cents.cluster,
+              |         ${cosSql("corpus.v", "cents.cv")} AS sim
+              |  FROM corpus CROSS JOIN cents
+              |),
+              |asg AS (
+              |  SELECT vec_id,
+              |         CAST(9999 - (max(CAST(round((sim + 1.0) * 5e14) AS HUGEINT)
+              |                          * 10000 + (9999 - cluster)) % 10000)
+              |              AS INTEGER) AS cluster
+              |  FROM ascore GROUP BY vec_id
+              |),
+              |pscore AS (
+              |  SELECT q.q_id, q.qv, cents.cluster,
+              |         ${cosSql("q.qv", "cents.cv")} AS sim
+              |  FROM q CROSS JOIN cents
+              |),
+              |probes AS (
+              |  SELECT q_id, qv, cluster FROM (
+              |    SELECT q_id, qv, cluster,
+              |           row_number() OVER (PARTITION BY q_id
+              |                              ORDER BY sim DESC, cluster ASC) AS pr
+              |    FROM pscore)
+              |  WHERE pr <= 2
+              |),
+              |cand AS (
+              |  SELECT p.q_id, c.vec_id, ${cosSql("p.qv", "c.v")} AS cos
+              |  FROM probes p
+              |  JOIN asg a USING (cluster)
+              |  JOIN corpus c ON c.vec_id = a.vec_id
+              |),
+              |ranked AS (
+              |  SELECT q_id, vec_id, cos,
+              |         row_number() OVER (PARTITION BY q_id
+              |                            ORDER BY cos DESC, vec_id ASC) AS rn
+              |  FROM cand
+              |)
+              |SELECT q_id, rn, vec_id, round(cos, 4) AS cos
+              |FROM ranked WHERE rn <= 5
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val cents = spark.read.parquet("/root/repo/fixtures/ivf_centroids.parquet")
+        val e = t.embeddings
+        val ivf = graft.functions.Ivf.index(e.filter(col("vec_id") >= 20), cents)
+        val queries = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        ordered(
+          graft.functions.Ivf.search(ivf, cents, queries, nProbe = 2, topK = 5)
+            .select(col("q_id"), col("rn"), col("vec_id"), r4(col("cos")).as("cos"))
+        )
+      }
+    ),
+    Q(
       "d6_ivf_ann",
       // IVF ANN (mandate's second scale path): 8 coarse centroids, 2
       // Lloyd iterations, probe the 2 nearest lists, exact rerank.

@@ -117,6 +117,8 @@ class ScaleShapeSpec extends AnyFunSuite {
       "d3_search_tfidf", "d3_search_bm25", // 1-row n_docs / avgdl stats
       "d6_cosine_topk", // small query set x corpus, reranked top-k
       "d6_ivf_ann", // k-row centroid relation x vectors (assignment)
+      "d6_ivf_assign", "d6_ivf_search", // same k-row centroid cross joins
+      // over the frozen fixture
       "d6_sq_rerank" // stage-1 shortlist: broadcast query set x corpus
       // over int8 vectors (4x lighter than the float equivalent above)
     )
