@@ -134,6 +134,43 @@ object DedupOps {
       }
     ),
     Q(
+      "d5_ngram_jaccard_capped",
+      // the maxShingleDf valve ON (df cap 2): shingles held by more than
+      // two docs are dropped BEFORE the posting-list self-join — the
+      // 100 TB hot-bucket guard. The oracle applies the identical df
+      // filter, proving the valve changes results exactly as documented
+      // (Jaccard is the true Jaccard of the capped shingle sets).
+      Some(s"""WITH $shinglesCte,
+              |capped AS (
+              |  SELECT doc_id, shingle FROM sh
+              |  WHERE shingle NOT IN (
+              |    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 2)
+              |),
+              |sizes AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY 1),
+              |inter AS (
+              |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+              |  FROM capped x JOIN capped y
+              |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              |  GROUP BY 1, 2
+              |)
+              |SELECT a, b,
+              |       round(inter * 1.0 / (na.n_sh + nb.n_sh - inter), 4) AS jaccard
+              |FROM inter
+              |JOIN sizes na ON na.doc_id = a
+              |JOIN sizes nb ON nb.doc_id = b
+              |WHERE inter * 1.0 / (na.n_sh + nb.n_sh - inter) >= 0.5
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val docs = t.documents.select(col("doc_id"), col("text"))
+        ordered(
+          Dedup.ngramJaccardPairs(docs, shingleWidth = 3, minJaccard = 0.5,
+            maxShingleDf = 2L)
+            .select(col("a"), col("b"), r4(col("jaccard")).as("jaccard"))
+        )
+      }
+    ),
+    Q(
       "d5_simhash",
       // per-bit majority vote over md5 hex-digit parity — both engines
       // compute the identical 32-bit value, so this is hash-checkable
