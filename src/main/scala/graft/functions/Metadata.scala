@@ -25,11 +25,11 @@ object Metadata {
       ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
 
   /** Little-endian unsigned 16-bit read (GIF/BMP/WAV fields). */
-  private def u16le(b: Array[Byte], i: Int): Int =
+  private[graft] def u16le(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
 
   /** Little-endian unsigned 32-bit read (BMP/WAV fields). */
-  private def u32le(b: Array[Byte], i: Int): Long =
+  private[graft] def u32le(b: Array[Byte], i: Int): Long =
     (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
       ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
 

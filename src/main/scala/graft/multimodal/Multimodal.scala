@@ -12,12 +12,13 @@ import graft.functions.Metadata
   * per partition, vectorized batch through the partition iterator — the
   * same batch shape a Pandas-UDF/Arrow path would have in PySpark).
   *
-  * The actual codec calls are STUBBED (this container has no image/audio
-  * libraries): `decodeStub` derives deterministic pseudo-features from the
-  * real header metadata + content hash, so every schema, partition, and
-  * pipeline contract is real and tested while the codec body remains a
-  * drop-in replacement point — swap [[MediaDecoder.decode]] for a JNI/
-  * javacv call and nothing else changes.
+  * Codec status: BMP pixel arrays and WAV 16-bit PCM are decoded FOR REAL
+  * in pure JVM code ([[decodeBmp]]/[[decodeWav]] — exact integer pixel/
+  * sample statistics, oracle-checked); compressed formats (JPEG/PNG/video)
+  * remain behind the declared stub seam (`decodeStub` derives deterministic
+  * pseudo-features from real header metadata + content hash), because this
+  * container has no codec libraries — swap [[MediaDecoder.decode]] for a
+  * JNI/javacv call and nothing else changes.
   */
 object Multimodal {
 
@@ -76,6 +77,186 @@ object Multimodal {
     }
   }
 
+  /** Exact integer pixel statistics decoded from a real BMP pixel array —
+    * sums are exact Longs so an oracle can reproduce them bit-for-bit.
+    * `first_px` is the channel-sum of the VISUAL top-left pixel, which in a
+    * bottom-up BMP lives in the LAST stored row (order-sensitive, so it
+    * proves row-direction handling; the sums prove padding handling). */
+  case class BmpStats(
+      width: Int, height: Int, n_px: Long,
+      pix_sum: Long, pix_sq_sum: Long, first_px: Long)
+
+  /** Exact integer sample statistics decoded from real 16-bit PCM WAV data. */
+  case class WavStats(
+      sample_rate: Int, channels: Int, bits: Int,
+      n_samples: Long, smp_sum: Long, smp_sq_sum: Long, zero_cross: Long)
+
+  /** Real BMP decode: BITMAPINFOHEADER, uncompressed (BI_RGB) 24-bit only
+    * — the one BMP variant that is a pure pixel array. Handles bottom-up
+    * (height > 0) and top-down (height < 0) row order and the 4-byte row
+    * padding. Returns None for anything it can't decode losslessly. */
+  def decodeBmp(bytes: Array[Byte]): Option[BmpStats] = {
+    import Metadata.{u16le, u32le}
+    if (bytes == null || bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M')
+      return None
+    val dataOff = u32le(bytes, 10)
+    val width = u32le(bytes, 18).toInt // signed i32
+    val rawH = u32le(bytes, 22).toInt
+    val bpp = u16le(bytes, 28)
+    val comp = u32le(bytes, 30)
+    if (bpp != 24 || comp != 0L || width <= 0 || rawH == 0 || width > (1 << 20))
+      return None
+    val height = math.abs(rawH)
+    val bottomUp = rawH > 0
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    if (dataOff < 54L || dataOff + rowSize.toLong * height > bytes.length) return None
+    val off = dataOff.toInt
+    var sum = 0L; var sq = 0L; var first = 0L
+    var y = 0
+    while (y < height) {
+      val stored = if (bottomUp) height - 1 - y else y
+      val base = off + stored * rowSize
+      if (y == 0)
+        first = (bytes(base) & 0xff).toLong + (bytes(base + 1) & 0xff) +
+          (bytes(base + 2) & 0xff)
+      var i = 0
+      val rowBytes = width * 3 // excludes padding
+      while (i < rowBytes) {
+        val v = bytes(base + i) & 0xff
+        sum += v; sq += v.toLong * v
+        i += 1
+      }
+      y += 1
+    }
+    Some(BmpStats(width, height, width.toLong * height, sum, sq, first))
+  }
+
+  /** Real WAV PCM decode: RIFF chunk walk to fmt + data, then the actual
+    * 16-bit little-endian samples (all channels, interleaved-flat).
+    * Returns None unless format is integer PCM at 16 bits. */
+  def decodeWav(bytes: Array[Byte]): Option[WavStats] = {
+    import Metadata.{u16le, u32le}
+    if (bytes == null || bytes.length < 44 ||
+      bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
+      bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E')
+      return None
+    var i = 12
+    var fmtCode = 0; var channels = 0; var rate = 0L; var bits = 0
+    var dataOff = -1L; var dataLen = -1L
+    while (i + 8 <= bytes.length) {
+      val id = new String(bytes, i, 4, "US-ASCII")
+      val sz = u32le(bytes, i + 4)
+      if (id == "fmt " && i + 24 <= bytes.length) {
+        fmtCode = u16le(bytes, i + 8)
+        channels = u16le(bytes, i + 10)
+        rate = u32le(bytes, i + 12)
+        bits = u16le(bytes, i + 22)
+      } else if (id == "data" && dataOff < 0) {
+        dataOff = i + 8L; dataLen = sz
+      }
+      val next = i.toLong + 8L + sz + (sz & 1L) // Long space: corrupt sizes can't loop
+      i = if (next > bytes.length.toLong) bytes.length else next.toInt
+    }
+    if (fmtCode != 1 || bits != 16 || channels <= 0 || rate <= 0 || dataOff < 0)
+      return None
+    val end = math.min(dataOff + dataLen, bytes.length.toLong)
+    val n = ((end - dataOff) / 2).toInt
+    var sum = 0L; var sq = 0L; var zc = 0L; var prev = 0
+    var k = 0
+    while (k < n) {
+      val o = (dataOff + 2L * k).toInt
+      val s = (bytes(o) & 0xff) | (bytes(o + 1).toInt << 8) // sign-extended
+      sum += s; sq += s.toLong * s
+      if (k > 0 && ((s < 0) != (prev < 0))) zc += 1
+      prev = s
+      k += 1
+    }
+    Some(WavStats(rate.toInt, channels, bits, n, sum, sq, zc))
+  }
+
+  /** Real decoder for the formats this JVM can decode without any codec
+    * library — BMP pixel arrays and WAV PCM. Features are normalized
+    * summary statistics of the actual pixels/samples; every other format
+    * falls back to [[decodeStub]] (the declared seam). */
+  object realDecoder extends MediaDecoder {
+    def decode(row: MediaRow, featureDim: Int): MediaFeatures = {
+      def pack(vals: Array[Double]): MediaFeatures =
+        MediaFeatures(row.media_id, row.kind, row.width, row.height, 1,
+          Array.tabulate(featureDim)(i => if (i < vals.length) vals(i).toFloat else 0f))
+      val real: Option[MediaFeatures] = row.mime match {
+        case "image/bmp" =>
+          decodeBmp(row.content).map { s =>
+            val n = s.n_px * 3.0
+            val mean = s.pix_sum / n
+            val variance = math.max(s.pix_sq_sum / n - mean * mean, 0.0)
+            pack(Array(mean / 255.0, math.sqrt(variance) / 255.0,
+              s.first_px / 765.0, s.width.toDouble, s.height.toDouble))
+          }
+        case "audio/wav" =>
+          decodeWav(row.content).map { s =>
+            val n = math.max(s.n_samples, 1L).toDouble
+            val mean = s.smp_sum / n
+            val rms = math.sqrt(s.smp_sq_sum / n)
+            val zcr = if (s.n_samples > 1) s.zero_cross / (n - 1) else 0.0
+            pack(Array(mean / 32768.0, rms / 32768.0, zcr,
+              s.sample_rate.toDouble, s.n_samples.toDouble))
+          }
+        case _ => None
+      }
+      real.getOrElse(decodeStub.decode(row, featureDim))
+    }
+  }
+
+  /** Deterministic BMP synthesis (24-bit BI_RGB, bottom-up): stored channel
+    * byte k (row-major over visual rows, padding excluded) has value
+    * `(seed + k) % 256` — closed-form, so a SQL oracle can recompute the
+    * exact pixel statistics the decoder must produce. */
+  def synthBmp(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val dataLen = rowSize * h
+    val b = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val arr = b.array()
+    var y = 0
+    while (y < h) {
+      val base = 54 + (h - 1 - y) * rowSize // bottom-up storage
+      var x = 0
+      val rowBytes = w * 3
+      while (x < rowBytes) {
+        arr(base + x) = ((seed + y.toLong * rowBytes + x) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    arr
+  }
+
+  /** Deterministic mono 16-bit PCM WAV synthesis: sample i is
+    * `((seed + 13*i) % 65536) - 32768` — closed-form for the oracle. */
+  def synthWav(seed: Long, n: Int, rate: Int = 8000): Array[Byte] = {
+    val dataLen = 2 * n
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    b.put("data".getBytes).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      b.putShort((((seed + 13L * i) % 65536) - 32768).toShort)
+      i += 1
+    }
+    b.array()
+  }
+
+  val synthBmpUdf = udf((seed: Long, w: Int, h: Int) => synthBmp(seed, w, h))
+  val synthWavUdf = udf((seed: Long, n: Int) => synthWav(seed, n))
+  val bmpStatsUdf = udf((b: Array[Byte]) => decodeBmp(b))
+  val wavStatsUdf = udf((b: Array[Byte]) => decodeWav(b))
+
   /** Ingest: raw (id, kind, bytes) -> typed media table with sniffed
     * header metadata. Pure column expressions + the D1 sniff UDF. */
   def ingest(raw: DataFrame): DataFrame = {
@@ -126,8 +307,9 @@ object Multimodal {
   }
 
   /** End-to-end pipeline: raw binaries -> typed table -> features. */
-  def pipeline(spark: SparkSession, raw: DataFrame, featureDim: Int = 16): Dataset[MediaFeatures] = {
+  def pipeline(spark: SparkSession, raw: DataFrame, featureDim: Int = 16,
+      decoder: MediaDecoder = decodeStub): Dataset[MediaFeatures] = {
     import spark.implicits._
-    extractFeatures(ingest(raw).as[MediaRow], decodeStub, featureDim)
+    extractFeatures(ingest(raw).as[MediaRow], decoder, featureDim)
   }
 }

@@ -230,6 +230,84 @@ object DmsOps {
       }
     ),
     Q(
+      "mm_decode_bmp",
+      // REAL image decode, exact-hash-checked: deterministic 24-bit BMPs
+      // (width 3..5 so row padding varies, bottom-up rows) are synthesized
+      // per doc, sniffed by ingest, then decoded pixel-by-pixel by
+      // decodeBmp. Channel byte k has value (seed + k) % 256 by
+      // construction, so DuckDB recomputes the exact sums the decoder must
+      // extract from the binary — padding or row-order bugs break the hash.
+      Some("""WITH k AS (SELECT unnest(range(0, 45)) AS k)
+             |SELECT doc_id AS media_id,
+             |       'image/bmp' AS mime,
+             |       CAST(3 + doc_id % 3 AS INT) AS width,
+             |       3 AS height,
+             |       CAST((3 + doc_id % 3) * 3 AS BIGINT) AS n_px,
+             |       CAST(sum((doc_id * 31 + k) % 256) AS BIGINT) AS pix_sum,
+             |       CAST(sum(((doc_id * 31 + k) % 256) * ((doc_id * 31 + k) % 256)) AS BIGINT)
+             |         AS pix_sq_sum,
+             |       CAST((doc_id * 31) % 256 + (doc_id * 31 + 1) % 256
+             |            + (doc_id * 31 + 2) % 256 AS BIGINT) AS first_px
+             |FROM documents CROSS JOIN k
+             |WHERE k < (3 + doc_id % 3) * 9
+             |GROUP BY doc_id
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val mm = graft.multimodal.Multimodal
+        val raw = t.documents.select(
+          col("doc_id").as("media_id"), lit("image").as("kind"),
+          mm.synthBmpUdf(col("doc_id") * 31,
+            (col("doc_id") % 3 + 3).cast("int"), lit(3)).as("content"))
+        val m = mm.ingest(raw) // mime must sniff as image/bmp from real magic bytes
+          .withColumn("s", mm.bmpStatsUdf(col("content")))
+        ordered(
+          m.select(col("media_id"), col("mime"),
+            col("s.width").as("width"), col("s.height").as("height"),
+            col("s.n_px").as("n_px"), col("s.pix_sum").as("pix_sum"),
+            col("s.pix_sq_sum").as("pix_sq_sum"), col("s.first_px").as("first_px"))
+        )
+      }
+    ),
+    Q(
+      "mm_decode_wav",
+      // REAL audio decode, exact-hash-checked: deterministic mono 16-bit
+      // PCM WAVs (64..127 samples, sample i = (seed + 13i) % 65536 - 32768)
+      // are synthesized per doc; sample_rate/duration_ms come from the
+      // header sniff (RIFF chunk walk) and the sums from decoding the
+      // actual little-endian samples. DuckDB recomputes both closed-form.
+      Some("""WITH k AS (SELECT unnest(range(0, 128)) AS k)
+             |SELECT doc_id AS media_id,
+             |       'audio/wav' AS mime,
+             |       8000 AS sample_rate,
+             |       CAST((64 + doc_id % 64) // 8 AS BIGINT) AS duration_ms,
+             |       CAST(64 + doc_id % 64 AS BIGINT) AS n_samples,
+             |       CAST(sum((doc_id * 7 + k * 13) % 65536 - 32768) AS BIGINT) AS smp_sum,
+             |       CAST(sum(((doc_id * 7 + k * 13) % 65536 - 32768)
+             |                * ((doc_id * 7 + k * 13) % 65536 - 32768)) AS BIGINT)
+             |         AS smp_sq_sum
+             |FROM documents CROSS JOIN k
+             |WHERE k < 64 + doc_id % 64
+             |GROUP BY doc_id
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val mm = graft.multimodal.Multimodal
+        val raw = t.documents.select(
+          col("doc_id").as("media_id"), lit("audio").as("kind"),
+          mm.synthWavUdf(col("doc_id") * 7,
+            (col("doc_id") % 64 + 64).cast("int")).as("content"))
+        val m = mm.ingest(raw) // sample_rate + duration_ms from the real header walk
+          .withColumn("s", mm.wavStatsUdf(col("content")))
+        ordered(
+          m.select(col("media_id"), col("mime"), col("sample_rate"),
+            col("duration_ms"),
+            col("s.n_samples").as("n_samples"), col("s.smp_sum").as("smp_sum"),
+            col("s.smp_sq_sum").as("smp_sq_sum"))
+        )
+      }
+    ),
+    Q(
       "d1_metadata_sniff",
       // D1 over the corpus: text bytes sniff as text/plain with exact byte
       // length; image-header parsing is covered by MetadataSpec goldens

@@ -86,6 +86,92 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.toSet == vid.features.toSet && f != vid.features.toSeq)
   }
 
+  // ---- real codecs (BMP pixel array / WAV PCM) ----
+
+  /** Handcrafted 2x2 24-bit BMP. rowSize = 8 (2 padding bytes per row,
+    * set to 0xEE to prove the decoder skips them); rows stored bottom-up
+    * unless topDown. Visual pixels (BGR): (1,2,3)(4,5,6) / (7,8,9)(10,11,12). */
+  private def bmp2x2(topDown: Boolean): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(54 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(70).putInt(0).putInt(54)
+    b.putInt(40).putInt(2).putInt(if (topDown) -2 else 2).putShort(1).putShort(24)
+    b.putInt(0).putInt(16).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val top = Array[Byte](1, 2, 3, 4, 5, 6, 0xee.toByte, 0xee.toByte)
+    val bot = Array[Byte](7, 8, 9, 10, 11, 12, 0xee.toByte, 0xee.toByte)
+    if (topDown) { b.put(top).put(bot) } else { b.put(bot).put(top) }
+    b.array()
+  }
+
+  test("decodeBmp: exact pixel sums, padding skipped, row order honored") {
+    for (topDown <- Seq(false, true)) {
+      val s = Multimodal.decodeBmp(bmp2x2(topDown)).get
+      assert(s.width == 2 && s.height == 2 && s.n_px == 4)
+      assert(s.pix_sum == (1 to 12).sum) // 0xEE padding NOT counted
+      assert(s.pix_sq_sum == (1 to 12).map(v => v * v).sum)
+      // visual top-left pixel is the LAST stored row when bottom-up
+      assert(s.first_px == 1 + 2 + 3, s"topDown=$topDown")
+    }
+    // non-decodable variants return None, never garbage
+    assert(Multimodal.decodeBmp(Array[Byte]('B', 'M', 1, 2)).isEmpty)
+    val bad8bpp = bmp2x2(false).clone(); bad8bpp(28) = 8
+    assert(Multimodal.decodeBmp(bad8bpp).isEmpty)
+  }
+
+  test("decodeWav: exact sample stats from real little-endian PCM") {
+    val b = java.nio.ByteBuffer.allocate(44 + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + 12).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(44100).putInt(88200).putShort(2).putShort(16)
+    b.put("data".getBytes).putInt(12)
+    Seq(100, -100, 100, -100, 0, 50).foreach(v => b.putShort(v.toShort))
+    val s = Multimodal.decodeWav(b.array()).get
+    assert(s.sample_rate == 44100 && s.channels == 1 && s.bits == 16)
+    assert(s.n_samples == 6 && s.smp_sum == 50)
+    assert(s.smp_sq_sum == 4L * 10000 + 2500)
+    assert(s.zero_cross == 4)
+    // 8-bit or float PCM is not decodable here -> None
+    val b8 = b.array().clone(); b8(34) = 8
+    assert(Multimodal.decodeWav(b8).isEmpty)
+  }
+
+  test("synth/decode roundtrip matches the closed-form oracle arithmetic") {
+    for (seed <- Seq(0L, 31L, 12345L); w <- 3 to 5) {
+      val s = Multimodal.decodeBmp(Multimodal.synthBmp(seed, w, 3)).get
+      val vals = (0 until w * 9).map(k => (seed + k) % 256)
+      assert(s.pix_sum == vals.sum && s.pix_sq_sum == vals.map(v => v * v).sum)
+      assert(s.first_px == vals.take(3).sum && s.n_px == w * 3)
+    }
+    val w = Multimodal.decodeWav(Multimodal.synthWav(7L, 100)).get
+    val samples = (0 until 100).map(i => (7L + 13 * i) % 65536 - 32768)
+    assert(w.n_samples == 100 && w.smp_sum == samples.sum)
+    assert(w.smp_sq_sum == samples.map(v => v * v).sum)
+  }
+
+  test("realDecoder: real stats for bmp/wav, declared stub for the rest") {
+    import spark.implicits._
+    val rows = Seq(
+      (10L, "image", Multimodal.synthBmp(31L, 4, 3)),
+      (11L, "audio", Multimodal.synthWav(7L, 64)),
+      (12L, "image", png(64, 32)))
+      .toDF("media_id", "kind", "content")
+    val feats = Multimodal.pipeline(spark, rows, featureDim = 8,
+        decoder = Multimodal.realDecoder)
+      .collect().map(f => f.media_id -> f).toMap
+    val bs = Multimodal.decodeBmp(Multimodal.synthBmp(31L, 4, 3)).get
+    val mean = bs.pix_sum / (bs.n_px * 3.0)
+    assert(math.abs(feats(10L).features(0) - mean / 255.0) < 1e-6)
+    assert(feats(10L).width == 4 && feats(10L).height == 3) // sniffed header dims
+    val ws = Multimodal.decodeWav(Multimodal.synthWav(7L, 64)).get
+    assert(math.abs(feats(11L).features(1) -
+      math.sqrt(ws.smp_sq_sum / 64.0) / 32768.0) < 1e-6)
+    // png falls through the seam to the deterministic stub
+    assert(feats(12L).features.toSeq ==
+      Multimodal.decodeStub.decode(Multimodal.MediaRow(12L, "image",
+        png(64, 32), "image/png", 64, 32, -1, -1L), 8).features.toSeq)
+  }
+
   test("features feed the standard vector ops (cosine knn over media)") {
     import spark.implicits._
     val feats = Multimodal.pipeline(spark, raw).toDF()
