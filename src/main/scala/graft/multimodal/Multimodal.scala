@@ -95,7 +95,20 @@ object Multimodal {
     * — the one BMP variant that is a pure pixel array. Handles bottom-up
     * (height > 0) and top-down (height < 0) row order and the 4-byte row
     * padding. Returns None for anything it can't decode losslessly. */
-  def decodeBmp(bytes: Array[Byte]): Option[BmpStats] = {
+  /** Parsed BMP geometry: enough to address any visual pixel in the blob. */
+  private case class BmpHeader(
+      dataOff: Int, width: Int, height: Int, bottomUp: Boolean, rowSize: Int) {
+    /** Byte offset of channel c of VISUAL pixel (x, y) — y = 0 is the top
+      * row regardless of storage direction. */
+    def at(x: Int, y: Int, c: Int): Int = {
+      val stored = if (bottomUp) height - 1 - y else y
+      dataOff + stored * rowSize + x * 3 + c
+    }
+  }
+
+  /** Validate + parse a 24-bit BI_RGB BMP header (the one BMP variant that
+    * is a pure pixel array); None for anything not losslessly decodable. */
+  private def parseBmp(bytes: Array[Byte]): Option[BmpHeader] = {
     import Metadata.{u16le, u32le}
     if (bytes == null || bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M')
       return None
@@ -107,20 +120,18 @@ object Multimodal {
     if (bpp != 24 || comp != 0L || width <= 0 || rawH == 0 || width > (1 << 20))
       return None
     val height = math.abs(rawH)
-    val bottomUp = rawH > 0
     val rowSize = ((width * 3 + 3) / 4) * 4
     if (dataOff < 54L || dataOff + rowSize.toLong * height > bytes.length) return None
-    val off = dataOff.toInt
-    var sum = 0L; var sq = 0L; var first = 0L
+    Some(BmpHeader(dataOff.toInt, width, height, rawH > 0, rowSize))
+  }
+
+  def decodeBmp(bytes: Array[Byte]): Option[BmpStats] = parseBmp(bytes).map { h =>
+    var sum = 0L; var sq = 0L
     var y = 0
-    while (y < height) {
-      val stored = if (bottomUp) height - 1 - y else y
-      val base = off + stored * rowSize
-      if (y == 0)
-        first = (bytes(base) & 0xff).toLong + (bytes(base + 1) & 0xff) +
-          (bytes(base + 2) & 0xff)
+    while (y < h.height) {
+      val base = h.at(0, y, 0)
       var i = 0
-      val rowBytes = width * 3 // excludes padding
+      val rowBytes = h.width * 3 // excludes padding
       while (i < rowBytes) {
         val v = bytes(base + i) & 0xff
         sum += v; sq += v.toLong * v
@@ -128,8 +139,44 @@ object Multimodal {
       }
       y += 1
     }
-    Some(BmpStats(width, height, width.toLong * height, sum, sq, first))
+    val first = (bytes(h.at(0, 0, 0)) & 0xff).toLong +
+      (bytes(h.at(0, 0, 1)) & 0xff) + (bytes(h.at(0, 0, 2)) & 0xff)
+    BmpStats(h.width, h.height, h.width.toLong * h.height, sum, sq, first)
   }
+
+  /** Real image resize: nearest-neighbor resample of an actual decoded
+    * 24-bit pixel array into a new (bottom-up) BMP — source pixel for
+    * target (x, y) is (x*srcW/newW, y*srcH/newH), floor. The output is a
+    * valid BMP that [[decodeBmp]] round-trips, so resize composes with the
+    * rest of the media pipeline. */
+  def resizeBmpNearest(bytes: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] =
+    parseBmp(bytes).filter(_ => newW > 0 && newH > 0).map { h =>
+      val rowSize = ((newW * 3 + 3) / 4) * 4
+      val dataLen = rowSize * newH
+      val b = java.nio.ByteBuffer.allocate(54 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen).putInt(0).putInt(54)
+      b.putInt(40).putInt(newW).putInt(newH).putShort(1).putShort(24)
+        .putInt(0).putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      val out = b.array()
+      var y = 0
+      while (y < newH) {
+        val sy = y * h.height / newH
+        val outBase = 54 + (newH - 1 - y) * rowSize // bottom-up
+        var x = 0
+        while (x < newW) {
+          val sx = x * h.width / newW
+          var c = 0
+          while (c < 3) {
+            out(outBase + x * 3 + c) = bytes(h.at(sx, sy, c))
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
 
   /** Real WAV PCM decode: RIFF chunk walk to fmt + data, then the actual
     * 16-bit little-endian samples (all channels, interleaved-flat).
@@ -253,6 +300,7 @@ object Multimodal {
   }
 
   val synthBmpUdf = udf((seed: Long, w: Int, h: Int) => synthBmp(seed, w, h))
+  val resizeBmpUdf = udf((b: Array[Byte], w: Int, h: Int) => resizeBmpNearest(b, w, h))
   val synthWavUdf = udf((seed: Long, n: Int) => synthWav(seed, n))
   val bmpStatsUdf = udf((b: Array[Byte]) => decodeBmp(b))
   val wavStatsUdf = udf((b: Array[Byte]) => decodeWav(b))

@@ -270,6 +270,53 @@ object DmsOps {
       }
     ),
     Q(
+      "mm_resize_bmp",
+      // REAL image resize, exact-hash-checked: nearest-neighbor resample
+      // of actual decoded pixels into a new BMP, then decode of the
+      // RESIZED binary. Target pixel (px,py) channel c comes from source
+      // pixel (px*w//2, py*3//2), whose value is closed-form, so DuckDB
+      // recomputes the resized image's exact pixel sums. k enumerates the
+      // 12 channel bytes of the 2x2 target: py=k//6, px=(k//3)%2, c=k%3.
+      Some("""WITH k AS (SELECT unnest(range(0, 12)) AS k)
+             |SELECT doc_id AS media_id,
+             |       2 AS width, 2 AS height,
+             |       CAST(sum((doc_id * 31
+             |                 + ((k // 6) * (3 + doc_id % 3)
+             |                    + ((k // 3) % 2) * (3 + doc_id % 3) // 2) * 3
+             |                 + k % 3) % 256) AS BIGINT) AS pix_sum,
+             |       CAST(sum(((doc_id * 31
+             |                  + ((k // 6) * (3 + doc_id % 3)
+             |                     + ((k // 3) % 2) * (3 + doc_id % 3) // 2) * 3
+             |                  + k % 3) % 256)
+             |                * ((doc_id * 31
+             |                    + ((k // 6) * (3 + doc_id % 3)
+             |                       + ((k // 3) % 2) * (3 + doc_id % 3) // 2) * 3
+             |                    + k % 3) % 256)) AS BIGINT) AS pix_sq_sum,
+             |       CAST((doc_id * 31) % 256 + (doc_id * 31 + 1) % 256
+             |            + (doc_id * 31 + 2) % 256 AS BIGINT) AS first_px
+             |FROM documents CROSS JOIN k
+             |GROUP BY doc_id
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val mm = graft.multimodal.Multimodal
+        val raw = t.documents.select(
+          col("doc_id").as("media_id"),
+          mm.synthBmpUdf(col("doc_id") * 31,
+            (col("doc_id") % 3 + 3).cast("int"), lit(3)).as("content"))
+        val resized = raw.select(col("media_id"),
+          mm.resizeBmpUdf(col("content"), lit(2), lit(2)).as("content"))
+        val s = mm.bmpStatsUdf(col("content")).as("s")
+        ordered(
+          resized.select(col("media_id"), s)
+            .select(col("media_id"),
+              col("s.width").as("width"), col("s.height").as("height"),
+              col("s.pix_sum").as("pix_sum"), col("s.pix_sq_sum").as("pix_sq_sum"),
+              col("s.first_px").as("first_px"))
+        )
+      }
+    ),
+    Q(
       "mm_decode_wav",
       // REAL audio decode, exact-hash-checked: deterministic mono 16-bit
       // PCM WAVs (64..127 samples, sample i = (seed + 13i) % 65536 - 32768)

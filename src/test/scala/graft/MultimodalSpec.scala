@@ -149,6 +149,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(w.smp_sq_sum == samples.map(v => v * v).sum)
   }
 
+  test("resizeBmpNearest: real pixel resample, output round-trips the codec") {
+    // identity resize preserves every pixel statistic
+    val src = Multimodal.synthBmp(31L, 4, 3)
+    val id = Multimodal.resizeBmpNearest(src, 4, 3).get
+    assert(Multimodal.decodeBmp(id).get == Multimodal.decodeBmp(src).get)
+    // downsample: target (x,y) picks source (x*srcW/newW, y*srcH/newH)
+    val down = Multimodal.decodeBmp(Multimodal.resizeBmpNearest(src, 2, 2).get).get
+    def srcVal(px: Int, py: Int, c: Int): Long = {
+      val sx = px * 4 / 2; val sy = py * 3 / 2
+      (31L + (sy * 4 + sx) * 3 + c) % 256
+    }
+    val want = for (py <- 0 to 1; px <- 0 to 1; c <- 0 to 2) yield srcVal(px, py, c)
+    assert(down.width == 2 && down.height == 2)
+    assert(down.pix_sum == want.sum && down.pix_sq_sum == want.map(v => v * v).sum)
+    assert(down.first_px == srcVal(0, 0, 0) + srcVal(0, 0, 1) + srcVal(0, 0, 2))
+    // upsample replicates nearest pixels; top-down sources resize too
+    val up = Multimodal.decodeBmp(Multimodal.resizeBmpNearest(src, 8, 6).get).get
+    assert(up.n_px == 48 && up.first_px == down.first_px)
+    assert(Multimodal.resizeBmpNearest(bmp2x2(true), 1, 1).flatMap(Multimodal.decodeBmp)
+      .get.first_px == 1 + 2 + 3)
+    // garbage in -> None, never a corrupt image out
+    assert(Multimodal.resizeBmpNearest(Array[Byte](1, 2, 3), 2, 2).isEmpty)
+  }
+
   test("realDecoder: real stats for bmp/wav, declared stub for the rest") {
     import spark.implicits._
     val rows = Seq(
