@@ -316,4 +316,61 @@ object Dedup {
     }
     labels
   }
+
+  /** Connected components via alternating large-star / small-star
+    * rewrites (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 — public paper): converges in O(log^2 n) rounds
+    * REGARDLESS of graph diameter, where [[connectedComponents]]' plain
+    * min-label propagation needs O(diameter) rounds. Same contract and
+    * output as [[connectedComponents]]; choose this variant when the
+    * pair graph may contain long chains (adversarial / unknown corpus).
+    *
+    * large-star links every node's LARGER neighbors to its neighborhood
+    * minimum; small-star links the node itself and its smaller
+    * neighbors to that minimum. Both preserve connectivity; the fixed
+    * point is a forest of stars rooted at each component's min node.
+    * Each half-step is one co-partitioned shuffle join + one hash
+    * aggregate over the current edge set — never the corpus — and the
+    * edge set only shrinks toward the star forest, so per-round cost
+    * falls as the run progresses.
+    */
+  def connectedComponentsLogStar(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .distinct()
+    def sym(df: DataFrame): DataFrame =
+      df.select(col("a").as("u"), col("b").as("v"))
+        .union(df.select(col("b").as("u"), col("a").as("v")))
+    def step(e: DataFrame, large: Boolean): DataFrame = {
+      val s = sym(e)
+      val mins = s.groupBy(col("u"))
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      val linked = s.join(mins, "u")
+      val out =
+        if (large) linked.filter(col("v") > col("u"))
+          .select(col("v").as("a"), col("m").as("b"))
+        else linked.filter(col("v") < col("u"))
+          .select(col("v").as("a"), col("m").as("b"))
+          .union(mins.select(col("u").as("a"), col("m").as("b")))
+      canon(out)
+    }
+    var e = canon(edges).localCheckpoint()
+    var converged = e.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = step(step(e, large = true), large = false).localCheckpoint()
+      // edge-set fixed point (statistics can collide; set equality can't)
+      converged =
+        next.join(e, Seq("a", "b"), "left_anti").limit(1).count() == 0L &&
+          e.join(next, Seq("a", "b"), "left_anti").limit(1).count() == 0L
+      e = next
+      iter += 1
+    }
+    // the fixed point is a star forest: every edge is (root, member)
+    e.select(col("b").as("id"), col("a").as("comp"))
+      .union(e.select(col("a").as("id"), col("a").as("comp")))
+      .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+  }
 }

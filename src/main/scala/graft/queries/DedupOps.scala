@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Canon._
 import graft.dedup.Dedup
@@ -40,7 +41,20 @@ object DedupOps {
        |  FROM toks WHERE len(tokens) >= 3
        |)""".stripMargin
 
-  val all: Seq[Q] = Seq(
+  val all: Seq[Q] = assemble()
+
+  private def assemble(): Seq[Q] = {
+    val base = baseQueries
+    // same pair graph, same recursive-CTE reachability oracle, clustered
+    // with the alternating large-star/small-star algorithm instead of
+    // min-label propagation — an exact hash-match proves the
+    // diameter-independent variant computes identical components
+    base :+ Q("d5_dedup_clusters_logstar",
+      base.find(_.name == "d5_dedup_clusters").flatMap(_.oracle),
+      clustersFn(Dedup.connectedComponentsLogStar(_)))
+  }
+
+  private def baseQueries: Seq[Q] = Seq(
     Q(
       "d4_exact_dedup",
       // sf0.01 documents are all distinct, so dedup over the corpus alone
@@ -265,6 +279,95 @@ object DedupOps {
       }
     ),
     Q(
+      "d5_substring_dedup",
+      // exact substring deduplication (the Lee et al. 2022 "Deduplicating
+      // Training Data" capability, shuffle-friendly form): an 8-gram that
+      // occurs in >= 2 DISTINCT docs marks a duplicated span; per doc,
+      // overlapping spans merge into islands (gaps-and-islands window) and
+      // the output reports how much of each affected doc is duplicated
+      // text. Suffix arrays find variable-length matches on one machine;
+      // the fixed-n shingle-df formulation is the distributed equivalent:
+      // one gram aggregate + one join + one per-doc window, no all-pairs
+      // anything. 100 TB valve: key the gram join on xxhash64(gram)
+      // (8 bytes on the shuffle) — md5 kept here for oracle parity.
+      Some(s"""WITH $toksCte,
+              |g AS (
+              |  SELECT doc_id, len(tokens) AS n_tok,
+              |         unnest(range(1, len(tokens) - 6)) AS s, tokens
+              |  FROM toks WHERE len(tokens) >= 8
+              |),
+              |grams AS (
+              |  SELECT doc_id, n_tok, s,
+              |         md5(array_to_string(tokens[s:s+7], ' ')) AS gram
+              |  FROM g
+              |),
+              |dupg AS (
+              |  SELECT gram FROM grams
+              |  GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+              |),
+              |spans AS (
+              |  SELECT doc_id, n_tok, s, s + 7 AS e
+              |  FROM grams JOIN dupg USING (gram)
+              |),
+              |marked AS (
+              |  SELECT doc_id, n_tok, s, e,
+              |         CASE WHEN s > coalesce(max(e) OVER (
+              |                PARTITION BY doc_id ORDER BY s
+              |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |              -1) THEN 1 ELSE 0 END AS ni
+              |  FROM spans
+              |),
+              |islands AS (
+              |  SELECT doc_id, max(n_tok) AS n_tok, island,
+              |         min(s) AS i_s, max(e) AS i_e
+              |  FROM (SELECT doc_id, n_tok, s, e,
+              |          sum(ni) OVER (PARTITION BY doc_id ORDER BY s) AS island
+              |        FROM marked)
+              |  GROUP BY doc_id, island
+              |)
+              |SELECT doc_id, CAST(max(n_tok) AS BIGINT) AS n_tok,
+              |       CAST(count(*) AS BIGINT) AS n_dup_spans,
+              |       CAST(sum(i_e - i_s + 1) AS BIGINT) AS dup_tokens
+              |FROM islands GROUP BY doc_id
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables(spark, dir)
+        val toks = t.documents
+          .select(col("doc_id"), Text.tokenize(col("text")).as("tokens"))
+          .filter(size(col("tokens")) >= 8)
+        val grams = toks
+          .select(col("doc_id"), size(col("tokens")).as("n_tok"), col("tokens"),
+            explode(sequence(lit(1), size(col("tokens")) - 7)).as("s"))
+          .select(col("doc_id"), col("n_tok"), col("s"),
+            md5(array_join(slice(col("tokens"), col("s"), lit(8)), " ")).as("gram"))
+          // both the df aggregate and the span join consume the gram
+          // relation: materialize once instead of re-tokenizing the corpus
+          .localCheckpoint()
+        // grams duplicated ACROSS docs: distinct (gram, doc) then df >= 2
+        val dupg = grams.select(col("gram"), col("doc_id")).distinct()
+          .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2).select(col("gram"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+        val spans = grams.join(dupg, Seq("gram"))
+          .select(col("doc_id"), col("n_tok"), col("s"), (col("s") + 7).as("e"))
+          .withColumn("prev_e",
+            max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("ni",
+            when(col("prev_e").isNull || col("s") > col("prev_e"), 1).otherwise(0))
+          .withColumn("island", sum(col("ni")).over(w))
+        ordered(
+          spans.groupBy(col("doc_id"), col("island"))
+            .agg(max(col("n_tok")).as("n_tok"),
+              min(col("s")).as("i_s"), max(col("e")).as("i_e"))
+            .groupBy(col("doc_id"))
+            .agg(max(col("n_tok")).cast("long").as("n_tok"),
+              count(lit(1)).as("n_dup_spans"),
+              sum(col("i_e") - col("i_s") + 1).cast("long").as("dup_tokens"))
+        )
+      }
+    ),
+    Q(
       "d5_dedup_clusters",
       // pairs -> CLUSTERS: connected components over the MinHash candidate
       // graph (transitive closure — if a~b and b~c then {a,b,c} is ONE
@@ -322,24 +425,29 @@ object DedupOps {
               |       doc_id = cluster_id AS is_keeper
               |FROM comp
               |ORDER BY ALL NULLS FIRST""".stripMargin),
-      (spark, dir) => {
-        val t = Tables(spark, dir)
-        val docs = t.documents.select(col("doc_id"), col("text"))
-        val pairs = Dedup.minhashPairs(docs, shingleWidth = 3, numHashes = 8,
-          rowsPerBand = 2, minEstJaccard = 0.5).select(col("a"), col("b"))
-        val cc = Dedup.connectedComponents(pairs)
-        // assignment back to the corpus: singletons (no candidate pair —
-        // the overwhelming majority at scale) never enter the iteration
-        val assign = docs.select(col("doc_id"))
-          .join(cc, col("doc_id") === col("id"), "left")
-          .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-        ordered(
-          assign.select(col("doc_id"), col("cluster_id"),
-            count(lit(1)).over(w).as("cluster_size"),
-            (col("doc_id") === col("cluster_id")).as("is_keeper"))
-        )
-      }
+      clustersFn(Dedup.connectedComponents(_))
     )
   )
+
+  /** The pairs→clusters→corpus-assignment query, parameterized by the
+    * connected-components implementation (min-label propagation vs
+    * large-star/small-star). */
+  private def clustersFn(cc: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val docs = t.documents.select(col("doc_id"), col("text"))
+      val pairs = Dedup.minhashPairs(docs, shingleWidth = 3, numHashes = 8,
+        rowsPerBand = 2, minEstJaccard = 0.5).select(col("a"), col("b"))
+      // assignment back to the corpus: singletons (no candidate pair —
+      // the overwhelming majority at scale) never enter the iteration
+      val assign = docs.select(col("doc_id"))
+        .join(cc(pairs), col("doc_id") === col("id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+      ordered(
+        assign.select(col("doc_id"), col("cluster_id"),
+          count(lit(1)).over(w).as("cluster_size"),
+          (col("doc_id") === col("cluster_id")).as("is_keeper"))
+      )
+    }
 }

@@ -180,6 +180,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(comp.length == 12 && comp.forall(_._2 == 1L))
   }
 
+  test("D5e: large-star/small-star closes a LONG path within its log bound") {
+    import spark.implicits._
+    // path 1-2-...-40 (diameter 39): min-label propagation needs ~39
+    // rounds; the star algorithm must finish inside maxIter = 8 ~ log^2
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Dedup.connectedComponentsLogStar(edges, maxIter = 8)
+      .as[(Long, Long)].collect()
+    assert(comp.length == 40 && comp.forall(_._2 == 1L))
+  }
+
+  test("D5e: star variant agrees with min-label propagation exactly") {
+    import spark.implicits._
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (21L, 20L),
+      (7L, 8L), (8L, 6L), (30L, 33L), (33L, 31L), (31L, 32L))
+      .toDF("a", "b")
+    val a = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    val b = Dedup.connectedComponentsLogStar(edges).as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(b(32L) == 30L && b(6L) == 6L) // min-id roots
+  }
+
   test("D5: per-row minhash signature is bit-identical to the batch aggregate") {
     import spark.implicits._
     val t = graft.sources.Tables(spark, sf)
