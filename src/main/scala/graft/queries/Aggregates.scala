@@ -512,6 +512,52 @@ object Aggregates {
       }
     ),
     Q(
+      "tpch_q18",
+      // TPC-H Q18 shape (large-volume customers): the canonical
+      // aggregate -> semi-join-back -> top-k pattern. The HAVING
+      // subquery is one map-side-partial hash aggregate over lineitem;
+      // its survivors semi-join orders ON THE SAME KEY as the fact join
+      // (o_orderkey), so AQE reuses one exchange for both; customer
+      // broadcasts; the global top-100 is TakeOrderedAndProject, never
+      // a full sort. o_orderkey in the sort makes the order total.
+      Some("""SELECT * FROM (
+             |  SELECT c_name, c_custkey, o_orderkey,
+             |         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+             |         o_totalprice, sum(l_quantity) AS sum_qty
+             |  FROM customer
+             |  JOIN orders ON c_custkey = o_custkey
+             |  JOIN lineitem ON o_orderkey = l_orderkey
+             |  WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+             |                       GROUP BY l_orderkey
+             |                       HAVING sum(l_quantity) > 300)
+             |  GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+             |  ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+             |  LIMIT 100)
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val big = t.lineitem.groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("qty"))
+          .filter(col("qty") > 300)
+          .select(col("l_orderkey").as("bigkey"))
+        ordered(
+          t.orders
+            .join(big, col("o_orderkey") === col("bigkey"), "left_semi")
+            .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+            .join(broadcast(t.customer), col("c_custkey") === col("o_custkey"))
+            .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+              col("o_orderdate"), col("o_totalprice"))
+            .agg(sum(col("l_quantity")).as("sum_qty"))
+            .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+              col("o_orderkey").asc)
+            .limit(100)
+            .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+              tstr(col("o_orderdate")).as("o_orderdate"),
+              col("o_totalprice"), col("sum_qty"))
+        )
+      }
+    ),
+    Q(
       "tpch_q5",
       // TPC-H Q5 shape (local-supplier revenue): six-way join where the
       // region/nation/supplier dims broadcast and the extra
