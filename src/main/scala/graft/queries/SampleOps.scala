@@ -187,6 +187,65 @@ object SampleOps {
               max(col("doc_id")).as("last_doc"))
         )
       }
+    ),
+    Q(
+      "d11_temperature_mix",
+      // temperature-flattened mixture (the multilingual-pretraining
+      // p_s ∝ n_s^α sampling, α = 1/2): over-represented sources are
+      // down-weighted toward sqrt(n), so rare domains keep presence in a
+      // fixed 200-doc budget. Quotas use ONLY engine-exact math — IEEE
+      // sqrt floored to bigint, then integer div — so both engines pick
+      // identical per-source cutoffs; membership is the deterministic
+      // md5 rank within each source (auditable, no RNG state).
+      // Scale shape: counts+quotas are a tiny broadcast; ranking is a
+      // per-source window (partitioned sort, no global order).
+      Some("""WITH counts AS (
+             |  SELECT source, count(*) AS n FROM documents GROUP BY source
+             |),
+             |w AS (
+             |  SELECT source, CAST(floor(sqrt(n)) AS BIGINT) AS wt FROM counts
+             |),
+             |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM w),
+             |quota AS (
+             |  SELECT source, CAST((200 * wt) // tw AS BIGINT) AS m
+             |  FROM w CROSS JOIN tot
+             |),
+             |ranked AS (
+             |  SELECT doc_id, source,
+             |         row_number() OVER (
+             |           PARTITION BY source
+             |           ORDER BY md5('tmix:' || CAST(doc_id AS VARCHAR)), doc_id
+             |         ) AS rk
+             |  FROM documents
+             |)
+             |SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk
+             |FROM ranked r JOIN quota q ON r.source = q.source
+             |WHERE r.rk <= q.m
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val counts = t.documents.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"))
+        val wts = counts.select(col("source"),
+          floor(sqrt(col("n"))).cast("long").as("wt"))
+        val tot = wts.agg(sum(col("wt")).as("tw"))
+        // `div` = exact integral division (DuckDB `//`): no float quotient
+        // near a quota boundary can diverge between engines
+        val quota = wts.crossJoin(broadcast(tot))
+          .select(col("source"), expr("(200 * wt) div tw").as("m"))
+        val rk = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(md5(concat(lit("tmix:"), col("doc_id").cast("string"))).asc,
+            col("doc_id").asc)
+        ordered(
+          t.documents
+            .select(col("doc_id"), col("source"))
+            .withColumn("rk", row_number().over(rk).cast("long"))
+            .join(broadcast(quota), Seq("source"))
+            .filter(col("rk") <= col("m"))
+            .select(col("doc_id"), col("source"), col("rk"))
+        )
+      }
     )
   )
 }

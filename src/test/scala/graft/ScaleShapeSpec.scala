@@ -119,8 +119,10 @@ class ScaleShapeSpec extends AnyFunSuite {
       "d6_ivf_ann", // k-row centroid relation x vectors (assignment)
       "d6_ivf_assign", "d6_ivf_search", // same k-row centroid cross joins
       // over the frozen fixture
-      "d6_sq_rerank" // stage-1 shortlist: broadcast query set x corpus
+      "d6_sq_rerank", // stage-1 shortlist: broadcast query set x corpus
       // over int8 vectors (4x lighter than the float equivalent above)
+      "d11_temperature_mix" // 1-row total-weight scalar broadcast onto
+      // the 8-row per-source quota relation — constant-size build side
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (fenced(name)) None
