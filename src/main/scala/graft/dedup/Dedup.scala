@@ -299,6 +299,16 @@ object Dedup {
       .agg(least(col("src"), min(col("dst"))).as("comp"))
       .select(col("src").as("id"), col("comp"))
       .localCheckpoint()
+    // convergence signal: the node set is fixed after initialization and
+    // labels only ever DECREASE, so sum(comp) is strictly monotone until
+    // the fixpoint — an exact change detector for the price of one
+    // aggregate instead of a per-round shuffle join. decimal(38,0) so no
+    // overflow for any Long id sum.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty graph
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -307,14 +317,62 @@ object Dedup {
       val next = labels.union(viaEdges)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.comp") =!= col("p.comp"))
-        .limit(1).count() == 0L
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       iter += 1
     }
     labels
+  }
+
+  /** Exact substring deduplication spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — public paper), in the
+    * shuffle-friendly fixed-n form: an n-gram occurring in >= 2 DISTINCT
+    * docs marks a duplicated span; per doc, overlapping spans merge into
+    * islands via a gaps-and-islands window. One gram-df aggregate + one
+    * join + one per-doc window — no all-pairs anything.
+    *
+    * @param portableHash true = md5 gram keys (32-char hex, reproducible
+    *   in any engine — the oracle mode); false = xxhash64 keys (8-byte
+    *   longs on the shuffle — the 100 TB mode, 4x lighter join keys).
+    *   Both produce identical islands (hash-agnostic by spec).
+    * @return (doc_id, n_tok, n_dup_spans, dup_tokens) for docs containing
+    *   at least one cross-doc duplicated span
+    */
+  def duplicatedSpans(docs: DataFrame, n: Int = 8,
+      portableHash: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), Text.tokenize(col("text")).as("tokens"))
+      .filter(size(col("tokens")) >= n)
+    val joined = array_join(slice(col("tokens"), col("s"), lit(n)), " ")
+    val gram = if (portableHash) md5(joined) else xxhash64(joined)
+    val grams = toks
+      .select(col("doc_id"), size(col("tokens")).as("n_tok"), col("tokens"),
+        explode(sequence(lit(1), size(col("tokens")) - (n - 1))).as("s"))
+      .select(col("doc_id"), col("n_tok"), col("s"), gram.as("gram"))
+      // both the df aggregate and the span join consume the gram
+      // relation: materialize once instead of re-tokenizing the corpus
+      .localCheckpoint()
+    val dupg = grams.select(col("gram"), col("doc_id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("gram"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val spans = grams.join(dupg, Seq("gram"))
+      .select(col("doc_id"), col("n_tok"), col("s"), (col("s") + n - 1).as("e"))
+      .withColumn("prev_e",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("prev_e").isNull || col("s") > col("prev_e"), 1).otherwise(0))
+      .withColumn("island", sum(col("ni")).over(w))
+    spans.groupBy(col("doc_id"), col("island"))
+      .agg(max(col("n_tok")).as("n_tok"),
+        min(col("s")).as("i_s"), max(col("e")).as("i_e"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tok")).cast("long").as("n_tok"),
+        count(lit(1)).as("n_dup_spans"),
+        sum(col("i_e") - col("i_s") + 1).cast("long").as("dup_tokens"))
   }
 
   /** Connected components via alternating large-star / small-star

@@ -331,40 +331,10 @@ object DedupOps {
               |FROM islands GROUP BY doc_id
               |ORDER BY ALL NULLS FIRST""".stripMargin),
       (spark, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val t = Tables(spark, dir)
-        val toks = t.documents
-          .select(col("doc_id"), Text.tokenize(col("text")).as("tokens"))
-          .filter(size(col("tokens")) >= 8)
-        val grams = toks
-          .select(col("doc_id"), size(col("tokens")).as("n_tok"), col("tokens"),
-            explode(sequence(lit(1), size(col("tokens")) - 7)).as("s"))
-          .select(col("doc_id"), col("n_tok"), col("s"),
-            md5(array_join(slice(col("tokens"), col("s"), lit(8)), " ")).as("gram"))
-          // both the df aggregate and the span join consume the gram
-          // relation: materialize once instead of re-tokenizing the corpus
-          .localCheckpoint()
-        // grams duplicated ACROSS docs: distinct (gram, doc) then df >= 2
-        val dupg = grams.select(col("gram"), col("doc_id")).distinct()
-          .groupBy(col("gram")).agg(count(lit(1)).as("df"))
-          .filter(col("df") >= 2).select(col("gram"))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
-        val spans = grams.join(dupg, Seq("gram"))
-          .select(col("doc_id"), col("n_tok"), col("s"), (col("s") + 7).as("e"))
-          .withColumn("prev_e",
-            max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
-          .withColumn("ni",
-            when(col("prev_e").isNull || col("s") > col("prev_e"), 1).otherwise(0))
-          .withColumn("island", sum(col("ni")).over(w))
-        ordered(
-          spans.groupBy(col("doc_id"), col("island"))
-            .agg(max(col("n_tok")).as("n_tok"),
-              min(col("s")).as("i_s"), max(col("e")).as("i_e"))
-            .groupBy(col("doc_id"))
-            .agg(max(col("n_tok")).cast("long").as("n_tok"),
-              count(lit(1)).as("n_dup_spans"),
-              sum(col("i_e") - col("i_s") + 1).cast("long").as("dup_tokens"))
-        )
+        ordered(Dedup.duplicatedSpans(
+          t.documents.select(col("doc_id"), col("text")),
+          n = 8, portableHash = true))
       }
     ),
     Q(

@@ -201,6 +201,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(b(32L) == 30L && b(6L) == 6L) // min-id roots
   }
 
+  test("D5g: substring-dedup islands are hash-agnostic (md5 vs xxhash64 keys)") {
+    import spark.implicits._
+    // the 100 TB valve: xxhash64 gram keys (8 bytes on the shuffle) must
+    // produce EXACTLY the islands the oracle-portable md5 keys produce
+    val docs = graft.sources.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text")).limit(150)
+    val a = Dedup.duplicatedSpans(docs, n = 8, portableHash = true)
+    val b = Dedup.duplicatedSpans(docs, n = 8, portableHash = false)
+    assert(a.count() > 0, "fixture must contain cross-doc duplicated spans")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
   test("D5: per-row minhash signature is bit-identical to the batch aggregate") {
     import spark.implicits._
     val t = graft.sources.Tables(spark, sf)

@@ -151,6 +151,25 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(k50.size / 400.0 - 0.5) < 0.15)
   }
 
+  test("D5e CC law: star variant and propagation agree on random graphs") {
+    import spark.implicits._
+    // both algorithms must compute the identical min-label components on
+    // arbitrary sparse graphs (incl. disconnected nodes and multi-edges)
+    val edgeGen = Gen.listOfN(10,
+      Gen.zip(Gen.chooseNum(0L, 11L), Gen.chooseNum(0L, 11L))).map(
+      _.filter { case (a, b) => a != b })
+    draws(edgeGen).foreach { es =>
+      if (es.nonEmpty) {
+        val edges = es.toDF("a", "b")
+        val prop = Dedup.connectedComponents(edges)
+          .as[(Long, Long)].collect().toMap
+        val star = Dedup.connectedComponentsLogStar(edges)
+          .as[(Long, Long)].collect().toMap
+        assert(prop == star, s"disagree on $es")
+      }
+    }
+  }
+
   test("D5e CC laws: labels are a fixpoint; relabeling the graph is idempotent") {
     import spark.implicits._
     // random sparse graphs over 12 nodes
