@@ -219,6 +219,43 @@ object Streams {
       }
   }
 
+  /** Streaming multimodal ingest — the in-flight media pipeline: a
+    * binary-file stream (one row per landed file) flows through the SAME
+    * header sniff + real decode used in batch. Stateless per row: no
+    * watermark or state store needed; decode stats ride each row, so a
+    * downstream aggregation or index update sees real pixel/sample
+    * statistics as files arrive. kind is inferred from the sniffed mime
+    * prefix (image -> image, audio -> audio), unknown codecs degrade to
+    * octet-stream rows rather than failing the stream.
+    */
+  def mediaIngestStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val mm = graft.multimodal.Multimodal
+    // binaryFile's schema is fixed by the source; streaming requires it
+    // to be declared explicitly (no inference on streams)
+    val binarySchema = new StructType()
+      .add("path", StringType).add("modificationTime", TimestampType)
+      .add("length", LongType).add("content", BinaryType)
+    val raw = spark.readStream.format("binaryFile")
+      .schema(binarySchema).load(dir)
+      .select(
+        // stable id from the landed path (deterministic, restart-safe)
+        xxhash64(col("path")).as("media_id"),
+        lit("auto").as("kind"),
+        col("content"))
+    mm.ingest(raw)
+      .withColumn("kind",
+        when(col("mime").startsWith("image/"), "image")
+          .when(col("mime").startsWith("audio/"), "audio")
+          .otherwise("binary"))
+      .withColumn("bmp", mm.bmpStatsUdf(col("content")))
+      .withColumn("wav", mm.wavStatsUdf(col("content")))
+      .select(col("media_id"), col("kind"), col("mime"),
+        col("width"), col("height"), col("sample_rate"), col("duration_ms"),
+        col("bmp.pix_sum").as("pix_sum"),
+        col("wav.smp_sum").as("smp_sum"))
+  }
+
   /** T8: drive a stream to a memory sink until idle; returns the sink table
     * name to query. AvailableNow processes everything then stops — the
     * batch-parity trigger. */

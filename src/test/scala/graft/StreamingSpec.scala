@@ -168,6 +168,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 1000L))) // near-dup flagged; unrelated + short not
   }
 
+  test("streaming multimodal ingest: landed media decode in-flight, parity with batch") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("mm_stream").toFile
+    dir.deleteOnExit()
+    val bmp = Multimodal.synthBmp(31L, 4, 3)
+    val wav = Multimodal.synthWav(7L, 64)
+    java.nio.file.Files.write(new java.io.File(dir, "a.bmp").toPath, bmp)
+    java.nio.file.Files.write(new java.io.File(dir, "b.wav").toPath, wav)
+    java.nio.file.Files.write(new java.io.File(dir, "c.bin").toPath,
+      Array[Byte](0, 1, 2, 3))
+    Streams.runToMemory(
+      Streams.mediaIngestStream(spark, dir.getAbsolutePath), "mm_sink")
+    val rows = spark.table("mm_sink")
+      .select("kind", "mime", "width", "sample_rate", "pix_sum", "smp_sum")
+      .as[(String, String, Int, Int, Option[Long], Option[Long])]
+      .collect().toSet
+    val bs = Multimodal.decodeBmp(bmp).get
+    val ws = Multimodal.decodeWav(wav).get
+    assert(rows == Set(
+      ("image", "image/bmp", 4, -1, Some(bs.pix_sum), None),
+      ("audio", "audio/wav", -1, 8000, None, Some(ws.smp_sum)),
+      ("binary", "application/octet-stream", -1, -1, None, None)))
+  }
+
   test("T8 update mode: per-batch deltas converge to the complete result") {
     import spark.implicits._
     val mem = MemoryStream[Ev](9, spark, None)
