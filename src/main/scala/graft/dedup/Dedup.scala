@@ -300,15 +300,18 @@ object Dedup {
       .select(col("src").as("id"), col("comp"))
       .localCheckpoint()
     // convergence signal: the node set is fixed after initialization and
-    // labels only ever DECREASE, so sum(comp) is strictly monotone until
-    // the fixpoint — an exact change detector for the price of one
-    // aggregate instead of a per-round shuffle join. decimal(38,0) so no
-    // overflow for any Long id sum.
+    // labels only ever DECREASE (in the id ordering), so for NUMERIC ids
+    // sum(comp) is strictly monotone until the fixpoint — an exact change
+    // detector for the price of one aggregate instead of a per-round
+    // shuffle join. decimal(38,0) so no overflow for any Long id sum.
+    // Non-numeric ids (e.g. filename-keyed graphs) keep the exact join.
+    val numericIds = labels.schema("comp").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val s = df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s // empty graph
     }
-    var prevSum = labelSum(labels)
+    var prevSum = if (numericIds) labelSum(labels) else null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -317,9 +320,16 @@ object Dedup {
       val next = labels.union(viaEdges)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
         .localCheckpoint()
-      val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      if (numericIds) {
+        val s = labelSum(next)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+      } else {
+        converged = next.as("n")
+          .join(labels.as("p"), col("n.id") === col("p.id"))
+          .filter(col("n.comp") =!= col("p.comp"))
+          .limit(1).count() == 0L
+      }
       labels = next
       iter += 1
     }

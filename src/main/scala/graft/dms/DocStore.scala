@@ -421,4 +421,41 @@ class DocStore(spark: SparkSession, root: String, nShards: Int = 16) {
       .orderBy(col("est_jaccard").desc, col("corpus_id").asc)
       .limit(topK)
   }
+
+  /** Cross-file duplicated-span report over the latest-version corpus —
+    * the exact-substring-dedup capability (Lee et al. 2022) as a store
+    * API: how much of each file is verbatim n-gram runs shared with
+    * OTHER files. Uses xxhash64 gram keys (the large-corpus mode —
+    * hash-agnostic vs the oracle's md5 mode by spec). Returns
+    * (filename, n_tok, n_dup_spans, dup_tokens, dup_frac) for files
+    * containing at least one cross-file duplicated span. */
+  def duplicatedSpanReport(n: Int = 8): DataFrame =
+    graft.dedup.Dedup.duplicatedSpans(
+        latestText.select(col("filename").as("doc_id"), col("text")),
+        n, portableHash = false)
+      .select(col("doc_id").as("filename"), col("n_tok"),
+        col("n_dup_spans"), col("dup_tokens"),
+        round(col("dup_tokens") / col("n_tok"), 4).as("dup_frac"))
+
+  /** Near-duplicate FILE CLUSTERS of the latest corpus: MinHash candidate
+    * pairs → connected components (transitive closure — a~b and b~c puts
+    * {a,b,c} in ONE cluster even if a,c never paired). Cluster id = the
+    * lexicographically first member filename; `is_keeper` marks it for
+    * dedup decisions. `logStar = true` selects the diameter-proof
+    * large-star/small-star variant (identical output by spec). */
+  def dedupClusters(minEstJaccard: Double = 0.5,
+      logStar: Boolean = false): DataFrame = {
+    import graft.dedup.Dedup
+    val corpus = latestText.select(col("filename").as("doc_id"), col("text"))
+    val pairs = Dedup.minhashPairs(corpus, shingleWidth = 3, numHashes = 8,
+      rowsPerBand = 2, minEstJaccard = minEstJaccard)
+      .select(col("a"), col("b"))
+    val cc = if (logStar) Dedup.connectedComponentsLogStar(pairs)
+      else Dedup.connectedComponents(pairs)
+    corpus.select(col("doc_id"))
+      .join(cc, col("doc_id") === col("id"), "left")
+      .select(col("doc_id").as("filename"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_keeper", col("filename") === col("cluster_id"))
+  }
 }

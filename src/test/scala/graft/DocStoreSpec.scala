@@ -190,6 +190,33 @@ class DocStoreSpec extends AnyFunSuite {
     assert(s.findNearDups("totally different words here entirely").isEmpty)
   }
 
+  test("dedupClusters groups transitively; duplicatedSpanReport flags shared runs") {
+    import spark.implicits._
+    val s = newStore()
+    val run = (1 to 20).map(i => s"tok$i").mkString(" ") // 20-token shared run
+    // a~b and b~c are near-identical but a,c differ at BOTH ends -> the
+    // cluster still closes transitively through b
+    s.upload("a.txt", s"alpha $run".getBytes)
+    s.upload("b.txt", s"$run".getBytes)
+    s.upload("c.txt", s"$run zulu".getBytes)
+    s.upload("solo.txt", "entirely different words nothing shared here at all ok".getBytes)
+    for (logStar <- Seq(false, true)) {
+      val cl = s.dedupClusters(minEstJaccard = 0.3, logStar = logStar)
+        .select("filename", "cluster_id", "is_keeper")
+        .as[(String, String, Boolean)].collect().toSet
+      assert(cl == Set(
+        ("a.txt", "a.txt", true), ("b.txt", "a.txt", false),
+        ("c.txt", "a.txt", false), ("solo.txt", "solo.txt", true)),
+        s"logStar=$logStar")
+    }
+    // every sharer reports the duplicated run; solo.txt reports nothing
+    val rep = s.duplicatedSpanReport(n = 8)
+      .select("filename", "dup_tokens").as[(String, Long)].collect().toMap
+    assert(rep.keySet == Set("a.txt", "b.txt", "c.txt"))
+    // the shared 12-token prefix is one island of >= 12 tokens
+    assert(rep.values.forall(_ >= 12))
+  }
+
   test("point lookups prune to one shard partition directory") {
     val s = newStore()
     (0 until 20).foreach(i => s.upload(s"file$i.txt", s"content $i".getBytes))
