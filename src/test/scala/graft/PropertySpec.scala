@@ -151,6 +151,37 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(k50.size / 400.0 - 0.5) < 0.15)
   }
 
+  test("D1 codec robustness: arbitrary bytes never hang, crash, or mis-sniff") {
+    // the round-3 WAV advice class of bug: corrupt sizes/headers must
+    // produce None / a safe sniff, never an infinite chunk walk or OOB.
+    // Mix pure-random bytes with adversarial mutations of VALID headers
+    // (truncations, huge chunk sizes, zero/negative dims).
+    val mm = graft.multimodal.Multimodal
+    val validBmp = mm.synthBmp(7L, 4, 3)
+    val validWav = mm.synthWav(7L, 32)
+    val rnd = new scala.util.Random(42)
+    val cases = Seq.fill(200)(Array.fill(rnd.nextInt(200))(rnd.nextInt.toByte)) ++
+      Seq(validBmp, validWav).flatMap { v =>
+        (0 until 100).map { i =>
+          val m = v.clone()
+          val r = new scala.util.Random(i)
+          // mutate 1-4 bytes anywhere (headers, sizes, dims, data)
+          (0 to r.nextInt(4)).foreach(_ => m(r.nextInt(m.length)) = r.nextInt.toByte)
+          if (i % 7 == 0) m.take(r.nextInt(m.length)) else m
+        }
+      }
+    cases.foreach { bytes =>
+      // must terminate and never throw — result content is unconstrained
+      val s = graft.functions.Metadata.sniff(bytes)
+      assert(s.contains("length") || bytes == null)
+      mm.decodeBmp(bytes)
+      mm.decodeWav(bytes)
+      mm.resizeBmpNearest(bytes, 2, 2).foreach { out =>
+        assert(mm.decodeBmp(out).isDefined) // any resize output re-decodes
+      }
+    }
+  }
+
   test("D5e CC law: star variant and propagation agree on random graphs") {
     import spark.implicits._
     // both algorithms must compute the identical min-label components on
