@@ -425,14 +425,18 @@ object Dedup {
       canon(out)
     }
     var e = canon(edges).localCheckpoint()
-    var converged = e.isEmpty
+    var prevCount = e.count()
+    var converged = prevCount == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
       val next = step(step(e, large = true), large = false).localCheckpoint()
-      // edge-set fixed point (statistics can collide; set equality can't)
-      converged =
-        next.join(e, Seq("a", "b"), "left_anti").limit(1).count() == 0L &&
-          e.join(next, Seq("a", "b"), "left_anti").limit(1).count() == 0L
+      // edge-set fixed point, exactly: both sets are distinct-canonical,
+      // so equal counts + (next \ e) empty  ⟺  set equality — one count
+      // on checkpointed data + ONE anti-join, not two
+      val nextCount = next.count()
+      converged = nextCount == prevCount &&
+        next.join(e, Seq("a", "b"), "left_anti").limit(1).count() == 0L
+      prevCount = nextCount
       e = next
       iter += 1
     }
