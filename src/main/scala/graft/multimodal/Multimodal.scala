@@ -12,13 +12,14 @@ import graft.functions.Metadata
   * per partition, vectorized batch through the partition iterator — the
   * same batch shape a Pandas-UDF/Arrow path would have in PySpark).
   *
-  * Codec status: BMP pixel arrays and WAV 16-bit PCM are decoded FOR REAL
-  * in pure JVM code ([[decodeBmp]]/[[decodeWav]] — exact integer pixel/
-  * sample statistics, oracle-checked); compressed formats (JPEG/PNG/video)
-  * remain behind the declared stub seam (`decodeStub` derives deterministic
-  * pseudo-features from real header metadata + content hash), because this
-  * container has no codec libraries — swap [[MediaDecoder.decode]] for a
-  * JNI/javacv call and nothing else changes.
+  * Codec status: BMP pixel arrays, PNG (8-bit RGB: real zlib inflate +
+  * all five scanline filters), and WAV 16-bit PCM are decoded FOR REAL in
+  * pure JVM code ([[decodeBmp]]/[[decodePng]]/[[decodeWav]] — exact
+  * integer pixel/sample statistics, oracle-checked); JPEG and video
+  * containers remain behind the declared stub seam (`decodeStub` derives
+  * deterministic pseudo-features from real header metadata + content
+  * hash), because this container has no codec libraries — swap
+  * [[MediaDecoder.decode]] for a JNI/javacv call and nothing else changes.
   */
 object Multimodal {
 
@@ -77,12 +78,13 @@ object Multimodal {
     }
   }
 
-  /** Exact integer pixel statistics decoded from a real BMP pixel array —
-    * sums are exact Longs so an oracle can reproduce them bit-for-bit.
-    * `first_px` is the channel-sum of the VISUAL top-left pixel, which in a
-    * bottom-up BMP lives in the LAST stored row (order-sensitive, so it
-    * proves row-direction handling; the sums prove padding handling). */
-  case class BmpStats(
+  /** Exact integer pixel statistics decoded from a real pixel array (BMP
+    * or PNG) — sums are exact Longs so an oracle can reproduce them
+    * bit-for-bit. `first_px` is the channel-sum of the VISUAL top-left
+    * pixel, which in a bottom-up BMP lives in the LAST stored row
+    * (order-sensitive, so it proves row-direction handling; the sums prove
+    * padding / filter handling). */
+  case class PixelStats(
       width: Int, height: Int, n_px: Long,
       pix_sum: Long, pix_sq_sum: Long, first_px: Long)
 
@@ -125,7 +127,7 @@ object Multimodal {
     Some(BmpHeader(dataOff.toInt, width, height, rawH > 0, rowSize))
   }
 
-  def decodeBmp(bytes: Array[Byte]): Option[BmpStats] = parseBmp(bytes).map { h =>
+  def decodeBmp(bytes: Array[Byte]): Option[PixelStats] = parseBmp(bytes).map { h =>
     var sum = 0L; var sq = 0L
     var y = 0
     while (y < h.height) {
@@ -141,7 +143,104 @@ object Multimodal {
     }
     val first = (bytes(h.at(0, 0, 0)) & 0xff).toLong +
       (bytes(h.at(0, 0, 1)) & 0xff) + (bytes(h.at(0, 0, 2)) & 0xff)
-    BmpStats(h.width, h.height, h.width.toLong * h.height, sum, sq, first)
+    PixelStats(h.width, h.height, h.width.toLong * h.height, sum, sq, first)
+  }
+
+  private val pngSig =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def u32be(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  /** Paeth predictor (PNG filter type 4): nearest of left/up/upper-left to
+    * the linear estimate a + b - c, ties broken left, up, upper-left. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Real PNG decode, pure JVM: 8-bit-depth truecolor (color type 2),
+    * non-interlaced. Walks the chunk stream to IHDR/IDAT/IEND, inflates the
+    * concatenated IDAT zlib stream (`java.util.zip.Inflater`), then inverts
+    * the per-scanline filter — all five PNG filter types (None/Sub/Up/
+    * Average/Paeth) — to reconstruct the actual pixels. Returns the same
+    * exact-integer statistics as [[decodeBmp]]; None for any variant it
+    * cannot decode losslessly (other bit depths / color types / interlace,
+    * truncated or corrupt streams). */
+  def decodePng(bytes: Array[Byte]): Option[PixelStats] = {
+    if (bytes == null || bytes.length < 45) return None
+    var i = 0
+    while (i < 8) { if (bytes(i) != pngSig(i)) return None; i += 1 }
+    // IHDR is required to be the first chunk
+    if (u32be(bytes, 8) != 13L ||
+      new String(bytes, 12, 4, "US-ASCII") != "IHDR") return None
+    val w = u32be(bytes, 16); val h = u32be(bytes, 20)
+    val depth = bytes(24) & 0xff; val color = bytes(25) & 0xff
+    val interlace = bytes(28) & 0xff
+    if (w <= 0 || h <= 0 || w * h > (1L << 22) ||
+      depth != 8 || color != 2 || interlace != 0) return None
+    // chunk walk: concatenate IDAT payloads (decoders must treat multiple
+    // IDATs as one zlib stream), stop at IEND, reject sizes that overrun
+    val idat = new java.io.ByteArrayOutputStream()
+    var p = 8
+    var sawEnd = false
+    while (!sawEnd && p + 12 <= bytes.length) {
+      val len = u32be(bytes, p)
+      if (len > bytes.length - p - 12L) return None
+      val typ = new String(bytes, p + 4, 4, "US-ASCII")
+      if (typ == "IDAT") idat.write(bytes, p + 8, len.toInt)
+      else if (typ == "IEND") sawEnd = true
+      p += 12 + len.toInt
+    }
+    if (idat.size() == 0) return None
+    val stride = w.toInt * 3
+    val rawLen = (stride + 1) * h.toInt
+    val raw = new Array[Byte](rawLen)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < rawLen && !inf.finished()) {
+        val n = inf.inflate(raw, off, rawLen - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off < rawLen) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // invert the scanline filters against the reconstructed previous row
+    val prev = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    var sum = 0L; var sq = 0L; var first = 0L
+    var y = 0
+    while (y < h.toInt) {
+      val base = y * (stride + 1)
+      val ft = raw(base) & 0xff
+      if (ft > 4) return None
+      var x = 0
+      while (x < stride) {
+        val f = raw(base + 1 + x) & 0xff
+        val a = if (x >= 3) cur(x - 3) else 0 // left, one pixel = 3 bytes
+        val b = prev(x) // up (zero row above the image)
+        val rec = ft match {
+          case 0 => f
+          case 1 => (f + a) & 0xff
+          case 2 => (f + b) & 0xff
+          case 3 => (f + ((a + b) >> 1)) & 0xff
+          case _ => (f + paeth(a, b, if (x >= 3) prev(x - 3) else 0)) & 0xff
+        }
+        cur(x) = rec
+        sum += rec; sq += rec.toLong * rec
+        x += 1
+      }
+      if (y == 0) first = cur(0).toLong + cur(1) + cur(2)
+      Array.copy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    Some(PixelStats(w.toInt, h.toInt, w * h, sum, sq, first))
   }
 
   /** Real image resize: nearest-neighbor resample of an actual decoded
@@ -222,23 +321,25 @@ object Multimodal {
   }
 
   /** Real decoder for the formats this JVM can decode without any codec
-    * library — BMP pixel arrays and WAV PCM. Features are normalized
-    * summary statistics of the actual pixels/samples; every other format
-    * falls back to [[decodeStub]] (the declared seam). */
+    * library — BMP pixel arrays, PNG (zlib + scanline filters), WAV PCM.
+    * Features are normalized summary statistics of the actual pixels/
+    * samples; every other format falls back to [[decodeStub]] (the
+    * declared seam). */
   object realDecoder extends MediaDecoder {
     def decode(row: MediaRow, featureDim: Int): MediaFeatures = {
       def pack(vals: Array[Double]): MediaFeatures =
         MediaFeatures(row.media_id, row.kind, row.width, row.height, 1,
           Array.tabulate(featureDim)(i => if (i < vals.length) vals(i).toFloat else 0f))
+      def imageFeats(s: PixelStats): MediaFeatures = {
+        val n = s.n_px * 3.0
+        val mean = s.pix_sum / n
+        val variance = math.max(s.pix_sq_sum / n - mean * mean, 0.0)
+        pack(Array(mean / 255.0, math.sqrt(variance) / 255.0,
+          s.first_px / 765.0, s.width.toDouble, s.height.toDouble))
+      }
       val real: Option[MediaFeatures] = row.mime match {
-        case "image/bmp" =>
-          decodeBmp(row.content).map { s =>
-            val n = s.n_px * 3.0
-            val mean = s.pix_sum / n
-            val variance = math.max(s.pix_sq_sum / n - mean * mean, 0.0)
-            pack(Array(mean / 255.0, math.sqrt(variance) / 255.0,
-              s.first_px / 765.0, s.width.toDouble, s.height.toDouble))
-          }
+        case "image/bmp" => decodeBmp(row.content).map(imageFeats)
+        case "image/png" => decodePng(row.content).map(imageFeats)
         case "audio/wav" =>
           decodeWav(row.content).map { s =>
             val n = math.max(s.n_samples, 1L).toDouble
@@ -281,6 +382,62 @@ object Multimodal {
     arr
   }
 
+  /** Deterministic PNG synthesis (8-bit RGB, non-interlaced): reconstructed
+    * channel byte k (row-major) has value `(seed + k) % 256` — the same
+    * closed form as [[synthBmp]], so a SQL oracle recomputes the exact
+    * pixel statistics. Scanline y is encoded with filter type `y % 5`, so
+    * decoding a tall-enough image exercises every PNG filter
+    * (None/Sub/Up/Average/Paeth); the IDAT stream is real zlib
+    * (`java.util.zip.Deflater`), chunks carry real CRC32s. */
+  def synthPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val stride = w * 3
+    val rec = Array.tabulate(h, stride)((y, x) =>
+      (((seed + y.toLong * stride + x) % 256) + 256).toInt % 256)
+    val raw = new Array[Byte]((stride + 1) * h)
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      raw(y * (stride + 1)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val r = rec(y)(x)
+        val a = if (x >= 3) rec(y)(x - 3) else 0
+        val b = if (y > 0) rec(y - 1)(x) else 0
+        val out = ft match {
+          case 0 => r
+          case 1 => r - a
+          case 2 => r - b
+          case 3 => r - ((a + b) >> 1)
+          case _ => r - paeth(a, b, if (x >= 3 && y > 0) rec(y - 1)(x - 3) else 0)
+        }
+        raw(y * (stride + 1) + 1 + x) = (out & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](raw.length + 128)
+    val zout = new java.io.ByteArrayOutputStream()
+    while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(pngSig, 0, 8)
+    val crc = new java.util.zip.CRC32()
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(data.length).array(), 0, 4)
+      val t = typ.getBytes("US-ASCII")
+      crc.reset(); crc.update(t); crc.update(data)
+      out.write(t, 0, 4); out.write(data, 0, data.length)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array(), 0, 4)
+    }
+    chunk("IHDR", java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array())
+    chunk("IDAT", zout.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** Deterministic mono 16-bit PCM WAV synthesis: sample i is
     * `((seed + 13*i) % 65536) - 32768` — closed-form for the oracle. */
   def synthWav(seed: Long, n: Int, rate: Int = 8000): Array[Byte] = {
@@ -302,7 +459,9 @@ object Multimodal {
   val synthBmpUdf = udf((seed: Long, w: Int, h: Int) => synthBmp(seed, w, h))
   val resizeBmpUdf = udf((b: Array[Byte], w: Int, h: Int) => resizeBmpNearest(b, w, h))
   val synthWavUdf = udf((seed: Long, n: Int) => synthWav(seed, n))
+  val synthPngUdf = udf((seed: Long, w: Int, h: Int) => synthPng(seed, w, h))
   val bmpStatsUdf = udf((b: Array[Byte]) => decodeBmp(b))
+  val pngStatsUdf = udf((b: Array[Byte]) => decodePng(b))
   val wavStatsUdf = udf((b: Array[Byte]) => decodeWav(b))
 
   /** Ingest: raw (id, kind, bytes) -> typed media table with sniffed

@@ -317,6 +317,48 @@ object DmsOps {
       }
     ),
     Q(
+      "mm_decode_png",
+      // REAL compressed-image decode, exact-hash-checked: deterministic
+      // 8-bit RGB PNGs (width 3..5, height 6 — scanline y carries filter
+      // type y % 5, so None/Sub/Up/Average/Paeth ALL run) are synthesized
+      // per doc, zlib-inflated and unfiltered by decodePng. Reconstructed
+      // channel byte k has value (seed + k) % 256 by construction, so
+      // DuckDB recomputes the exact sums the decoder must reconstruct
+      // through the compression layer — any inflate or filter-math bug
+      // breaks the hash.
+      Some("""WITH k AS (SELECT unnest(range(0, 90)) AS k)
+             |SELECT doc_id AS media_id,
+             |       'image/png' AS mime,
+             |       CAST(3 + doc_id % 3 AS INT) AS width,
+             |       6 AS height,
+             |       CAST((3 + doc_id % 3) * 6 AS BIGINT) AS n_px,
+             |       CAST(sum((doc_id * 17 + k) % 256) AS BIGINT) AS pix_sum,
+             |       CAST(sum(((doc_id * 17 + k) % 256) * ((doc_id * 17 + k) % 256)) AS BIGINT)
+             |         AS pix_sq_sum,
+             |       CAST((doc_id * 17) % 256 + (doc_id * 17 + 1) % 256
+             |            + (doc_id * 17 + 2) % 256 AS BIGINT) AS first_px
+             |FROM documents CROSS JOIN k
+             |WHERE k < (3 + doc_id % 3) * 18
+             |GROUP BY doc_id
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val mm = graft.multimodal.Multimodal
+        val raw = t.documents.select(
+          col("doc_id").as("media_id"), lit("image").as("kind"),
+          mm.synthPngUdf(col("doc_id") * 17,
+            (col("doc_id") % 3 + 3).cast("int"), lit(6)).as("content"))
+        val m = mm.ingest(raw) // mime must sniff as image/png from real magic bytes
+          .withColumn("s", mm.pngStatsUdf(col("content")))
+        ordered(
+          m.select(col("media_id"), col("mime"),
+            col("s.width").as("width"), col("s.height").as("height"),
+            col("s.n_px").as("n_px"), col("s.pix_sum").as("pix_sum"),
+            col("s.pix_sq_sum").as("pix_sq_sum"), col("s.first_px").as("first_px"))
+        )
+      }
+    ),
+    Q(
       "mm_decode_wav",
       // REAL audio decode, exact-hash-checked: deterministic mono 16-bit
       // PCM WAVs (64..127 samples, sample i = (seed + 13i) % 65536 - 32768)

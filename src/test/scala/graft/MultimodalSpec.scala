@@ -149,6 +149,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(w.smp_sq_sum == samples.map(v => v * v).sum)
   }
 
+  test("decodePng: real zlib inflate + all five scanline filters, exact stats") {
+    // h >= 5 forces every filter type (synthPng encodes row y with y % 5);
+    // the reconstructed pixels must match the closed form regardless
+    for (seed <- Seq(0L, 31L, 12345L); w <- 3 to 5) {
+      val s = Multimodal.decodePng(Multimodal.synthPng(seed, w, 6)).get
+      val vals = (0 until w * 18).map(k => (seed + k) % 256)
+      assert(s.width == w && s.height == 6 && s.n_px == w * 6)
+      assert(s.pix_sum == vals.sum && s.pix_sq_sum == vals.map(v => v * v).sum)
+      assert(s.first_px == vals.take(3).sum)
+    }
+    // ingest sniffs the synthesized bytes as a real PNG with real dims
+    val meta = graft.functions.Metadata.sniff(Multimodal.synthPng(1L, 5, 6))
+    assert(meta("mime") == "image/png" && meta("width") == "5" && meta("height") == "6")
+    val valid = Multimodal.synthPng(9L, 4, 6)
+    // grayscale (color type 0) is declared non-decodable -> None
+    val gray = valid.clone(); gray(25) = 0
+    assert(Multimodal.decodePng(gray).isEmpty)
+    // 16-bit depth -> None
+    val deep = valid.clone(); deep(24) = 16
+    assert(Multimodal.decodePng(deep).isEmpty)
+    // truncated IDAT (cut mid-stream) -> None, never a partial decode
+    assert(Multimodal.decodePng(valid.take(valid.length - 20)).isEmpty)
+    // corrupt zlib payload -> None via DataFormatException path
+    val corrupt = valid.clone(); corrupt(45) = (corrupt(45) ^ 0x55).toByte
+    Multimodal.decodePng(corrupt) // must not throw (result unconstrained)
+  }
+
   test("resizeBmpNearest: real pixel resample, output round-trips the codec") {
     // identity resize preserves every pixel statistic
     val src = Multimodal.synthBmp(31L, 4, 3)
@@ -173,12 +200,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.resizeBmpNearest(Array[Byte](1, 2, 3), 2, 2).isEmpty)
   }
 
-  test("realDecoder: real stats for bmp/wav, declared stub for the rest") {
+  test("realDecoder: real stats for bmp/png/wav, declared stub for the rest") {
     import spark.implicits._
     val rows = Seq(
       (10L, "image", Multimodal.synthBmp(31L, 4, 3)),
       (11L, "audio", Multimodal.synthWav(7L, 64)),
-      (12L, "image", png(64, 32)))
+      (12L, "image", png(64, 32)),
+      (13L, "image", Multimodal.synthPng(31L, 4, 6)))
       .toDF("media_id", "kind", "content")
     val feats = Multimodal.pipeline(spark, rows, featureDim = 8,
         decoder = Multimodal.realDecoder)
@@ -190,10 +218,15 @@ class MultimodalSpec extends AnyFunSuite {
     val ws = Multimodal.decodeWav(Multimodal.synthWav(7L, 64)).get
     assert(math.abs(feats(11L).features(1) -
       math.sqrt(ws.smp_sq_sum / 64.0) / 32768.0) < 1e-6)
-    // png falls through the seam to the deterministic stub
+    // a header-only (truncated) png falls through the seam to the stub
     assert(feats(12L).features.toSeq ==
       Multimodal.decodeStub.decode(Multimodal.MediaRow(12L, "image",
         png(64, 32), "image/png", 64, 32, -1, -1L), 8).features.toSeq)
+    // a complete png decodes for real: mean of the closed-form pixels
+    val ps = Multimodal.decodePng(Multimodal.synthPng(31L, 4, 6)).get
+    assert(math.abs(feats(13L).features(0) -
+      ps.pix_sum / (ps.n_px * 3.0) / 255.0) < 1e-6)
+    assert(feats(13L).width == 4 && feats(13L).height == 6)
   }
 
   test("features feed the standard vector ops (cosine knn over media)") {
