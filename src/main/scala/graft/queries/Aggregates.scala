@@ -597,6 +597,157 @@ object Aggregates {
             .agg(round(sum(px * (lit(1) - disc)), 4).cast("double").as("revenue"))
         )
       }
+    ),
+    Q(
+      "tpch_q7",
+      // TPC-H Q7 shape (volume shipping between two nations): the
+      // nation-pair filters are applied to the DIM sides before any fact
+      // shuffle — supplier and customer are each pre-pruned to 2/25 of
+      // their rows by a broadcast nation join, so the lineitem->orders
+      // and orders->customer shuffles carry only qualifying rows; the
+      // residual pair predicate (exclude same-nation) runs last on the
+      // already-tiny result. Exact decimal revenue, grouped by year.
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |  CAST(year(l_shipdate) AS INT) AS l_year,
+             |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |                 * (1 - CAST(l_discount AS DECIMAL(8,2)))), 4)
+             |       AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             |  AND ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3')
+             |    OR (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2'))
+             |GROUP BY 1, 2, 3
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val px   = col("l_extendedprice").cast("decimal(18,2)")
+        val disc = col("l_discount").cast("decimal(8,2)")
+        val names = Seq("NATION_2", "NATION_3")
+        // dims pruned BEFORE the fact joins: only the two nations' rows
+        // ever ride a shuffle
+        val sup = t.supplier
+          .join(broadcast(t.nation.filter(col("n_name").isin(names: _*))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val cust = t.customer
+          .join(broadcast(t.nation.filter(col("n_name").isin(names: _*))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        ordered(
+          t.lineitem
+            .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+              col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+            .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+            .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+            .join(cust, col("o_custkey") === col("c_custkey"))
+            .filter(col("supp_nation") =!= col("cust_nation"))
+            .groupBy(col("supp_nation"), col("cust_nation"),
+              year(col("l_shipdate")).as("l_year"))
+            .agg(round(sum(px * (lit(1) - disc)), 4).cast("double").as("revenue"))
+        )
+      }
+    ),
+    Q(
+      "tpch_q8",
+      // TPC-H Q8 shape (national market share): revenue share of one
+      // supplier nation within a region's market for one part type.
+      // Customers are pre-pruned to the region via broadcast nation+region
+      // joins; the part-type filter prunes the fact before its first
+      // shuffle. Numerator and denominator are EXACT decimal sums cast to
+      // double only for the final division (one IEEE op both engines
+      // reproduce bit-for-bit).
+      Some("""WITH vol AS (
+             |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             |         CAST(l_extendedprice AS DECIMAL(18,2))
+             |           * (1 - CAST(l_discount AS DECIMAL(8,2))) AS volume,
+             |         n2.n_name AS supp_nation
+             |  FROM lineitem
+             |  JOIN part ON p_partkey = l_partkey
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |  JOIN customer ON c_custkey = o_custkey
+             |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |  JOIN region ON n1.n_regionkey = r_regionkey
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+             |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |)
+             |SELECT o_year,
+             |  CAST(round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+             |                           THEN volume ELSE 0 END) AS DOUBLE)
+             |             / CAST(sum(volume) AS DOUBLE), 4) AS DOUBLE) AS mkt_share
+             |FROM vol GROUP BY o_year
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val volume = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(8,2)"))
+        // region-pruned customers: broadcast joins against 25/5-row dims
+        val cust = t.customer
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .select(col("c_custkey"))
+        val sup = t.supplier
+          .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        ordered(
+          t.lineitem
+            .join(t.part.filter(col("p_type") === "ECONOMY")
+              .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+            .join(t.orders
+              .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+                col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00"))),
+              col("l_orderkey") === col("o_orderkey"))
+            .join(cust, col("o_custkey") === col("c_custkey"))
+            .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+            .groupBy(year(col("o_orderdate")).as("o_year"))
+            .agg(round(
+              sum(when(col("supp_nation") === "NATION_3", volume)
+                .otherwise(lit(0))).cast("double") /
+                sum(volume).cast("double"), 4).cast("double").as("mkt_share"))
+        )
+      }
+    ),
+    Q(
+      "tpch_q14",
+      // TPC-H Q14 shape (promotion effect): one month of lineitem joined
+      // to part, conditional-over-total revenue ratio. The date filter is
+      // pushed to the fact scan; part carries only (p_partkey, p_type)
+      // through its join. Both sums exact decimal; one double division +
+      // multiply at the end, in the same order in both engines.
+      Some("""SELECT
+             |  CAST(round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+             |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+             |           * (1 - CAST(l_discount AS DECIMAL(8,2)))
+             |      ELSE 0 END) AS DOUBLE)
+             |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |               * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE), 4)
+             |    AS DOUBLE) AS promo_revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val volume = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(8,2)"))
+        t.lineitem
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-09-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1996-10-01 00:00:00")))
+          .join(t.part.select(col("p_partkey"), col("p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .agg(round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", volume).otherwise(lit(0)))
+              .cast("double") /
+            sum(volume).cast("double"), 4).cast("double").as("promo_revenue"))
+      }
     )
   )
 }

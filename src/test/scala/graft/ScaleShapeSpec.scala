@@ -82,6 +82,28 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"))
   }
 
+  test("tpch q7/q8/q14: dims broadcast, selective predicates reach the scans") {
+    // q7: the nation-pair pruning must ride a BROADCAST into the fact
+    // pipeline (supplier side), and the shipdate range must reach the
+    // lineitem parquet scan — at 100 TB this is the difference between
+    // scanning 2 years of 2 nations and scanning everything
+    val q7 = executedPlan(SparkEntry.queries("tpch_q7")(spark, sf))
+    assert(q7.contains("BroadcastHashJoin"), s"q7 dims not broadcast:\n$q7")
+    assert(q7.contains("GreaterThanOrEqual(l_shipdate") &&
+      q7.contains("LessThan(l_shipdate"), s"q7 date range not pushed:\n$q7")
+    // q8: the part-type filter is pushed to the part scan so the fact's
+    // first shuffle already carries only ECONOMY lineitems
+    val q8 = executedPlan(SparkEntry.queries("tpch_q8")(spark, sf))
+    assert(q8.contains("EqualTo(p_type,ECONOMY)"), s"q8 p_type not pushed:\n$q8")
+    assert(q8.contains("BroadcastHashJoin"), s"q8 dims not broadcast:\n$q8")
+    // q14: single-month range on the fact scan; part carries only two cols
+    val q14 = executedPlan(SparkEntry.queries("tpch_q14")(spark, sf))
+    assert(q14.contains("GreaterThanOrEqual(l_shipdate") &&
+      q14.contains("LessThan(l_shipdate"), s"q14 month not pushed:\n$q14")
+    assert(q14.contains("ReadSchema: struct<p_partkey:bigint,p_type:string>"),
+      s"q14 part scan not pruned to 2 columns:\n$q14")
+  }
+
   test("s4 CSV dim joins as a broadcast, never shuffling the fact side") {
     val df = SparkEntry.queries("s4_csv_source")(spark, sf)
     val plan = executedPlan(df)
