@@ -13,12 +13,13 @@ import graft.functions.Metadata
   * same batch shape a Pandas-UDF/Arrow path would have in PySpark).
   *
   * Codec status: BMP pixel arrays, PNG (8-bit RGB: real zlib inflate +
-  * all five scanline filters), and WAV 16-bit PCM are decoded FOR REAL in
-  * pure JVM code ([[decodeBmp]]/[[decodePng]]/[[decodeWav]] — exact
-  * integer pixel/sample statistics, oracle-checked); JPEG and video
-  * containers remain behind the declared stub seam (`decodeStub` derives
-  * deterministic pseudo-features from real header metadata + content
-  * hash), because this container has no codec libraries — swap
+  * all five scanline filters), GIF (variable-width LZW, per-frame decode
+  * — animated GIF is the real multi-frame video path), and WAV 16-bit PCM
+  * are decoded FOR REAL in pure JVM code ([[decodeBmp]]/[[decodePng]]/
+  * [[decodeGif]]/[[decodeWav]] — exact integer pixel/sample statistics,
+  * oracle-checked); JPEG routes through the JDK's own codec
+  * (javax.imageio, no external library). Only exotic video containers
+  * remain behind the declared stub seam (`decodeStub`) — swap
   * [[MediaDecoder.decode]] for a JNI/javacv call and nothing else changes.
   */
 object Multimodal {
@@ -320,11 +321,232 @@ object Multimodal {
     Some(WavStats(rate.toInt, channels, bits, n, sum, sq, zc))
   }
 
+  /** Exact integer pixel statistics of ONE GIF frame — same channel-byte
+    * semantics as [[PixelStats]], one row per image descriptor, so an
+    * animated GIF yields a REAL frame sequence (the video path's unit). */
+  case class GifFrameStats(
+      frame_idx: Int, width: Int, height: Int,
+      px_sum: Long, px_sq_sum: Long, first_px: Long)
+
+  /** Real GIF decode, pure JVM: GIF87a/89a, global or local 2^n-color
+    * palettes, full variable-width LZW with deferred code-size growth and
+    * mid-stream CLEAR — each image descriptor (animation frame) is
+    * decompressed to its actual palette-mapped pixels (interlaced frames
+    * included — the emitted statistics are row-order-invariant, see the
+    * inline note). Validated in MultimodalSpec against
+    * the JDK's own independent GIF codec (`javax.imageio`) in both
+    * directions: this decoder must reproduce ImageIO-written streams
+    * (which exercise real code-width growth) bit-exactly, and ImageIO must
+    * reproduce [[synthGif]] streams. */
+  def decodeGif(bytes: Array[Byte]): Option[Seq[GifFrameStats]] = {
+    import Metadata.u16le
+    if (bytes == null || bytes.length < 14) return None
+    val hdr = new String(bytes, 0, 6, "US-ASCII")
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    val flags = bytes(10) & 0xff
+    var p = 13
+    var gct: Array[Byte] = null
+    if ((flags & 0x80) != 0) {
+      val n = 3 * (1 << ((flags & 7) + 1))
+      if (p + n > bytes.length) return None
+      gct = java.util.Arrays.copyOfRange(bytes, p, p + n); p += n
+    }
+    val frames = scala.collection.mutable.ArrayBuffer[GifFrameStats]()
+    while (true) {
+      if (p >= bytes.length) return None // ran off the end before trailer
+      val block = bytes(p) & 0xff; p += 1
+      block match {
+        case 0x3b => return Some(frames.toSeq) // trailer
+        case 0x21 => // extension: label byte + terminated sub-blocks
+          p += 1
+          var len = -1
+          while (len != 0) {
+            if (p >= bytes.length) return None
+            len = bytes(p) & 0xff; p += 1 + len
+            if (p > bytes.length) return None
+          }
+        case 0x2c => // image descriptor = one frame
+          if (p + 9 > bytes.length) return None
+          val fw = u16le(bytes, p + 4); val fh = u16le(bytes, p + 6)
+          val fflags = bytes(p + 8) & 0xff
+          p += 9
+          // interlace (0x40) is accepted WITHOUT deinterlacing: the stats
+          // are row-order-invariant (sums over the pixel multiset), and
+          // interlace pass 1 starts at visual row 0, so the first decoded
+          // pixel is the visual top-left either way
+          var pal = gct
+          if ((fflags & 0x80) != 0) {
+            val n = 3 * (1 << ((fflags & 7) + 1))
+            if (p + n > bytes.length) return None
+            pal = java.util.Arrays.copyOfRange(bytes, p, p + n); p += n
+          }
+          val npx = fw.toLong * fh
+          if (pal == null || fw <= 0 || fh <= 0 || npx > (1L << 22)) return None
+          if (p >= bytes.length) return None
+          val minCode = bytes(p) & 0xff; p += 1
+          if (minCode < 2 || minCode > 11) return None
+          val data = new java.io.ByteArrayOutputStream()
+          var len = -1
+          while (len != 0) {
+            if (p >= bytes.length) return None
+            len = bytes(p) & 0xff; p += 1
+            if (len > 0) {
+              if (p + len > bytes.length) return None
+              data.write(bytes, p, len); p += len
+            }
+          }
+          frames += decodeLzwFrame(data.toByteArray, minCode, pal,
+            frames.size, fw, fh).getOrElse(return None)
+        case _ => return None // unknown block type: refuse, never guess
+      }
+    }
+    None // unreachable
+  }
+
+  /** One frame's LZW stream -> exact pixel statistics via the palette.
+    * Variable code width starting at minCode+1, deferred growth (width
+    * bumps when the next-to-assign index outgrows it — the GIF89a
+    * convention giflib and ImageIO implement), CLEAR resets, and the
+    * KwKwK (code == next) case. */
+  private def decodeLzwFrame(
+      d: Array[Byte], minCode: Int, pal: Array[Byte],
+      frameIdx: Int, fw: Int, fh: Int): Option[GifFrameStats] = {
+    val palSize = pal.length / 3
+    val npx = fw.toLong * fh
+    val clear = 1 << minCode; val eoi = clear + 1
+    val prefix = new Array[Int](4096); val suffix = new Array[Byte](4096)
+    var dictSize = eoi + 1; var codeSize = minCode + 1
+    val nBits = d.length.toLong * 8
+    var bitPos = 0L
+    var prev = -1
+    var out = 0L; var sum = 0L; var sq = 0L; var first = 0L
+    val stack = new Array[Byte](4096); var sp = 0
+    def emit(idx: Int): Boolean = {
+      if (idx >= palSize || out >= npx) return false
+      val r = pal(3 * idx) & 0xff; val g = pal(3 * idx + 1) & 0xff
+      val b = pal(3 * idx + 2) & 0xff
+      sum += r + g + b
+      sq += r.toLong * r + g.toLong * g + b.toLong * b
+      if (out == 0) first = r.toLong + g + b
+      out += 1; true
+    }
+    while (out < npx) {
+      // deferred width growth: check against the NEXT assignable index
+      // before reading, exactly as the reference decoders do
+      if (dictSize >= (1 << codeSize) && codeSize < 12) codeSize += 1
+      if (bitPos + codeSize > nBits) return None
+      var code = 0; var i = 0
+      while (i < codeSize) { // LSB-first bit packing
+        val bp = bitPos + i
+        if (((d((bp >> 3).toInt) >> (bp & 7).toInt) & 1) != 0) code |= 1 << i
+        i += 1
+      }
+      bitPos += codeSize
+      if (code == clear) { dictSize = eoi + 1; codeSize = minCode + 1; prev = -1 }
+      else if (code == eoi) return None // EOI before all pixels decoded
+      else if (prev == -1) {
+        if (code >= clear || !emit(code)) return None
+        prev = code
+      } else {
+        if (code > dictSize || (code == dictSize && dictSize >= 4096)) return None
+        var c = code
+        if (code == dictSize) { // KwKwK: string(prev) + firstChar(prev)
+          c = prev
+          var f = prev
+          while (f > eoi) f = prefix(f)
+          stack(sp) = f.toByte; sp += 1
+        }
+        while (c > eoi) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        if (c >= clear) return None // corrupt chain
+        val firstChar = c.toByte
+        if (!emit(c & 0xff)) return None
+        while (sp > 0) {
+          sp -= 1
+          if (!emit(stack(sp) & 0xff)) return None
+        }
+        if (dictSize < 4096) {
+          prefix(dictSize) = prev; suffix(dictSize) = firstChar; dictSize += 1
+        }
+        prev = code
+      }
+    }
+    Some(GifFrameStats(frameIdx, fw, fh, sum, sq, first))
+  }
+
+  /** Real GIF LZW encoder (hash-dict longest-match). To stay unambiguous
+    * across decoder width conventions it never grows the code width:
+    * when the dictionary fills the current width it emits CLEAR and
+    * rebuilds — a spec-legal stream every GIF decoder accepts (ImageIO
+    * cross-checks this in MultimodalSpec). */
+  private def lzwEncode(indices: Array[Int], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode; val eoi = clear + 1
+    val codeSize = minCode + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nacc = 0
+    def put(code: Int): Unit = {
+      acc |= code.toLong << nacc; nacc += codeSize
+      while (nacc >= 8) { out.write((acc & 0xff).toInt); acc >>>= 8; nacc -= 8 }
+    }
+    val dict = new java.util.HashMap[Integer, Integer]()
+    var next = eoi + 1
+    put(clear)
+    var cur = indices(0)
+    var i = 1
+    while (i < indices.length) {
+      val c = indices(i)
+      val key = Integer.valueOf((cur << 12) | c)
+      val hit = dict.get(key)
+      if (hit != null) cur = hit.intValue()
+      else {
+        put(cur)
+        dict.put(key, Integer.valueOf(next)); next += 1
+        if (next >= (1 << codeSize)) { put(clear); dict.clear(); next = eoi + 1 }
+        cur = c
+      }
+      i += 1
+    }
+    put(cur); put(eoi)
+    if (nacc > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Deterministic animated GIF synthesis: 256-entry grayscale global
+    * palette (entry i = (i,i,i)), `frames` full-size frames, pixel index
+    * at (frame f, position k) = `(seed + 997*f + k) % 256` — closed-form,
+    * so a SQL oracle recomputes each frame's exact pixel statistics
+    * through the real LZW compression layer. */
+  def synthGif(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    out.write(0xf7); out.write(0); out.write(0) // GCT present, 256 entries
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    var f = 0
+    while (f < frames) {
+      out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0)
+      out.write(8) // LZW minimum code size
+      val idx = Array.tabulate(w * h)(k =>
+        (((seed + 997L * f + k) % 256) + 256).toInt % 256)
+      val z = lzwEncode(idx, 8)
+      var o = 0
+      while (o < z.length) { // <=255-byte sub-blocks
+        val n = math.min(255, z.length - o)
+        out.write(n); out.write(z, o, n); o += n
+      }
+      out.write(0) // block terminator
+      f += 1
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
   /** Real decoder for the formats this JVM can decode without any codec
-    * library — BMP pixel arrays, PNG (zlib + scanline filters), WAV PCM.
-    * Features are normalized summary statistics of the actual pixels/
-    * samples; every other format falls back to [[decodeStub]] (the
-    * declared seam). */
+    * library — BMP pixel arrays, PNG (zlib + scanline filters), GIF
+    * (variable-width LZW, real per-frame decode), WAV PCM. Features are
+    * normalized summary statistics of the actual pixels/samples; every
+    * other format falls back to [[decodeStub]] (the declared seam). */
   object realDecoder extends MediaDecoder {
     def decode(row: MediaRow, featureDim: Int): MediaFeatures = {
       def pack(vals: Array[Double]): MediaFeatures =
@@ -340,6 +562,52 @@ object Multimodal {
       val real: Option[MediaFeatures] = row.mime match {
         case "image/bmp" => decodeBmp(row.content).map(imageFeats)
         case "image/png" => decodePng(row.content).map(imageFeats)
+        case "image/gif" =>
+          // animated GIF = the real multi-frame (video) path: n_frames is
+          // the actual decoded frame count, stats aggregate every frame
+          decodeGif(row.content).filter(_.nonEmpty).map { fs =>
+            val n = fs.map(f => f.width.toLong * f.height * 3).sum.toDouble
+            val mean = fs.map(_.px_sum).sum / n
+            val variance =
+              math.max(fs.map(_.px_sq_sum).sum / n - mean * mean, 0.0)
+            val vals = Array(mean / 255.0, math.sqrt(variance) / 255.0,
+              fs.head.first_px / 765.0, fs.head.width.toDouble,
+              fs.head.height.toDouble)
+            MediaFeatures(row.media_id, row.kind, fs.head.width,
+              fs.head.height, fs.size,
+              Array.tabulate(featureDim)(i =>
+                if (i < vals.length) vals(i).toFloat else 0f))
+          }
+        case "image/jpeg" =>
+          // JPEG through the JDK's built-in codec (javax.imageio — no
+          // external library): real DCT decode to pixel statistics
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(row.content))
+            if (img == null || img.getWidth.toLong * img.getHeight > (1L << 22))
+              None
+            else {
+              var sum = 0L; var sq = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+                  val b = rgb & 0xff
+                  sum += r + g + b
+                  sq += r.toLong * r + g.toLong * g + b.toLong * b
+                  x += 1
+                }
+                y += 1
+              }
+              val f0 = img.getRGB(0, 0)
+              val first = ((f0 >> 16) & 0xff).toLong + ((f0 >> 8) & 0xff) +
+                (f0 & 0xff)
+              Some(imageFeats(PixelStats(img.getWidth, img.getHeight,
+                img.getWidth.toLong * img.getHeight, sum, sq, first)))
+            }
+          } catch { case _: Exception => None }
         case "audio/wav" =>
           decodeWav(row.content).map { s =>
             val n = math.max(s.n_samples, 1L).toDouble
@@ -460,6 +728,9 @@ object Multimodal {
   val resizeBmpUdf = udf((b: Array[Byte], w: Int, h: Int) => resizeBmpNearest(b, w, h))
   val synthWavUdf = udf((seed: Long, n: Int) => synthWav(seed, n))
   val synthPngUdf = udf((seed: Long, w: Int, h: Int) => synthPng(seed, w, h))
+  val synthGifUdf =
+    udf((seed: Long, w: Int, h: Int, frames: Int) => synthGif(seed, w, h, frames))
+  val gifFramesUdf = udf((b: Array[Byte]) => decodeGif(b))
   val bmpStatsUdf = udf((b: Array[Byte]) => decodeBmp(b))
   val pngStatsUdf = udf((b: Array[Byte]) => decodePng(b))
   val wavStatsUdf = udf((b: Array[Byte]) => decodeWav(b))

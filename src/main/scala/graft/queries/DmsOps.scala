@@ -359,6 +359,48 @@ object DmsOps {
       }
     ),
     Q(
+      "mm_decode_gif",
+      // REAL video-path decode, exact-hash-checked: deterministic animated
+      // GIFs (2..4 full-size frames, 256-gray palette, real LZW streams)
+      // are synthesized per doc and decoded frame by frame — one output
+      // row per (media, frame), i.e. the actual frame explosion of the
+      // multimodal pipeline, not a stub formula. Pixel index at
+      // (frame f, pos k) is (seed + 997f + k) % 256 with a grayscale
+      // palette, so DuckDB recomputes each frame's exact channel sums;
+      // any LZW dictionary/bit-packing bug breaks the hash.
+      Some("""WITH f AS (SELECT unnest(range(0, 4)) AS f),
+             |k AS (SELECT unnest(range(0, 20)) AS k)
+             |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+             |       CAST(3 + doc_id % 3 AS INT) AS width,
+             |       4 AS height,
+             |       CAST(3 * sum((doc_id * 13 + 997 * f + k) % 256) AS BIGINT) AS px_sum,
+             |       CAST(3 * sum(((doc_id * 13 + 997 * f + k) % 256)
+             |                    * ((doc_id * 13 + 997 * f + k) % 256)) AS BIGINT)
+             |         AS px_sq_sum,
+             |       CAST(3 * ((doc_id * 13 + 997 * f) % 256) AS BIGINT) AS first_px
+             |FROM documents CROSS JOIN f CROSS JOIN k
+             |WHERE f < 2 + doc_id % 3 AND k < (3 + doc_id % 3) * 4
+             |GROUP BY doc_id, f
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val mm = graft.multimodal.Multimodal
+        val raw = t.documents.select(
+          col("doc_id").as("media_id"),
+          mm.synthGifUdf(col("doc_id") * 13,
+            (col("doc_id") % 3 + 3).cast("int"), lit(4),
+            (col("doc_id") % 3 + 2).cast("int")).as("content"))
+        ordered(
+          raw.select(col("media_id"),
+            explode(mm.gifFramesUdf(col("content"))).as("s"))
+            .select(col("media_id"), col("s.frame_idx").as("frame_idx"),
+              col("s.width").as("width"), col("s.height").as("height"),
+              col("s.px_sum").as("px_sum"), col("s.px_sq_sum").as("px_sq_sum"),
+              col("s.first_px").as("first_px"))
+        )
+      }
+    ),
+    Q(
       "mm_decode_wav",
       // REAL audio decode, exact-hash-checked: deterministic mono 16-bit
       // PCM WAVs (64..127 samples, sample i = (seed + 13i) % 65536 - 32768)

@@ -176,6 +176,110 @@ class MultimodalSpec extends AnyFunSuite {
     Multimodal.decodePng(corrupt) // must not throw (result unconstrained)
   }
 
+  /** Per-frame channel-byte sums of a BufferedImage — the same semantics
+    * as GifFrameStats/PixelStats, computed through the JDK's independent
+    * codec for cross-validation. */
+  private def imageSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    var sum = 0L; var sq = 0L; var first = -1L
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val rgb = img.getRGB(x, y)
+      val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+      if (first < 0) first = r.toLong + g + b
+      sum += r + g + b
+      sq += r.toLong * r + g.toLong * g + b.toLong * b
+    }
+    (sum, sq, first)
+  }
+
+  test("decodeGif: closed-form frames through real LZW; None for corrupt variants") {
+    for (seed <- Seq(0L, 13L, 9999L)) {
+      val fs = Multimodal.decodeGif(Multimodal.synthGif(seed, 5, 4, 3)).get
+      assert(fs.size == 3)
+      for (f <- 0 until 3) {
+        val idx = (0 until 20).map(k => (seed + 997 * f + k) % 256)
+        val s = fs(f)
+        assert(s.width == 5 && s.height == 4 && s.frame_idx == f)
+        assert(s.px_sum == 3 * idx.sum)
+        assert(s.px_sq_sum == 3 * idx.map(v => v * v).sum)
+        assert(s.first_px == 3 * idx.head)
+      }
+    }
+    val valid = Multimodal.synthGif(13L, 5, 4, 2)
+    // truncation anywhere inside the stream must give None, not garbage
+    assert(Multimodal.decodeGif(valid.take(valid.length - 2)).isEmpty)
+    assert(Multimodal.decodeGif(valid.take(20)).isEmpty)
+    assert(Multimodal.decodeGif("GIF89a".getBytes).isEmpty)
+  }
+
+  test("decodeGif/synthGif cross-validate against the JDK's own GIF codec") {
+    // direction 1: ImageIO reads our encoder's stream to the same pixels
+    // (proves synthGif emits spec-valid GIF, not merely self-consistent)
+    val bytes = Multimodal.synthGif(13L, 6, 5, 2)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val rdr = javax.imageio.ImageIO.getImageReaders(iis).next()
+    rdr.setInput(iis)
+    assert(rdr.getNumImages(true) == 2)
+    val mine = Multimodal.decodeGif(bytes).get
+    for (f <- 0 until 2) {
+      val (sum, sq, first) = imageSums(rdr.read(f))
+      assert((sum, sq, first) ==
+        (mine(f).px_sum, mine(f).px_sq_sum, mine(f).first_px))
+    }
+    // direction 2: our decoder reproduces an ImageIO-WRITTEN stream —
+    // ImageIO's encoder uses real variable-width LZW (code-width growth
+    // past 9/10 bits on this 80x60 image), so this pins the deferred
+    // width-growth convention against an independent reference codec
+    val grays = (0 until 256).map(_.toByte).toArray
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val img = new java.awt.image.BufferedImage(80, 60,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    val rnd = new scala.util.Random(7)
+    var expSum = 0L; var expSq = 0L; var expFirst = -1L
+    for (y <- 0 until 60; x <- 0 until 80) {
+      val v = if (rnd.nextBoolean()) rnd.nextInt(256) else (x + y) % 256
+      img.getRaster.setSample(x, y, 0, v)
+      if (expFirst < 0) expFirst = 3L * v
+      expSum += 3L * v; expSq += 3L * v * v
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", baos))
+    val got = Multimodal.decodeGif(baos.toByteArray).get
+    assert(got.size == 1 && got.head.width == 80 && got.head.height == 60)
+    assert(got.head.px_sum == expSum && got.head.px_sq_sum == expSq &&
+      got.head.first_px == expFirst)
+  }
+
+  test("realDecoder: jpeg decodes through the JDK codec, gif frames are real") {
+    import spark.implicits._
+    // a real JPEG produced by the JDK encoder (lossy, so the expectation
+    // is computed by decoding it back through ImageIO independently)
+    val src = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      src.setRGB(x, y, ((x * 16) << 16) | ((y * 16) << 8) | ((x + y) * 8))
+    val jb = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "jpg", jb))
+    val jpegBytes = jb.toByteArray
+    val gifBytes = Multimodal.synthGif(5L, 4, 4, 3)
+    val rows = Seq(
+      (20L, "image", jpegBytes),
+      (21L, "video", gifBytes))
+      .toDF("media_id", "kind", "content")
+    val feats = Multimodal.pipeline(spark, rows, featureDim = 8,
+        decoder = Multimodal.realDecoder)
+      .collect().map(f => f.media_id -> f).toMap
+    val (jsum, _, _) = imageSums(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpegBytes)))
+    assert(math.abs(feats(20L).features(0) - jsum / (256 * 3.0) / 255.0) < 1e-6)
+    // the gif's frame count is the REAL decoded count, not a stub formula
+    assert(feats(21L).n_frames == 3)
+    val gs = Multimodal.decodeGif(gifBytes).get
+    val gn = gs.map(f => f.width.toLong * f.height * 3).sum.toDouble
+    assert(math.abs(feats(21L).features(0) -
+      gs.map(_.px_sum).sum / gn / 255.0) < 1e-6)
+  }
+
   test("resizeBmpNearest: real pixel resample, output round-trips the codec") {
     // identity resize preserves every pixel statistic
     val src = Multimodal.synthBmp(31L, 4, 3)

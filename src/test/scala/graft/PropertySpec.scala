@@ -160,9 +160,10 @@ class PropertySpec extends AnyFunSuite {
     val validBmp = mm.synthBmp(7L, 4, 3)
     val validWav = mm.synthWav(7L, 32)
     val validPng = mm.synthPng(7L, 4, 6)
+    val validGif = mm.synthGif(7L, 4, 4, 2)
     val rnd = new scala.util.Random(42)
     val cases = Seq.fill(200)(Array.fill(rnd.nextInt(200))(rnd.nextInt.toByte)) ++
-      Seq(validBmp, validWav, validPng).flatMap { v =>
+      Seq(validBmp, validWav, validPng, validGif).flatMap { v =>
         (0 until 100).map { i =>
           val m = v.clone()
           val r = new scala.util.Random(i)
@@ -178,6 +179,7 @@ class PropertySpec extends AnyFunSuite {
       mm.decodeBmp(bytes)
       mm.decodeWav(bytes)
       mm.decodePng(bytes) // zlib/filter corruption must yield None, not throw
+      mm.decodeGif(bytes) // LZW/block corruption must terminate, not loop
       mm.resizeBmpNearest(bytes, 2, 2).foreach { out =>
         assert(mm.decodeBmp(out).isDefined) // any resize output re-decodes
       }
