@@ -445,4 +445,56 @@ object Dedup {
       .union(e.select(col("a").as("id"), col("a").as("comp")))
       .groupBy(col("id")).agg(min(col("comp")).as("comp"))
   }
+
+  // ---- Bloom-filter novelty (D4 at ingest scale) ----
+  //
+  // "Which incoming docs has the corpus already seen?" without shuffling
+  // the corpus against the incoming batch: build a Bloom filter OVER the
+  // corpus keys as a tiny words table (one hash aggregate), broadcast it,
+  // and probe incoming keys with k portable hashes. No false negatives by
+  // construction; false positives are DETERMINISTIC here because the hash
+  // family is the md5-derived one the oracle reproduces — so the whole
+  // op, FPs included, is exact-hash-checkable in SQL. 62 usable bits per
+  // BIGINT word keep `1 << bit` positive in every engine.
+
+  /** Bit position of hash `seed` for `key` in a Bloom filter of
+    * `words * 62` bits: the engine-portable md5 family. */
+  def bloomPos(key: Column, seed: Int, words: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"$seed:"), key)), 1, 15), 16, 10)
+      .cast("long"), lit(words * 62L))
+
+  /** All `numHashes` bit positions of `key`, as one exploded column. */
+  private def bloomPositions(key: Column, words: Int, numHashes: Int): Column =
+    explode(array((0 until numHashes).map(s => bloomPos(key, s, words)): _*))
+
+  /** The Bloom filter as data: (word, bits) rows — one BIGINT per word,
+    * bit_or of all corpus keys' hash bits. Fixed size regardless of
+    * corpus size: the 100 TB corpus compresses to `words` rows through
+    * one map-side-partial hash aggregate. */
+  def bloomWords(corpusKeys: DataFrame, keyCol: String, words: Int,
+      numHashes: Int): DataFrame =
+    corpusKeys
+      .select(bloomPositions(col(keyCol), words, numHashes).as("pos"))
+      .select(expr("pos DIV 62").as("word"), (col("pos") % 62).cast("int").as("bit"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), bit))").as("bits"))
+
+  /** Probe: one `maybe_seen` verdict per incoming key. All k hash probes
+    * must hit set bits; a missing word row means an unset bit (left join
+    * + coalesce 0). The join is a BROADCAST against the words-row filter,
+    * so the incoming batch never shuffles against the corpus — the whole
+    * point of the op at ingest scale. */
+  def bloomProbe(incoming: DataFrame, keyCol: String, bloom: DataFrame,
+      words: Int, numHashes: Int): DataFrame =
+    incoming
+      .select(col(keyCol), bloomPositions(col(keyCol), words, numHashes).as("pos"))
+      .select(col(keyCol), expr("pos DIV 62").as("word"),
+        (col("pos") % 62).cast("int").as("bit"))
+      .join(broadcast(bloom), Seq("word"), "left")
+      .select(col(keyCol),
+        (coalesce(col("bits"), lit(0L))
+          .bitwiseAND(expr("shiftleft(cast(1 as bigint), bit)")) =!= 0L)
+          .cast("int").as("hit"))
+      .groupBy(col(keyCol))
+      .agg((sum(col("hit")) === numHashes).as("maybe_seen"))
 }

@@ -279,6 +279,60 @@ object DedupOps {
       }
     ),
     Q(
+      "d4_bloom_novel",
+      // Bloom-filter novelty at ingest scale: the corpus (doc_id % 7 != 0)
+      // compresses to a 32-word (1984-bit, k=3) filter via one hash
+      // aggregate; the incoming batch probes it through a BROADCAST join —
+      // "which docs are new" without shuffling incoming against corpus.
+      // The md5 hash family is engine-portable, so the verdict — false
+      // positives INCLUDED — is deterministic and exact-hash-checked; the
+      // exact `seen` column exposes the FPs (maybe_seen && !seen) and
+      // proves there is never a false negative (seen -> maybe_seen).
+      Some("""WITH s AS (SELECT unnest(range(0, 3)) AS seed),
+             |corpus AS (SELECT DISTINCT text FROM documents WHERE doc_id % 7 <> 0),
+             |cbits AS (
+             |  SELECT (('0x' || substring(md5(seed || ':' || text), 1, 15))::BIGINT
+             |          % 1984) AS pos
+             |  FROM corpus CROSS JOIN s
+             |),
+             |bloom AS (
+             |  SELECT pos // 62 AS word, bit_or((1::BIGINT << CAST(pos % 62 AS INT))) AS bits
+             |  FROM cbits GROUP BY 1
+             |),
+             |probe AS (
+             |  SELECT d.text,
+             |         (('0x' || substring(md5(s.seed || ':' || d.text), 1, 15))::BIGINT
+             |          % 1984) AS pos
+             |  FROM (SELECT DISTINCT text FROM documents) d CROSS JOIN s
+             |),
+             |hits AS (
+             |  SELECT p.text,
+             |         CASE WHEN coalesce(b.bits, 0) & (1::BIGINT << CAST(p.pos % 62 AS INT)) <> 0
+             |              THEN 1 ELSE 0 END AS hit
+             |  FROM probe p LEFT JOIN bloom b ON b.word = p.pos // 62
+             |),
+             |verdict AS (SELECT text, sum(hit) = 3 AS maybe_seen FROM hits GROUP BY text)
+             |SELECT doc_id, maybe_seen, (c.text IS NOT NULL) AS seen
+             |FROM documents d JOIN verdict v USING (text)
+             |LEFT JOIN corpus c ON c.text = d.text
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val docs = t.documents.select(col("doc_id"), col("text"))
+        val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+        val bloom = Dedup.bloomWords(corpus, "text", words = 32, numHashes = 3)
+        val verdict = Dedup.bloomProbe(docs.select(col("text")).distinct(),
+          "text", bloom, words = 32, numHashes = 3)
+        val seen = corpus.select(col("text")).distinct()
+          .withColumn("seen", lit(true))
+        ordered(
+          docs.join(verdict, "text").join(seen, Seq("text"), "left")
+            .select(col("doc_id"), col("maybe_seen"),
+              coalesce(col("seen"), lit(false)).as("seen"))
+        )
+      }
+    ),
+    Q(
       "d5_substring_dedup",
       // exact substring deduplication (the Lee et al. 2022 "Deduplicating
       // Training Data" capability, shuffle-friendly form): an 8-gram that

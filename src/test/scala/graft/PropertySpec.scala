@@ -186,6 +186,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("D4 bloom novelty laws: zero false negatives; FP rate bounded") {
+    import spark.implicits._
+    val corpus = (1 to 300).map(i => s"doc body $i").toDF("k")
+    val novel = (1 to 300).map(i => s"unseen text $i").toDF("k")
+    val bloom = Dedup.bloomWords(corpus, "k", words = 32, numHashes = 3)
+    // the filter itself is tiny and fully populated from the corpus only
+    assert(bloom.count() <= 32)
+    val verdict = Dedup.bloomProbe(corpus.union(novel), "k", bloom,
+        words = 32, numHashes = 3)
+      .as[(String, Boolean)].collect().toMap
+    // no false negatives, EVER — every corpus key must be flagged
+    assert((1 to 300).forall(i => verdict(s"doc body $i")))
+    // false positives exist by design but stay under the load-factor
+    // bound (n=300, m=1984, k=3 -> theoretical ~6%; allow generous slack)
+    val fp = (1 to 300).count(i => verdict(s"unseen text $i"))
+    assert(fp.toDouble / 300 < 0.25, s"fp=$fp")
+  }
+
   test("D5e CC law: star variant and propagation agree on random graphs") {
     import spark.implicits._
     // both algorithms must compute the identical min-label components on

@@ -104,6 +104,21 @@ class ScaleShapeSpec extends AnyFunSuite {
       s"q14 part scan not pruned to 2 columns:\n$q14")
   }
 
+  test("bloom probe joins the words table as a broadcast: incoming never shuffles") {
+    import spark.implicits._
+    val corpus = (1 to 500).map(i => s"seen $i").toDF("k")
+    val incoming = (1 to 800).map(i => s"probe $i").toDF("k")
+    val bloom = graft.dedup.Dedup.bloomWords(corpus, "k", words = 32, numHashes = 3)
+    val probe = graft.dedup.Dedup.bloomProbe(incoming, "k", bloom,
+      words = 32, numHashes = 3)
+    val plan = executedPlan(probe)
+    // the ~32-row filter is the BUILD side; the incoming batch must never
+    // sort-merge against it — that would shuffle what the op exists to
+    // keep local
+    assert(plan.contains("BroadcastHashJoin"), s"bloom words not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"probe shuffled:\n$plan")
+  }
+
   test("s4 CSV dim joins as a broadcast, never shuffling the fact side") {
     val df = SparkEntry.queries("s4_csv_source")(spark, sf)
     val plan = executedPlan(df)
