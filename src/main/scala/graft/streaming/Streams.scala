@@ -133,6 +133,42 @@ object Streams {
       .join(knownShas, Seq("content_sha"), "left_anti")
       .dropDuplicates("content_sha")
 
+  /** Bloom-gated ingest: flag each streamed doc against a STATIC corpus
+    * Bloom filter ([[graft.dedup.Dedup.bloomWords]]) — stateless per
+    * micro-batch (no state store at all: the filter rides in as a
+    * broadcast static table, the verdict is a pure per-row function of
+    * the key). The 100 TB ingest gate: `maybe_seen = false` rows are
+    * guaranteed-novel (Bloom has no false negatives) and can skip the
+    * expensive exact dedup entirely; only the `maybe_seen` sliver goes
+    * on to the anti-join. Emits the doc columns + `maybe_seen`. */
+  def bloomGatedIngest(docs: DataFrame, bloom: DataFrame,
+      keyCol: String, words: Int, numHashes: Int): DataFrame = {
+    // wide form, not explode+groupBy: an aggregate would force a state
+    // store in append mode; k left joins against the same tiny broadcast
+    // relation keep the verdict a pure per-row function
+    var out = docs
+    for (s <- 0 until numHashes) {
+      out = out
+        .withColumn(s"__w$s", expr(s"(${posSql(keyCol, s, words)}) DIV 62"))
+        .withColumn(s"__b$s", (expr(posSql(keyCol, s, words)) % 62).cast("int"))
+        .join(broadcast(bloom.select(col("word").as(s"__w$s"),
+          col("bits").as(s"__bits$s"))), Seq(s"__w$s"), "left")
+    }
+    val seen = (0 until numHashes).map { s =>
+      coalesce(col(s"__bits$s"), lit(0L))
+        .bitwiseAND(expr(s"shiftleft(cast(1 as bigint), __b$s)")) =!= 0L
+    }.reduce(_ && _)
+    out.withColumn("maybe_seen", seen)
+      .drop((0 until numHashes).flatMap(s =>
+        Seq(s"__w$s", s"__b$s", s"__bits$s")): _*)
+  }
+
+  /** SQL text of [[graft.dedup.Dedup.bloomPos]] for streaming-safe inline
+    * column reuse. */
+  private def posSql(keyCol: String, seed: Int, words: Int): String =
+    s"pmod(cast(conv(substring(md5(concat('$seed:', $keyCol)), 1, 15), 16, 10) " +
+      s"as bigint), ${words * 62L})"
+
   /** One running session per user for T5 mapGroupsWithState. */
   case class SessionState(start: Long, lastTs: Long, n: Long)
   case class SessionOut(userId: Long, startMicros: Long, endMicros: Long, nEvents: Long)

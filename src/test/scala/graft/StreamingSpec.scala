@@ -168,6 +168,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 1000L))) // near-dup flagged; unrelated + short not
   }
 
+  test("bloom-gated streaming ingest: stateless probe, verdict parity with batch") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val corpus = (1 to 200).map(i => s"corpus doc $i").toDF("text")
+    val bloom = Dedup.bloomWords(corpus, "text", words = 32, numHashes = 3)
+      .localCheckpoint()
+    val batchKeys = ((1 to 50).map(i => s"corpus doc $i") ++
+      (1 to 50).map(i => s"fresh doc $i"))
+    val mem = MemoryStream[Doc](11, spark, None)
+    mem.addData(batchKeys.zipWithIndex.map { case (t, i) => Doc(i.toLong, t) }: _*)
+    Streams.runToMemory(
+      Streams.bloomGatedIngest(mem.toDF(), bloom, "text",
+        words = 32, numHashes = 3), "bloom_sink")
+    val got = spark.table("bloom_sink")
+      .select("text", "maybe_seen").as[(String, Boolean)].collect().toMap
+    // parity with the batch probe on the same filter, row for row
+    val want = Dedup.bloomProbe(batchKeys.toDF("text"), "text", bloom,
+      words = 32, numHashes = 3).as[(String, Boolean)].collect().toMap
+    assert(got == want)
+    // the gate guarantee that makes it useful: corpus keys always pass
+    assert((1 to 50).forall(i => got(s"corpus doc $i")))
+  }
+
   test("streaming multimodal ingest: landed media decode in-flight, parity with batch") {
     import spark.implicits._
     import graft.multimodal.Multimodal
