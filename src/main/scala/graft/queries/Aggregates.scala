@@ -717,6 +717,76 @@ object Aggregates {
       }
     ),
     Q(
+      "tpch_q13",
+      // TPC-H Q13 shape (customer order-count distribution): the join
+      // predicate's extra filter lives ON the outer join, not in WHERE —
+      // customers whose only orders are urgent must survive with count 0.
+      // Two stacked aggregates; the second groups ~50 distinct counts, so
+      // the big shuffle is the first one on c_custkey only.
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT OUTER JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY c_custkey
+             |)
+             |GROUP BY c_count
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.customer
+            .join(t.orders,
+              col("c_custkey") === col("o_custkey") &&
+                col("o_orderpriority") =!= "1-URGENT", "left")
+            .groupBy(col("c_custkey"))
+            .agg(count(col("o_orderkey")).as("c_count"))
+            .groupBy(col("c_count"))
+            .agg(count(lit(1)).as("custdist"))
+        )
+      }
+    ),
+    Q(
+      "tpch_q22",
+      // TPC-H Q22 shape (global-customer sales opportunity): a scalar
+      // aggregate (positive-balance average) gates the fact filter, and
+      // customers with no URGENT orders survive an anti-join. The average is
+      // compared CROSS-MULTIPLIED in exact decimal (bal * n > sum) — no
+      // float division anywhere near the predicate, so the boundary is
+      // bit-identical in both engines.
+      Some("""WITH pos AS (
+             |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s,
+             |         count(*) AS n
+             |  FROM customer WHERE c_acctbal > 0.0
+             |)
+             |SELECT c_nationkey AS cntry, count(*) AS numcust,
+             |       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 4) AS DOUBLE)
+             |         AS totacctbal
+             |FROM customer CROSS JOIN pos
+             |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+             |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+             |                        WHERE o_orderpriority = '1-URGENT')
+             |GROUP BY c_nationkey
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val bal = col("c_acctbal").cast("decimal(18,2)")
+        val pos = t.customer.filter(col("c_acctbal") > 0.0)
+          .agg(sum(bal).cast("decimal(38,2)").as("s"), count(lit(1)).as("n"))
+        ordered(
+          t.customer.crossJoin(broadcast(pos)) // 1-row scalar subquery
+            .filter(bal * col("n") > col("s"))
+            .join(t.orders.filter(col("o_orderpriority") === "1-URGENT")
+              .select(col("o_custkey").as("c_custkey")),
+              Seq("c_custkey"), "left_anti")
+            .groupBy(col("c_nationkey"))
+            .agg(count(lit(1)).as("numcust"),
+              round(sum(bal), 4).cast("double").as("totacctbal"))
+            .select(col("c_nationkey").as("cntry"), col("numcust"),
+              col("totacctbal"))
+        )
+      }
+    ),
+    Q(
       "tpch_q14",
       // TPC-H Q14 shape (promotion effect): one month of lineitem joined
       // to part, conditional-over-total revenue ratio. The date filter is

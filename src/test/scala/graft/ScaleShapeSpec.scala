@@ -158,8 +158,10 @@ class ScaleShapeSpec extends AnyFunSuite {
       // over the frozen fixture
       "d6_sq_rerank", // stage-1 shortlist: broadcast query set x corpus
       // over int8 vectors (4x lighter than the float equivalent above)
-      "d11_temperature_mix" // 1-row total-weight scalar broadcast onto
+      "d11_temperature_mix", // 1-row total-weight scalar broadcast onto
       // the 8-row per-source quota relation — constant-size build side
+      "tpch_q22" // 1-row positive-balance (sum, count) scalar broadcast
+      // gating the customer filter — constant-size build side
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (fenced(name)) None
