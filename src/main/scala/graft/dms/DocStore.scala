@@ -162,6 +162,31 @@ class DocStore(spark: SparkSession, root: String, nShards: Int = 16) {
     next
   }
 
+  /** Bulk ingest: version assignment for a WHOLE batch in one plan — the
+    * per-file latest (one aggregate over the store) left-joined onto the
+    * batch, plus a deterministic row_number for files repeated within the
+    * batch (ordered by content hash, so retries assign identically).
+    * [[upload]] is semantically this with a 1-row batch; streams call it
+    * per micro-batch ([[graft.streaming.Streams.docStoreIngest]]) — at
+    * 100 TB this is the difference between one store aggregate per BATCH
+    * and one per document. */
+  def uploadBatch(batch: DataFrame, at: java.sql.Timestamp): Unit = {
+    val latest = all.groupBy(col("filename")).agg(max(col("version")).as("__cur"))
+    val w = Window.partitionBy(col("filename")).orderBy(xxhash64(col("content")))
+    val rows = batch.select(col("filename"), col("content"))
+      .join(latest, Seq("filename"), "left")
+      .withColumn("version",
+        (coalesce(col("__cur"), lit(0)) + row_number().over(w)).cast("int"))
+      .withColumn("meta", Metadata.sniffUdf(col("content")))
+      .withColumn("hdfs_status", struct(
+        length(col("content")).cast("long").as("length"),
+        lit(System.getProperty("user.name", "spark")).as("owner"),
+        lit(at).as("modification_time"),
+        lit("rw-r--r--").as("permission")))
+      .withColumn("ingested_at", lit(at))
+    append(rows)
+  }
+
   /** download: content of the latest (or given) version. */
   def download(filename: String, version: Option[Int] = None): Option[Array[Byte]] =
     version.orElse(latestVersion(filename)).flatMap(v => content(filename, v))

@@ -295,6 +295,38 @@ object Streams {
   /** T8: drive a stream to a memory sink until idle; returns the sink table
     * name to query. AvailableNow processes everything then stops — the
     * batch-parity trigger. */
+  /** The idempotent micro-batch body of [[docStoreIngest]], visible so a
+    * spec can replay a batch id and assert the no-op. foreachBatch gives
+    * at-least-once delivery of (batch, id); the committed-id marker file
+    * turns it into exactly-once against the store: a batch replayed after
+    * a crash between the store append and the checkpoint commit is
+    * skipped, never double-versioned. */
+  def ingestBatch(store: graft.dms.DocStore, markerDir: String,
+      at: java.sql.Timestamp)(batch: DataFrame, id: Long): Unit = {
+    val marker = new java.io.File(markerDir, s"committed-$id")
+    if (!marker.exists()) {
+      store.uploadBatch(batch, at)
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+    }
+  }
+
+  /** Streaming CDC into the versioned document store: each micro-batch of
+    * (filename, content) bulk-upserts via [[graft.dms.DocStore.uploadBatch]]
+    * — ONE store aggregate + append per batch, not per doc — inside
+    * foreachBatch, guarded by [[ingestBatch]]'s committed marker for
+    * exactly-once. Drains available input and returns. */
+  def docStoreIngest(docs: DataFrame, store: graft.dms.DocStore,
+      checkpointDir: String, at: java.sql.Timestamp): Unit = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$checkpointDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(ingestBatch(store, checkpointDir, at) _)
+      .start()
+    q.awaitTermination()
+  }
+
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): Unit = {
     val q = df.writeStream
       .format("memory")

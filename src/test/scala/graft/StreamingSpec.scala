@@ -300,6 +300,35 @@ class StreamingSpec extends AnyFunSuite {
       (us("2024-01-01 02:00:00"), 1L))) // closed by timeout, not by a new event
   }
 
+  test("streaming CDC into DocStore: bulk versioning per batch, replay is a no-op") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ds_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ds_ckpt").toString
+    val store = new graft.dms.DocStore(spark, root, nShards = 4)
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def docsDf(rows: Seq[(String, String)]) = rows.toDF("filename", "txt")
+      .select(col("filename"), encode(col("txt"), "UTF-8").as("content"))
+    val mem = MemoryStream[(String, String)](12, spark, None)
+    val stream = mem.toDF().toDF("filename", "txt")
+      .select(col("filename"), encode(col("txt"), "UTF-8").as("content"))
+    // batch 1: two files, one of them twice -> dense versions within batch
+    mem.addData(("a.txt", "a v1"), ("a.txt", "a v2"), ("b.txt", "b v1"))
+    Streams.docStoreIngest(stream, store, ckpt, ts)
+    assert(store.versions("a.txt") == Seq(1, 2) && store.versions("b.txt") == Seq(1))
+    // batch 2 from the SAME checkpoint: only new data processed, versions
+    // continue from the store's latest
+    mem.addData(("a.txt", "a v3"), ("c.txt", "c v1"))
+    Streams.docStoreIngest(stream, store, ckpt, ts)
+    assert(store.latestVersion("a.txt").contains(3))
+    assert(store.versions("c.txt") == Seq(1) && store.versions("b.txt") == Seq(1))
+    // at-least-once replay of an already-committed micro-batch: the
+    // committed marker makes it a no-op, never a double version
+    Streams.ingestBatch(store, ckpt, ts)(docsDf(Seq(("a.txt", "a v3"))), 0L)
+    assert(store.latestVersion("a.txt").contains(3))
+    // content round-trips through the bulk path (latest wins)
+    assert(new String(store.download("a.txt").get, "UTF-8") == "a v3")
+  }
+
   test("T8 exactly-once file sink: restart from checkpoint does not duplicate") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_eos").toString
