@@ -542,6 +542,119 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** The first `maxN` 16-bit PCM samples of a WAV, for DSP beyond summary
+    * statistics (same RIFF walk as [[decodeWav]], same format gates). */
+  def wavSamples(bytes: Array[Byte], maxN: Int): Option[Array[Double]] = {
+    import Metadata.{u16le, u32le}
+    if (bytes == null || bytes.length < 44 ||
+      bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
+      bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E')
+      return None
+    var i = 12
+    var fmtCode = 0; var bits = 0
+    var dataOff = -1L; var dataLen = -1L
+    while (i + 8 <= bytes.length) {
+      val id = new String(bytes, i, 4, "US-ASCII")
+      val sz = u32le(bytes, i + 4)
+      if (id == "fmt " && i + 24 <= bytes.length) {
+        fmtCode = u16le(bytes, i + 8); bits = u16le(bytes, i + 22)
+      } else if (id == "data" && dataOff < 0) { dataOff = i + 8L; dataLen = sz }
+      val next = i.toLong + 8L + sz + (sz & 1L)
+      i = if (next > bytes.length.toLong) bytes.length else next.toInt
+    }
+    if (fmtCode != 1 || bits != 16 || dataOff < 0) return None
+    val end = math.min(dataOff + dataLen, bytes.length.toLong)
+    val n = math.min(((end - dataOff) / 2).toInt, maxN)
+    Some(Array.tabulate(n) { k =>
+      val o = (dataOff + 2L * k).toInt
+      ((bytes(o) & 0xff) | (bytes(o + 1).toInt << 8)).toDouble
+    })
+  }
+
+  /** In-place iterative radix-2 Cooley–Tukey FFT (n must be a power of
+    * two): bit-reversal permutation + butterfly passes. Pure JVM — the
+    * real spectral-analysis primitive behind [[dominantBin]]. */
+  def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n > 0 && (n & (n - 1)) == 0, "fft size must be a power of two")
+    // bit-reversal permutation
+    var j = 0
+    var i = 0
+    while (i < n) {
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      var m = n >> 1
+      while (m >= 1 && j >= m) { j -= m; m >>= 1 }
+      j += m
+      i += 1
+    }
+    // butterflies
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val a = base + k; val b = base + k + len / 2
+          val xr = re(b) * cr - im(b) * ci
+          val xi = re(b) * ci + im(b) * cr
+          re(b) = re(a) - xr; im(b) = im(a) - xi
+          re(a) += xr; im(a) += xi
+          val ncr = cr * wr - ci * wi; ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Dominant non-DC frequency bin of a WAV's first `nFft` samples —
+    * argmax of FFT magnitude over bins 1..nFft/2, ties to the lower bin.
+    * For a square wave of period p (p | nFft) this is nFft/p in closed
+    * form, which is what lets a SQL oracle hash-check a real FFT. */
+  def dominantBin(bytes: Array[Byte], nFft: Int = 256): Option[Int] =
+    wavSamples(bytes, nFft).filter(_.nonEmpty).map { s =>
+      val re = new Array[Double](nFft); val im = new Array[Double](nFft)
+      Array.copy(s, 0, re, 0, s.length)
+      fft(re, im)
+      var best = 1; var bestMag = -1.0
+      var b = 1
+      while (b <= nFft / 2) {
+        val m = re(b) * re(b) + im(b) * im(b)
+        if (m > bestMag + 1e-9) { bestMag = m; best = b }
+        b += 1
+      }
+      best
+    }
+
+  /** Deterministic square-wave WAV: sample i = +A for the first half of
+    * each period, -A for the second. Fundamental at bin n/period. */
+  def synthWavSquare(period: Int, n: Int = 256, rate: Int = 8000,
+      amp: Int = 8000): Array[Byte] = {
+    val dataLen = 2 * n
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    b.put("data".getBytes).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      b.putShort((if (i % period < period / 2) amp else -amp).toShort)
+      i += 1
+    }
+    b.array()
+  }
+
+  val synthWavSquareUdf = udf((period: Int, n: Int) => synthWavSquare(period, n))
+  val dominantBinUdf = udf((b: Array[Byte], nFft: Int) => dominantBin(b, nFft))
+
   /** Real decoder for the formats this JVM can decode without any codec
     * library — BMP pixel arrays, PNG (zlib + scanline filters), GIF
     * (variable-width LZW, real per-frame decode), WAV PCM. Features are

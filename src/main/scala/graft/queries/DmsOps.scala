@@ -401,6 +401,36 @@ object DmsOps {
       }
     ),
     Q(
+      "mm_audio_spectrum",
+      // REAL spectral analysis, exact-hash-checked: square-wave WAVs of
+      // period 8/16/32 samples are synthesized per doc and pushed through
+      // an actual radix-2 FFT (Multimodal.fft); the dominant non-DC bin
+      // of a period-p square wave at N=256 is N/p in closed form, so
+      // DuckDB predicts the exact integer the FFT must produce — a
+      // butterfly/bit-reversal/twiddle bug lands on the wrong bin and
+      // breaks the hash.
+      Some("""SELECT doc_id AS media_id,
+             |       CAST(8 * (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END) AS INT)
+             |         AS period,
+             |       CAST(32 / (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END) AS INT)
+             |         AS dominant_bin
+             |FROM documents
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val mm = graft.multimodal.Multimodal
+        val period = expr("cast(8 * shiftleft(1, cast(doc_id % 3 as int)) as int)")
+        ordered(
+          t.documents.select(
+            col("doc_id").as("media_id"),
+            period.as("period"),
+            mm.synthWavSquareUdf(period, lit(256)).as("content"))
+            .select(col("media_id"), col("period"),
+              mm.dominantBinUdf(col("content"), lit(256)).as("dominant_bin"))
+        )
+      }
+    ),
+    Q(
       "mm_decode_wav",
       // REAL audio decode, exact-hash-checked: deterministic mono 16-bit
       // PCM WAVs (64..127 samples, sample i = (seed + 13i) % 65536 - 32768)

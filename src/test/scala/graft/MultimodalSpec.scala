@@ -280,6 +280,37 @@ class MultimodalSpec extends AnyFunSuite {
       gs.map(_.px_sum).sum / gn / 255.0) < 1e-6)
   }
 
+  test("fft: known spectra, Parseval energy, square-wave dominant bins") {
+    import Multimodal.fft
+    // impulse -> flat spectrum (all magnitudes 1)
+    val re1 = Array.tabulate(8)(i => if (i == 0) 1.0 else 0.0)
+    val im1 = new Array[Double](8)
+    fft(re1, im1)
+    for (b <- 0 until 8)
+      assert(math.abs(math.hypot(re1(b), im1(b)) - 1.0) < 1e-9)
+    // constant -> pure DC
+    val re2 = Array.fill(8)(1.0); val im2 = new Array[Double](8)
+    fft(re2, im2)
+    assert(math.abs(re2(0) - 8.0) < 1e-9)
+    for (b <- 1 until 8) assert(math.hypot(re2(b), im2(b)) < 1e-9)
+    // Parseval: sum |x|^2 == (1/N) sum |X|^2 on a random signal
+    val rnd = new scala.util.Random(3)
+    val x = Array.fill(256)(rnd.nextDouble() * 2 - 1)
+    val re3 = x.clone(); val im3 = new Array[Double](256)
+    fft(re3, im3)
+    val tEnergy = x.map(v => v * v).sum
+    val fEnergy = (0 until 256).map(b => re3(b) * re3(b) + im3(b) * im3(b)).sum / 256
+    assert(math.abs(tEnergy - fEnergy) < 1e-6 * tEnergy)
+    // square waves land on the closed-form fundamental through the REAL
+    // wav parse + fft path
+    for (p <- Seq(8, 16, 32)) {
+      val bin = Multimodal.dominantBin(Multimodal.synthWavSquare(p), 256)
+      assert(bin.contains(256 / p), s"period $p -> $bin")
+    }
+    // non-PCM input stays None
+    assert(Multimodal.dominantBin(Array[Byte](1, 2, 3), 256).isEmpty)
+  }
+
   test("resizeBmpNearest: real pixel resample, output round-trips the codec") {
     // identity resize preserves every pixel statistic
     val src = Multimodal.synthBmp(31L, 4, 3)
