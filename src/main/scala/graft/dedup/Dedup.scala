@@ -496,5 +496,10 @@ object Dedup {
           .bitwiseAND(expr("shiftleft(cast(1 as bigint), bit)")) =!= 0L)
           .cast("int").as("hit"))
       .groupBy(col(keyCol))
-      .agg((sum(col("hit")) === numHashes).as("maybe_seen"))
+      // min, not sum: a duplicate incoming key doubles every hit row, so a
+      // count-based verdict (sum === numHashes) would report a corpus-present
+      // key as novel — a false negative the no-false-negatives guarantee
+      // forbids. min(hit) === 1 ⇔ every probe position is set, and duplicate
+      // probe rows collapse harmlessly in the same aggregate.
+      .agg((min(col("hit")) === 1).as("maybe_seen"))
 }

@@ -165,15 +165,30 @@ class DocStore(spark: SparkSession, root: String, nShards: Int = 16) {
   /** Bulk ingest: version assignment for a WHOLE batch in one plan — the
     * per-file latest (one aggregate over the store) left-joined onto the
     * batch, plus a deterministic row_number for files repeated within the
-    * batch (ordered by content hash, so retries assign identically).
-    * [[upload]] is semantically this with a 1-row batch; streams call it
-    * per micro-batch ([[graft.streaming.Streams.docStoreIngest]]) — at
-    * 100 TB this is the difference between one store aggregate per BATCH
-    * and one per document. */
-  def uploadBatch(batch: DataFrame, at: java.sql.Timestamp): Unit = {
+    * batch. [[upload]] is semantically this with a 1-row batch; streams
+    * call it per micro-batch ([[graft.streaming.Streams.docStoreIngest]])
+    * — at 100 TB this is the difference between one store aggregate per
+    * BATCH and one per document.
+    *
+    * Intra-batch ordering: a CDC micro-batch can carry several updates to
+    * the same filename, and "latest version wins" must follow EVENT order,
+    * not an arbitrary one. Pass the source's sequence/event-time column as
+    * `seqCol` (columns named `seq` or `event_time` are picked up
+    * automatically); the content hash is only the deterministic
+    * tiebreaker, so retries of the same batch still assign identically.
+    * Without any sequence column the hash order is all there is — fine
+    * for retry-idempotence, wrong for conflicting same-file updates, so
+    * CDC sources should always carry one. */
+  def uploadBatch(batch: DataFrame, at: java.sql.Timestamp,
+      seqCol: Option[String] = None): Unit = {
+    val seq = seqCol.orElse(Seq("seq", "event_time").find(batch.columns.contains))
+    seq.foreach(c => require(batch.columns.contains(c),
+      s"uploadBatch: sequence column '$c' not in batch schema"))
+    val ord = seq.map(c => col(c).asc).toSeq :+ xxhash64(col("content")).asc
     val latest = all.groupBy(col("filename")).agg(max(col("version")).as("__cur"))
-    val w = Window.partitionBy(col("filename")).orderBy(xxhash64(col("content")))
-    val rows = batch.select(col("filename"), col("content"))
+    val w = Window.partitionBy(col("filename")).orderBy(ord: _*)
+    val rows = batch.select(
+        (Seq(col("filename"), col("content")) ++ seq.map(col)): _*)
       .join(latest, Seq("filename"), "left")
       .withColumn("version",
         (coalesce(col("__cur"), lit(0)) + row_number().over(w)).cast("int"))

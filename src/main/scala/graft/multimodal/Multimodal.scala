@@ -120,7 +120,11 @@ object Multimodal {
     val rawH = u32le(bytes, 22).toInt
     val bpp = u16le(bytes, 28)
     val comp = u32le(bytes, 30)
-    if (bpp != 24 || comp != 0L || width <= 0 || rawH == 0 || width > (1 << 20))
+    // bound rawH in Long space first: math.abs(Int.MinValue) is still
+    // negative, so an unchecked abs would yield a negative height that
+    // slips through the byte-range check below as a negative extent
+    if (bpp != 24 || comp != 0L || width <= 0 || rawH == 0 ||
+      width > (1 << 20) || math.abs(rawH.toLong) > (1L << 20))
       return None
     val height = math.abs(rawH)
     val rowSize = ((width * 3 + 3) / 4) * 4
@@ -180,7 +184,11 @@ object Multimodal {
     val w = u32be(bytes, 16); val h = u32be(bytes, 20)
     val depth = bytes(24) & 0xff; val color = bytes(25) & 0xff
     val interlace = bytes(28) & 0xff
-    if (w <= 0 || h <= 0 || w * h > (1L << 22) ||
+    // bound each dimension BEFORE multiplying: w and h are u32 values up
+    // to 2^32-1, so w * h can wrap Long for crafted IHDRs and sneak past
+    // a product-only gate into a negative-size allocation
+    if (w <= 0 || h <= 0 || w > (1L << 22) || h > (1L << 22) ||
+      w * h > (1L << 22) ||
       depth != 8 || color != 2 || interlace != 0) return None
     // chunk walk: concatenate IDAT payloads (decoders must treat multiple
     // IDATs as one zlib stream), stop at IEND, reject sizes that overrun

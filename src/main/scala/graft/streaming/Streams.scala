@@ -298,31 +298,47 @@ object Streams {
   /** The idempotent micro-batch body of [[docStoreIngest]], visible so a
     * spec can replay a batch id and assert the no-op. foreachBatch gives
     * at-least-once delivery of (batch, id); the committed-id marker file
-    * turns it into exactly-once against the store: a batch replayed after
-    * a crash between the store append and the checkpoint commit is
-    * skipped, never double-versioned. */
+    * narrows that to effectively-once: a batch replayed after the marker
+    * commits (e.g. a crash before the CHECKPOINT commit) is skipped, never
+    * double-versioned. One at-least-once window remains, honestly: a crash
+    * BETWEEN the store append and the marker creation replays the batch
+    * and re-versions its documents — closing it would need the append and
+    * the marker to commit atomically (a store-side generation flip keyed
+    * by batch id). Downstream readers that need exact semantics under that
+    * crash window should dedup on (filename, xxhash64(content)). */
   def ingestBatch(store: graft.dms.DocStore, markerDir: String,
-      at: java.sql.Timestamp)(batch: DataFrame, id: Long): Unit = {
-    val marker = new java.io.File(markerDir, s"committed-$id")
-    if (!marker.exists()) {
-      store.uploadBatch(batch, at)
-      marker.getParentFile.mkdirs()
-      marker.createNewFile()
+      at: java.sql.Timestamp, seqCol: Option[String] = None)(
+      batch: DataFrame, id: Long): Unit = {
+    // Hadoop FileSystem, not java.io.File: the checkpoint dir may live on
+    // HDFS/S3A in production, and create(overwrite=false) is the atomic
+    // claim primitive those stores give us.
+    val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(markerDir)
+    val fs = dir.getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(dir, s"committed-$id")
+    if (!fs.exists(marker)) {
+      store.uploadBatch(batch, at, seqCol)
+      fs.mkdirs(dir)
+      fs.create(marker, /* overwrite = */ false).close()
     }
   }
 
   /** Streaming CDC into the versioned document store: each micro-batch of
     * (filename, content) bulk-upserts via [[graft.dms.DocStore.uploadBatch]]
     * — ONE store aggregate + append per batch, not per doc — inside
-    * foreachBatch, guarded by [[ingestBatch]]'s committed marker for
-    * exactly-once. Drains available input and returns. */
+    * foreachBatch, guarded by [[ingestBatch]]'s committed marker
+    * (effectively-once; see its scaladoc for the honest crash-window
+    * semantics). Pass the CDC source's ordering column as `seqCol` so
+    * conflicting same-file updates inside one micro-batch version in
+    * event order. Drains available input and returns. */
   def docStoreIngest(docs: DataFrame, store: graft.dms.DocStore,
-      checkpointDir: String, at: java.sql.Timestamp): Unit = {
+      checkpointDir: String, at: java.sql.Timestamp,
+      seqCol: Option[String] = None): Unit = {
     val q = docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", s"$checkpointDir/ckpt")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch(ingestBatch(store, checkpointDir, at) _)
+      .foreachBatch(ingestBatch(store, checkpointDir, at, seqCol) _)
       .start()
     q.awaitTermination()
   }

@@ -202,6 +202,15 @@ class PropertySpec extends AnyFunSuite {
     // bound (n=300, m=1984, k=3 -> theoretical ~6%; allow generous slack)
     val fp = (1 to 300).count(i => verdict(s"unseen text $i"))
     assert(fp.toDouble / 300 < 0.25, s"fp=$fp")
+    // duplicate probe keys must not flip the verdict: a repeated
+    // corpus-present key doubles every hit row, and a count-based verdict
+    // (sum === k) would then report it novel — the false negative the
+    // guarantee forbids. Probe each corpus key twice in one frame.
+    val dupVerdict = Dedup.bloomProbe(corpus.union(corpus).union(novel), "k",
+        bloom, words = 32, numHashes = 3)
+      .as[(String, Boolean)].collect().toMap
+    assert((1 to 300).forall(i => dupVerdict(s"doc body $i")),
+      "duplicate probe keys produced a false negative")
   }
 
   test("D5e CC law: star variant and propagation agree on random graphs") {

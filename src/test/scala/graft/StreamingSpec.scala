@@ -329,6 +329,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(new String(store.download("a.txt").get, "UTF-8") == "a v3")
   }
 
+  test("uploadBatch intra-batch ordering follows the seq column, not the content hash") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ds_seq").toString
+    val store = new graft.dms.DocStore(spark, root, nShards = 4)
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // one CDC micro-batch carrying THREE updates to the same file; pick
+    // payloads whose xxhash64 order disagrees with event order for at
+    // least one permutation by trying a batch of distinct contents
+    val batch = Seq(
+      ("x.txt", "update one", 1L),
+      ("x.txt", "update two", 2L),
+      ("x.txt", "update three", 3L))
+      .toDF("filename", "txt", "seq")
+      .select(col("filename"), encode(col("txt"), "UTF-8").as("content"), col("seq"))
+    store.uploadBatch(batch, ts) // `seq` column auto-detected
+    assert(store.versions("x.txt") == Seq(1, 2, 3))
+    // the LAST event (seq=3) must be the latest version / download() result,
+    // regardless of how the content hashes happen to sort
+    assert(new String(store.download("x.txt").get, "UTF-8") == "update three")
+    assert(new String(store.content("x.txt", 1).get, "UTF-8") == "update one")
+    assert(new String(store.content("x.txt", 2).get, "UTF-8") == "update two")
+    // guard the test against accidentally-agreeing orders: the content
+    // hash order of these payloads must NOT already equal event order,
+    // otherwise this test could pass under the old hash-only ordering
+    val hashOrder = Seq("update one", "update two", "update three").toDF("txt")
+      .select(col("txt"), xxhash64(encode(col("txt"), "UTF-8")).as("h"))
+      .orderBy(col("h")).as[(String, Long)].collect().map(_._1).toSeq
+    assert(hashOrder != Seq("update one", "update two", "update three"),
+      "pick different payloads: hash order coincides with event order")
+    // explicit seqCol parameter also works
+    val b2 = Seq(("y.txt", "y first", 10L), ("y.txt", "y second", 20L))
+      .toDF("filename", "txt", "evseq")
+      .select(col("filename"), encode(col("txt"), "UTF-8").as("content"),
+        col("evseq"))
+    store.uploadBatch(b2, ts, seqCol = Some("evseq"))
+    assert(new String(store.download("y.txt").get, "UTF-8") == "y second")
+  }
+
   test("T8 exactly-once file sink: restart from checkpoint does not duplicate") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_eos").toString
