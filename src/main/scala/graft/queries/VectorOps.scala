@@ -49,6 +49,14 @@ object VectorOps {
       s"* sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"[$b[i] * $b[i] FOR i IN range(1, len($b) + 1)]), (acc, x) -> acc + x))))"
 
+  /** DuckDB squared-L2 over two float-list columns — the strict-left-fold
+    * twin of [[graft.functions.Pq.d2]] (per-element double casts, then a
+    * left fold), so subspace distances match bit-for-bit. */
+  private def d2Sql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"[($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE) " +
+      s"FOR i IN range(1, len($a) + 1)]), (acc, x) -> acc + x)"
+
   val all: Seq[Q] = Seq(
     Q(
       "d6_cosine_topk",
@@ -601,6 +609,142 @@ object VectorOps {
         ordered(
           graft.functions.Ivf.search(ivf, cents, queries, nProbe = 2, topK = 5)
             .select(col("q_id"), col("rn"), col("vec_id"), r4(col("cos")).as("cos"))
+        )
+      }
+    ),
+    Q(
+      "d6_pq_assign",
+      // PQ encode over the FROZEN codebook (fixtures/pq_centroids.parquet,
+      // FixtureGen): nearest sub-centroid per (vector, subspace) via the
+      // packed-decimal argmin — exact integer math with a fixed codebook,
+      // so the whole 32×-compression encode path is hash-checked. Only
+      // codebook TRAINING (float sums over shuffle order) stays spec-land.
+      // NB the packed value is negative (−d2·1e13 scaled); Spark's pmod is
+      // a positive mod, so the DuckDB twin re-centers its C-style % below.
+      Some(s"""WITH cents AS (
+              |  SELECT sub, cluster, centroid
+              |  FROM '/root/repo/fixtures/pq_centroids.parquet'
+              |),
+              |sv AS (
+              |  SELECT e.vec_id, s.sub,
+              |         e.embedding[s.sub*8+1 : s.sub*8+8] AS subvec
+              |  FROM embeddings e
+              |  CROSS JOIN (SELECT unnest(range(8)) AS sub) s
+              |),
+              |scored AS (
+              |  SELECT sv.vec_id, sv.sub, c.cluster,
+              |         ${d2Sql("sv.subvec", "c.centroid")} AS d2
+              |  FROM sv JOIN cents c USING (sub)
+              |),
+              |packed AS (
+              |  SELECT vec_id, sub,
+              |         max(CAST(round((0.0 - d2) * 1e13) AS HUGEINT) * 10000
+              |             + (9999 - cluster)) AS p
+              |  FROM scored GROUP BY vec_id, sub
+              |)
+              |SELECT vec_id, CAST(sub AS INTEGER) AS sub,
+              |       CAST(9999 - (((p % 10000) + 10000) % 10000) AS INTEGER) AS code
+              |FROM packed
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val cents = spark.read.parquet("/root/repo/fixtures/pq_centroids.parquet")
+        ordered(graft.functions.Pq.assign(t.embeddings, cents, m = 8, dim = 64))
+      }
+    ),
+    Q(
+      "d6_pq_search",
+      // Full PQ/ADC search over the frozen codebook: encode the corpus
+      // (8-byte codes), per-query distance table, ADC shortlist of 40 by
+      // EXACT decimal sums, exact L2 rerank of only the shortlist, top-5.
+      // Every stage is deterministic over the fixture, so the whole
+      // memory-bound ANN path hash-matches DuckDB; the float corpus rides
+      // only the 40-row rerank join, never the candidate pass.
+      Some(s"""WITH cents AS (
+              |  SELECT sub, cluster, centroid
+              |  FROM '/root/repo/fixtures/pq_centroids.parquet'
+              |),
+              |e AS (SELECT vec_id, embedding FROM embeddings),
+              |subs AS (SELECT unnest(range(8)) AS sub),
+              |csv AS (
+              |  SELECT e.vec_id, s.sub,
+              |         e.embedding[s.sub*8+1 : s.sub*8+8] AS subvec
+              |  FROM e CROSS JOIN subs s WHERE e.vec_id >= 20
+              |),
+              |scored AS (
+              |  SELECT csv.vec_id, csv.sub, c.cluster,
+              |         ${d2Sql("csv.subvec", "c.centroid")} AS d2
+              |  FROM csv JOIN cents c USING (sub)
+              |),
+              |codes AS (
+              |  SELECT vec_id, sub,
+              |         CAST(9999 - ((((max(CAST(round((0.0 - d2) * 1e13) AS HUGEINT)
+              |                             * 10000 + (9999 - cluster))) % 10000)
+              |                       + 10000) % 10000) AS INTEGER) AS code
+              |  FROM scored GROUP BY vec_id, sub
+              |),
+              |qsv AS (
+              |  SELECT e.vec_id AS q_id, s.sub,
+              |         e.embedding[s.sub*8+1 : s.sub*8+8] AS qsub
+              |  FROM e CROSS JOIN subs s WHERE e.vec_id < 20
+              |),
+              |dtable AS (
+              |  SELECT q.q_id, q.sub, c.cluster AS code,
+              |         CAST(round(${d2Sql("q.qsub", "c.centroid")}, 9)
+              |              AS DECIMAL(28,9)) AS dd
+              |  FROM qsv q JOIN cents c USING (sub)
+              |),
+              |adc AS (
+              |  SELECT d.q_id, k.vec_id, sum(d.dd) AS adc
+              |  FROM codes k JOIN dtable d ON d.sub = k.sub AND d.code = k.code
+              |  GROUP BY d.q_id, k.vec_id
+              |),
+              |short AS (
+              |  SELECT q_id, vec_id FROM (
+              |    SELECT q_id, vec_id,
+              |           row_number() OVER (PARTITION BY q_id
+              |                              ORDER BY adc ASC, vec_id ASC) AS srn
+              |    FROM adc) WHERE srn <= 40
+              |),
+              |rr AS (
+              |  SELECT s.q_id, s.vec_id,
+              |         ${d2Sql("qe.embedding", "ce.embedding")} AS l2
+              |  FROM short s
+              |  JOIN e qe ON qe.vec_id = s.q_id
+              |  JOIN e ce ON ce.vec_id = s.vec_id
+              |),
+              |ranked AS (
+              |  SELECT q_id, vec_id, l2,
+              |         row_number() OVER (PARTITION BY q_id
+              |                            ORDER BY l2 ASC, vec_id ASC) AS rn
+              |  FROM rr
+              |)
+              |SELECT q_id, rn, vec_id, round(l2, 4) AS l2
+              |FROM ranked WHERE rn <= 5
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val cents = spark.read.parquet("/root/repo/fixtures/pq_centroids.parquet")
+        val e = t.embeddings
+        val corpus = e.filter(col("vec_id") >= 20)
+        val codes = graft.functions.Pq.assign(corpus, cents, m = 8, dim = 64)
+        val queries = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val short = graft.functions.Pq
+          .adcShortlist(queries, cents, codes, m = 8, dim = 64, shortlist = 40)
+          .select(col("q_id"), col("vec_id"))
+        // exact rerank: floats fetched for the 40-candidate shortlist only
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("l2").asc, col("vec_id").asc)
+        ordered(
+          short
+            .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+            .join(queries, "q_id")
+            .select(col("q_id"), col("vec_id"),
+              graft.functions.Pq.d2(col("qe"), col("embedding")).as("l2"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 5)
+            .select(col("q_id"), col("rn"), col("vec_id"), r4(col("l2")).as("l2"))
         )
       }
     )
