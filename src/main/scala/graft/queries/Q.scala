@@ -19,7 +19,7 @@ final case class Q(
 object Q {
   /** All registered query modules, assembled for SparkEntry. */
   def registry: Seq[Q] =
-    Relational.all ++ Joins.all ++ Aggregates.all ++ Windows.all ++
-      Scalars.all ++ TextOps.all ++ DedupOps.all ++ VectorOps.all ++
-      EventOps.all ++ DmsOps.all ++ SampleOps.all
+    Relational.all ++ Joins.all ++ Aggregates.all ++ TpchExtra.all ++
+      Windows.all ++ Scalars.all ++ TextOps.all ++ DedupOps.all ++
+      VectorOps.all ++ EventOps.all ++ DmsOps.all ++ SampleOps.all
 }

@@ -160,8 +160,10 @@ class ScaleShapeSpec extends AnyFunSuite {
       // over int8 vectors (4x lighter than the float equivalent above)
       "d11_temperature_mix", // 1-row total-weight scalar broadcast onto
       // the 8-row per-source quota relation — constant-size build side
-      "tpch_q22" // 1-row positive-balance (sum, count) scalar broadcast
+      "tpch_q22", // 1-row positive-balance (sum, count) scalar broadcast
       // gating the customer filter — constant-size build side
+      "tpch_q11", // 1-row value-total scalar broadcast (HAVING fraction)
+      "tpch_q15" // 1-row max-revenue scalar broadcast (top supplier)
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (fenced(name)) None
