@@ -27,6 +27,40 @@ object TextOps {
 
   val all: Seq[Q] = Seq(
     Q(
+      "a6_heavy_hitters",
+      // Two-pass exact heavy hitters: pass 1 sketches candidates with a
+      // Misra-Gries aggregate (k=256 counters — fixed memory, one buffer
+      // per partition on the shuffle, NOT the token stream); pass 2
+      // recounts ONLY the candidates exactly and filters by the true
+      // threshold n/50. MG guarantees no false negatives above n/257, so
+      // the two-pass answer EQUALS the exact HAVING the oracle runs —
+      // sketch nondeterminism (merge order) cannot leak into the result.
+      Some(s"""WITH $toksCte,
+              |tok AS (SELECT unnest(tokens) AS term FROM toks)
+              |SELECT term, count(*) AS cnt
+              |FROM tok
+              |GROUP BY term
+              |HAVING count(*) * 50 > (SELECT count(*) FROM tok)
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val mg = udaf(new graft.functions.MisraGries(256),
+          org.apache.spark.sql.Encoders.STRING)
+        val toks = t.documents
+          .select(explode(Text.tokenize(col("text"))).as("term"))
+        // pass 1: candidates + the exact total in ONE aggregate
+        val pass1 = toks.agg(mg(col("term")).as("cand"), count(lit(1)).as("n"))
+          .select(explode(col("cand")).as("term"), col("n")) // ≤ k rows
+        ordered(
+          toks.join(broadcast(pass1), "term") // candidates prune the recount
+            .groupBy(col("term"), col("n"))
+            .agg(count(lit(1)).as("cnt"))
+            .filter(col("cnt") * 50 > col("n")) // integer math: engine-exact
+            .select(col("term"), col("cnt"))
+        )
+      }
+    ),
+    Q(
       "d2_tokenize_tf",
       // corpus term/document frequencies — the postings backbone
       Some(s"""WITH $toksCte,

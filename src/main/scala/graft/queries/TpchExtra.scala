@@ -64,14 +64,15 @@ object TpchExtra {
         val ps = t.lineitem
           .groupBy(col("l_partkey"), col("l_suppkey"))
           .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
-          .localCheckpoint() // feeds both the rows and the correlated min
-        val minc = ps.groupBy(col("l_partkey")).agg(min(col("unit_cost")).as("min_uc"))
+        // correlated min as a window over the SAME partkey partitioning —
+        // one pass over the aggregate, no second scan or materialization
+        val wMin = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
         val eurSupp = t.supplier
           .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(t.region.filter(col("r_name") === "EUROPE")),
             col("n_regionkey") === col("r_regionkey"))
         ordered(
-          ps.join(minc, "l_partkey")
+          ps.withColumn("min_uc", min(col("unit_cost")).over(wMin))
             .filter(col("unit_cost") === col("min_uc"))
             .join(broadcast(t.part.filter(col("p_size") <= 10)),
               col("l_partkey") === col("p_partkey"))

@@ -213,6 +213,31 @@ class PropertySpec extends AnyFunSuite {
       "duplicate probe keys produced a false negative")
   }
 
+  test("A6 Misra-Gries law: items above n/(k+1) always survive, any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    (0 until 3).foreach { trial =>
+      // skewed stream: a few hot items + a long random tail
+      val hot = (0 until 5).flatMap(h => Seq.fill(200 + rnd.nextInt(300))(s"hot$h"))
+      val tail = Seq.fill(2000)(s"t${rnd.nextInt(800)}")
+      val stream = rnd.shuffle(hot ++ tail)
+      val n = stream.size
+      val k = 64
+      val exact = stream.groupBy(identity).view.mapValues(_.size).toMap
+      val mg = udaf(new graft.functions.MisraGries(k),
+        org.apache.spark.sql.Encoders.STRING)
+      // vary the partitioning so partial/merge order differs per trial
+      val cands = stream.toDF("t").repartition(3 + trial * 7)
+        .agg(mg(col("t")).as("c"))
+        .select(explode(col("c")).as("t")).as[String].collect().toSet
+      assert(cands.size <= k)
+      val mustSurvive = exact.collect { case (t, c) if c.toLong * (k + 1) > n => t }
+      assert(mustSurvive.nonEmpty, "trial degenerate: no heavy items")
+      val lost = mustSurvive.filterNot(cands)
+      assert(lost.isEmpty, s"MG false negatives: $lost")
+    }
+  }
+
   test("D5e CC law: star variant and propagation agree on random graphs") {
     import spark.implicits._
     // both algorithms must compute the identical min-label components on
