@@ -256,6 +256,42 @@ object Joins {
             )
         )
       }
+    ),
+    Q(
+      "j11_salted_skew_join",
+      // Salted equi-join (J11): the MANUAL skew remedy for when AQE's
+      // runtime skew split can't help (e.g. a first-stage shuffle whose
+      // skew is known up front, or a non-AQE engine). Result is
+      // IDENTICAL to the plain join — the oracle runs the unsalted SQL —
+      // but the physical join key is (key, salt), so one hot key's rows
+      // spread over `salts` reducers instead of melting one. The salt is
+      // deterministic per fact row (hash of the row's own line id), and
+      // the dim side replicates `salts`× via explode — dim replication
+      // is the price, bounded by salts × |dim|.
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |                 * (1 - CAST(l_discount AS DECIMAL(8,2)))), 4)
+             |       AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          graft.functions.SkewJoin.saltedInnerJoin(
+              t.lineitem,
+              t.orders.select(col("o_orderkey").as("l_orderkey"),
+                col("o_orderpriority")),
+              key = "l_orderkey",
+              leftSaltSource = struct(col("l_orderkey"), col("l_linenumber")),
+              buckets = 8)
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n"),
+              round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+                (lit(1) - col("l_discount").cast("decimal(8,2)"))), 4)
+                .cast("double").as("revenue"))
+        )
+      }
     )
   )
 }

@@ -351,6 +351,38 @@ object Relational {
             .exceptAll(t.customer.select(col("c_custkey").as("custkey")))
         )
       }
+    ),
+    Q(
+      "s11_table_stats",
+      // ANALYZE-style column statistics in ONE scan: row count, per-column
+      // null counts, min/max, distinct counts — the optimizer-feeding
+      // stats pass every table format runs after ingest. All partial/final
+      // aggregates (count/min/max/HLL-exact distinct), so a 100 TB table
+      // costs one pass and one single-row final; no sort, no shuffle of
+      // data rows, only the fixed-width aggregate buffers.
+      Some("""SELECT count(*) AS n_rows,
+             |  count(DISTINCT l_orderkey) AS d_orderkey,
+             |  count(DISTINCT l_returnflag) AS d_returnflag,
+             |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS null_shipdate,
+             |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+             |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+             |  strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_shipdate,
+             |  strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_shipdate
+             |FROM lineitem""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.lineitem.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("d_orderkey"),
+          countDistinct(col("l_returnflag")).as("d_returnflag"),
+          sum(when(col("l_shipdate").isNull, 1).otherwise(0)).as("null_shipdate"),
+          min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          tstr(min(col("l_shipdate"))).as("min_shipdate"),
+          tstr(max(col("l_shipdate"))).as("max_shipdate"))
+      }
     )
   )
 }
