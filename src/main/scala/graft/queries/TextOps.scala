@@ -61,6 +61,69 @@ object TextOps {
       }
     ),
     Q(
+      "d7_lm_score",
+      // CCNet-style LM quality scoring: train an add-one-smoothed bigram
+      // model ON the corpus (counts + vocab size — the "LM table", bounded
+      // by bigram TYPES, not corpus size), then score every document by
+      // its mean log-probability. Two-pass at 100 TB: pass 1 aggregates
+      // the LM table (map-side combine on (w1,w2)), pass 2 joins doc
+      // bigrams to the table by term — hash joins on reduced relations,
+      // never a vocab² materialization. Per-bigram ln(p) is rounded to
+      // DECIMAL(20,12) BEFORE the per-doc sum, so the mean is an exact
+      // decimal sum / count — order-independent, hash-checkable.
+      Some(s"""WITH $toksCte,
+              |big AS (
+              |  SELECT doc_id, tokens[i] AS w1, tokens[i+1] AS w2
+              |  FROM toks CROSS JOIN UNNEST(range(1, len(tokens))) AS t(i)
+              |),
+              |c2 AS (SELECT w1, w2, count(*) AS n2 FROM big GROUP BY w1, w2),
+              |c1 AS (
+              |  SELECT term AS w1, count(*) AS n1
+              |  FROM (SELECT unnest(tokens) AS term FROM toks) GROUP BY term
+              |),
+              |v AS (SELECT count(DISTINCT term) AS vocab
+              |      FROM (SELECT unnest(tokens) AS term FROM toks)),
+              |scored AS (
+              |  SELECT b.doc_id,
+              |         CAST(round(ln((CAST(n2 AS DOUBLE) + 1.0)
+              |                       / (CAST(n1 AS DOUBLE) + CAST(vocab AS DOUBLE))), 12)
+              |              AS DECIMAL(20,12)) AS lp
+              |  FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+              |)
+              |SELECT doc_id, count(*) AS n_bigrams,
+              |       round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS lm_score
+              |FROM scored GROUP BY doc_id
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val toks = t.documents.select(col("doc_id"),
+          Text.tokenize(col("text")).as("tokens"))
+        // bigrams straight from the token array — no join, no shuffle
+        val big = toks.select(col("doc_id"),
+          explode(expr("""transform(sequence(1, size(tokens) - 1),
+            i -> struct(element_at(tokens, i) AS w1,
+                        element_at(tokens, i + 1) AS w2))""")).as("bg"))
+          .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+        val uni = toks.select(explode(col("tokens")).as("term"))
+        val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+        val c1 = uni.groupBy(col("term").as("w1t")).agg(count(lit(1)).as("n1"))
+        val v = uni.agg(countDistinct(col("term")).as("vocab"))
+        val lp = round(
+          log((col("n2").cast("double") + 1.0) /
+            (col("n1").cast("double") + col("vocab").cast("double"))), 12)
+          .cast("decimal(20,12)")
+        ordered(
+          big.join(c2, Seq("w1", "w2"))
+            .join(c1, col("w1") === col("w1t"))
+            .crossJoin(broadcast(v)) // 1-row vocab scalar
+            .select(col("doc_id"), lp.as("lp"))
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_bigrams"),
+              round(sum(col("lp")).cast("double") / count(lit(1)), 4).as("lm_score"))
+        )
+      }
+    ),
+    Q(
       "d2_tokenize_tf",
       // corpus term/document frequencies — the postings backbone
       Some(s"""WITH $toksCte,

@@ -163,7 +163,8 @@ class ScaleShapeSpec extends AnyFunSuite {
       "tpch_q22", // 1-row positive-balance (sum, count) scalar broadcast
       // gating the customer filter — constant-size build side
       "tpch_q11", // 1-row value-total scalar broadcast (HAVING fraction)
-      "tpch_q15" // 1-row max-revenue scalar broadcast (top supplier)
+      "tpch_q15", // 1-row max-revenue scalar broadcast (top supplier)
+      "d7_lm_score" // 1-row vocab-size scalar broadcast (LM smoothing)
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (fenced(name)) None
