@@ -117,8 +117,14 @@ class DocStore(spark: SparkSession, root: String, nShards: Int = 16) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** On-disk schema: canonical columns + the shard partition column. */
-  private val storedSchema: StructType = schema.add(StructField("shard", IntegerType))
+  /** On-disk schema: canonical columns + the two partition columns.
+    * `shard` prunes point lookups; `batch` is the ingest-idempotence unit —
+    * each write lands in its own batch partition, so a replayed CDC
+    * micro-batch OVERWRITES its own partition (dynamic partition
+    * overwrite) instead of appending duplicates. */
+  private val storedSchema: StructType = schema
+    .add(StructField("shard", IntegerType))
+    .add(StructField("batch", StringType))
 
   /** The live table (empty frame with the right schema before first write).
     * Includes the `shard` partition column so filters on it prune
@@ -136,16 +142,29 @@ class DocStore(spark: SparkSession, root: String, nShards: Int = 16) {
     val next = currentGen + 1
     df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
       .withColumn("shard", shardUdf(col("filename")))
-      .write.partitionBy("shard").mode("overwrite").parquet(genDir(next))
+      .withColumn("batch", lit(s"g$next"))
+      .write.partitionBy("shard", "batch").mode("overwrite").parquet(genDir(next))
     flipTo(next)
   }
 
-  /** Append rows (already schema-shaped) to the live generation. */
-  private def append(df: DataFrame): Unit = {
+  /** Append rows (already schema-shaped) to the live generation under a
+    * fresh batch partition (no idempotence contract for ad-hoc appends). */
+  private def append(df: DataFrame): Unit =
+    writeBatch(df, "a" + java.util.UUID.randomUUID().toString, overwrite = false)
+
+  /** Write one batch partition. `overwrite = true` uses DYNAMIC partition
+    * overwrite — only the (shard, batch) partitions present in `df` are
+    * replaced — which is the idempotent-replay primitive: rewriting the
+    * same batch id wipes any earlier (possibly partial) attempt. */
+  private def writeBatch(df: DataFrame, batch: String, overwrite: Boolean): Unit = {
     val g = currentGen
     df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
       .withColumn("shard", shardUdf(col("filename")))
-      .write.partitionBy("shard").mode("append").parquet(genDir(g))
+      .withColumn("batch", lit(batch))
+      .write.partitionBy("shard", "batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(if (overwrite) "overwrite" else "append")
+      .parquet(genDir(g))
     if (!Files.exists(currentPtr)) flipTo(g)
   }
 
@@ -178,14 +197,28 @@ class DocStore(spark: SparkSession, root: String, nShards: Int = 16) {
     * tiebreaker, so retries of the same batch still assign identically.
     * Without any sequence column the hash order is all there is — fine
     * for retry-idempotence, wrong for conflicting same-file updates, so
-    * CDC sources should always carry one. */
+    * CDC sources should always carry one.
+    *
+    * Exactly-once replay: pass the stream's micro-batch id as `batchId`.
+    * The batch then lands in its OWN batch partition via dynamic
+    * partition overwrite, and version assignment reads the store
+    * EXCLUDING that partition — so a replay (after any crash point,
+    * including mid-write) recomputes identical versions and overwrites
+    * whatever the failed attempt left behind. No marker required for
+    * correctness; idempotence is structural. */
   def uploadBatch(batch: DataFrame, at: java.sql.Timestamp,
-      seqCol: Option[String] = None): Unit = {
+      seqCol: Option[String] = None, batchId: Option[String] = None): Unit = {
     val seq = seqCol.orElse(Seq("seq", "event_time").find(batch.columns.contains))
     seq.foreach(c => require(batch.columns.contains(c),
       s"uploadBatch: sequence column '$c' not in batch schema"))
     val ord = seq.map(c => col(c).asc).toSeq :+ xxhash64(col("content")).asc
-    val latest = all.groupBy(col("filename")).agg(max(col("version")).as("__cur"))
+    // a replayed batch must not see its own earlier (possibly partial)
+    // rows when computing the per-file latest, or versions would shift
+    val base = batchId match {
+      case Some(id) => all.filter(col("batch") =!= id)
+      case None     => all
+    }
+    val latest = base.groupBy(col("filename")).agg(max(col("version")).as("__cur"))
     val w = Window.partitionBy(col("filename")).orderBy(ord: _*)
     val rows = batch.select(
         (Seq(col("filename"), col("content")) ++ seq.map(col)): _*)
@@ -199,7 +232,10 @@ class DocStore(spark: SparkSession, root: String, nShards: Int = 16) {
         lit(at).as("modification_time"),
         lit("rw-r--r--").as("permission")))
       .withColumn("ingested_at", lit(at))
-    append(rows)
+    batchId match {
+      case Some(id) => writeBatch(rows.localCheckpoint(), id, overwrite = true)
+      case None     => append(rows)
+    }
   }
 
   /** download: content of the latest (or given) version. */

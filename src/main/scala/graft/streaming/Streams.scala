@@ -297,27 +297,24 @@ object Streams {
     * batch-parity trigger. */
   /** The idempotent micro-batch body of [[docStoreIngest]], visible so a
     * spec can replay a batch id and assert the no-op. foreachBatch gives
-    * at-least-once delivery of (batch, id); the committed-id marker file
-    * narrows that to effectively-once: a batch replayed after the marker
-    * commits (e.g. a crash before the CHECKPOINT commit) is skipped, never
-    * double-versioned. One at-least-once window remains, honestly: a crash
-    * BETWEEN the store append and the marker creation replays the batch
-    * and re-versions its documents — closing it would need the append and
-    * the marker to commit atomically (a store-side generation flip keyed
-    * by batch id). Downstream readers that need exact semantics under that
-    * crash window should dedup on (filename, xxhash64(content)). */
+    * at-least-once delivery of (batch, id); the store makes it
+    * EXACTLY-ONCE structurally: each micro-batch lands in its own batch
+    * partition via dynamic partition overwrite, with version assignment
+    * reading the store minus that partition — so a replay after ANY crash
+    * point (including mid-write) recomputes identical versions and wipes
+    * whatever the failed attempt left ([[graft.dms.DocStore.uploadBatch]]).
+    * The committed-id marker is only a fast-path skip that saves the
+    * no-op rewrite on a clean replay; correctness does not depend on it
+    * (Hadoop FileSystem so HDFS/S3A checkpoint dirs work). */
   def ingestBatch(store: graft.dms.DocStore, markerDir: String,
       at: java.sql.Timestamp, seqCol: Option[String] = None)(
       batch: DataFrame, id: Long): Unit = {
-    // Hadoop FileSystem, not java.io.File: the checkpoint dir may live on
-    // HDFS/S3A in production, and create(overwrite=false) is the atomic
-    // claim primitive those stores give us.
     val conf = batch.sparkSession.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(markerDir)
     val fs = dir.getFileSystem(conf)
     val marker = new org.apache.hadoop.fs.Path(dir, s"committed-$id")
     if (!fs.exists(marker)) {
-      store.uploadBatch(batch, at, seqCol)
+      store.uploadBatch(batch, at, seqCol, batchId = Some(s"b$id"))
       fs.mkdirs(dir)
       fs.create(marker, /* overwrite = */ false).close()
     }
@@ -325,12 +322,12 @@ object Streams {
 
   /** Streaming CDC into the versioned document store: each micro-batch of
     * (filename, content) bulk-upserts via [[graft.dms.DocStore.uploadBatch]]
-    * — ONE store aggregate + append per batch, not per doc — inside
-    * foreachBatch, guarded by [[ingestBatch]]'s committed marker
-    * (effectively-once; see its scaladoc for the honest crash-window
-    * semantics). Pass the CDC source's ordering column as `seqCol` so
-    * conflicting same-file updates inside one micro-batch version in
-    * event order. Drains available input and returns. */
+    * — ONE store aggregate + batch-partition write per batch, not per doc
+    * — inside foreachBatch. Exactly-once under replay: see
+    * [[ingestBatch]] (structural idempotence via per-batch dynamic
+    * partition overwrite). Pass the CDC source's ordering column as
+    * `seqCol` so conflicting same-file updates inside one micro-batch
+    * version in event order. Drains available input and returns. */
   def docStoreIngest(docs: DataFrame, store: graft.dms.DocStore,
       checkpointDir: String, at: java.sql.Timestamp,
       seqCol: Option[String] = None): Unit = {

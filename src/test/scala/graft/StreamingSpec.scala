@@ -367,6 +367,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(new String(store.download("y.txt").get, "UTF-8") == "y second")
   }
 
+  test("batch-keyed ingest is exactly-once: replay after a partial write heals the store") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ds_eo").toString
+    val store = new graft.dms.DocStore(spark, root, nShards = 4)
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def docs(rows: (String, String)*) = rows.toSeq.toDF("filename", "txt")
+      .select(col("filename"), encode(col("txt"), "UTF-8").as("content"))
+    // batch 0 commits normally
+    store.uploadBatch(docs(("a.txt", "a v1")), ts, batchId = Some("b0"))
+    assert(store.versions("a.txt") == Seq(1))
+    // simulate a CRASHED first attempt of batch 1: a partial write that
+    // landed only one of the batch's two documents, with a version already
+    // assigned — the failure mode the old marker-after-append design
+    // could double-version on replay
+    store.uploadBatch(docs(("a.txt", "a v2 partial")), ts, batchId = Some("b1"))
+    assert(store.versions("a.txt") == Seq(1, 2))
+    // the replay of batch 1 (full content this time) must WIPE the partial
+    // attempt and assign versions as if it never happened
+    store.uploadBatch(docs(("a.txt", "a v2"), ("b.txt", "b v1")), ts,
+      batchId = Some("b1"))
+    assert(store.versions("a.txt") == Seq(1, 2))
+    assert(new String(store.download("a.txt").get, "UTF-8") == "a v2")
+    assert(store.versions("b.txt") == Seq(1))
+    // and replaying the identical batch again is a pure no-op
+    store.uploadBatch(docs(("a.txt", "a v2"), ("b.txt", "b v1")), ts,
+      batchId = Some("b1"))
+    assert(store.versions("a.txt") == Seq(1, 2) && store.versions("b.txt") == Seq(1))
+    assert(store.all.count() == 3)
+  }
+
   test("T8 exactly-once file sink: restart from checkpoint does not duplicate") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_eos").toString
