@@ -278,6 +278,24 @@ class DocStore(spark: SparkSession, root: String, nShards: Int = 16) {
   def latestVersions: DataFrame =
     all.groupBy(col("filename")).agg(max(col("version")).as("version"))
 
+  /** Compaction: rewrite the live generation into a fresh one, collapsing
+    * the accumulated per-ingest batch partitions (each CDC micro-batch and
+    * ad-hoc append is its own directory — the price of structurally
+    * idempotent replay) into one densely-packed partition per shard. The
+    * maintenance pass every log-structured table format runs; content is
+    * byte-identical, only the file layout changes. Readers in flight keep
+    * their old generation; [[vacuum]] reclaims it later. */
+  def compact(): Unit = rewrite(all)
+
+  /** Data files of the live generation (compaction/vacuum observability). */
+  def dataFileCount(): Int = {
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(genDir(currentGen))
+    if (!Files.exists(dir)) 0
+    else Files.walk(dir).iterator().asScala
+      .count(p => p.getFileName.toString.endsWith(".parquet"))
+  }
+
   /** Garbage-collect superseded generations, keeping the live one plus
     * `keep` predecessors (time-travel/readers-in-flight window — the
     * vacuum contract of every copy-on-write table format). Never touches

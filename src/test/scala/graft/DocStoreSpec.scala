@@ -41,6 +41,31 @@ class DocStoreSpec extends AnyFunSuite {
     assert(s.vacuum(keep = 1).isEmpty)
   }
 
+  test("compact collapses per-ingest batch partitions; content byte-identical") {
+    val s = newStore()
+    // every upload is its own batch partition (the idempotent-replay
+    // layout), so 12 uploads leave >= 12 data files behind
+    (1 to 6).foreach(i => s.upload("a.txt", s"alpha $i".getBytes))
+    (1 to 6).foreach(i => s.upload(s"f$i.txt", s"doc $i body".getBytes))
+    val filesBefore = s.dataFileCount()
+    assert(filesBefore >= 12, s"expected >=12 files, got $filesBefore")
+    val contentBefore = s.all
+      .select("filename", "version", "content").collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        new String(r.getAs[Array[Byte]](2)))).toSet
+    s.compact()
+    // fewer, denser files; every (file, version, content) byte-identical
+    val filesAfter = s.dataFileCount()
+    assert(filesAfter < filesBefore, s"$filesAfter !< $filesBefore")
+    val contentAfter = s.all
+      .select("filename", "version", "content").collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        new String(r.getAs[Array[Byte]](2)))).toSet
+    assert(contentAfter == contentBefore)
+    // versioning continues seamlessly after compaction
+    assert(s.upload("a.txt", "alpha 7".getBytes) == 7)
+  }
+
   test("stats reports files, versions, bytes in one scan") {
     val s = newStore()
     s.upload("a.txt", "12345".getBytes)
