@@ -17,7 +17,12 @@ object Bench {
     SparkEntry.queries.get("w1_latest_per_key").foreach { fn =>
       try run(fn) catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated subset (freezing BASELINE/SCALING rows for
+    // newly added queries without re-running the whole surface)
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { run(fn); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -845,7 +845,65 @@ object Multimodal {
     b.array()
   }
 
+  /** Difference hash (dHash) — the standard perceptual image fingerprint
+    * for near-dup IMAGE dedup: nearest-neighbor resample to 9×8, integer
+    * grayscale ((b+g+r)/3), one bit per adjacent-pixel comparison
+    * (gray(x,y) > gray(x+1,y)), 64 bits total. Pure integer math over the
+    * REAL decoded pixels, so for closed-form synthetic BMPs the oracle
+    * can recompute the exact hash; near-dup pairs then ride the same
+    * banded equi-join shape as SimHash (16-bit quarters), never an
+    * all-pairs comparison. */
+  def dHash(bytes: Array[Byte]): Option[Long] =
+    resizeBmpNearest(bytes, 9, 8).flatMap { rb =>
+      parseBmp(rb).map { h =>
+        def gray(x: Int, y: Int): Int =
+          ((rb(h.at(x, y, 0)) & 0xff) + (rb(h.at(x, y, 1)) & 0xff) +
+            (rb(h.at(x, y, 2)) & 0xff)) / 3
+        var hash = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (gray(x, y) > gray(x + 1, y)) hash |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        hash
+      }
+    }
+
+  val dHashUdf = udf((b: Array[Byte]) => dHash(b))
+
   val synthBmpUdf = udf((seed: Long, w: Int, h: Int) => synthBmp(seed, w, h))
+
+  /** Multiplicative synthetic BMP: channel byte k = (seed*(k+3) + bright)
+    * % 256. Unlike [[synthBmp]]'s linear ramp (whose adjacent-pixel
+    * differences are nearly constant, collapsing every dHash to the same
+    * value), the multiplicative pattern gives each seed a distinctive
+    * comparison-sign sequence — so perceptual-hash tests get hashes that
+    * actually vary per image — while `bright` models a small global
+    * brightness shift (a near-duplicate, flipping only boundary bits). */
+  def synthBmpMul(seed: Long, bright: Int, w: Int, h: Int): Array[Byte] = {
+    val base = synthBmp(0L, w, h)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    var y = 0
+    while (y < h) {
+      val off = 54 + (h - 1 - y) * rowSize
+      var x = 0
+      val rowBytes = w * 3
+      while (x < rowBytes) {
+        val k = y.toLong * rowBytes + x
+        base(off + x) = (((seed * (k + 3) + bright) % 256 + 256) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    base
+  }
+
+  val synthBmpMulUdf =
+    udf((seed: Long, bright: Int, w: Int, h: Int) => synthBmpMul(seed, bright, w, h))
   val resizeBmpUdf = udf((b: Array[Byte], w: Int, h: Int) => resizeBmpNearest(b, w, h))
   val synthWavUdf = udf((seed: Long, n: Int) => synthWav(seed, n))
   val synthPngUdf = udf((seed: Long, w: Int, h: Int) => synthPng(seed, w, h))

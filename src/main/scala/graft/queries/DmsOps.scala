@@ -19,6 +19,55 @@ import graft.sources.Tables
   */
 object DmsOps {
 
+  /** Shared closed-form dHash pipeline for the mm_dhash* queries: one
+    * 5×3 multiplicative-pattern BMP per doc (channel byte k of pixel
+    * stream = (s·(k+3) + brightness) mod 256; twins (2i, 2i+1) share s
+    * and differ by +1 brightness), really decoded + resampled + hashed by
+    * [[graft.multimodal.Multimodal.dHash]]. Emits non-negative 32-bit
+    * halves (hi, lo) so every downstream op stays in portable BIGINT. */
+  private def dhashFrame(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val mm = graft.multimodal.Multimodal
+    t.documents.select(
+        col("doc_id").as("media_id"),
+        mm.synthBmpMulUdf(expr("(doc_id div 2) * 31 + 7"),
+          (col("doc_id") % 2).cast("int"), lit(5), lit(3)).as("content"))
+      .select(col("media_id"), mm.dHashUdf(col("content")).as("h"))
+      .select(col("media_id"),
+        shiftrightunsigned(col("h"), 32).as("hi"),
+        col("h").bitwiseAND(lit(0xFFFFFFFFL)).as("lo"))
+  }
+
+  /** DuckDB twin of [[dhashFrame]]: the same 64 comparison bits from the
+    * closed-form pixel values (w=5 ⇒ 15 row bytes; sx = x·5/9, sy = y·3/8;
+    * channel offsets +3/+4/+5 are k+3 for c = 0,1,2). */
+  private val dhashCte =
+    """k AS (SELECT unnest(range(0, 64)) AS k),
+      |p AS (SELECT doc_id, (doc_id // 2) * 31 + 7 AS s, doc_id % 2 AS br
+      |      FROM documents),
+      |bits AS (
+      |  SELECT doc_id, k,
+      |    CASE WHEN
+      |      ((s*(((k//8)*3//8)*15 + ((k%8)*5//9)*3 + 3) + br) % 256
+      |     + (s*(((k//8)*3//8)*15 + ((k%8)*5//9)*3 + 4) + br) % 256
+      |     + (s*(((k//8)*3//8)*15 + ((k%8)*5//9)*3 + 5) + br) % 256) // 3
+      |      >
+      |      ((s*(((k//8)*3//8)*15 + ((k%8+1)*5//9)*3 + 3) + br) % 256
+      |     + (s*(((k//8)*3//8)*15 + ((k%8+1)*5//9)*3 + 4) + br) % 256
+      |     + (s*(((k//8)*3//8)*15 + ((k%8+1)*5//9)*3 + 5) + br) % 256) // 3
+      |    THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |  FROM p CROSS JOIN k
+      |),
+      |hashes AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+      |             ELSE 0 END) AS BIGINT) AS hash_hi,
+      |    CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+      |             ELSE 0 END) AS BIGINT) AS hash_lo
+      |  FROM bits GROUP BY doc_id
+      |)""".stripMargin
+
   /** The versioned view: (filename, version, doc_id, text). */
   private def versioned(t: Tables): DataFrame =
     t.documents.select(
@@ -313,6 +362,76 @@ object DmsOps {
               col("s.width").as("width"), col("s.height").as("height"),
               col("s.pix_sum").as("pix_sum"), col("s.pix_sq_sum").as("pix_sq_sum"),
               col("s.first_px").as("first_px"))
+        )
+      }
+    ),
+    Q(
+      "mm_dhash",
+      // Perceptual image fingerprint (dHash), exact-hash-checked through
+      // the REAL pixel path: synth BMP (multiplicative pattern, so hashes
+      // genuinely vary per image) -> nearest-neighbor 9x8 resample ->
+      // integer grayscale -> 64 adjacent-pixel comparison bits. Doc pairs
+      // (2i, 2i+1) share a seed and differ by +1 global brightness — the
+      // canonical near-duplicate. DuckDB recomputes every bit from the
+      // closed-form pixel values — resample, grayscale or bit-order bugs
+      // all break the hash. Emitted as (hi, lo) 32-bit halves to stay in
+      // portable non-negative BIGINT space.
+      Some(s"""WITH $dhashCte
+              |SELECT media_id, hash_hi, hash_lo FROM hashes
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        ordered(dhashFrame(spark, dir)
+          .select(col("media_id"), col("hi").as("hash_hi"), col("lo").as("hash_lo")))
+      }
+    ),
+    Q(
+      "mm_dhash_neardup",
+      // Near-duplicate IMAGE detection — the visual twin of the SimHash
+      // text path: 16-bit band keys from the dHash, equi-join on
+      // (band, key) for candidates (never all-pairs), exact hamming <= 6
+      // filter on the candidates. The planted brightness twins differ by
+      // only boundary bits, so they band-collide and survive the filter;
+      // the whole candidate->verdict pipeline is exact integer math DuckDB
+      // reproduces bit-for-bit.
+      Some(s"""WITH $dhashCte,
+              |bands AS (
+              |  SELECT media_id, hash_hi, hash_lo, t.b,
+              |    CASE t.b WHEN 0 THEN hash_lo & 65535
+              |             WHEN 1 THEN (hash_lo >> 16) & 65535
+              |             WHEN 2 THEN hash_hi & 65535
+              |             ELSE (hash_hi >> 16) & 65535 END AS bkey
+              |  FROM hashes CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t
+              |),
+              |cand AS (
+              |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+              |    bit_count(xor(a.hash_hi, b.hash_hi))
+              |      + bit_count(xor(a.hash_lo, b.hash_lo)) AS hamming
+              |  FROM bands a
+              |  JOIN bands b ON a.b = b.b AND a.bkey = b.bkey
+              |             AND a.media_id < b.media_id
+              |)
+              |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 6
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val hs = dhashFrame(spark, dir).localCheckpoint() // both join sides
+        val bands = hs.select(col("media_id"), col("hi"), col("lo"),
+          posexplode(array(
+            col("lo").bitwiseAND(lit(65535L)),
+            shiftrightunsigned(col("lo"), 16).bitwiseAND(lit(65535L)),
+            col("hi").bitwiseAND(lit(65535L)),
+            shiftrightunsigned(col("hi"), 16).bitwiseAND(lit(65535L))))
+            .as(Seq("b", "bkey")))
+        val a = bands.select(col("media_id").as("id_a"), col("hi").as("hia"),
+          col("lo").as("loa"), col("b"), col("bkey"))
+        val bb = bands.select(col("media_id").as("id_b"), col("hi").as("hib"),
+          col("lo").as("lob"), col("b"), col("bkey"))
+        ordered(
+          a.join(bb, Seq("b", "bkey"))
+            .filter(col("id_a") < col("id_b"))
+            .select(col("id_a"), col("id_b"),
+              expr("bit_count(hia ^ hib) + bit_count(loa ^ lob)").as("hamming"))
+            .distinct()
+            .filter(col("hamming") <= 6)
         )
       }
     ),

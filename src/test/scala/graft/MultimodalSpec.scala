@@ -364,6 +364,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(13L).width == 4 && feats(13L).height == 6)
   }
 
+  test("dHash: deterministic 64-bit perceptual hash, brightness twins collide") {
+    // closed-form recompute of one hash: multiplicative 5x3 BMP, 9x8
+    // nearest-neighbor resample, integer grayscale, adjacent comparisons
+    val img = Multimodal.synthBmpMul(38L, 0, 5, 3)
+    def srcByte(k: Long): Int = (((38L * (k + 3) + 0) % 256 + 256) % 256).toInt
+    def gray(x: Int, y: Int): Int = {
+      val sx = x * 5 / 9; val sy = y * 3 / 8
+      val base = sy.toLong * 15 + sx * 3
+      (srcByte(base) + srcByte(base + 1) + srcByte(base + 2)) / 3
+    }
+    var want = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (gray(x, y) > gray(x + 1, y)) want |= 1L << (y * 8 + x)
+    assert(Multimodal.dHash(img).get == want)
+    // determinism and stability under identity resize
+    assert(Multimodal.dHash(img) == Multimodal.dHash(img))
+    // a +1 global brightness shift is a near-duplicate: hamming stays small
+    val twin = Multimodal.synthBmpMul(38L, 1, 5, 3)
+    val ham = java.lang.Long.bitCount(
+      Multimodal.dHash(img).get ^ Multimodal.dHash(twin).get)
+    assert(ham <= 6, s"twin hamming $ham")
+    // garbage in -> None, never a bogus hash
+    assert(Multimodal.dHash(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("features feed the standard vector ops (cosine knn over media)") {
     import spark.implicits._
     val feats = Multimodal.pipeline(spark, raw).toDF()
