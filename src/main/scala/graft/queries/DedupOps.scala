@@ -450,6 +450,91 @@ object DedupOps {
               |FROM comp
               |ORDER BY ALL NULLS FIRST""".stripMargin),
       clustersFn(Dedup.connectedComponents(_))
+    ),
+    Q(
+      "d12_decontaminate",
+      // Benchmark DECONTAMINATION — the eval-overlap gate every serious
+      // training-data pipeline runs before a corpus ships: any training doc
+      // sharing an 8-gram with the held-out benchmark set is flagged (the
+      // GPT-3/PaLM n-gram-collision rule). The benchmark here is the
+      // deterministic doc_id % 41 == 0 slice; per surviving doc we report
+      // its distinct-8-gram count, how many collide with ANY benchmark
+      // doc, the collision ratio (one IEEE division — bit-identical in
+      // both engines) and the any-hit flag. 100 TB shape: the benchmark
+      // gram set is tiny by construction (eval suites are KBs, corpora are
+      // TBs) so it BROADCASTS; the corpus never shuffles — per-doc grams
+      // are deduped row-locally (array_distinct) and the only exchange is
+      // the final per-doc hash aggregate.
+      //
+      // The sf corpus has no organic benchmark overlap (all flags would be
+      // false and the hit path untested), so the train side unions a
+      // PLANTED leak per benchmark doc — the benchmark text behind a
+      // one-token prefix at doc_id+20000, the way eval text actually shows
+      // up mid-crawl-page. Planted ids are never ≡ 0 (mod 41) (20000 ≡ 33),
+      // so they land in the train split by construction, flag at ratio
+      // (n-7)/(n-6), and prove partial-overlap accounting end to end.
+      Some(s"""WITH corpus AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 20000 AS doc_id, 'leakmark ' || text AS text
+              |  FROM documents WHERE doc_id % 41 = 0
+              |),
+              |toks AS (
+              |  SELECT doc_id,
+              |         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              |                     x -> x <> '') AS tokens
+              |  FROM corpus
+              |),
+              |g AS (
+              |  SELECT doc_id, unnest(range(1, len(tokens) - 6)) AS s, tokens
+              |  FROM toks WHERE len(tokens) >= 8
+              |),
+              |grams AS (
+              |  SELECT DISTINCT doc_id,
+              |         md5(array_to_string(tokens[s:s+7], ' ')) AS gram
+              |  FROM g
+              |),
+              |bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 41 = 0),
+              |tg AS (SELECT doc_id, gram FROM grams WHERE doc_id % 41 <> 0)
+              |SELECT t.doc_id,
+              |       CAST(count(*) AS BIGINT) AS n_grams,
+              |       CAST(coalesce(sum(CASE WHEN b.gram IS NOT NULL
+              |                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+              |         AS n_contaminated,
+              |       CAST(coalesce(sum(CASE WHEN b.gram IS NOT NULL
+              |                          THEN 1 ELSE 0 END), 0) AS DOUBLE)
+              |         / count(*) AS contamination,
+              |       coalesce(sum(CASE WHEN b.gram IS NOT NULL
+              |                     THEN 1 ELSE 0 END), 0) > 0 AS flagged
+              |FROM tg t LEFT JOIN bg b ON t.gram = b.gram
+              |GROUP BY t.doc_id
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val corpus = t.documents.select(col("doc_id"), col("text"))
+          .unionAll(t.documents.filter(col("doc_id") % 41 === 0)
+            .select((col("doc_id") + 20000).as("doc_id"),
+              concat(lit("leakmark "), col("text")).as("text")))
+        val grams = corpus
+          .select(col("doc_id"),
+            explode(array_distinct(transform(
+              Text.shingles(Text.tokenize(col("text")), 8), s => md5(s))))
+              .as("gram"))
+        val bench = grams.filter(col("doc_id") % 41 === 0)
+          .select(col("gram")).distinct().withColumn("hit", lit(1))
+        ordered(
+          grams.filter(col("doc_id") % 41 =!= 0)
+            .join(broadcast(bench), Seq("gram"), "left")
+            .groupBy(col("doc_id"))
+            .agg(
+              count(lit(1)).as("n_grams"),
+              coalesce(sum(col("hit")), lit(0L)).cast("long").as("n_contaminated"))
+            .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+              (col("n_contaminated").cast("double") / col("n_grams"))
+                .as("contamination"),
+              (col("n_contaminated") > 0).as("flagged"))
+        )
+      }
     )
   )
 

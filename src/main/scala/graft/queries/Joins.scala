@@ -292,6 +292,47 @@ object Joins {
                 .cast("double").as("revenue"))
         )
       }
+    ),
+    Q(
+      "j12_bloom_join_reduction",
+      // Bloom-filter SEMI-JOIN REDUCTION — the canonical big-big join
+      // valve at 100 TB: a selective predicate keeps ~3% of orders, so the
+      // fact side is pre-filtered by a Bloom filter of the selected keys
+      // BEFORE it ever reaches the join shuffle. The filter folds to 512
+      // longs (4 KB — fixed size no matter how big the build side grows)
+      // collected once and inlined as an array literal, so the probe is a
+      // pure per-row xxhash64 expression inside the fact scan's codegen
+      // stage — no second join, no broadcast relation, nothing new on the
+      // shuffle. No false negatives means the exact join downstream
+      // removes the ~5% false positives and the result is IDENTICAL to
+      // the plain join — which is exactly what the oracle checks. The
+      // shuffle_hash hint depicts the intended big-big plan (at real
+      // scale neither side broadcasts).
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+             |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 4)
+             |       AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995
+             |GROUP BY l_returnflag
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val sel = t.orders.filter(col("o_orderpriority") === "1-URGENT" &&
+          year(col("o_orderdate")) === 1995)
+        ordered(
+          t.lineitem
+            .filter(graft.functions.BloomLite.mightContain(
+              graft.functions.BloomLite.build(
+                sel.select(col("o_orderkey")), "o_orderkey"),
+              col("l_orderkey")))
+            .join(sel.select(col("o_orderkey")).hint("shuffle_hash"),
+              col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("l_returnflag"))
+            .agg(count(lit(1)).as("n_rows"),
+              round(sum(col("l_extendedprice").cast("decimal(18,2)")), 4)
+                .cast("double").as("revenue"))
+        )
+      }
     )
   )
 }

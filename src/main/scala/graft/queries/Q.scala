@@ -21,5 +21,6 @@ object Q {
   def registry: Seq[Q] =
     Relational.all ++ Joins.all ++ Aggregates.all ++ TpchExtra.all ++
       Windows.all ++ Scalars.all ++ TextOps.all ++ DedupOps.all ++
-      VectorOps.all ++ EventOps.all ++ DmsOps.all ++ SampleOps.all
+      VectorOps.all ++ EventOps.all ++ DmsOps.all ++ SampleOps.all ++
+      GraphOps.all
 }

@@ -227,6 +227,65 @@ object Windows {
               nth_value(col("o_totalprice"), 2).over(w).as("second_cheapest"))
         )
       }
+    ),
+    Q(
+      "o4_skyline",
+      // SKYLINE (Pareto frontier): customers not dominated on
+      // (total spend, order count) — the multi-criteria "best documents"
+      // operator (e.g. quality × length frontiers in corpus curation).
+      // 2-D skyline reduces to ONE window: sort by (spend desc, n desc,
+      // id), keep rows whose n exceeds the running max over all
+      // strictly-earlier rows (equal-(x,y) duplicates keep the first id).
+      // The distributed form is TWO-PHASE: a per-bucket local frontier
+      // first (same window partitioned by a hash bucket — map-side-style
+      // pruning that drops the interior of each partition's point cloud,
+      // the skyline analogue of a partial aggregate), then the global
+      // window over local survivors only. Local pruning is lossless — a
+      // locally dominated point is dominated by its own dominator
+      // globally — so the oracle checks the two-phase result against the
+      // direct one-window SQL. At 100 TB the global pass sees |buckets| ×
+      // |frontier| points, not the corpus.
+      Some("""WITH pts AS (
+             |  SELECT o_custkey AS cust,
+             |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |              AS DECIMAL(18,2)) AS spend,
+             |         count(*) AS n_orders
+             |  FROM orders GROUP BY o_custkey
+             |),
+             |w AS (
+             |  SELECT cust, spend, n_orders,
+             |         max(n_orders) OVER (
+             |           ORDER BY spend DESC, n_orders DESC, cust
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+             |  FROM pts
+             |)
+             |SELECT cust, CAST(round(spend, 4) AS DOUBLE) AS spend, n_orders
+             |FROM w WHERE pm IS NULL OR n_orders > pm
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val pts = t.orders
+          .groupBy(col("o_custkey").as("cust"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("decimal(18,2)").as("spend"),
+            count(lit(1)).as("n_orders"))
+        def frontier(df: org.apache.spark.sql.DataFrame,
+            part: Seq[org.apache.spark.sql.Column]) = {
+          val w = (if (part.isEmpty) Window.partitionBy()
+                   else Window.partitionBy(part: _*))
+            .orderBy(col("spend").desc, col("n_orders").desc, col("cust"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          df.withColumn("pm", max(col("n_orders")).over(w))
+            .filter(col("pm").isNull || col("n_orders") > col("pm"))
+            .drop("pm")
+        }
+        val local = frontier(
+          pts.withColumn("bucket", pmod(crc32(col("cust").cast("string")), lit(32))),
+          Seq(col("bucket"))).drop("bucket")
+        ordered(frontier(local, Seq.empty)
+          .select(col("cust"), round(col("spend"), 4).cast("double").as("spend"),
+            col("n_orders")))
+      }
     )
   )
 }

@@ -473,6 +473,29 @@ class FunctionsSpec extends AnyFunSuite {
     e.unpersist()
   }
 
+  test("J12: literal Bloom join reduction — zero false negatives, bounded FPs") {
+    import spark.implicits._
+    import graft.functions.BloomLite
+    val members = (0L until 2000L).map(_ * 7 + 3)
+    val f = BloomLite.build(members.toDF("k"), "k")
+    // no false negatives: every member passes the probe
+    val fn = members.toDF("k")
+      .filter(!BloomLite.mightContain(f, col("k"))).count()
+    assert(fn == 0L)
+    // false positives stay near the theoretical (1-e^(-kn/m))^k ≈ 4%
+    val nonMembers = (1L to 20000L).map(_ * 1000003 + 17)
+    val fp = nonMembers.toDF("k")
+      .filter(BloomLite.mightContain(f, col("k"))).count()
+    assert(fp < 20000 * 0.10, s"fp rate ${fp / 20000.0}")
+    // the join-reduction contract: filter-then-join == plain join
+    val fact = (0L until 30000L).map(i => (i % 4000, i)).toDF("k", "v")
+    val dim = members.toDF("k")
+    val reduced = fact.filter(BloomLite.mightContain(f, col("k")))
+      .join(dim, "k").agg(count(lit(1)), sum("v")).head()
+    val plain = fact.join(dim, "k").agg(count(lit(1)), sum("v")).head()
+    assert(reduced == plain)
+  }
+
   test("D6: cosine is 1 for identical vectors, 0 for zero vector") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f), Array(0.0f, 0.0f)))
