@@ -243,6 +243,69 @@ object EventOps {
               count(lit(1)).as("n"))
         )
       }
+    ),
+    Q(
+      "t10_funnel",
+      // Ordered-sequence FUNNEL (view → click → purchase): for each user,
+      // the first view, the first click strictly after it, the first
+      // purchase strictly after that — the canonical event-analytics
+      // conversion query, with per-user stage timestamps and reached
+      // depth. Strictly-ordered semantics (not mere presence) is the
+      // point: a click before any view does not count. 100 TB shape:
+      // three per-user hash aggregates chained by equi-joins on user_id —
+      // every relation after the first scan is one row per user, and the
+      // stage predicate prunes the fact scan each pass. Timestamps render
+      // via the shared tstr/strftime canon; NULL propagates for users who
+      // stall mid-funnel.
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS v_ts
+             |  FROM events WHERE event_type = 'view' GROUP BY user_id
+             |),
+             |c AS (
+             |  SELECT e.user_id, min(e.ts) AS c_ts
+             |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts
+             |  WHERE e.event_type = 'click' GROUP BY e.user_id
+             |),
+             |p AS (
+             |  SELECT e.user_id, min(e.ts) AS p_ts
+             |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+             |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+             |)
+             |SELECT v.user_id,
+             |       strftime(v.v_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+             |       strftime(c.c_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+             |       strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+             |       1 + CASE WHEN c.c_ts IS NULL THEN 0 ELSE 1 END
+             |         + CASE WHEN p.p_ts IS NULL THEN 0 ELSE 1 END AS depth
+             |FROM v LEFT JOIN c ON c.user_id = v.user_id
+             |       LEFT JOIN p ON p.user_id = v.user_id
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val ev = t.events
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+        val c = ev.filter(col("event_type") === "click").as("e")
+          .join(v.as("v"), col("e.user_id") === col("v.user_id") &&
+            col("e.ts") > col("v.v_ts"))
+          .groupBy(col("e.user_id").as("user_id"))
+          .agg(min(col("e.ts")).as("c_ts"))
+        val p = ev.filter(col("event_type") === "purchase").as("e")
+          .join(c.as("c"), col("e.user_id") === col("c.user_id") &&
+            col("e.ts") > col("c.c_ts"))
+          .groupBy(col("e.user_id").as("user_id"))
+          .agg(min(col("e.ts")).as("p_ts"))
+        ordered(
+          v.join(c, Seq("user_id"), "left")
+            .join(p, Seq("user_id"), "left")
+            .select(col("user_id"),
+              tstr(col("v_ts")).as("view_ts"),
+              tstr(col("c_ts")).as("click_ts"),
+              tstr(col("p_ts")).as("purchase_ts"),
+              (lit(1) + when(col("c_ts").isNull, 0).otherwise(1)
+                + when(col("p_ts").isNull, 0).otherwise(1)).as("depth"))
+        )
+      }
     )
   )
 }

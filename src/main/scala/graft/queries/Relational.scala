@@ -383,6 +383,58 @@ object Relational {
           tstr(min(col("l_shipdate"))).as("min_shipdate"),
           tstr(max(col("l_shipdate"))).as("max_shipdate"))
       }
+    ),
+    Q(
+      "s12_histogram",
+      // Equi-width HISTOGRAM over l_extendedprice — the data-profiling /
+      // optimizer-statistics pass next to s11's scalar stats (selectivity
+      // estimation needs the distribution, not just min/max). Two passes
+      // by construction: a 1-row min/max aggregate broadcast into a
+      // bucket-assignment scan + hash aggregate. Bucket math is plain
+      // IEEE arithmetic ((v-min)/width, floored, top edge clamped) that
+      // both engines execute identically; empty buckets are real rows
+      // (generated from the bucket range, left-joined) so the histogram
+      // shape is complete. 16 fixed buckets = fixed-size output at any
+      // corpus scale.
+      Some("""WITH mm AS (
+             |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+             |  FROM lineitem
+             |),
+             |b AS (
+             |  SELECT CAST(least(floor((l_extendedprice - mm.lo)
+             |                          / ((mm.hi - mm.lo) / 16)), 15) AS INT)
+             |           AS bucket,
+             |         count(*) AS n
+             |  FROM lineitem CROSS JOIN mm
+             |  GROUP BY 1
+             |)
+             |SELECT k.bucket,
+             |       mm.lo + k.bucket * ((mm.hi - mm.lo) / 16) AS bucket_lo,
+             |       mm.lo + (k.bucket + 1) * ((mm.hi - mm.lo) / 16) AS bucket_hi,
+             |       CAST(coalesce(b.n, 0) AS BIGINT) AS n
+             |FROM (SELECT unnest(range(0, 16)) AS bucket) k
+             |CROSS JOIN mm LEFT JOIN b ON b.bucket = k.bucket
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val mm = t.lineitem.agg(min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        val width = (col("hi") - col("lo")) / 16
+        val counts = t.lineitem.crossJoin(broadcast(mm))
+          .select(least(floor((col("l_extendedprice") - col("lo")) / width),
+            lit(15.0)).cast("int").as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        val buckets = spark.range(0, 16)
+          .select(col("id").cast("int").as("bucket"))
+        ordered(
+          buckets.crossJoin(broadcast(mm))
+            .join(counts, Seq("bucket"), "left")
+            .select(col("bucket"),
+              (col("lo") + col("bucket") * width).as("bucket_lo"),
+              (col("lo") + (col("bucket") + 1) * width).as("bucket_hi"),
+              coalesce(col("n"), lit(0L)).as("n"))
+        )
+      }
     )
   )
 }

@@ -747,6 +747,68 @@ object TextOps {
                 .as("chunk_md5"))
         )
       }
+    ),
+    Q(
+      "d7_source_kl",
+      // Source-mixture drift diagnostic: KL(P_source ‖ P_corpus) over
+      // unigram token distributions — the standard check that one crawl
+      // source's language diverges from the blend (and the knob behind
+      // mixture re-weighting). Exact-hash-checked via the d7_lm_score
+      // discipline: the ln argument is a ratio of exact BIGINT products
+      // ((n_sw·N) / (N_s·n_w), all < 2^53 so the doubles are exact),
+      // per-term ln is rounded to DECIMAL(20,12) BEFORE weighting, the
+      // weight is the exact integer count n_sw (decimal × int stays
+      // exact), and the single division by N_s happens once at the end.
+      // 100 TB shape: everything rides (source, term) and (term)
+      // aggregates with map-side partials — the vocab, not the corpus,
+      // bounds every relation after the first scan.
+      Some("""WITH toks AS (
+             |  SELECT source,
+             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                     x -> x <> '') AS tokens
+             |  FROM documents
+             |),
+             |u AS (SELECT source, unnest(tokens) AS term FROM toks),
+             |sw AS (SELECT source, term, count(*) AS n_sw FROM u GROUP BY 1, 2),
+             |w AS (SELECT term, count(*) AS n_w FROM u GROUP BY 1),
+             |s AS (SELECT source, count(*) AS n_s FROM u GROUP BY 1),
+             |tot AS (SELECT count(*) AS n FROM u),
+             |terms AS (
+             |  SELECT sw.source, sw.n_sw,
+             |         CAST(round(ln(CAST(sw.n_sw * tot.n AS DOUBLE)
+             |                       / CAST(s.n_s * w.n_w AS DOUBLE)), 12)
+             |              AS DECIMAL(20,12)) AS lr
+             |  FROM sw JOIN w USING (term) JOIN s USING (source) CROSS JOIN tot
+             |)
+             |SELECT source, min(t2.n_s) AS n_tokens,
+             |       round(CAST(sum(lr * n_sw) AS DOUBLE) / min(t2.n_s), 4)
+             |         AS kl_divergence
+             |FROM terms JOIN s t2 USING (source)
+             |GROUP BY source
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val u = t.documents
+          .select(col("source"), explode(Text.tokenize(col("text"))).as("term"))
+        val sw = u.groupBy(col("source"), col("term")).agg(count(lit(1)).as("n_sw"))
+        val w = u.groupBy(col("term")).agg(count(lit(1)).as("n_w"))
+        val s = u.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+        val tot = u.agg(count(lit(1)).as("n"))
+        val lr = round(
+          log((col("n_sw") * col("n")).cast("double") /
+            (col("n_s") * col("n_w")).cast("double")), 12)
+          .cast("decimal(20,12)")
+        ordered(
+          sw.join(w, Seq("term"))
+            .join(s, Seq("source"))
+            .crossJoin(broadcast(tot)) // 1-row corpus total
+            .select(col("source"), col("n_sw"), col("n_s"), lr.as("lr"))
+            .groupBy(col("source"))
+            .agg(min(col("n_s")).as("n_tokens"),
+              round(sum(col("lr") * col("n_sw")).cast("double") /
+                min(col("n_s")), 4).as("kl_divergence"))
+        )
+      }
     )
   )
 }

@@ -229,6 +229,41 @@ object Windows {
       }
     ),
     Q(
+      "w6_ewma_decay",
+      // Exponentially-decayed running state (EWMA with λ = 1/2): the
+      // freshness-weighted per-user activity feature — each event halves
+      // everything before it. A sequential left fold is the semantics, so
+      // both engines run the IDENTICAL fold: values ordered by event_id,
+      // acc/2 (an exponent shift — exact) + value, giving bit-equal IEEE
+      // doubles with no rounding anywhere. 100 TB shape: one hash
+      // aggregate per user; the fold is array-local. For unbounded
+      // per-user histories the same recurrence runs incrementally as T5
+      // custom state — this is the batch/backfill form.
+      Some("""WITH ov AS (
+             |  SELECT user_id, list(value ORDER BY event_id) AS vals,
+             |         count(*) AS n
+             |  FROM events GROUP BY user_id
+             |)
+             |SELECT user_id, n AS n_events,
+             |       list_reduce(list_prepend(0.0, vals),
+             |                   (acc, x) -> acc/2 + x) AS ewma
+             |FROM ov ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.events
+            .groupBy(col("user_id"))
+            .agg(
+              sort_array(collect_list(struct(col("event_id"), col("value"))))
+                .as("evs"),
+              count(lit(1)).as("n_events"))
+            .select(col("user_id"), col("n_events"),
+              aggregate(transform(col("evs"), e => e("value")),
+                lit(0.0), (acc, x) => acc / 2 + x).as("ewma"))
+        )
+      }
+    ),
+    Q(
       "o4_skyline",
       // SKYLINE (Pareto frontier): customers not dominated on
       // (total spend, order count) — the multi-criteria "best documents"

@@ -164,7 +164,9 @@ class ScaleShapeSpec extends AnyFunSuite {
       // gating the customer filter — constant-size build side
       "tpch_q11", // 1-row value-total scalar broadcast (HAVING fraction)
       "tpch_q15", // 1-row max-revenue scalar broadcast (top supplier)
-      "d7_lm_score" // 1-row vocab-size scalar broadcast (LM smoothing)
+      "d7_lm_score", // 1-row vocab-size scalar broadcast (LM smoothing)
+      "d7_source_kl", // 1-row corpus-token-total scalar broadcast
+      "s12_histogram" // 1-row min/max scalar broadcast into bucket assign
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (fenced(name)) None
