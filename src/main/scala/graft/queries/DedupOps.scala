@@ -51,7 +51,20 @@ object DedupOps {
     // diameter-independent variant computes identical components
     base :+ Q("d5_dedup_clusters_logstar",
       base.find(_.name == "d5_dedup_clusters").flatMap(_.oracle),
-      clustersFn(Dedup.connectedComponentsLogStar(_)))
+      clustersFn(Dedup.connectedComponentsLogStar(_))) :+
+      // PPJoin prefix filtering: same oracle as d5_ngram_jaccard — an
+      // exact hash-match proves the df-ranked prefix pruning is LOSSLESS
+      // while the candidate join ships only each doc's rarest shingles
+      Q("d5_jaccard_prefix",
+        base.find(_.name == "d5_ngram_jaccard").flatMap(_.oracle),
+        (spark, dir) => {
+          val t = Tables(spark, dir)
+          ordered(
+            Dedup.jaccardPairsPrefix(
+              t.documents.select(col("doc_id"), col("text")),
+              shingleWidth = 3, minJaccard = 0.5)
+              .select(col("a"), col("b"), r4(col("jaccard")).as("jaccard")))
+        })
   }
 
   private def baseQueries: Seq[Q] = Seq(

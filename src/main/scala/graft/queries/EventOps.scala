@@ -245,6 +245,52 @@ object EventOps {
       }
     ),
     Q(
+      "t11_anomaly_zscore",
+      // Per-type z-score anomaly detection — the telemetry outlier gate.
+      // Engine-exact despite float stats: per-type Σv and Σv² accumulate
+      // as DECIMALs (values are 2-decimal, squares 4-decimal — both exact
+      // and order-independent), convert to double ONCE (magnitudes stay
+      // under 2^53 so the conversion is exact), and mean/std/z evaluate
+      // as the same literal IEEE formula in both engines. 100 TB shape:
+      // a 5-row stats aggregate broadcast back onto the event scan — one
+      // pass for stats, one for scoring.
+      Some("""WITH s AS (
+             |  SELECT event_type, count(*) AS n,
+             |         sum(CAST(value AS DECIMAL(18,2))) AS s1,
+             |         sum(CAST(value AS DECIMAL(18,2))
+             |             * CAST(value AS DECIMAL(18,2))) AS s2
+             |  FROM events GROUP BY 1
+             |)
+             |SELECT e.event_id, e.event_type, e.value,
+             |       round((e.value - CAST(s.s1 AS DOUBLE) / s.n)
+             |             / sqrt((CAST(s.s2 AS DOUBLE)
+             |                     - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / s.n)
+             |                    / (s.n - 1)), 4) AS z
+             |FROM events e JOIN s USING (event_type)
+             |WHERE abs((e.value - CAST(s.s1 AS DOUBLE) / s.n)
+             |          / sqrt((CAST(s.s2 AS DOUBLE)
+             |                  - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / s.n)
+             |                 / (s.n - 1))) > 2.5
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val d = col("value").cast("decimal(18,2)")
+        val stats = t.events.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(d).as("s1"), sum(d * d).as("s2"))
+        val mean = col("s1").cast("double") / col("n")
+        val std = sqrt((col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double") / col("n"))
+          / (col("n") - 1))
+        val z = (col("value") - mean) / std
+        ordered(
+          t.events.join(broadcast(stats), Seq("event_type"))
+            .filter(abs(z) > 2.5)
+            .select(col("event_id"), col("event_type"), col("value"),
+              round(z, 4).as("z"))
+        )
+      }
+    ),
+    Q(
       "t10_funnel",
       // Ordered-sequence FUNNEL (view → click → purchase): for each user,
       // the first view, the first click strictly after it, the first

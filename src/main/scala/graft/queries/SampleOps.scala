@@ -246,6 +246,44 @@ object SampleOps {
             .select(col("doc_id"), col("source"), col("rk"))
         )
       }
+    ),
+    Q(
+      "d11_weighted_sample",
+      // WEIGHTED sampling without replacement (Efraimidis–Spirakis A-ES):
+      // doc i gets priority -ln(u_i)/w_i — an Exp(w_i) draw — and the k
+      // smallest priorities are the sample, giving P ∝ weight exactly.
+      // Deterministic and engine-portable: u_i comes from 48 bits of
+      // md5("ws:" || doc_id) ((h+1)/(2^48+1) — all doubles exact), ln is
+      // rounded to 12 before the one IEEE division by the weight
+      // (n_chars — longer docs sampled more often, the quality-weighted
+      // corpus-sampling primitive). No RNG state, fully auditable, and
+      // the k-smallest select plans as TakeOrderedAndProject — the
+      // distributed top-k, never a global sort, at any corpus scale.
+      Some("""WITH pr AS (
+             |  SELECT doc_id, n_chars,
+             |         round(-ln((CAST(('0x' || substring(md5('ws:' || doc_id), 1, 12))
+             |                         AS BIGINT) + 1) / 281474976710657.0), 12)
+             |           / n_chars AS priority
+             |  FROM documents
+             |),
+             |topk AS (
+             |  SELECT doc_id, n_chars, priority
+             |  FROM pr QUALIFY row_number() OVER (ORDER BY priority, doc_id) <= 50
+             |)
+             |SELECT doc_id, n_chars, priority FROM topk
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val u = (conv(substring(md5(concat(lit("ws:"), col("doc_id"))), 1, 12),
+          16, 10).cast("long") + 1) / lit(281474976710657.0) // (0, 1], 2^48+1
+        ordered(
+          t.documents
+            .select(col("doc_id"), col("n_chars"),
+              (round(-log(u), 12) / col("n_chars")).as("priority"))
+            .orderBy(col("priority"), col("doc_id"))
+            .limit(50)
+        )
+      }
     )
   )
 }

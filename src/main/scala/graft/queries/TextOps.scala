@@ -790,10 +790,17 @@ object TextOps {
         val t = Tables(spark, dir)
         val u = t.documents
           .select(col("source"), explode(Text.tokenize(col("text"))).as("term"))
+        // ONE pass over the token stream; the marginals n_w, n_s and the
+        // corpus total all roll up from the (source, term) relation —
+        // bounded by sources × vocab, so it's materialized once
+        // (localCheckpoint — plain exchange reuse can't fire because each
+        // consumer prunes different columns) and the corpus is scanned
+        // once, not four times
         val sw = u.groupBy(col("source"), col("term")).agg(count(lit(1)).as("n_sw"))
-        val w = u.groupBy(col("term")).agg(count(lit(1)).as("n_w"))
-        val s = u.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
-        val tot = u.agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        val w = sw.groupBy(col("term")).agg(sum(col("n_sw")).as("n_w"))
+        val s = sw.groupBy(col("source")).agg(sum(col("n_sw")).as("n_s"))
+        val tot = s.agg(sum(col("n_s")).as("n"))
         val lr = round(
           log((col("n_sw") * col("n")).cast("double") /
             (col("n_s") * col("n_w")).cast("double")), 12)

@@ -496,6 +496,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(reduced == plain)
   }
 
+  test("D5: prefix-filtered Jaccard join equals the full index join (lossless)") {
+    import spark.implicits._
+    // near-dup families + a HOT shingle shared by every doc: the full
+    // index join pairs everything through the hot posting list; the
+    // prefix filter must still find exactly the same >= t pairs
+    val fam = (0 until 6).map { f =>
+      val base = (0 until 12).map(i => s"tok${f}_$i").mkString(" ")
+      Seq((f * 10L, s"common filler words $base"),
+        (f * 10L + 1, s"common filler words $base extra"))
+    }.flatten
+    val docs = fam.toDF("doc_id", "text")
+    val full = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val pref = Dedup.jaccardPairsPrefix(docs, 3, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pref == full && full.nonEmpty)
+    // jaccard values agree pairwise, not just the pair set
+    val fullJ = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    Dedup.jaccardPairsPrefix(docs, 3, 0.5)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+      .foreach { case (a, b, j) => assert(fullJ((a, b)) == j) }
+  }
+
   test("D6: cosine is 1 for identical vectors, 0 for zero vector") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f), Array(0.0f, 0.0f)))
