@@ -328,30 +328,39 @@ object EventOps {
              |ORDER BY ALL NULLS FIRST""".stripMargin),
       (spark, dir) => {
         val t = Tables(spark, dir)
-        val ev = t.events
-        val v = ev.filter(col("event_type") === "view")
-          .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
-        val c = ev.filter(col("event_type") === "click").as("e")
-          .join(v.as("v"), col("e.user_id") === col("v.user_id") &&
-            col("e.ts") > col("v.v_ts"))
-          .groupBy(col("e.user_id").as("user_id"))
-          .agg(min(col("e.ts")).as("c_ts"))
-        val p = ev.filter(col("event_type") === "purchase").as("e")
-          .join(c.as("c"), col("e.user_id") === col("c.user_id") &&
-            col("e.ts") > col("c.c_ts"))
-          .groupBy(col("e.user_id").as("user_id"))
-          .agg(min(col("e.ts")).as("p_ts"))
         ordered(
-          v.join(c, Seq("user_id"), "left")
-            .join(p, Seq("user_id"), "left")
+          funnel(t.events)
             .select(col("user_id"),
               tstr(col("v_ts")).as("view_ts"),
               tstr(col("c_ts")).as("click_ts"),
               tstr(col("p_ts")).as("purchase_ts"),
-              (lit(1) + when(col("c_ts").isNull, 0).otherwise(1)
-                + when(col("p_ts").isNull, 0).otherwise(1)).as("depth"))
+              col("depth"))
         )
       }
     )
   )
+
+  /** The t10 funnel as a reusable transform over any (user_id, event_type,
+    * ts) relation: first view, first click STRICTLY after it, first
+    * purchase strictly after that; depth = stages reached. Out-of-order
+    * stages never convert — the strictness PropertySpec pins that. */
+  def funnel(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click").as("e")
+      .join(v.as("v"), col("e.user_id") === col("v.user_id") &&
+        col("e.ts") > col("v.v_ts"))
+      .groupBy(col("e.user_id").as("user_id"))
+      .agg(min(col("e.ts")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase").as("e")
+      .join(c.as("c"), col("e.user_id") === col("c.user_id") &&
+        col("e.ts") > col("c.c_ts"))
+      .groupBy(col("e.user_id").as("user_id"))
+      .agg(min(col("e.ts")).as("p_ts"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("v_ts"), col("c_ts"), col("p_ts"),
+        (lit(1) + when(col("c_ts").isNull, 0).otherwise(1)
+          + when(col("p_ts").isNull, 0).otherwise(1)).as("depth"))
+  }
 }

@@ -304,23 +304,35 @@ object Windows {
           .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
               .cast("decimal(18,2)").as("spend"),
             count(lit(1)).as("n_orders"))
-        def frontier(df: org.apache.spark.sql.DataFrame,
-            part: Seq[org.apache.spark.sql.Column]) = {
-          val w = (if (part.isEmpty) Window.partitionBy()
-                   else Window.partitionBy(part: _*))
-            .orderBy(col("spend").desc, col("n_orders").desc, col("cust"))
-            .rowsBetween(Window.unboundedPreceding, -1)
-          df.withColumn("pm", max(col("n_orders")).over(w))
-            .filter(col("pm").isNull || col("n_orders") > col("pm"))
-            .drop("pm")
-        }
-        val local = frontier(
-          pts.withColumn("bucket", pmod(crc32(col("cust").cast("string")), lit(32))),
-          Seq(col("bucket"))).drop("bucket")
-        ordered(frontier(local, Seq.empty)
+        ordered(skyline2d(pts, "spend", "n_orders", "cust")
           .select(col("cust"), round(col("spend"), 4).cast("double").as("spend"),
             col("n_orders")))
       }
     )
   )
+
+  /** Two-phase distributed 2-D skyline over (x, y, id) — maximal points
+    * under (≥, ≥) domination, equal-(x,y) duplicates keep the smallest id.
+    * Phase 1 runs the running-max frontier window inside each hash bucket
+    * (lossless interior pruning — a locally dominated point's dominator
+    * dominates it globally too); phase 2 runs the same window over local
+    * survivors only. PropertySpec pins soundness + completeness against a
+    * brute-force dominator scan. */
+  def skyline2d(pts: org.apache.spark.sql.DataFrame, x: String, y: String,
+      id: String): org.apache.spark.sql.DataFrame = {
+    def frontier(df: org.apache.spark.sql.DataFrame,
+        part: Seq[org.apache.spark.sql.Column]) = {
+      val w = (if (part.isEmpty) Window.partitionBy()
+               else Window.partitionBy(part: _*))
+        .orderBy(col(x).desc, col(y).desc, col(id))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("__pm", max(col(y)).over(w))
+        .filter(col("__pm").isNull || col(y) > col("__pm"))
+        .drop("__pm")
+    }
+    val local = frontier(
+      pts.withColumn("__bucket", pmod(crc32(col(id).cast("string")), lit(32))),
+      Seq(col("__bucket"))).drop("__bucket")
+    frontier(local, Seq.empty)
+  }
 }

@@ -344,4 +344,84 @@ class PropertySpec extends AnyFunSuite {
     assert(small.forall { case (id, s) => grown(id) == s })
     assert(small.values.toSet.subsetOf(Set("train", "val", "test")))
   }
+
+  test("G1 PageRank law: total rank is conserved EXACTLY at every iteration") {
+    import spark.implicits._
+    // same dyadic-exact arithmetic as g1_pagerank (out-degree 4, damping
+    // 7/8): sum of ranks stays exactly N — in exact IEEE equality, which
+    // only holds because every intermediate is a short-mantissa dyadic
+    val n = 97L
+    val docs = (0L until n).toDF("doc_id")
+    val edges = docs.select(col("doc_id").as("src"),
+      explode(array((0 until 4).map(k =>
+        (col("doc_id") * 31 + k * 17 + 7) % n): _*)).as("dst"))
+    var ranks = docs.select(col("doc_id"), lit(1.0).as("pr"))
+    for (_ <- 1 to 4) {
+      val contribs = edges.join(ranks, col("src") === col("doc_id"))
+        .select(col("dst"), (col("pr") / 4).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
+      ranks = docs.join(contribs, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          (lit(0.125) + lit(0.875) * coalesce(col("cin"), lit(0.0))).as("pr"))
+      val total = ranks.agg(sum(col("pr"))).as[Double].head()
+      assert(total == n.toDouble, s"rank mass drifted: $total != $n")
+    }
+  }
+
+  test("O4 skyline laws: sound (nothing dominated) and complete (covers the rest)") {
+    import spark.implicits._
+    val pts = draws(Gen.listOfN(120,
+      Gen.zip(Gen.choose(0, 30), Gen.choose(0, 30))), 3)
+    pts.foreach { ps =>
+      val df = ps.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("id", "x", "y")
+      val sky = graft.queries.Windows.skyline2d(df, "x", "y", "id")
+        .select("id", "x", "y").as[(Long, Int, Int)].collect()
+      val all = ps.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      def dominates(a: (Long, Int, Int), b: (Long, Int, Int)) =
+        a._2 >= b._2 && a._3 >= b._3 && (a._2 > b._2 || a._3 > b._3)
+      // soundness: no output point strictly dominated by ANY input point
+      sky.foreach(s => assert(!all.exists(p => dominates(p, s)), s"$s dominated"))
+      // completeness: every non-output point is dominated by (or an
+      // equal-coordinate duplicate of) some output point
+      val skySet = sky.map(_._1).toSet
+      all.filterNot(p => skySet(p._1)).foreach { p =>
+        assert(sky.exists(s => dominates(s, p) ||
+          (s._2 == p._2 && s._3 == p._3)), s"$p uncovered")
+      }
+    }
+  }
+
+  test("W6 EWMA law: appending one value updates the fold as s/2 + v") {
+    import spark.implicits._
+    val seqs = draws(Gen.listOfN(20, Gen.choose(0.0, 100.0)), 4)
+    def fold(vs: Seq[Double]): Double = {
+      Seq(vs).toDF("vals")
+        .select(aggregate(col("vals"), lit(0.0), (a, x) => a / 2 + x))
+        .as[Double].head()
+    }
+    seqs.foreach { vs =>
+      val s = fold(vs)
+      val v = 7.25
+      assert(fold(vs :+ v) == s / 2 + v) // exact: /2 is an exponent shift
+    }
+  }
+
+  test("T10 funnel law: out-of-order stages never convert") {
+    import spark.implicits._
+    def ts(m: Long) = new java.sql.Timestamp(m * 60000L)
+    val ev = Seq(
+      // user 1: click BEFORE the first view — must not count as depth 2
+      (1L, "click", ts(1)), (1L, "view", ts(2)), (1L, "purchase", ts(3)),
+      // user 2: the full ordered funnel
+      (2L, "view", ts(1)), (2L, "click", ts(2)), (2L, "purchase", ts(3)),
+      // user 3: purchase between view and click — click converts, purchase doesn't
+      (3L, "view", ts(1)), (3L, "purchase", ts(2)), (3L, "click", ts(3)),
+      // user 4: never viewed — not in the funnel at all
+      (4L, "click", ts(1)), (4L, "purchase", ts(2))
+    ).toDF("user_id", "event_type", "ts")
+    val out = graft.queries.EventOps.funnel(ev)
+      .select("user_id", "depth").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 1, 2L -> 3, 3L -> 2))
+  }
 }
