@@ -52,6 +52,46 @@ object DedupOps {
     base :+ Q("d5_dedup_clusters_logstar",
       base.find(_.name == "d5_dedup_clusters").flatMap(_.oracle),
       clustersFn(Dedup.connectedComponentsLogStar(_))) :+
+      Q(
+        "d5_fuzzy_join",
+        // Edit-distance SIMILARITY JOIN (fuzzy entity matching): all name
+        // pairs within levenshtein <= 2, never brute force. Candidates
+        // come from a 2-gram inverted-index self-join + length-band
+        // filter; the q-gram count bound (two strings at distance <= k
+        // share at least |s| - 1 - k·q 2-grams, positive for |s| >= 6 at
+        // k=2) makes the pruning LOSSLESS on this domain — proven by the
+        // hash-match against DuckDB's brute-force pair scan. Both engines
+        // run the identical DP levenshtein, so the verify is exact. The
+        // name RELATION is distinct-deduped first: candidates ride the
+        // vocabulary, not the table.
+        Some("""WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+               |SELECT a.name AS name_a, b.name AS name_b,
+               |       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+               |FROM names a JOIN names b ON a.name < b.name
+               |WHERE levenshtein(a.name, b.name) <= 2
+               |ORDER BY ALL NULLS FIRST""".stripMargin),
+        (spark, dir) => {
+          val t = Tables(spark, dir)
+          val names = t.part.select(col("p_name").as("name")).distinct()
+            .localCheckpoint() // feeds grams and both verify sides
+          val grams = names
+            .select(col("name"), explode(expr(
+              "transform(sequence(1, length(name) - 1), i -> substring(name, i, 2))"))
+              .as("g"))
+            .distinct()
+          val cands = grams.as("x")
+            .join(grams.as("y"), col("x.g") === col("y.g") &&
+              col("x.name") < col("y.name") &&
+              abs(length(col("x.name")) - length(col("y.name"))) <= 2)
+            .select(col("x.name").as("name_a"), col("y.name").as("name_b"))
+            .distinct()
+          ordered(
+            cands
+              .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+              .filter(col("dist") <= 2)
+          )
+        }
+      ) :+
       // PPJoin prefix filtering: same oracle as d5_ngram_jaccard — an
       // exact hash-match proves the df-ranked prefix pruning is LOSSLESS
       // while the candidate join ships only each doc's rarest shingles

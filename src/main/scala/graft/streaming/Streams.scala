@@ -203,6 +203,48 @@ object Streams {
       }
   }
 
+  /** Per-user funnel progress for [[statefulFunnel]]: −1 = stage unset. */
+  case class FunnelState(v: Long, c: Long, p: Long)
+  case class FunnelOut(userId: Long, vTs: Long, cTs: Long, pTs: Long, depth: Int)
+
+  /** T10, incremental: the view → click → purchase funnel as a per-user
+    * state machine over a stream — fixed-size state (three longs), Update
+    * mode emits the refined funnel row whenever a user's depth can have
+    * advanced. Same strictness as [[graft.queries.EventOps.funnel]]: a
+    * stage only converts on an event STRICTLY after the previous stage.
+    * Contract: per-user event-time-ordered arrival across micro-batches
+    * (the CDC-ordered case); the StreamingSpec parity test replays a
+    * multi-batch stream and matches the batch funnel exactly. Stage
+    * state only ever refines forward, so replays/duplicates are
+    * harmless (idempotent transitions).
+    */
+  def statefulFunnel(
+      events: Dataset[(Long, String, Long)] // (user_id, event_type, ts)
+  ): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          // (ts, type) order makes same-timestamp batches deterministic
+          // and agrees with the batch min/strictly-after semantics
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, typ, ts) =>
+            typ match {
+              case "view" if s.v < 0                            => s = s.copy(v = ts)
+              case "click" if s.v >= 0 && s.c < 0 && ts > s.v   => s = s.copy(c = ts)
+              case "purchase" if s.c >= 0 && s.p < 0 && ts > s.c => s = s.copy(p = ts)
+              case _                                            => ()
+            }
+          }
+          state.update(s)
+          if (s.v < 0) Iterator.empty
+          else Iterator(FunnelOut(userId, s.v, s.c, s.p,
+            1 + (if (s.c >= 0) 1 else 0) + (if (s.p >= 0) 1 else 0)))
+      }
+  }
+
   /** T5, truly incremental: sessionization that is correct when a user's
     * events arrive across MANY micro-batches (the batch-contract
     * [[statefulSessions]] assumes one delivery per key). State carries the

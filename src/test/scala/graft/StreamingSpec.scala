@@ -424,6 +424,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.sameElements(fixture.map(_.event_id).sorted), ids.mkString(","))
   }
 
+  test("T10 streaming funnel matches the batch funnel across micro-batches") {
+    import spark.implicits._
+    // (user, type, ts): user 1 converts fully but split across batches;
+    // user 2's click arrives before any view (never converts past depth 1);
+    // user 3 stalls at click; user 4 replays a duplicate purchase
+    val all = Seq(
+      (1L, "view", 10L), (1L, "click", 20L),
+      (2L, "click", 5L), (2L, "view", 15L),
+      (3L, "view", 10L), (3L, "click", 30L),
+      (4L, "view", 1L), (4L, "click", 2L), (4L, "purchase", 3L),
+      (1L, "purchase", 40L), (2L, "purchase", 12L),
+      (4L, "purchase", 3L) // replayed duplicate — idempotent transition
+    )
+    val mem = MemoryStream[(Long, String, Long)](11, spark, None)
+    mem.addData(all.take(6): _*)
+    mem.addData(all.drop(6): _*)
+    Streams.runToMemory(Streams.statefulFunnel(mem.toDS()).toDF(),
+      "t10_sink", OutputMode.Update())
+    // Update mode appends one refined row per user per batch — the
+    // deepest row per user is the final funnel state
+    val got = spark.table("t10_sink")
+      .groupBy(col("userId"))
+      .agg(max(struct(col("depth"), col("vTs"), col("cTs"), col("pTs"))).as("s"))
+      .select(col("userId"), col("s.vTs"), col("s.cTs"), col("s.pTs"), col("s.depth"))
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    val want = graft.queries.EventOps.funnel(all.toDF("user_id", "event_type", "ts"))
+      .select(col("user_id"), coalesce(col("v_ts"), lit(-1L)),
+        coalesce(col("c_ts"), lit(-1L)), coalesce(col("p_ts"), lit(-1L)),
+        col("depth"))
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("T8/S10 file streaming source: AvailableNow drains the directory") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
