@@ -226,36 +226,39 @@ object Dedup {
       shingleWidth: Int = 3,
       minJaccard: Double = 0.5
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val exploded = docs
       .select(col("doc_id"),
         explode(Text.shingles(Text.tokenize(col("text")), shingleWidth)).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .distinct()
-      // feeds the df count, the prefix ranking and the verify arrays —
-      // the persisted inverted index at scale
-      .localCheckpoint()
+      .localCheckpoint() // feeds the df count and the df join — one tokenize
     val df = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy(col("doc_id"))
-    val ranked = exploded.join(df, Seq("shingle"))
-      .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("shingle"))))
-      .withColumn("n_sh", count(lit(1)).over(wDoc))
-    val prefix = ranked
-      .filter(col("rn") <=
-        col("n_sh") - ceil(col("n_sh") * minJaccard) + 1)
-      .select(col("doc_id"), col("shingle"))
+    // ONE per-doc aggregate yields everything at once: the (df, shingle)
+    // canonical-sorted array gives the prefix (a slice), the verify set
+    // (a transform) and the size — no window passes, and one
+    // materialization (the per-doc index at scale) feeds the candidate
+    // join and both verify sides
+    val perDoc = exploded.join(df, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("arr"))
+      .select(col("doc_id"),
+        expr("transform(arr, x -> x.shingle)").as("set"),
+        size(col("arr")).as("n_sh"),
+        expr(s"""transform(
+                   slice(arr, 1, cast(size(arr) - ceil(size(arr) * $minJaccard)
+                                      + 1 as int)),
+                   x -> x.shingle)""").as("prefix"))
+      .localCheckpoint()
+    val prefix = perDoc.select(col("doc_id"), explode(col("prefix")).as("shingle"))
     val cands = prefix.as("x")
       .join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val sets = exploded.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("shingle"))).as("set"),
-        count(lit(1)).as("n_sh"))
     cands
-      .join(sets.select(col("doc_id").as("a"), col("set").as("sa"),
+      .join(perDoc.select(col("doc_id").as("a"), col("set").as("sa"),
         col("n_sh").as("na")), "a")
-      .join(sets.select(col("doc_id").as("b"), col("set").as("sb"),
+      .join(perDoc.select(col("doc_id").as("b"), col("set").as("sb"),
         col("n_sh").as("nb")), "b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",
