@@ -174,7 +174,23 @@ object Multimodal {
     * exact-integer statistics as [[decodeBmp]]; None for any variant it
     * cannot decode losslessly (other bit depths / color types / interlace,
     * truncated or corrupt streams). */
-  def decodePng(bytes: Array[Byte]): Option[PixelStats] = {
+  def decodePng(bytes: Array[Byte]): Option[PixelStats] =
+    pngRaw(bytes).map { case (w, h, px) =>
+      var sum = 0L; var sq = 0L
+      var i = 0
+      while (i < px.length) {
+        val v = px(i) & 0xff
+        sum += v; sq += v.toLong * v
+        i += 1
+      }
+      PixelStats(w, h, w.toLong * h, sum, sq,
+        (px(0) & 0xff).toLong + (px(1) & 0xff) + (px(2) & 0xff))
+    }
+
+  /** Full PNG decode to the raw TOP-DOWN RGB pixel array (stride w*3):
+    * zlib inflate + all five scanline filters. The seam [[decodePng]]
+    * (stats) and [[pngToBmp]] (transcode) share. */
+  private def pngRaw(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (bytes == null || bytes.length < 45) return None
     var i = 0
     while (i < 8) { if (bytes(i) != pngSig(i)) return None; i += 1 }
@@ -223,7 +239,7 @@ object Multimodal {
     // invert the scanline filters against the reconstructed previous row
     val prev = new Array[Int](stride)
     val cur = new Array[Int](stride)
-    var sum = 0L; var sq = 0L; var first = 0L
+    val px = new Array[Byte](stride * h.toInt)
     var y = 0
     while (y < h.toInt) {
       val base = y * (stride + 1)
@@ -242,15 +258,50 @@ object Multimodal {
           case _ => (f + paeth(a, b, if (x >= 3) prev(x - 3) else 0)) & 0xff
         }
         cur(x) = rec
-        sum += rec; sq += rec.toLong * rec
+        px(y * stride + x) = rec.toByte
         x += 1
       }
-      if (y == 0) first = cur(0).toLong + cur(1) + cur(2)
       Array.copy(cur, 0, prev, 0, stride)
       y += 1
     }
-    Some(PixelStats(w.toInt, h.toInt, w * h, sum, sq, first))
+    Some((w.toInt, h.toInt, px))
   }
+
+  /** Cross-codec seam: REAL PNG decode re-encoded as the pipeline's
+    * canonical 24-bit BMP, so every pixel operator (resize, dHash,
+    * near-dup banding) runs on compressed images too. Channel order is
+    * passed through untouched — grayscale and per-channel sums are
+    * channel-order-invariant, which is all the pixel pipeline assumes. */
+  def pngToBmp(bytes: Array[Byte]): Option[Array[Byte]] =
+    pngRaw(bytes).map { case (w, h, px) =>
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val dataLen = rowSize * h
+      val b = java.nio.ByteBuffer.allocate(54 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      val out = b.array()
+      val stride = w * 3
+      var y = 0
+      while (y < h) {
+        // PNG rows are top-down, BMP rows bottom-up
+        System.arraycopy(px, y * stride, out, 54 + (h - 1 - y) * rowSize, stride)
+        y += 1
+      }
+      out
+    }
+
+  /** dHash across codecs: BMP hashes directly, PNG through the real
+    * decode + [[pngToBmp]] transcode — same canonical pixel space, so
+    * the same image content yields the SAME hash from either container
+    * (pinned by MultimodalSpec). */
+  def dHashAny(bytes: Array[Byte]): Option[Long] =
+    if (bytes == null || bytes.length < 2) None
+    else if (bytes(0) == 'B' && bytes(1) == 'M') dHash(bytes)
+    else if (bytes.length >= 8 && (0 until 8).forall(i => bytes(i) == pngSig(i)))
+      pngToBmp(bytes).flatMap(dHash)
+    else None
 
   /** Real image resize: nearest-neighbor resample of an actual decoded
     * 24-bit pixel array into a new (bottom-up) BMP — source pixel for
@@ -778,10 +829,23 @@ object Multimodal {
     * decoding a tall-enough image exercises every PNG filter
     * (None/Sub/Up/Average/Paeth); the IDAT stream is real zlib
     * (`java.util.zip.Deflater`), chunks carry real CRC32s. */
-  def synthPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+  def synthPng(seed: Long, w: Int, h: Int): Array[Byte] =
+    encodePng(w, h, Array.tabulate(h, w * 3)((y, x) =>
+      (((seed + y.toLong * w * 3 + x) % 256) + 256).toInt % 256))
+
+  /** Multiplicative-pattern PNG — the SAME pixel content as
+    * [[synthBmpMul]] for equal arguments (flat pixel-stream index k ↦
+    * (seed·(k+3) + bright) mod 256), so the cross-codec dHash spec can
+    * assert BMP and PNG containers hash identically and mm_dhash_png can
+    * reuse mm_dhash's closed-form oracle through the zlib layer. */
+  def synthPngMul(seed: Long, bright: Int, w: Int, h: Int): Array[Byte] =
+    encodePng(w, h, Array.tabulate(h, w * 3) { (y, x) =>
+      val k = y.toLong * w * 3 + x
+      (((seed * (k + 3) + bright) % 256 + 256) % 256).toInt
+    })
+
+  private def encodePng(w: Int, h: Int, rec: Array[Array[Int]]): Array[Byte] = {
     val stride = w * 3
-    val rec = Array.tabulate(h, stride)((y, x) =>
-      (((seed + y.toLong * stride + x) % 256) + 256).toInt % 256)
     val raw = new Array[Byte]((stride + 1) * h)
     var y = 0
     while (y < h) {
@@ -874,6 +938,9 @@ object Multimodal {
     }
 
   val dHashUdf = udf((b: Array[Byte]) => dHash(b))
+  val dHashAnyUdf = udf((b: Array[Byte]) => dHashAny(b))
+  val synthPngMulUdf =
+    udf((seed: Long, bright: Int, w: Int, h: Int) => synthPngMul(seed, bright, w, h))
 
   val synthBmpUdf = udf((seed: Long, w: Int, h: Int) => synthBmp(seed, w, h))
 

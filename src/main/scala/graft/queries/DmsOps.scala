@@ -26,14 +26,17 @@ object DmsOps {
     * [[graft.multimodal.Multimodal.dHash]]. Emits non-negative 32-bit
     * halves (hi, lo) so every downstream op stays in portable BIGINT. */
   private def dhashFrame(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
+      dir: String, png: Boolean = false): DataFrame = {
     val t = Tables(spark, dir)
     val mm = graft.multimodal.Multimodal
+    val content =
+      if (png) mm.synthPngMulUdf(expr("(doc_id div 2) * 31 + 7"),
+        (col("doc_id") % 2).cast("int"), lit(5), lit(3))
+      else mm.synthBmpMulUdf(expr("(doc_id div 2) * 31 + 7"),
+        (col("doc_id") % 2).cast("int"), lit(5), lit(3))
     t.documents.select(
-        col("doc_id").as("media_id"),
-        mm.synthBmpMulUdf(expr("(doc_id div 2) * 31 + 7"),
-          (col("doc_id") % 2).cast("int"), lit(5), lit(3)).as("content"))
-      .select(col("media_id"), mm.dHashUdf(col("content")).as("h"))
+        col("doc_id").as("media_id"), content.as("content"))
+      .select(col("media_id"), mm.dHashAnyUdf(col("content")).as("h"))
       .select(col("media_id"),
         shiftrightunsigned(col("h"), 32).as("hi"),
         col("h").bitwiseAND(lit(0xFFFFFFFFL)).as("lo"))
@@ -381,6 +384,24 @@ object DmsOps {
               |ORDER BY ALL NULLS FIRST""".stripMargin),
       (spark, dir) => {
         ordered(dhashFrame(spark, dir)
+          .select(col("media_id"), col("hi").as("hash_hi"), col("lo").as("hash_lo")))
+      }
+    ),
+    Q(
+      "mm_dhash_png",
+      // The SAME perceptual hashes, but through the COMPRESSED codec:
+      // each image is a real PNG (zlib-deflated, scanline-filtered) of
+      // the identical multiplicative pixel content, decoded by the real
+      // inflate+unfilter path and transcoded to the canonical pixel
+      // space before hashing. The oracle is mm_dhash's closed-form bit
+      // arithmetic UNCHANGED — a hash match proves container invariance:
+      // decode → canonical pixels → hash gives bit-identical fingerprints
+      // from either codec, through the compression layer.
+      Some(s"""WITH $dhashCte
+              |SELECT media_id, hash_hi, hash_lo FROM hashes
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        ordered(dhashFrame(spark, dir, png = true)
           .select(col("media_id"), col("hi").as("hash_hi"), col("lo").as("hash_lo")))
       }
     ),

@@ -389,6 +389,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.dHash(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("dHashAny: BMP and PNG containers of the same pixels hash identically") {
+    for (seed <- Seq(7L, 38L, 1234L); (w, h) <- Seq((5, 3), (9, 8), (16, 11))) {
+      val viaBmp = Multimodal.dHashAny(Multimodal.synthBmpMul(seed, 0, w, h))
+      val viaPng = Multimodal.dHashAny(Multimodal.synthPngMul(seed, 0, w, h))
+      assert(viaBmp.isDefined && viaBmp == viaPng, s"seed=$seed ${w}x$h")
+    }
+    // the transcode really is the full pipeline: pngToBmp output decodes
+    // to the same pixel statistics the PNG decoder reports
+    val png = Multimodal.synthPng(31L, 4, 6)
+    val viaTranscode = Multimodal.pngToBmp(png).flatMap(Multimodal.decodeBmp)
+    assert(viaTranscode.map(s => (s.pix_sum, s.pix_sq_sum, s.n_px)) ==
+      Multimodal.decodePng(png).map(s => (s.pix_sum, s.pix_sq_sum, s.n_px)))
+    // unknown containers stay None
+    assert(Multimodal.dHashAny("GIF89a??????".getBytes).isEmpty)
+    assert(Multimodal.dHashAny(Array[Byte](1, 2)).isEmpty)
+  }
+
   test("features feed the standard vector ops (cosine knn over media)") {
     import spark.implicits._
     val feats = Multimodal.pipeline(spark, raw).toDF()
