@@ -569,6 +569,116 @@ object TextOps {
       }
     ),
     Q(
+      "d9_pipeline_curation",
+      // The round-6 CURATION capstone, one Catalyst plan end to end:
+      // exact dedup (planted byte-dup copies) → benchmark DECONTAMINATION
+      // (planted 'leakmark' eval leaks anti-joined away via broadcast
+      // 8-gram probe) → token-count quality gate → Efraimidis–Spirakis
+      // WEIGHTED sampling (P ∝ token count) → the curated sample, ranked.
+      // Every stage is individually oracle-checked (d4, d12, d7, d11);
+      // this proves they COMPOSE — no materialization between stages, one
+      // deterministic plan, the planted dups and leaks verifiably gone
+      // from the output.
+      Some(s"""WITH corpus AS (
+              |  SELECT doc_id, source, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 10000 AS doc_id, source, text FROM documents
+              |  WHERE doc_id % 4 = 0
+              |  UNION ALL
+              |  SELECT doc_id + 20000 AS doc_id, source,
+              |         'leakmark ' || text AS text
+              |  FROM documents WHERE doc_id % 41 = 0
+              |),
+              |dedup AS (
+              |  SELECT doc_id, source, text,
+              |         row_number() OVER (PARTITION BY sha256(text)
+              |                            ORDER BY doc_id) AS rn
+              |  FROM corpus
+              |),
+              |mdoc AS (
+              |  SELECT doc_id, source,
+              |         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              |                     x -> x <> '') AS tokens
+              |  FROM dedup
+              |  WHERE rn = 1 AND doc_id % 41 <> 0
+              |),
+              |gated AS (
+              |  SELECT doc_id, source, tokens FROM mdoc
+              |  WHERE len(tokens) BETWEEN 10 AND 500
+              |),
+              |g AS (
+              |  SELECT doc_id, unnest(range(1, len(tokens) - 6)) AS s, tokens
+              |  FROM gated
+              |),
+              |grams AS (
+              |  SELECT DISTINCT doc_id,
+              |         md5(array_to_string(tokens[s:s+7], ' ')) AS gram
+              |  FROM g
+              |),
+              |bt AS (
+              |  SELECT doc_id,
+              |         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              |                     x -> x <> '') AS tokens
+              |  FROM corpus WHERE doc_id % 41 = 0
+              |),
+              |bg AS (
+              |  SELECT DISTINCT md5(array_to_string(tokens[s:s+7], ' ')) AS gram
+              |  FROM (SELECT doc_id, unnest(range(1, len(tokens) - 6)) AS s, tokens
+              |        FROM bt WHERE len(tokens) >= 8)
+              |),
+              |dirty AS (SELECT DISTINCT doc_id FROM grams JOIN bg USING (gram)),
+              |clean AS (
+              |  SELECT doc_id, source, len(tokens) AS n_tok FROM gated
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+              |),
+              |pr AS (
+              |  SELECT doc_id, source, n_tok,
+              |         round(-ln((CAST(('0x' || substring(md5('ws:' || doc_id), 1, 12))
+              |                         AS BIGINT) + 1) / 281474976710657.0), 12)
+              |           / n_tok AS priority
+              |  FROM clean
+              |)
+              |SELECT doc_id, source, n_tok, priority
+              |FROM pr QUALIFY row_number() OVER (ORDER BY priority, doc_id) <= 60
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val base = t.documents.select(col("doc_id"), col("source"), col("text"))
+        val corpus = base
+          .unionByName(base.filter(col("doc_id") % 4 === 0)
+            .select((col("doc_id") + 10000L).as("doc_id"), col("source"), col("text")))
+          .unionByName(base.filter(col("doc_id") % 41 === 0)
+            .select((col("doc_id") + 20000L).as("doc_id"), col("source"),
+              concat(lit("leakmark "), col("text")).as("text")))
+        val wsha = org.apache.spark.sql.expressions.Window
+          .partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
+        val gated = corpus.withColumn("rn", row_number().over(wsha))
+          .filter(col("rn") === 1 && col("doc_id") % 41 =!= 0)
+          .select(col("doc_id"), col("source"),
+            Text.tokenize(col("text")).as("tokens"))
+          .filter(size(col("tokens")).between(10, 500))
+        val grams = gated.select(col("doc_id"),
+          explode(array_distinct(transform(
+            Text.shingles(col("tokens"), 8), s => md5(s)))).as("gram"))
+        val bench = corpus.filter(col("doc_id") % 41 === 0)
+          .select(explode(array_distinct(transform(
+            Text.shingles(Text.tokenize(col("text")), 8), s => md5(s))))
+            .as("gram"))
+          .distinct()
+        val dirty = grams.join(broadcast(bench), Seq("gram"))
+          .select(col("doc_id")).distinct()
+        val u = (conv(substring(md5(concat(lit("ws:"), col("doc_id"))), 1, 12),
+          16, 10).cast("long") + 1) / lit(281474976710657.0)
+        ordered(
+          gated.join(dirty, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("source"), size(col("tokens")).as("n_tok"))
+            .withColumn("priority", round(-log(u), 12) / col("n_tok"))
+            .orderBy(col("priority"), col("doc_id"))
+            .limit(60)
+        )
+      }
+    ),
+    Q(
       "d7_fingerprint",
       // Karp–Rabin rolling-hash document fingerprint: strict left fold
       // acc*31 + ascii(char) mod 1e9+7 — identical fold in both engines
