@@ -109,6 +109,18 @@ object Ivf {
 
   /** Top-k cosine search probing the nProbe nearest clusters per query.
     * `queries` = (q_id, qe: array<float>). */
+  /** The nProbe nearest clusters per query: (q_id, qe, cluster). The
+    * probe-selection stage shared by [[search]] and the IVF-PQ composite. */
+  def probes(queries: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cluster").asc)
+    queries.crossJoin(broadcast(centsF32(cents)))
+      .select(col("q_id"), col("qe"), col("cluster"),
+        Vectors.cosineFast(col("qe"), col("centroid")).as("sim"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("qe"), col("cluster"))
+  }
+
   def search(
       ivf: DataFrame,
       cents: DataFrame,
@@ -116,15 +128,8 @@ object Ivf {
       nProbe: Int,
       topK: Int
   ): DataFrame = {
-    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cluster").asc)
-    val probes = queries.crossJoin(broadcast(centsF32(cents)))
-      .select(col("q_id"), col("qe"), col("cluster"),
-        Vectors.cosineFast(col("qe"), col("centroid")).as("sim"))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nProbe)
-      .select(col("q_id"), col("qe"), col("cluster"))
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    ivf.join(broadcast(probes), "cluster")
+    ivf.join(broadcast(probes(queries, cents, nProbe)), "cluster")
       .select(col("q_id"), col("vec_id"),
         Vectors.cosineFast(col("qe"), col("embedding")).as("cos"))
       .withColumn("rn", row_number().over(wTop))

@@ -107,16 +107,38 @@ object Pq {
     * Emits (q_id, vec_id, adc: decimal, rn). */
   def adcShortlist(queries: DataFrame, cents: DataFrame, codes: DataFrame,
       m: Int = 8, dim: Int = 64, shortlist: Int = 40): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    codes.join(broadcast(dtable(queries, cents, m, dim)), Seq("sub", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("dd")).as("adc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= shortlist)
+  }
+
+  /** Per-query ADC distance table: (q_id, sub, code, dd) — queries × m ×
+    * ksub rows, the broadcast-sized lookup every ADC pass keys on. */
+  private def dtable(queries: DataFrame, cents: DataFrame,
+      m: Int, dim: Int): DataFrame = {
     val subDim = dim / m
     val qsub = queries.select(col("q_id"),
       posexplode(array((0 until m).map(s =>
         subvec(col("qe"), s, subDim)): _*)).as(Seq("sub", "qsub")))
-    val dtable = qsub.join(broadcast(centsF32(cents)), "sub")
+    qsub.join(broadcast(centsF32(cents)), "sub")
       .select(col("q_id"), col("sub"), col("cluster").as("code"),
         round(d2(col("qsub"), col("cf")), 9).cast("decimal(28,9)").as("dd"))
+  }
+
+  /** ADC restricted to a candidate set (the IVF-PQ composite): only
+    * (q_id, vec_id) pairs in `candidates` are scored — the probed
+    * clusters' codes, not the whole corpus, ride the aggregate. */
+  def adcShortlistOver(candidates: DataFrame, queries: DataFrame,
+      cents: DataFrame, codes: DataFrame,
+      m: Int = 8, dim: Int = 64, shortlist: Int = 40): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").asc, col("vec_id").asc)
-    codes.join(broadcast(dtable), Seq("sub", "code"))
+    candidates.join(codes, "vec_id")
+      .join(broadcast(dtable(queries, cents, m, dim)), Seq("q_id", "sub", "code"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("dd")).as("adc"))
       .withColumn("rn", row_number().over(w))

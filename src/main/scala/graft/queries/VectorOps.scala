@@ -747,6 +747,152 @@ object VectorOps {
             .select(col("q_id"), col("rn"), col("vec_id"), r4(col("l2")).as("l2"))
         )
       }
+    ),
+    Q(
+      "d6_ivfpq_search",
+      // IVF-PQ — the COMPOSED billion-scale ANN index (the FAISS IVFPQ
+      // shape): IVF probe pruning picks which inverted lists to read,
+      // PQ/ADC scores ONLY those lists' 8-byte codes, and the float
+      // vectors join for nothing but the final 20-row exact rerank. At
+      // 100 TB this is the layout: corpus bucketed by cluster on disk,
+      // codes 32x smaller than floats riding the candidate pass, scan
+      // cost nProbe/k of the corpus. Every stage reuses a fixture-exact
+      // path proven above (d6_ivf_search's assignment/probes +
+      // d6_pq_search's codes/ADC), so the whole composite hash-matches.
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+              |ed AS (
+              |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+              |  FROM embeddings
+              |),
+              |icents AS (
+              |  SELECT cluster, [CAST(x AS DOUBLE) FOR x IN centroid] AS cv
+              |  FROM '/root/repo/fixtures/ivf_centroids.parquet'
+              |),
+              |corpus AS (SELECT vec_id, v FROM ed WHERE vec_id >= 20),
+              |qd AS (SELECT vec_id AS q_id, v AS qv FROM ed WHERE vec_id < 20),
+              |ascore AS (
+              |  SELECT corpus.vec_id, icents.cluster,
+              |         ${cosSql("corpus.v", "icents.cv")} AS sim
+              |  FROM corpus CROSS JOIN icents
+              |),
+              |asg AS (
+              |  SELECT vec_id,
+              |         CAST(9999 - (max(CAST(round((sim + 1.0) * 5e14) AS HUGEINT)
+              |                          * 10000 + (9999 - cluster)) % 10000)
+              |              AS INTEGER) AS cluster
+              |  FROM ascore GROUP BY vec_id
+              |),
+              |pscore AS (
+              |  SELECT q.q_id, icents.cluster,
+              |         ${cosSql("q.qv", "icents.cv")} AS sim
+              |  FROM qd q CROSS JOIN icents
+              |),
+              |probes AS (
+              |  SELECT q_id, cluster FROM (
+              |    SELECT q_id, cluster,
+              |           row_number() OVER (PARTITION BY q_id
+              |                              ORDER BY sim DESC, cluster ASC) AS pr
+              |    FROM pscore)
+              |  WHERE pr <= 2
+              |),
+              |cand AS (
+              |  SELECT p.q_id, a.vec_id FROM probes p JOIN asg a USING (cluster)
+              |),
+              |pcents AS (
+              |  SELECT sub, cluster, centroid
+              |  FROM '/root/repo/fixtures/pq_centroids.parquet'
+              |),
+              |subs AS (SELECT unnest(range(8)) AS sub),
+              |csv AS (
+              |  SELECT e.vec_id, s.sub,
+              |         e.embedding[s.sub*8+1 : s.sub*8+8] AS subvec
+              |  FROM e CROSS JOIN subs s WHERE e.vec_id >= 20
+              |),
+              |scored AS (
+              |  SELECT csv.vec_id, csv.sub, c.cluster,
+              |         ${d2Sql("csv.subvec", "c.centroid")} AS d2
+              |  FROM csv JOIN pcents c USING (sub)
+              |),
+              |codes AS (
+              |  SELECT vec_id, sub,
+              |         CAST(9999 - ((((max(CAST(round((0.0 - d2) * 1e13) AS HUGEINT)
+              |                             * 10000 + (9999 - cluster))) % 10000)
+              |                       + 10000) % 10000) AS INTEGER) AS code
+              |  FROM scored GROUP BY vec_id, sub
+              |),
+              |qsv AS (
+              |  SELECT e.vec_id AS q_id, s.sub,
+              |         e.embedding[s.sub*8+1 : s.sub*8+8] AS qsub
+              |  FROM e CROSS JOIN subs s WHERE e.vec_id < 20
+              |),
+              |dtable AS (
+              |  SELECT q.q_id, q.sub, c.cluster AS code,
+              |         CAST(round(${d2Sql("q.qsub", "c.centroid")}, 9)
+              |              AS DECIMAL(28,9)) AS dd
+              |  FROM qsv q JOIN pcents c USING (sub)
+              |),
+              |adc AS (
+              |  SELECT cn.q_id, cn.vec_id, sum(d.dd) AS adc
+              |  FROM cand cn
+              |  JOIN codes k ON k.vec_id = cn.vec_id
+              |  JOIN dtable d ON d.q_id = cn.q_id AND d.sub = k.sub
+              |                AND d.code = k.code
+              |  GROUP BY cn.q_id, cn.vec_id
+              |),
+              |short AS (
+              |  SELECT q_id, vec_id FROM (
+              |    SELECT q_id, vec_id,
+              |           row_number() OVER (PARTITION BY q_id
+              |                              ORDER BY adc ASC, vec_id ASC) AS srn
+              |    FROM adc) WHERE srn <= 20
+              |),
+              |rr AS (
+              |  SELECT s.q_id, s.vec_id,
+              |         ${d2Sql("qe.embedding", "ce.embedding")} AS l2
+              |  FROM short s
+              |  JOIN e qe ON qe.vec_id = s.q_id
+              |  JOIN e ce ON ce.vec_id = s.vec_id
+              |),
+              |ranked AS (
+              |  SELECT q_id, vec_id, l2,
+              |         row_number() OVER (PARTITION BY q_id
+              |                            ORDER BY l2 ASC, vec_id ASC) AS rn
+              |  FROM rr
+              |)
+              |SELECT q_id, rn, vec_id, round(l2, 4) AS l2
+              |FROM ranked WHERE rn <= 5
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val ivfCents = spark.read.parquet("/root/repo/fixtures/ivf_centroids.parquet")
+        val pqCents = spark.read.parquet("/root/repo/fixtures/pq_centroids.parquet")
+        val e = t.embeddings
+        val corpus = e.filter(col("vec_id") >= 20)
+        val queries = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val asg = graft.functions.Ivf.assign(corpus, ivfCents)
+        val cand = graft.functions.Ivf.probes(queries, ivfCents, nProbe = 2)
+          .select(col("q_id"), col("cluster"))
+          .join(asg, Seq("cluster"))
+          .select(col("q_id"), col("vec_id"))
+        val codes = graft.functions.Pq.assign(corpus, pqCents, m = 8, dim = 64)
+        val short = graft.functions.Pq
+          .adcShortlistOver(cand, queries, pqCents, codes,
+            m = 8, dim = 64, shortlist = 20)
+          .select(col("q_id"), col("vec_id"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("l2").asc, col("vec_id").asc)
+        ordered(
+          short
+            .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+            .join(queries, "q_id")
+            .select(col("q_id"), col("vec_id"),
+              graft.functions.Pq.d2(col("qe"), col("embedding")).as("l2"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 5)
+            .select(col("q_id"), col("rn"), col("vec_id"), r4(col("l2")).as("l2"))
+        )
+      }
     )
   )
 }

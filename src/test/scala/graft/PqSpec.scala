@@ -68,6 +68,41 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"PQ top-1 recall $recall too low")
   }
 
+  test("IVF-PQ composite: usable top-1 recall, candidates only from probed lists") {
+    import spark.implicits._
+    val ivfCents = spark.read.parquet("/root/repo/fixtures/ivf_centroids.parquet")
+    val corpus = emb.filter(col("vec_id") >= 20)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val asg = graft.functions.Ivf.assign(corpus, ivfCents)
+    val cand = graft.functions.Ivf.probes(queries, ivfCents, nProbe = 2)
+      .select(col("q_id"), col("cluster")).join(asg, Seq("cluster"))
+      .select(col("q_id"), col("vec_id"))
+    // probe pruning is real: candidates are a strict subset of the corpus
+    val nCorpus = corpus.count()
+    val perQuery = cand.groupBy(col("q_id")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).as[Long].head()
+    assert(perQuery < nCorpus, s"probes did not prune: $perQuery of $nCorpus")
+    val short = Pq.adcShortlistOver(cand, queries, cents, codes = Pq.assign(
+      corpus, cents, m = 8, dim = 64), m = 8, dim = 64, shortlist = 20)
+    val top1 = short
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(queries, "q_id")
+      .select(col("q_id"), col("vec_id"), Pq.d2(col("qe"), col("embedding")).as("l2"))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("l2").asc, col("vec_id").asc)))
+      .filter(col("rn") === 1)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toMap
+    val brute = queries.crossJoin(corpus)
+      .select(col("q_id"), col("vec_id"), Pq.d2(col("qe"), col("embedding")).as("l2"))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("l2").asc, col("vec_id").asc)))
+      .filter(col("rn") === 1)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+    val recall = brute.count { case (q, v) => top1.get(q).contains(v) }.toDouble / brute.length
+    assert(recall >= 0.5, s"IVF-PQ top-1 recall $recall too low")
+  }
+
   test("scale shape: no cartesian in the PQ search plan; codebook joins broadcast") {
     val corpus = emb.filter(col("vec_id") >= 20)
     val queries = emb.filter(col("vec_id") < 20)

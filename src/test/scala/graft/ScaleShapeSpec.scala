@@ -156,6 +156,10 @@ class ScaleShapeSpec extends AnyFunSuite {
       "d6_ivf_ann", // k-row centroid relation x vectors (assignment)
       "d6_ivf_assign", "d6_ivf_search", // same k-row centroid cross joins
       // over the frozen fixture
+      "d6_ivfpq_search", // IVF-PQ composite: the only nested loops are
+      // the same k-row centroid cross joins (assignment + probe
+      // selection); candidate scoring itself is equi-joins on
+      // (cluster) and (q_id, sub, code)
       "d6_sq_rerank", // stage-1 shortlist: broadcast query set x corpus
       // over int8 vectors (4x lighter than the float equivalent above)
       "d11_temperature_mix", // 1-row total-weight scalar broadcast onto
