@@ -893,6 +893,70 @@ object VectorOps {
             .select(col("q_id"), col("rn"), col("vec_id"), r4(col("l2")).as("l2"))
         )
       }
+    ),
+    Q(
+      "d5_semdedup",
+      // SemDeDup (Abbas et al. 2023): semantic dedup by pruning
+      // near-identical embeddings WITHIN k-means clusters — the trick
+      // that makes embedding dedup tractable at corpus scale. A vector
+      // is dropped iff a LOWER-id member of its own cluster is within
+      // the cosine threshold, so the pair relation is confined to
+      // cluster-local equi-join blocks (corpus²/k per cluster in
+      // expectation), never a global cartesian — ScaleShapeSpec guards
+      // the plan. Assignment reuses the frozen IVF centroid fixture, so
+      // the whole operator is exact-hash-checked; emits every corpus row
+      // with its cluster and a kept flag (keepers = the dedup survivors).
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+              |  FROM embeddings
+              |),
+              |cents AS (
+              |  SELECT cluster, [CAST(x AS DOUBLE) FOR x IN centroid] AS cv
+              |  FROM '/root/repo/fixtures/ivf_centroids.parquet'
+              |),
+              |scored AS (
+              |  SELECT e.vec_id, cents.cluster, ${cosSql("e.v", "cents.cv")} AS sim
+              |  FROM e CROSS JOIN cents
+              |),
+              |asg AS (
+              |  SELECT vec_id,
+              |         CAST(9999 - (max(CAST(round((sim + 1.0) * 5e14) AS HUGEINT)
+              |                          * 10000 + (9999 - cluster)) % 10000)
+              |              AS INTEGER) AS cluster
+              |  FROM scored GROUP BY vec_id
+              |),
+              |m AS (SELECT a.vec_id, a.cluster, e.v FROM asg a JOIN e USING (vec_id)),
+              |dup AS (
+              |  SELECT DISTINCT x.vec_id
+              |  FROM m x JOIN m y ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+              |  WHERE ${cosSql("x.v", "y.v")} >= 0.45
+              |)
+              |SELECT m.vec_id, m.cluster,
+              |       CAST(d.vec_id IS NULL AS INTEGER) AS kept
+              |FROM m LEFT JOIN dup d ON d.vec_id = m.vec_id
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val cents = spark.read.parquet("/root/repo/fixtures/ivf_centroids.parquet")
+        val e = t.embeddings
+        // assignment computed ONCE; both sides of the cluster-local
+        // self-join and the final left join read the materialized copy
+        val m = graft.functions.Ivf.assign(e, cents).join(e, "vec_id")
+          .select(col("vec_id"), col("cluster"), col("embedding"))
+          .localCheckpoint()
+        val dup = m.as("x")
+          .join(m.select(col("cluster"), col("vec_id").as("pid"),
+            col("embedding").as("pemb")).as("y"),
+            col("x.cluster") === col("y.cluster") && col("pid") < col("x.vec_id"))
+          .filter(Vectors.cosineFast(col("x.embedding"), col("pemb")) >= 0.45)
+          .select(col("x.vec_id")).distinct()
+          .withColumn("is_dup", lit(1))
+        ordered(
+          m.join(dup, Seq("vec_id"), "left")
+            .select(col("vec_id"), col("cluster"),
+              col("is_dup").isNull.cast("int").as("kept"))
+        )
+      }
     )
   )
 }

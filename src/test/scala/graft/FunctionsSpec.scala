@@ -307,6 +307,34 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("D5: SemDeDup keep rule matches an independent driver-side recompute") {
+    import spark.implicits._
+    val out = SparkEntry.queries("d5_semdedup")(spark, sf)
+      .select(col("vec_id"), col("cluster"), col("kept"))
+      .as[(Long, Int, Int)].collect()
+    val emb = graft.sources.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    // ascending-index accumulation = the same strict left fold as
+    // Vectors.cosineFast, so the threshold compare cannot diverge
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCluster = out.groupBy(_._2).map { case (c, rs) => c -> rs.map(_._1).sorted }
+    out.foreach { case (v, c, kept) =>
+      val expected =
+        !byCluster(c).exists(u => u < v && cos(emb(u), emb(v)) >= 0.45)
+      assert(kept == (if (expected) 1 else 0),
+        s"vec $v in cluster $c: kept=$kept, recompute says $expected")
+    }
+    assert(out.exists(_._3 == 0), "SemDeDup dropped nothing — threshold inert")
+  }
+
   test("D6: int8-quantized shortlist + exact rerank recovers the exact top-1") {
     import spark.implicits._
     val t = graft.sources.Tables(spark, sf)

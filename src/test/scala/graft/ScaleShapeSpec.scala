@@ -224,4 +224,17 @@ class ScaleShapeSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"),
       s"no equi-join in the production near-dup plan:\n$plan")
   }
+
+  test("SemDeDup pair relation is a cluster-local equi-join, never a cartesian") {
+    // the centroid assignment (k-row broadcast cross join) is fenced
+    // behind an eager localCheckpoint; the plan that scales with the
+    // corpus — the within-cluster pair join + keep-flag left join —
+    // must be pure equi-joins on the cluster / vec_id keys.
+    val plan = executedPlan(SparkEntry.queries("d5_semdedup")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"cartesian in the SemDeDup plan:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"no equi-join in the SemDeDup plan:\n$plan")
+  }
 }
