@@ -284,6 +284,108 @@ object SampleOps {
             .limit(50)
         )
       }
+    ),
+    Q(
+      "d11_dsir_select",
+      // DSIR (Data Selection via Importance Resampling, Xie et al. 2023):
+      // score every raw document by how target-like its hashed-n-gram
+      // feature profile is. Features are bigrams hashed into 256 buckets
+      // (portable md5, so both engines reproduce the bucketing
+      // bit-for-bit); the target slice is lang='en'. Per-bucket
+      // importance log-ratio lr(b) = ln((c_t+1)(N_r+256) / ((c_r+1)(N_t+256)))
+      // — add-one-smoothed target vs raw bucket distributions, the ln
+      // argument a ratio of exact BIGINT products (< 2^53, doubles
+      // exact) — is rounded to DECIMAL(20,12) BEFORE the per-doc
+      // weighted sum, so the doc weight is an exact decimal sum:
+      // order-independent and hash-checkable (the d7_source_kl
+      // discipline). selected = weight > 0 compares the EXACT decimal,
+      // not the rounded double. 100 TB shape: one corpus scan to the
+      // (doc, bucket) aggregate; everything downstream is bounded by
+      // docs x 256 buckets; the lr table (256 rows) and the one
+      // corpus-totals row are broadcast — no shuffle carries anything
+      // wider than (doc_id, bucket, count).
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang,
+             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                     x -> x <> '') AS tokens
+             |  FROM documents
+             |),
+             |big AS (
+             |  SELECT doc_id, lang, tokens[i] || ' ' || tokens[i+1] AS bg
+             |  FROM toks CROSS JOIN UNNEST(range(1, len(tokens))) AS t(i)
+             |),
+             |db AS (
+             |  SELECT doc_id, lang,
+             |         (('0x' || substring(md5(bg), 1, 15))::BIGINT % 256) AS b,
+             |         count(*) AS n_db
+             |  FROM big GROUP BY 1, 2, 3
+             |),
+             |raw AS (SELECT b, sum(n_db) AS c_r FROM db GROUP BY b),
+             |tgt AS (SELECT b, sum(n_db) AS c_t FROM db WHERE lang = 'en' GROUP BY b),
+             |tot AS (
+             |  SELECT sum(n_db) AS n_r,
+             |         sum(CASE WHEN lang = 'en' THEN n_db ELSE 0 END) AS n_t
+             |  FROM db
+             |),
+             |lrt AS (
+             |  SELECT raw.b,
+             |         CAST(round(ln(CAST((COALESCE(c_t, 0) + 1) * (n_r + 256) AS DOUBLE)
+             |                       / CAST((c_r + 1) * (n_t + 256) AS DOUBLE)), 12)
+             |              AS DECIMAL(20,12)) AS lr
+             |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+             |),
+             |w AS (
+             |  SELECT doc_id, lang, CAST(sum(n_db) AS BIGINT) AS n_feats,
+             |         sum(lr * n_db) AS wsum
+             |  FROM db JOIN lrt USING (b)
+             |  GROUP BY doc_id, lang
+             |)
+             |SELECT doc_id, lang, n_feats,
+             |       round(CAST(wsum AS DOUBLE), 4) AS weight,
+             |       CAST(wsum > 0 AS INTEGER) AS selected
+             |FROM w
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val toks = t.documents.select(col("doc_id"), col("lang"),
+          graft.functions.Text.tokenize(col("text")).as("tokens"))
+        val big = toks.select(col("doc_id"), col("lang"),
+          explode(expr("""transform(sequence(1, size(tokens) - 1),
+            i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))"""))
+            .as("bg"))
+        // ONE corpus scan down to the (doc, bucket) aggregate; the raw and
+        // target marginals, the totals row and the per-doc weights all roll
+        // up from this relation (localCheckpoint — the three consumers
+        // prune different columns, so plain exchange reuse can't fire)
+        val db = big
+          .select(col("doc_id"), col("lang"),
+            pmod(conv(substring(md5(col("bg")), 1, 15), 16, 10).cast("long"),
+              lit(256L)).as("b"))
+          .groupBy(col("doc_id"), col("lang"), col("b"))
+          .agg(count(lit(1)).as("n_db"))
+          .localCheckpoint()
+        val raw = db.groupBy(col("b")).agg(sum(col("n_db")).as("c_r"))
+        val tgt = db.filter(col("lang") === "en")
+          .groupBy(col("b")).agg(sum(col("n_db")).as("c_t"))
+        val tot = db.agg(sum(col("n_db")).as("n_r"),
+          sum(when(col("lang") === "en", col("n_db")).otherwise(0L)).as("n_t"))
+        val lr = round(
+          log(((coalesce(col("c_t"), lit(0L)) + 1L) * (col("n_r") + 256L)).cast("double") /
+            ((col("c_r") + 1L) * (col("n_t") + 256L)).cast("double")), 12)
+          .cast("decimal(20,12)")
+        val lrt = raw.join(tgt, Seq("b"), "left")
+          .crossJoin(broadcast(tot)) // 1-row corpus-totals scalar
+          .select(col("b"), lr.as("lr"))
+        ordered(
+          db.join(broadcast(lrt), Seq("b")) // 256-row importance table
+            .groupBy(col("doc_id"), col("lang"))
+            .agg(sum(col("n_db")).as("n_feats"),
+              sum(col("lr") * col("n_db")).as("wsum"))
+            .select(col("doc_id"), col("lang"), col("n_feats"),
+              round(col("wsum").cast("double"), 4).as("weight"),
+              (col("wsum") > 0).cast("int").as("selected"))
+        )
+      }
     )
   )
 }

@@ -335,6 +335,51 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out.exists(_._3 == 0), "SemDeDup dropped nothing — threshold inert")
   }
 
+  test("D11: DSIR importance weights match an independent driver-side recompute") {
+    import spark.implicits._
+    val out = SparkEntry.queries("d11_dsir_select")(spark, sf)
+      .select(col("doc_id"), col("lang"), col("weight"), col("selected"))
+      .as[(Long, String, Double, Int)].collect()
+    val docs = graft.sources.Tables(spark, sf).documents
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(bg: String): Long = {
+      val hex = md.digest(bg.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 256
+    }
+    val perDoc = docs.map { case (id, lang, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val buckets = toks.sliding(2).filter(_.length == 2)
+        .map(p => bucket(p(0) + " " + p(1))).toSeq
+      (id, lang, buckets)
+    }.filter(_._3.nonEmpty)
+    val cR = perDoc.flatMap(_._3).groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val cT = perDoc.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val nR = cR.values.sum; val nT = cT.values.sum
+    val lr = cR.map { case (b, r) =>
+      b -> BigDecimal(math.log(
+        ((cT.getOrElse(b, 0L) + 1L) * (nR + 256L)).toDouble /
+          ((r + 1L) * (nT + 256L)).toDouble))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val expected = perDoc.map { case (id, _, bs) => id -> bs.map(lr).sum }.toMap
+    out.foreach { case (id, _, w, sel) =>
+      val e = expected(id)
+      // the query emits round(wsum, 4); mirror it before comparing
+      val e4 = e.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(w - e4) < 1e-9, s"doc $id: weight $w vs recompute $e")
+      assert(sel == (if (e > 0) 1 else 0), s"doc $id: selected=$sel, wsum=$e")
+    }
+    // DSIR directionality: the target slice must score higher than the rest
+    val en = out.filter(_._2 == "en").map(_._3); val rest = out.filter(_._2 != "en").map(_._3)
+    assert(en.sum / en.length > rest.sum / rest.length,
+      "target-language docs do not outscore the rest — importance ratio inert")
+    assert(out.exists(_._4 == 1) && out.exists(_._4 == 0),
+      "selection did not split the corpus")
+  }
+
   test("D6: int8-quantized shortlist + exact rerank recovers the exact top-1") {
     import spark.implicits._
     val t = graft.sources.Tables(spark, sf)

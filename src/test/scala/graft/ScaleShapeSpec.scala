@@ -170,6 +170,8 @@ class ScaleShapeSpec extends AnyFunSuite {
       "tpch_q15", // 1-row max-revenue scalar broadcast (top supplier)
       "d7_lm_score", // 1-row vocab-size scalar broadcast (LM smoothing)
       "d7_source_kl", // 1-row corpus-token-total scalar broadcast
+      "d11_dsir_select", // 1-row corpus-totals scalar broadcast into the
+      // 256-row importance table; the corpus side is pure equi-joins
       "s12_histogram" // 1-row min/max scalar broadcast into bucket assign
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
