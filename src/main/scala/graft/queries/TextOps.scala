@@ -926,6 +926,101 @@ object TextOps {
                 min(col("n_s")), 4).as("kl_divergence"))
         )
       }
+    ),
+    Q(
+      "d10_cdc_chunking",
+      // Content-defined chunking (the LBFS/FastCDC boundary rule applied
+      // to corpus chunk-dedup): a position is a chunk boundary iff the
+      // Karp-Rabin hash of the 16-char window ending there satisfies
+      // h % 64 == 0 — the decision depends only on LOCAL content, so a
+      // one-char edit shifts at most the two chunks it touches while
+      // fixed-width chunking (d10_chunking) re-cuts the whole tail.
+      // Chunk identity is md5 of the substring; n_dups counts how many
+      // chunks corpus-wide share that identity — near-dup documents
+      // (the d5_minhash_pairs planted pairs) re-share their unedited
+      // chunks, which is the storage/dedup win CDC exists for. The
+      // window hash is the d7_fingerprint fold (acc*31+ascii mod 1e9+7)
+      // recomputed per position: O(16·n) per row, embarrassingly
+      // parallel, no shuffle until the final dup-count/order. 100 TB
+      // shape: the whole boundary+chunk derivation is narrow per-row
+      // HOF compute inside codegen; only chunk ids (16-byte md5), not
+      // chunk text, ride the dup-count exchange.
+      Some("""WITH d AS (
+             |  SELECT doc_id, text,
+             |         [CAST(ascii(c) AS BIGINT)
+             |          FOR c IN list_filter(string_split(text, ''), c -> c <> '')] AS cs
+             |  FROM documents WHERE length(text) >= 17
+             |),
+             |b AS (
+             |  SELECT doc_id, text, len(cs) AS n,
+             |         list_filter(range(16, len(cs)), i ->
+             |           list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i-15:i]),
+             |             (acc, x) -> (acc * 31 + x) % 1000000007) % 64 = 0) AS bs
+             |  FROM d
+             |),
+             |sp AS (
+             |  SELECT doc_id, text, n,
+             |         list_prepend(CAST(1 AS BIGINT), [b + 1 FOR b IN bs]) AS ss,
+             |         list_append(bs, n) AS es
+             |  FROM b
+             |),
+             |ch AS (
+             |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS chunk_idx,
+             |         ss[i] AS start_pos,
+             |         es[i] - ss[i] + 1 AS chunk_len,
+             |         md5(text[ss[i]:es[i]]) AS chunk_md5
+             |  FROM sp CROSS JOIN UNNEST(range(1, len(ss) + 1)) AS t(i)
+             |)
+             |SELECT doc_id, chunk_idx, start_pos, chunk_len, chunk_md5,
+             |       count(*) OVER (PARTITION BY chunk_md5) AS n_dups
+             |FROM ch
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          cdcChunks(t.documents).withColumn("n_dups",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("chunk_md5"))))
+        )
+      }
     )
   )
+
+  /** Content-defined chunk rows `(doc_id, chunk_idx, start_pos, chunk_len,
+    * chunk_md5)` for a `(doc_id, text)` input. Boundary rule: the
+    * Karp-Rabin hash (d7_fingerprint fold) of the 16-char window ending at
+    * a position is ≡ 0 mod 64 — purely local, so edits perturb only the
+    * chunks they touch (asserted by FunctionsSpec). Narrow per-row HOF
+    * compute; docs shorter than 17 chars are dropped.
+    */
+  def cdcChunks(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Column
+    val M = 1000000007L
+    // ascii-code array, bound ONCE per row via the transform(array(..))
+    // trick (Text.shingles) so the split+filter is not re-inlined into
+    // every window-hash evaluation.
+    val codes = transform(
+      filter(split(col("text"), ""), c => c =!= ""),
+      ch => ascii(ch).cast("long"))
+    def winHash(cs: Column, i: Column): Column =
+      aggregate(slice(cs, i - 15, lit(16)), lit(0L),
+        (acc, x) => pmod(acc * 31L + x, lit(M)))
+    docs
+      .filter(length(col("text")) >= 17)
+      .select(col("doc_id"), col("text"),
+        transform(array(codes), cs =>
+          filter(sequence(lit(16L), size(cs).cast("long") - 1L), i =>
+            winHash(cs, i) % 64L === 0L)).getItem(0).as("bs"),
+        size(codes).cast("long").as("n"))
+      .select(col("doc_id"), col("text"),
+        concat(array(lit(1L)), transform(col("bs"), b => b + 1L)).as("ss"),
+        concat(col("bs"), array(col("n"))).as("es"))
+      .select(col("doc_id"), col("text"),
+        posexplode(arrays_zip(col("ss"), col("es"))).as(Seq("chunk_idx", "se")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("se.ss").as("start_pos"),
+        (col("se.es") - col("se.ss") + 1L).as("chunk_len"),
+        md5(col("text").substr(col("se.ss").cast("int"),
+          (col("se.es") - col("se.ss") + 1L).cast("int"))).as("chunk_md5"))
+  }
 }

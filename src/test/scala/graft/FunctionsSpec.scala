@@ -594,6 +594,43 @@ class FunctionsSpec extends AnyFunSuite {
       .foreach { case (a, b, j) => assert(fullJ((a, b)) == j) }
   }
 
+  test("D10: CDC chunking re-syncs after an insertion; fixed-width does not") {
+    import spark.implicits._
+    import graft.queries.TextOps
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // insert 3 chars near the front: every byte offset after position 20 shifts
+    val edited = base.substring(0, 20) + "XYZ" + base.substring(20)
+    val docs = Seq((0L, base), (1L, edited)).toDF("doc_id", "text")
+    val ch = TextOps.cdcChunks(docs)
+      .select($"doc_id", $"chunk_md5").as[(Long, String)].collect()
+    val origIds = ch.filter(_._1 == 0L).map(_._2).toSet
+    val editIds = ch.filter(_._1 == 1L).map(_._2).toSet
+    // content-defined boundaries depend only on the local 16-char window,
+    // so chunks strictly after the edit keep their identity despite the
+    // global offset shift — the majority of chunks must re-share
+    val shared = (origIds intersect editIds).size
+    assert(shared >= origIds.size - 3,
+      s"CDC re-shared only $shared of ${origIds.size} chunks")
+    // the fixed-width chunker (stride 50) loses everything after the edit
+    val fixedIds = docs.select($"doc_id",
+      explode(sequence(lit(1), length($"text"), lit(50))).as("s"))
+      .join(docs, "doc_id")
+      .select($"doc_id", md5($"text".substr($"s", lit(50))).as("m"))
+      .as[(Long, String)].collect()
+    val fOrig = fixedIds.filter(_._1 == 0L).map(_._2).toSet
+    val fEdit = fixedIds.filter(_._1 == 1L).map(_._2).toSet
+    assert((fOrig intersect fEdit).size <= 1)
+    // determinism + coverage: chunks tile the doc exactly
+    val spans = TextOps.cdcChunks(docs).filter($"doc_id" === 0L)
+      .select($"start_pos", $"chunk_len").as[(Long, Long)].collect().sortBy(_._1)
+    assert(spans.head._1 == 1L && spans.map(_._2).sum == base.length)
+    spans.sliding(2).foreach {
+      case Array((s1, l1), (s2, _)) => assert(s2 == s1 + l1)
+      case _ =>
+    }
+  }
+
   test("D6: cosine is 1 for identical vectors, 0 for zero vector") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f), Array(0.0f, 0.0f)))
