@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Canon._
@@ -163,6 +163,66 @@ object DmsOps {
             .withColumn("rn", row_number().over(w))
             .filter(col("rn") === 1)
             .select(col("filename"), col("version").as("asof_version"), col("doc_id"))
+        )
+      }
+    ),
+    Q(
+      "d8_snapshot_diff",
+      // CDC between two time-travel snapshots: the corpus as-of version 4
+      // vs as-of version 8, with doc3/doc4 created after t1, doc7
+      // deleted before t2 and doc9 frozen at t1's version (fenced in the
+      // snapshot predicates, so all four verdicts occur). One ranking
+      // window per side + a full-outer join on filename classifies every
+      // file added / removed / changed / unchanged — the delta a
+      // downstream consumer needs to incrementally refresh from a
+      // versioned store, without replaying the log. Both windows and the
+      // join hash on the same key (filename), so the join adds no third
+      // exchange on top of the two snapshot windows.
+      Some(s"""WITH $versionedCte,
+              |s1 AS (
+              |  SELECT filename, version, doc_id,
+              |         row_number() OVER (PARTITION BY filename
+              |                            ORDER BY version DESC, doc_id DESC) AS rn
+              |  FROM v WHERE version <= 4 AND filename NOT IN ('doc3', 'doc4')
+              |),
+              |s2 AS (
+              |  SELECT filename, version, doc_id,
+              |         row_number() OVER (PARTITION BY filename
+              |                            ORDER BY version DESC, doc_id DESC) AS rn
+              |  FROM v WHERE version <= (CASE WHEN filename = 'doc9' THEN 4 ELSE 8 END)
+              |        AND filename <> 'doc7'
+              |),
+              |t1 AS (SELECT filename, version AS v1, doc_id AS id1 FROM s1 WHERE rn = 1),
+              |t2 AS (SELECT filename, version AS v2, doc_id AS id2 FROM s2 WHERE rn = 1)
+              |SELECT COALESCE(t1.filename, t2.filename) AS filename, v1, id1, v2, id2,
+              |       CASE WHEN v1 IS NULL THEN 'added'
+              |            WHEN v2 IS NULL THEN 'removed'
+              |            WHEN id1 <> id2 THEN 'changed'
+              |            ELSE 'unchanged' END AS status
+              |FROM t1 FULL JOIN t2 ON t1.filename = t2.filename
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val w = Window.partitionBy(col("filename"))
+          .orderBy(col("version").desc, col("doc_id").desc)
+        def snap(pred: Column, v: String, id: String) =
+          versioned(t).filter(pred)
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("filename"), col("version").as(v), col("doc_id").as(id))
+        val t1 = snap(col("version") <= 4 && !col("filename").isin("doc3", "doc4"),
+          "v1", "id1")
+        val t2 = snap(
+          col("version") <= when(col("filename") === "doc9", 4).otherwise(8) &&
+            col("filename") =!= "doc7",
+          "v2", "id2")
+        ordered(
+          t1.join(t2, Seq("filename"), "full_outer")
+            .select(col("filename"), col("v1"), col("id1"), col("v2"), col("id2"),
+              when(col("v1").isNull, "added")
+                .when(col("v2").isNull, "removed")
+                .when(col("id1") =!= col("id2"), "changed")
+                .otherwise("unchanged").as("status"))
         )
       }
     ),
