@@ -109,4 +109,13 @@ object Text {
       lit(0L),
       (acc, ch) => pmod(acc * 31L + ascii(ch), lit(1000000007L))
     )
+
+  /** Jaro-Winkler similarity via the native codegen'd expression
+    * ([[graft.plans.JaroWinkler]]) — numerically identical to DuckDB's
+    * `jaro_winkler_similarity`. */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.JaroWinkler(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 }

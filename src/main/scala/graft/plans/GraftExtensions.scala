@@ -27,5 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[CosineF32], "vec_cosine_f32",
         "vec_cosine_f32(a, b) - cosine similarity of two float vectors."),
       ((args: Seq[Expression]) => CosineF32(args(0), args(1))): FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      info(classOf[JaroWinkler], "jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity of two strings."),
+      ((args: Seq[Expression]) => JaroWinkler(args(0), args(1))): FunctionRegistry.FunctionBuilder))
   }
 }

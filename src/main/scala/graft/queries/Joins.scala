@@ -333,6 +333,46 @@ object Joins {
                 .cast("double").as("revenue"))
         )
       }
+    ),
+    Q(
+      "j13_jw_blocked_er",
+      // Blocked entity resolution with the native Jaro-Winkler expression
+      // (graft.plans.JaroWinkler — the fuzzy-name metric Spark lacks;
+      // DuckDB's built-in jaro_winkler_similarity is the oracle, so the
+      // hash-match proves numeric identity of the whole algorithm:
+      // match window, integer half-transpositions, 0.7-gated prefix
+      // boost). Candidates are BLOCKED on the name's first token — the
+      // classic ER move that keeps the quadratic term confined to
+      // same-block pairs instead of the full cross product; the metric
+      // runs inside whole-stage codegen (static-call shape, like Spark's
+      // own levenshtein). Threshold compares the ROUNDED score so a
+      // last-ulp disagreement cannot flip a borderline row.
+      Some("""WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+             |cand AS (
+             |  SELECT a.name AS name_a, b.name AS name_b
+             |  FROM names a JOIN names b
+             |    ON string_split(a.name, ' ')[1] = string_split(b.name, ' ')[1]
+             |   AND a.name < b.name
+             |)
+             |SELECT name_a, name_b,
+             |       round(jaro_winkler_similarity(name_a, name_b), 4) AS jw
+             |FROM cand
+             |WHERE round(jaro_winkler_similarity(name_a, name_b), 4) >= 0.88
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val names = t.part.select(col("p_name").as("name")).distinct()
+          .withColumn("blk", split(col("name"), " ").getItem(0))
+        ordered(
+          names.as("a")
+            .join(names.as("b"),
+              col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
+            .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+              round(graft.functions.Text.jaroWinkler(col("a.name"), col("b.name")), 4)
+                .as("jw"))
+            .filter(col("jw") >= 0.88)
+        )
+      }
     )
   )
 }

@@ -631,6 +631,39 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("J13: JaroWinkler matches DuckDB-verified constants and its own codegen") {
+    import spark.implicits._
+    import graft.plans.JaroWinklerImpl.similarity
+    // constants cross-checked against DuckDB jaro_winkler_similarity
+    assert(similarity("martha", "marhta") == 0.9611111111111111)
+    assert(similarity("dixon", "dicksonx") == 0.8133333333333332)
+    assert(similarity("jellyfish", "smellyfish") == 0.8962962962962964)
+    assert(similarity("duane", "dwayne") == 0.8400000000000001)
+    assert(similarity("abcdxxxx", "bcadxxxx") == 0.9583333333333334) // 3-cycle: t = 3/2 = 1
+    assert(similarity("CRANE", "CAINE") == 0.88)
+    assert(similarity("", "") == 0.0 && similarity("abc", "") == 0.0)
+    assert(similarity("abc", "abc") == 1.0)
+    assert(similarity("ab", "ba") == 0.0) // window 0: no matches
+    assert(similarity("abcdxxxxxx", "abcdyyyyyy") == 0.6) // jaro <= 0.7: no boost
+    // symmetry + range on random strings
+    val rnd = new scala.util.Random(11)
+    def rs() = (0 until 1 + rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+    (0 until 500).foreach { _ =>
+      val (a, b) = (rs(), rs())
+      val s = similarity(a, b)
+      assert(s == similarity(b, a) && s >= 0.0 && s <= 1.0, s"$a/$b")
+      if (a == b) assert(s == 1.0)
+    }
+    // the Column path (generated code) agrees with the static method
+    val pairs = (0 until 2000).map(_ => (rs(), rs()))
+    val viaDf = pairs.toDF("a", "b")
+      .select(graft.functions.Text.jaroWinkler(col("a"), col("b"))).as[Double].collect()
+    pairs.zip(viaDf).foreach { case ((a, b), d) => assert(d == similarity(a, b)) }
+    // and it is registered for SQL via GraftExtensions
+    val viaSql = spark.sql("SELECT jaro_winkler('martha', 'marhta')").head().getDouble(0)
+    assert(viaSql == 0.9611111111111111)
+  }
+
   test("D6: cosine is 1 for identical vectors, 0 for zero vector") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f), Array(0.0f, 0.0f)))
