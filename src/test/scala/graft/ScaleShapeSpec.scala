@@ -239,4 +239,36 @@ class ScaleShapeSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"),
       s"no equi-join in the SemDeDup plan:\n$plan")
   }
+
+  // AQE plans print a "== Initial Plan ==" copy below the final plan;
+  // exchange counts must only see the final one
+  private def finalPlan(plan: String): String =
+    plan.split("== Initial Plan ==")(0)
+
+  test("CDC chunking is narrow per-row compute until the dup-count window") {
+    val plan = finalPlan(executedPlan(SparkEntry.queries("d10_cdc_chunking")(spark, sf)))
+    assert(!plan.contains("Join"), s"unexpected join in CDC chunking plan:\n$plan")
+    assert(plan.contains("Generate posexplode"), s"no generator:\n$plan")
+    // exactly one hash exchange: the chunk_md5 dup-count window (plus the
+    // final range partition for the output ordering)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"boundary derivation must not shuffle:\n$plan")
+  }
+
+  test("snapshot diff full-outer join reuses the snapshot windows' partitioning") {
+    val plan = finalPlan(executedPlan(SparkEntry.queries("d8_snapshot_diff")(spark, sf)))
+    assert(plan.contains("FullOuter"), s"no full-outer join:\n$plan")
+    // two snapshot windows hash on filename; the join must add no third
+    // hash exchange on top of them
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2,
+      s"diff join re-partitioned its inputs:\n$plan")
+  }
+
+  test("JW blocked ER join is an equi-join on the block key, never a cartesian") {
+    val plan = executedPlan(SparkEntry.queries("j13_jw_blocked_er")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"cartesian in the blocked ER plan:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"no equi-join:\n$plan")
+  }
 }
