@@ -25,7 +25,7 @@ object TextOps {
       |  FROM documents
       |)""".stripMargin
 
-  val all: Seq[Q] = Seq(
+  val all: Seq[Q] = skewProfileQ +: Seq(
     Q(
       "a6_heavy_hitters",
       // Two-pass exact heavy hitters: pass 1 sketches candidates with a
@@ -984,6 +984,65 @@ object TextOps {
         )
       }
     )
+  )
+
+  private lazy val skewProfileQ = Q(
+    "s13_skew_profile",
+    // Shuffle-key skew profile: the log2 histogram of gram document
+    // frequencies at shingle orders n=1,2,3 — the pre-flight diagnostic
+    // behind every skew decision in this engine (the d5 hot-shingle df
+    // valve, the j11 salt factor). Natural-language keys are Zipfian:
+    // the n=1 head bucket concentrates most postings on a few hot
+    // tokens, and widening the shingle order visibly collapses that
+    // head — which is WHY the inverted-index joins block on 3-grams.
+    // Exact integer log2 via length(bin(df))-1 (no float log at bucket
+    // edges); postings_share is a ratio of exact BIGINTs rounded once.
+    // 100 TB shape: one scan per gram order into a (n, gram) count
+    // aggregate — the standard inverted-index df build — and the
+    // histogram rollup is bounded by 3·64 buckets.
+    Some(s"""WITH $toksCte,
+            |sh AS (
+            |  SELECT 1 AS n, doc_id, unnest(tokens) AS g FROM toks
+            |  UNION ALL
+            |  SELECT 2, doc_id, tokens[i] || ' ' || tokens[i+1]
+            |  FROM toks CROSS JOIN UNNEST(range(1, len(tokens))) AS t(i)
+            |  UNION ALL
+            |  SELECT 3, doc_id, tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+            |  FROM toks CROSS JOIN UNNEST(range(1, len(tokens) - 1)) AS t(i)
+            |),
+            |df AS (SELECT n, g, count(DISTINCT doc_id) AS df FROM sh GROUP BY n, g),
+            |h AS (
+            |  SELECT n, CAST(length(bin(df)) - 1 AS INTEGER) AS log2_df,
+            |         count(*) AS n_grams, CAST(sum(df) AS BIGINT) AS n_postings,
+            |         min(df) AS min_df, max(df) AS max_df
+            |  FROM df GROUP BY 1, 2
+            |)
+            |SELECT n, log2_df, n_grams, n_postings, min_df, max_df,
+            |       round(CAST(n_postings AS DOUBLE) /
+            |             CAST(sum(n_postings) OVER (PARTITION BY n) AS DOUBLE), 4)
+            |         AS postings_share
+            |FROM h
+            |ORDER BY ALL NULLS FIRST""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val toks = t.documents.select(col("doc_id"),
+        Text.tokenize(col("text")).as("tokens"))
+      def grams(n: Int) = toks.select(lit(n).as("n"), col("doc_id"),
+        explode(if (n == 1) col("tokens") else Text.shingles(col("tokens"), n)).as("g"))
+      val df = grams(1).unionAll(grams(2)).unionAll(grams(3))
+        .groupBy(col("n"), col("g"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val h = df
+        .groupBy(col("n"), (length(bin(col("df"))) - 1).cast("int").as("log2_df"))
+        .agg(count(lit(1)).as("n_grams"), sum(col("df")).as("n_postings"),
+          min(col("df")).as("min_df"), max(col("df")).as("max_df"))
+      ordered(
+        h.withColumn("postings_share",
+          round(col("n_postings").cast("double") /
+            sum(col("n_postings")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("n"))).cast("double"), 4))
+      )
+    }
   )
 
   /** Content-defined chunk rows `(doc_id, chunk_idx, start_pos, chunk_len,
