@@ -382,6 +382,44 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Per-shard candidate snapshot from [[heavyHittersStream]]: `gen` is
+    * the shard's batch counter — the row with the max gen per shard is the
+    * current sketch. Parallel arrays keep the encoder simple. */
+  case class MgSnap(shard: Int, gen: Long, terms: Array[String], lbs: Array[Long])
+
+  /** T11, streaming sketch: sharded Misra-Gries heavy hitters over an
+    * unbounded term stream with FIXED state — `shards · k` counters total,
+    * no matter how many distinct terms flow past. Each term hashes to
+    * exactly ONE shard, so a shard's substream contains the term's whole
+    * count and the classic MG guarantee survives sharding: any term with
+    * global frequency > n/(k+1) exceeds its own shard's n_shard/(k+1) bar
+    * and cannot be evicted from that shard's sketch — the union of shard
+    * snapshots has no false negatives. Each micro-batch folds its rows
+    * into the state with the SAME reduce as the batch aggregate
+    * ([[graft.functions.MisraGries]]) and emits the shard's full snapshot
+    * (Update mode); downstream recounts candidates exactly, as in
+    * `a6_heavy_hitters` pass 2. StreamingSpec replays a multi-batch
+    * stream and matches the exact batch heavy hitters.
+    */
+  def heavyHittersStream(
+      terms: Dataset[String], shards: Int = 16, k: Int = 64): Dataset[MgSnap] = {
+    import terms.sparkSession.implicits._
+    val agg = new graft.functions.MisraGries(k)
+    terms.filter(_ != null)
+      .groupByKey(t => math.floorMod(t.hashCode, shards))
+      .flatMapGroupsWithState[(Long, Map[String, Long]), MgSnap](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (shard, rows, state: GroupState[(Long, Map[String, Long])]) =>
+          val (gen, prev) = state.getOption.getOrElse((0L, Map.empty[String, Long]))
+          val b = scala.collection.mutable.HashMap.empty[String, Long] ++= prev
+          rows.foreach(agg.reduce(b, _))
+          val snap = b.toMap
+          state.update((gen + 1, snap))
+          val sorted = snap.toArray.sortBy(_._1)
+          Iterator(MgSnap(shard, gen + 1, sorted.map(_._1), sorted.map(_._2)))
+      }
+  }
+
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): Unit = {
     val q = df.writeStream
       .format("memory")

@@ -233,6 +233,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("T11 streaming heavy hitters: sharded MG state matches exact batch") {
+    import spark.implicits._
+    // real Zipf-ish stream: the sf0.001 corpus token sequence
+    val tokens = graft.sources.Tables(spark, sf).documents
+      .select(explode(graft.functions.Text.tokenize(col("text"))).as("t"))
+      .as[String].collect().toSeq
+    val mem = MemoryStream[String](20, spark, None)
+    val q = Streams.heavyHittersStream(mem.toDS(), shards = 8, k = 64).toDF()
+      .writeStream.format("memory").queryName("t11_sink")
+      .outputMode(OutputMode.Update()).start()
+    // three micro-batches so state genuinely carries across batches
+    tokens.grouped((tokens.size + 2) / 3).foreach { b =>
+      mem.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val snaps = spark.table("t11_sink").as[Streams.MgSnap].collect()
+    val fin = snaps.groupBy(_.shard).map { case (_, ss) => ss.maxBy(_.gen) }.toSeq
+    assert(fin.exists(_.gen >= 2), "state never crossed a batch boundary")
+    // bounded state: every shard holds at most k counters
+    assert(fin.forall(_.terms.length <= 64))
+    val cands = fin.flatMap(_.terms).toSet
+    val n = tokens.size
+    val counts = tokens.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = counts.filter { case (_, c) => c * 50 > n }.keySet
+    // MG guarantee survives sharding: no false negatives above the bar
+    assert(want.subsetOf(cands), s"missing: ${want -- cands}")
+    // pass-2 exact recount of the candidates == exact batch heavy hitters
+    val got = cands.filter(t => counts(t) * 50 > n)
+    assert(got == want && want.nonEmpty)
+  }
+
   test("T9 stream-stream interval join: two MemoryStreams equal batch") {
     import spark.implicits._
     val views = Seq(
