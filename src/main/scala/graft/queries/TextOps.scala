@@ -25,7 +25,7 @@ object TextOps {
       |  FROM documents
       |)""".stripMargin
 
-  val all: Seq[Q] = skewProfileQ +: Seq(
+  val all: Seq[Q] = skewProfileQ +: quantileNormQ +: Seq(
     Q(
       "a6_heavy_hitters",
       // Two-pass exact heavy hitters: pass 1 sketches candidates with a
@@ -1044,6 +1044,89 @@ object TextOps {
       )
     }
   )
+
+  private lazy val quantileNormQ = Q(
+    "d7_quantile_norm",
+    // Per-source QUANTILE NORMALIZATION — the calibration step before any
+    // global quality gate: each source's score distribution is mapped
+    // onto the pooled distribution (a doc at its source's p-th quantile
+    // gets the pooled p-th-quantile value), so a global threshold cuts
+    // every source at the same RELATIVE bar even when sources score on
+    // different absolute scales. All-integer mapping: pooled index =
+    // 1 + (rk-1)(N-1) div (ns-1) (floor division — no float at rank
+    // boundaries, identical in both engines); the pooled value table
+    // (one row per DISTINCT score, with its cumulative count) is
+    // exploded into per-rank rows so the lookup is an EQUI-join on the
+    // index — linear in corpus size, never a range join. 100 TB note:
+    // the per-source ranking windows partition by source; the pooled
+    // side here is exact (distinct scores + cumsum) — at real scale the
+    // pooled CDF would come from the GK sketch (a9_approx_quantiles)
+    // with this exact query as its oracle fence.
+    Some("""WITH s AS (
+           |  SELECT doc_id, source, CAST(length(text) AS INTEGER) AS score
+           |  FROM documents
+           |),
+           |r AS (
+           |  SELECT doc_id, source, score,
+           |         row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rk,
+           |         count(*) OVER (PARTITION BY source) AS ns
+           |  FROM s
+           |),
+           |n AS (SELECT count(*) AS nt FROM s),
+           |idx AS (
+           |  SELECT doc_id, source, score,
+           |         CASE WHEN ns = 1 THEN (nt + 1) // 2
+           |              ELSE 1 + ((rk - 1) * (nt - 1)) // (ns - 1) END AS pidx
+           |  FROM r CROSS JOIN n
+           |),
+           |pv AS (SELECT score AS pscore, count(*) AS cnt FROM s GROUP BY 1),
+           |pc AS (
+           |  SELECT pscore,
+           |         unnest(range(CAST(cum - cnt + 1 AS BIGINT),
+           |                      CAST(cum + 1 AS BIGINT))) AS pidx
+           |  FROM (SELECT pscore, cnt,
+           |               sum(cnt) OVER (ORDER BY pscore) AS cum FROM pv)
+           |)
+           |SELECT i.doc_id, i.source, i.score,
+           |       CAST(p.pscore AS INTEGER) AS norm_score
+           |FROM idx i JOIN pc p ON i.pidx = p.pidx
+           |ORDER BY ALL NULLS FIRST""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      ordered(
+        quantileNormalize(t.documents.select(col("doc_id"), col("source"),
+          length(col("text")).as("score")))
+      )
+    }
+  )
+
+  /** Quantile-normalize `(doc_id, source, score)` rows: each doc's score
+    * is replaced by the pooled-distribution value at the doc's
+    * within-source quantile, via the all-integer index mapping described
+    * on `d7_quantile_norm`. Output adds `norm_score`. */
+  def quantileNormalize(s: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = s
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("score"), col("doc_id"))))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy(col("source"))))
+    val n = s.agg(count(lit(1)).as("nt"))
+    val idx = r.crossJoin(broadcast(n)) // 1-row corpus total
+      .select(col("doc_id"), col("source"), col("score"),
+        when(col("ns") === 1, expr("(nt + 1) div 2"))
+          .otherwise(expr("1 + ((rk - 1) * (nt - 1)) div (ns - 1)")).as("pidx"))
+    // pooled CDF on DISTINCT values (bounded), exploded to per-rank rows
+    // so the lookup is an equi-join; the unpartitioned window runs over
+    // that bounded distinct-value relation, not the corpus
+    val pc = s.groupBy(col("score").as("pscore"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("pscore"))))
+      .select(col("pscore"),
+        explode(sequence(col("cum") - col("cnt") + 1, col("cum"))).as("pidx"))
+    idx.join(pc, Seq("pidx"))
+      .select(col("doc_id"), col("source"), col("score"),
+        col("pscore").cast("int").as("norm_score"))
+  }
 
   /** Content-defined chunk rows `(doc_id, chunk_idx, start_pos, chunk_len,
     * chunk_md5)` for a `(doc_id, text)` input. Boundary rule: the

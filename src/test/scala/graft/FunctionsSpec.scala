@@ -664,6 +664,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql == 0.9611111111111111)
   }
 
+  test("D7: quantile normalization makes different-scale sources comparable") {
+    import spark.implicits._
+    import graft.queries.TextOps
+    // source A scores 1..20, source B scores 101..120: same shape, wildly
+    // different absolute scales — a global threshold would keep all of B
+    // and none of A. After normalization both must map onto the SAME
+    // pooled quantile values (identical multisets).
+    val docs = ((1 to 20).map(i => (i.toLong, "A", i)) ++
+      (1 to 20).map(i => (100L + i, "B", 100 + i))).toDF("doc_id", "source", "score")
+    val out = TextOps.quantileNormalize(docs)
+      .select($"source", $"score", $"norm_score")
+      .as[(String, Int, Int)].collect()
+    val a = out.filter(_._1 == "A").sortBy(_._2).map(_._3)
+    val b = out.filter(_._1 == "B").sortBy(_._2).map(_._3)
+    assert(a.toSeq == b.toSeq, "equal-rank docs must normalize identically")
+    // extremes map to the pooled extremes; mapping is monotone in score
+    assert(a.head == 1 && a.last == 120)
+    assert(a.toSeq == a.sorted.toSeq)
+    // singleton source maps to the pooled median index
+    val one = TextOps.quantileNormalize(
+      (docs.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+        :+ ((999L, "C", 7))).toDF("doc_id", "source", "score"))
+      .filter($"source" === "C").select($"norm_score").as[Int].head()
+    assert(one == 20, s"singleton source mapped to $one") // pidx 21 of 41 -> pooled value 20
+  }
+
   test("D6: cosine is 1 for identical vectors, 0 for zero vector") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f), Array(0.0f, 0.0f)))
