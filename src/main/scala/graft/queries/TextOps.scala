@@ -25,7 +25,7 @@ object TextOps {
       |  FROM documents
       |)""".stripMargin
 
-  val all: Seq[Q] = skewProfileQ +: quantileNormQ +: Seq(
+  val all: Seq[Q] = skewProfileQ +: quantileNormQ +: pmiAssocQ +: Seq(
     Q(
       "a6_heavy_hitters",
       // Two-pass exact heavy hitters: pass 1 sketches candidates with a
@@ -1096,6 +1096,70 @@ object TextOps {
       ordered(
         quantileNormalize(t.documents.select(col("doc_id"), col("source"),
           length(col("text")).as("score")))
+      )
+    }
+  )
+
+  private lazy val pmiAssocQ = Q(
+    "d7_pmi_assoc",
+    // Pointwise-mutual-information word associations (Church & Hanks
+    // 1990): co-occurrence pairs from a 2-token skip-gram window,
+    // unordered via least/greatest, scored ln(c_ab·T / (m_a·m_b)) where
+    // the marginals m come from the PAIR relation itself (each pair
+    // counts both endpoints) and T = 2·total pairs — so the ln argument
+    // is a ratio of exact BIGINT products (all < 2^53, doubles exact)
+    // and ONE ln rounded once is hash-safe with no decimal folding.
+    // 100 TB shape: one corpus scan explodes to (a, b) pairs feeding a
+    // hash aggregate; marginals and the c >= 5 association table ride
+    // the pair-TYPE relation (bounded by vocab², further cut by the
+    // count floor), never the corpus; the totals row broadcasts.
+    Some(s"""WITH $toksCte,
+            |prs AS (
+            |  SELECT least(tokens[i], tokens[i+d]) AS a,
+            |         greatest(tokens[i], tokens[i+d]) AS b
+            |  FROM toks
+            |  CROSS JOIN UNNEST(range(1, len(tokens))) AS t(i)
+            |  CROSS JOIN UNNEST([1, 2]) AS u(d)
+            |  WHERE i + d <= len(tokens)
+            |),
+            |pc AS (SELECT a, b, count(*) AS c FROM prs GROUP BY 1, 2),
+            |m AS (
+            |  SELECT w, CAST(sum(c) AS BIGINT) AS mw
+            |  FROM (SELECT a AS w, c FROM pc UNION ALL SELECT b, c FROM pc)
+            |  GROUP BY w
+            |),
+            |tot AS (SELECT CAST(2 * sum(c) AS BIGINT) AS tp FROM pc)
+            |SELECT a, b, c,
+            |       round(ln(CAST(c * tp AS DOUBLE) / CAST(ma.mw * mb.mw AS DOUBLE)), 4)
+            |         AS pmi
+            |FROM pc JOIN m ma ON pc.a = ma.w JOIN m mb ON pc.b = mb.w
+            |CROSS JOIN tot
+            |WHERE c >= 5
+            |ORDER BY ALL NULLS FIRST""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val toks = t.documents.select(Text.tokenize(col("text")).as("tokens"))
+      val prs = toks.select(explode(expr(
+        """flatten(transform(sequence(1, size(tokens) - 1),
+          |  i -> transform(filter(array(1, 2), d -> i + d <= size(tokens)),
+          |    d -> struct(least(element_at(tokens, i), element_at(tokens, i + d)) AS a,
+          |                greatest(element_at(tokens, i), element_at(tokens, i + d)) AS b))))
+          |""".stripMargin)).as("p"))
+        .select(col("p.a"), col("p.b"))
+      val pc = prs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds marginals, totals and the association rows
+      val m = pc.select(col("a").as("w"), col("c"))
+        .unionAll(pc.select(col("b").as("w"), col("c")))
+        .groupBy(col("w")).agg(sum(col("c")).as("mw"))
+      val tot = pc.agg((sum(col("c")) * 2).as("tp"))
+      ordered(
+        pc.filter(col("c") >= 5)
+          .join(broadcast(m.withColumnRenamed("w", "a").withColumnRenamed("mw", "ma")), Seq("a"))
+          .join(broadcast(m.withColumnRenamed("w", "b").withColumnRenamed("mw", "mb")), Seq("b"))
+          .crossJoin(broadcast(tot)) // 1-row pair total
+          .select(col("a"), col("b"), col("c"),
+            round(log((col("c") * col("tp")).cast("double") /
+              (col("ma") * col("mb")).cast("double")), 4).as("pmi"))
       )
     }
   )
