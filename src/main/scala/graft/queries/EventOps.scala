@@ -337,6 +337,49 @@ object EventOps {
               col("depth"))
         )
       }
+    ),
+    Q(
+      "t12_markov_transitions",
+      // First-order Markov transition matrix over per-user event
+      // sequences: one lag window per user (ts, event_id total order —
+      // the t5 tie-break discipline) yields (src → dst) transitions; the
+      // matrix is counts + row-normalized probabilities, p a ratio of
+      // exact BIGINTs rounded once. The sequence-analytics complement to
+      // the t10 funnel: where the funnel asks "did the canonical path
+      // happen", the matrix measures where sequences actually flow.
+      // 100 TB shape: ONE user-partitioned window over the event stream
+      // (the same partitioning every per-user analytic here shares),
+      // then everything rides the |event_type|² transition relation —
+      // the row-sum window is over that bounded matrix, not the corpus.
+      Some("""WITH tr AS (
+             |  SELECT lag(event_type) OVER (PARTITION BY user_id
+             |                              ORDER BY ts, event_id) AS src,
+             |         event_type AS dst
+             |  FROM events
+             |),
+             |c AS (
+             |  SELECT src, dst, count(*) AS c
+             |  FROM tr WHERE src IS NOT NULL GROUP BY src, dst
+             |)
+             |SELECT src, dst, c,
+             |       round(CAST(c AS DOUBLE) /
+             |             CAST(sum(c) OVER (PARTITION BY src) AS DOUBLE), 4) AS p
+             |FROM c
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val c = t.events
+          .select(lag(col("event_type"), 1).over(w).as("src"),
+            col("event_type").as("dst"))
+          .filter(col("src").isNotNull)
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+        ordered(
+          c.withColumn("p",
+            round(col("c").cast("double") /
+              sum(col("c")).over(Window.partitionBy(col("src"))).cast("double"), 4))
+        )
+      }
     )
   )
 
