@@ -399,6 +399,47 @@ object Aggregates {
       }
     ),
     Q(
+      "a6_hll_intersect",
+      // sketch SET ALGEBRA: HLL unions compose, intersections don't — the
+      // standard workaround is inclusion-exclusion over mergeable
+      // sketches, est(A) + est(B) − est(A∪B), here estimating customers
+      // active in BOTH 1995 and 1996 without ever materializing either
+      // key set. Error compounds through the subtraction (union error is
+      // relative to the BIGGER set), which is exactly why the query
+      // carries its own exact-intersection audit column and self-asserts
+      // the 10% envelope — the honest contract for sketch algebra.
+      // rows-only (sketch internals are engine-specific); FunctionsSpec
+      // pins the assertion. One fact scan builds both year sketches;
+      // the exact audit is a per-customer two-flag aggregate that a real
+      // deployment would drop.
+      None,
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val o = t.orders.select(col("o_custkey"),
+          year(col("o_orderdate")).as("y"))
+        val sk = o.agg(
+          hll_sketch_agg(when(col("y") === 1995, col("o_custkey")), lit(14)).as("sa"),
+          hll_sketch_agg(when(col("y") === 1996, col("o_custkey")), lit(14)).as("sb"))
+        val per = o.groupBy(col("o_custkey"))
+          .agg(max(when(col("y") === 1995, 1).otherwise(0)).as("a"),
+            max(when(col("y") === 1996, 1).otherwise(0)).as("b"))
+          .agg(sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+            .as("exact_both"))
+        ordered(
+          sk.crossJoin(per) // two 1-row aggregates
+            .select(
+              hll_sketch_estimate(col("sa")).as("est_1995"),
+              hll_sketch_estimate(col("sb")).as("est_1996"),
+              hll_sketch_estimate(hll_union(col("sa"), col("sb"))).as("est_union"),
+              (hll_sketch_estimate(col("sa")) + hll_sketch_estimate(col("sb")) -
+                hll_sketch_estimate(hll_union(col("sa"), col("sb")))).as("est_both"),
+              col("exact_both"))
+            .withColumn("within_10pct",
+              abs(col("est_both").cast("double") / col("exact_both") - 1.0) < 0.10)
+        )
+      }
+    ),
+    Q(
       "tpch_q3",
       // TPC-H Q3 shape (shipping priority): selective dim filter ->
       // fact join -> decimal revenue aggregate -> global top-10. The

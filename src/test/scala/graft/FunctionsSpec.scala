@@ -690,6 +690,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one == 20, s"singleton source mapped to $one") // pidx 21 of 41 -> pooled value 20
   }
 
+  test("A6: HLL inclusion-exclusion intersection stays inside its envelope") {
+    val row = SparkEntry.queries("a6_hll_intersect")(spark, SharedSpark.sf).head()
+    val (ea, eb, eu) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val (both, exact) = (row.getLong(3), row.getLong(4))
+    assert(row.getBoolean(5), s"est_both=$both exact=$exact")
+    // sketch algebra sanity: union dominates each side, intersection
+    // bounded by the smaller side
+    assert(eu >= math.max(ea, eb) && both <= math.min(ea, eb) && both >= 0)
+    assert(exact > 0)
+  }
+
   test("D6: cosine is 1 for identical vectors, 0 for zero vector") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f), Array(0.0f, 0.0f)))
