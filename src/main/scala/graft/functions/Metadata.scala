@@ -106,6 +106,29 @@ object Metadata {
           m += ("duration_ms" -> durationMs.toString)
         }
         m
+      } else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' ') {
+        // AVI: walk RIFF chunks for the avih main header (dims + frame
+        // count); the LIST('hdrl') wrapper means avih sits at a nested
+        // offset, so walk one LIST level like the WAV branch
+        var m = Map("mime" -> "video/avi")
+        var i = 12
+        while (i + 8 <= bytes.length) {
+          val id = new String(bytes.slice(i, i + 4), "US-ASCII")
+          val sz = u32le(bytes, i + 4)
+          if (id == "LIST") { i += 12 } // descend into the list body
+          else {
+            if (id == "avih" && i + 8 + 40 <= bytes.length) {
+              m += ("width" -> u32le(bytes, i + 40).toString,
+                "height" -> u32le(bytes, i + 44).toString,
+                "n_frames" -> u32le(bytes, i + 24).toString)
+            }
+            val next = i.toLong + 8L + sz + (sz & 1L)
+            i = if (next > bytes.length.toLong) bytes.length else next.toInt
+          }
+        }
+        m
       } else if (bytes.forall(b => (b & 0xff) >= 0x09)) {
         // no NUL/control bytes below tab => treat as text (unsigned
         // compare: UTF-8 multibyte chars are negative as JVM bytes)

@@ -977,6 +977,216 @@ object Multimodal {
   val synthGifUdf =
     udf((seed: Long, w: Int, h: Int, frames: Int) => synthGif(seed, w, h, frames))
   val gifFramesUdf = udf((b: Array[Byte]) => decodeGif(b))
+
+  // ---- AVI (RIFF) video container: synthesis + real container walk ----
+
+  /** Per-frame pixel statistics from an AVI video stream: '00db' frames
+    * are raw bottom-up 24-bit DIBs decoded byte-exactly (same pixel walk
+    * as [[decodeBmp]]); '00dc' frames with an MJPG stream format decode
+    * through the JDK's independent JPEG codec. */
+  case class AviFrameStats(
+      frame_idx: Int, width: Int, height: Int, n_px: Long,
+      pix_sum: Long, pix_sq_sum: Long, first_px: Long)
+
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "ISO-8859-1")
+
+  private def putFourcc(bb: java.nio.ByteBuffer, s: String): Unit =
+    bb.put(s.getBytes("ISO-8859-1"))
+
+  /** Minimal-but-valid AVI writer: RIFF('AVI ') → LIST('hdrl') with avih
+    * and one 'vids' stream (strh + BITMAPINFOHEADER strf, BI_RGB 24-bit)
+    * → LIST('movi') of uncompressed bottom-up DIB frames ('00db', rows
+    * padded to 4 bytes). Visual channel byte k of frame f has value
+    * `(seed + f·w·3·h + k) % 256` — the synthBmp closed form extended
+    * with a per-frame offset, so a SQL oracle recomputes every frame's
+    * exact pixel statistics THROUGH the container walk. */
+  def synthAvi(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val frameLen = rowSize * h
+    val strlSize = 4 + 8 + 56 + 8 + 40 // 'strl' + strh + strf
+    val hdrlSize = 4 + 8 + 56 + 8 + strlSize // 'hdrl' + avih + LIST(strl)
+    val moviSize = 4 + frames * (8 + frameLen + (frameLen & 1))
+    val total = 4 + 8 + hdrlSize + 8 + moviSize // 'AVI ' + LIST(hdrl) + LIST(movi)
+    val bb = java.nio.ByteBuffer.allocate(8 + total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    putFourcc(bb, "RIFF"); bb.putInt(total); putFourcc(bb, "AVI ")
+    putFourcc(bb, "LIST"); bb.putInt(hdrlSize); putFourcc(bb, "hdrl")
+    putFourcc(bb, "avih"); bb.putInt(56)
+    bb.putInt(40000).putInt(0).putInt(0).putInt(0) // usec/frame, maxbps, pad, flags
+      .putInt(frames).putInt(0).putInt(1).putInt(0) // totalFrames, initial, streams, bufsize
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    putFourcc(bb, "LIST"); bb.putInt(strlSize); putFourcc(bb, "strl")
+    putFourcc(bb, "strh"); bb.putInt(56)
+    putFourcc(bb, "vids"); putFourcc(bb, "DIB ")
+    bb.putInt(0).putInt(0).putInt(0) // flags, prio/lang, initialFrames
+      .putInt(1).putInt(25).putInt(0).putInt(frames) // scale, rate, start, length
+      .putInt(0).putInt(0).putInt(0) // bufsize, quality, sampleSize
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    putFourcc(bb, "strf"); bb.putInt(40)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(frameLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    putFourcc(bb, "LIST"); bb.putInt(moviSize); putFourcc(bb, "movi")
+    val arr = bb.array()
+    var f = 0
+    var pos = bb.position()
+    while (f < frames) {
+      putFourcc(bb, "00db"); bb.putInt(frameLen)
+      pos = bb.position()
+      val fOff = seed + f.toLong * w * 3 * h
+      var y = 0
+      while (y < h) {
+        val base = pos + (h - 1 - y) * rowSize // bottom-up storage
+        var x = 0
+        val rowBytes = w * 3
+        while (x < rowBytes) {
+          arr(base + x) = (((fOff + y.toLong * rowBytes + x) % 256 + 256) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      bb.position(pos + frameLen + (frameLen & 1)) // even-byte chunk padding
+      f += 1
+    }
+    arr
+  }
+
+  /** MJPEG AVI writer for the cross-codec spec: same container skeleton,
+    * but the stream format fourcc is 'MJPG' and each '00dc' chunk is a
+    * complete JPEG produced by the JDK's own encoder. */
+  def synthAviMjpeg(jpegFrames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    val strlSize = 4 + 8 + 56 + 8 + 40
+    val hdrlSize = 4 + 8 + 56 + 8 + strlSize
+    val moviSize = 4 + jpegFrames.map(j => 8 + j.length + (j.length & 1)).sum
+    val total = 4 + 8 + hdrlSize + 8 + moviSize
+    val bb = java.nio.ByteBuffer.allocate(8 + total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    putFourcc(bb, "RIFF"); bb.putInt(total); putFourcc(bb, "AVI ")
+    putFourcc(bb, "LIST"); bb.putInt(hdrlSize); putFourcc(bb, "hdrl")
+    putFourcc(bb, "avih"); bb.putInt(56)
+    bb.putInt(40000).putInt(0).putInt(0).putInt(0)
+      .putInt(jpegFrames.size).putInt(0).putInt(1).putInt(0)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    putFourcc(bb, "LIST"); bb.putInt(strlSize); putFourcc(bb, "strl")
+    putFourcc(bb, "strh"); bb.putInt(56)
+    putFourcc(bb, "vids"); putFourcc(bb, "MJPG")
+    bb.putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(25).putInt(0).putInt(jpegFrames.size)
+      .putInt(0).putInt(0).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    putFourcc(bb, "strf"); bb.putInt(40)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    putFourcc(bb, "MJPG") // biCompression = stream codec fourcc
+    bb.putInt(0).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    putFourcc(bb, "LIST"); bb.putInt(moviSize); putFourcc(bb, "movi")
+    jpegFrames.foreach { j =>
+      putFourcc(bb, "00dc"); bb.putInt(j.length); bb.put(j)
+      if ((j.length & 1) == 1) bb.put(0.toByte)
+    }
+    bb.array()
+  }
+
+  /** Real AVI container walk: validates the RIFF/'AVI ' envelope, finds
+    * the video stream's BITMAPINFOHEADER (strf) and decodes every movi
+    * frame — '00db' raw DIBs byte-exactly, '00dc' MJPG frames through
+    * `javax.imageio` (the JDK's independent JPEG codec). Tolerant of
+    * unknown chunks (skipped by size, the RIFF contract) and returns
+    * None for anything structurally unsound: truncated chunks, absurd
+    * dimensions, frames shorter than the pixel array, or an
+    * unsupported codec. */
+  def decodeAvi(bytes: Array[Byte]): Option[Seq[AviFrameStats]] = {
+    import Metadata.{u16le, u32le}
+    if (bytes == null || bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+      fourcc(bytes, 8) != "AVI ") return None
+    var w = 0; var hgt = 0; var bottomUp = true; var rowSize = 0
+    var comp = ""; var compNum = -1L; var haveStrf = false; var truncated = false
+    val frameChunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def walk(from: Int, to: Int): Unit = {
+      var p = from
+      while (p + 8 <= to && !truncated) {
+        val id = fourcc(bytes, p)
+        val sz = u32le(bytes, p + 4)
+        if (sz < 0 || sz > Int.MaxValue - 8 || p + 8 + sz > to) { truncated = true; return }
+        val szI = sz.toInt
+        if (id == "LIST" && szI >= 4) walk(p + 12, p + 8 + szI)
+        else if (id == "strf" && szI >= 40 && !haveStrf) {
+          val bw = u32le(bytes, p + 12).toInt
+          val rawH = u32le(bytes, p + 16).toInt
+          val bpp = u16le(bytes, p + 22)
+          comp = fourcc(bytes, p + 24); compNum = u32le(bytes, p + 24)
+          if (bw > 0 && bw <= (1 << 12) && rawH != 0 &&
+            math.abs(rawH.toLong) <= (1L << 12) && bpp == 24) {
+            w = bw; hgt = math.abs(rawH); bottomUp = rawH > 0
+            rowSize = ((bw * 3 + 3) / 4) * 4
+            haveStrf = true
+          }
+        } else if ((id == "00db" || id == "00dc") && szI > 0)
+          frameChunks += ((p + 8, szI))
+        p += 8 + szI + (szI & 1)
+      }
+    }
+    walk(12, bytes.length)
+    if (truncated || !haveStrf || frameChunks.isEmpty) return None
+    val isRaw = compNum == 0L // BI_RGB
+    val isMjpg = comp == "MJPG"
+    if (!isRaw && !isMjpg) return None
+    val out = Vector.newBuilder[AviFrameStats]
+    var idx = 0
+    for ((off, len) <- frameChunks) {
+      if (isRaw) {
+        if (len < rowSize * hgt) return None
+        var sum = 0L; var sq = 0L
+        var y = 0
+        while (y < hgt) {
+          val base = off + (if (bottomUp) hgt - 1 - y else y) * rowSize
+          var i = 0
+          val rowBytes = w * 3
+          while (i < rowBytes) {
+            val v = bytes(base + i) & 0xff
+            sum += v; sq += v.toLong * v
+            i += 1
+          }
+          y += 1
+        }
+        val fb = off + (if (bottomUp) (hgt - 1) * rowSize else 0)
+        val first = (bytes(fb) & 0xff).toLong + (bytes(fb + 1) & 0xff) +
+          (bytes(fb + 2) & 0xff)
+        out += AviFrameStats(idx, w, hgt, w.toLong * hgt, sum, sq, first)
+      } else {
+        val img = try {
+          javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes.slice(off, off + len)))
+        } catch { case _: Exception => null }
+        if (img == null) return None
+        var sum = 0L; var sq = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            var c = 0
+            while (c < 3) {
+              val v = (rgb >> (8 * c)) & 0xff
+              sum += v; sq += v.toLong * v
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val tl = img.getRGB(0, 0)
+        val first = ((tl & 0xff) + ((tl >> 8) & 0xff) + ((tl >> 16) & 0xff)).toLong
+        out += AviFrameStats(idx, img.getWidth, img.getHeight,
+          img.getWidth.toLong * img.getHeight, sum, sq, first)
+      }
+      idx += 1
+    }
+    Some(out.result())
+  }
+
+  val synthAviUdf =
+    udf((seed: Long, w: Int, h: Int, frames: Int) => synthAvi(seed, w, h, frames))
+  val aviFramesUdf = udf((b: Array[Byte]) => decodeAvi(b))
   val bmpStatsUdf = udf((b: Array[Byte]) => decodeBmp(b))
   val pngStatsUdf = udf((b: Array[Byte]) => decodePng(b))
   val wavStatsUdf = udf((b: Array[Byte]) => decodeWav(b))

@@ -559,6 +559,55 @@ object DmsOps {
       }
     ),
     Q(
+      "mm_decode_avi",
+      // REAL video-CONTAINER decode, exact-hash-checked: deterministic
+      // AVI files (RIFF envelope, hdrl/strl headers, movi LIST of 2-3
+      // uncompressed bottom-up DIB frames with row padding) are
+      // synthesized per doc and walked by decodeAvi — one output row per
+      // (media, frame). Visual channel byte k of frame f is
+      // (seed + f·w·3·h + k) % 256 by construction, so DuckDB recomputes
+      // each frame's exact pixel sums THROUGH the container walk: a
+      // chunk-size, padding, row-order or frame-offset bug breaks the
+      // hash. The MJPEG ('00dc' via the JDK codec) path of the same
+      // walk is cross-validated in MultimodalSpec.
+      Some("""WITH f AS (SELECT unnest(range(0, 3)) AS f),
+             |k AS (SELECT unnest(range(0, 45)) AS k)
+             |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+             |       CAST(3 + doc_id % 3 AS INT) AS width,
+             |       3 AS height,
+             |       CAST((3 + doc_id % 3) * 3 AS BIGINT) AS n_px,
+             |       CAST(sum((doc_id * 17 + f * (3 + doc_id % 3) * 9 + k) % 256)
+             |            AS BIGINT) AS pix_sum,
+             |       CAST(sum(((doc_id * 17 + f * (3 + doc_id % 3) * 9 + k) % 256)
+             |                * ((doc_id * 17 + f * (3 + doc_id % 3) * 9 + k) % 256))
+             |            AS BIGINT) AS pix_sq_sum,
+             |       CAST((doc_id * 17 + f * (3 + doc_id % 3) * 9) % 256
+             |            + (doc_id * 17 + f * (3 + doc_id % 3) * 9 + 1) % 256
+             |            + (doc_id * 17 + f * (3 + doc_id % 3) * 9 + 2) % 256
+             |            AS BIGINT) AS first_px
+             |FROM documents CROSS JOIN f CROSS JOIN k
+             |WHERE f < 2 + doc_id % 2 AND k < (3 + doc_id % 3) * 9
+             |GROUP BY doc_id, f
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val mm = graft.multimodal.Multimodal
+        val raw = t.documents.select(
+          col("doc_id").as("media_id"),
+          mm.synthAviUdf(col("doc_id") * 17,
+            (col("doc_id") % 3 + 3).cast("int"), lit(3),
+            (col("doc_id") % 2 + 2).cast("int")).as("content"))
+        ordered(
+          raw.select(col("media_id"),
+            explode(mm.aviFramesUdf(col("content"))).as("s"))
+            .select(col("media_id"), col("s.frame_idx").as("frame_idx"),
+              col("s.width").as("width"), col("s.height").as("height"),
+              col("s.n_px").as("n_px"), col("s.pix_sum").as("pix_sum"),
+              col("s.pix_sq_sum").as("pix_sq_sum"), col("s.first_px").as("first_px"))
+        )
+      }
+    ),
+    Q(
       "mm_decode_gif",
       // REAL video-path decode, exact-hash-checked: deterministic animated
       // GIFs (2..4 full-size frames, 256-gray palette, real LZW streams)

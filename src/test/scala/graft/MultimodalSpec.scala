@@ -280,6 +280,64 @@ class MultimodalSpec extends AnyFunSuite {
       gs.map(_.px_sum).sum / gn / 255.0) < 1e-6)
   }
 
+  test("decodeAvi: closed-form DIB frames through the real RIFF walk") {
+    val (seed, w, h, nf) = (37L, 5, 3, 3) // w=5 -> row padding exercised
+    val avi = Multimodal.synthAvi(seed, w, h, nf)
+    val frames = Multimodal.decodeAvi(avi).get
+    assert(frames.size == nf)
+    val fs = w * 3 * h
+    frames.zipWithIndex.foreach { case (f, i) =>
+      assert(f.frame_idx == i && f.width == w && f.height == h && f.n_px == w * h)
+      val vals = (0 until fs).map(k => (seed + i.toLong * fs + k) % 256)
+      assert(f.pix_sum == vals.sum)
+      assert(f.pix_sq_sum == vals.map(v => v * v).sum)
+      assert(f.first_px == vals.take(3).sum)
+    }
+    // D1 sniff reads the avih main header through the LIST nesting
+    val meta = graft.functions.Metadata.sniff(avi)
+    assert(meta("mime") == "video/avi" && meta("width") == "5" &&
+      meta("height") == "3" && meta("n_frames") == "3")
+    // structural gates: None, never garbage
+    assert(Multimodal.decodeAvi(avi.take(40)).isEmpty) // truncated
+    val wrongForm = avi.clone(); wrongForm(8) = 'W'
+    assert(Multimodal.decodeAvi(wrongForm).isEmpty)
+    val hugeDims = avi.clone()
+    // strf biWidth lives after RIFF(12) + LIST hdr(12) + avih(8+56) + LIST(12) + strh(8+56) + strf hdr(8) + biSize(4)
+    val strfW = 12 + 12 + 64 + 12 + 64 + 8 + 4
+    hugeDims(strfW + 2) = 0x7f // width beyond the 2^12 bound
+    assert(Multimodal.decodeAvi(hugeDims).isEmpty)
+  }
+
+  test("decodeAvi: MJPEG frames decode through the JDK's own JPEG codec") {
+    val (w, h, nf) = (16, 8, 2)
+    val jpegs = (0 until nf).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x * 16 + f * 64) << 16) | (y * 24 << 8) | 128)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val avi = Multimodal.synthAviMjpeg(jpegs, w, h)
+    val frames = Multimodal.decodeAvi(avi).get
+    assert(frames.size == nf)
+    // container walk must hand each codec the EXACT chunk bytes: stats
+    // equal a direct ImageIO decode of the same JPEGs
+    frames.zip(jpegs).foreach { case (f, j) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(j))
+      assert(f.width == w && f.height == h && f.n_px == w * h)
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        sum += (rgb & 0xff) + ((rgb >> 8) & 0xff) + ((rgb >> 16) & 0xff)
+      }
+      assert(f.pix_sum == sum)
+    }
+    // frame payloads differ, so stats must differ (lossy but deterministic)
+    assert(frames(0).pix_sum != frames(1).pix_sum)
+  }
+
   test("fft: known spectra, Parseval energy, square-wave dominant bins") {
     import Multimodal.fft
     // impulse -> flat spectrum (all magnitudes 1)
