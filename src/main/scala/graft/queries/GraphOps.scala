@@ -70,6 +70,72 @@ object GraphOps {
         }
         ordered(ranks)
       }
+    ),
+    Q(
+      "g2_triangles",
+      // Exact triangle count + global clustering coefficient over the
+      // same deterministic link graph as g1 — the local-density
+      // diagnostic run next to connected components (dup families with
+      // high clustering are template farms; low clustering means chains
+      // of borderline pairs). Edges are canonicalized a < b, so the
+      // ordered triple join (a,b)⋈(b,c)⋈(a,c) counts each triangle
+      // exactly once; wedges come from the degree relation
+      // (Σ d(d−1)/2 — integer, d(d−1) is even); the coefficient
+      // 3T/wedges is a ratio of exact BIGINTs rounded once. 100 TB
+      // shape: all equi-joins on edge endpoints (the standard
+      // edge-iterator algorithm — at real scale the join is oriented
+      // low-degree → high-degree, which this a < b canonical form
+      // already approximates on a near-regular graph); degrees and the
+      // final scalars ride the edge relation, never the corpus.
+      Some("""WITH nn AS (SELECT count(*) AS n FROM documents),
+             |raw AS (
+             |  SELECT doc_id AS src,
+             |         (doc_id*31 + k*17 + 7) % (SELECT n FROM nn) AS dst
+             |  FROM documents CROSS JOIN (SELECT unnest(range(0,4)) AS k) ks
+             |),
+             |e AS (
+             |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             |  FROM raw WHERE src <> dst
+             |),
+             |deg AS (
+             |  SELECT v, count(*) AS d
+             |  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v
+             |),
+             |w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+             |t AS (
+             |  SELECT count(*) AS n_triangles
+             |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+             |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+             |)
+             |SELECT (SELECT count(*) FROM e) AS n_edges, n_wedges, n_triangles,
+             |       round(3.0 * n_triangles / n_wedges, 4) AS clustering_coeff
+             |FROM w CROSS JOIN t""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val docs = t.documents.select(col("doc_id")).localCheckpoint()
+        val n = docs.count()
+        val raw = docs.select(col("doc_id").as("src"),
+          explode(array((0 until 4).map(k =>
+            (col("doc_id") * 31 + k * 17 + 7) % n): _*)).as("dst"))
+        val e = raw.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+          .localCheckpoint() // feeds degrees, wedges and the triple join
+        val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        val wedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+        val tri = e.as("e1")
+          .join(e.as("e2"), col("e1.b") === col("e2.a"))
+          .join(e.as("e3"),
+            col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+          .agg(count(lit(1)).as("n_triangles"))
+        val edges = e.agg(count(lit(1)).as("n_edges"))
+        edges.crossJoin(wedges).crossJoin(tri) // three 1-row scalars
+          .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+            round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4)
+              .as("clustering_coeff"))
+      }
     )
   )
 }
