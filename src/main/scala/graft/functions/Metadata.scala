@@ -129,6 +129,43 @@ object Metadata {
           }
         }
         m
+      } else if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
+        bytes(6) == 'y' && bytes(7) == 'p') {
+        // MP4/ISO BMFF: big-endian header-INCLUSIVE box sizes (the
+        // RIFF-vs-ISO difference). Walk top-level boxes to moov, then one
+        // level in: mvhd timescale+duration -> duration_ms, first tkhd ->
+        // 16.16-fixed track dims.
+        var m = Map("mime" -> "video/mp4",
+          "brand" -> new String(bytes, 8, 4, "ISO-8859-1"))
+        var i = 0
+        var moov = -1L
+        while (i + 8 <= bytes.length && moov < 0) {
+          val sz = u32(bytes, i)
+          if (new String(bytes, i + 4, 4, "ISO-8859-1") == "moov") moov = i
+          if (sz < 8 || i + sz > bytes.length) moov = Long.MinValue // corrupt
+          else i = (i + sz).toInt
+        }
+        if (moov >= 0) {
+          val end = (moov + u32(bytes, moov.toInt)).toInt
+          var p = moov.toInt + 8
+          var sawTkhd = false
+          while (p + 8 <= end) {
+            val sz = u32(bytes, p)
+            val id = new String(bytes, p + 4, 4, "ISO-8859-1")
+            if (id == "mvhd" && p + 24 <= end) {
+              val ts = u32(bytes, p + 20)
+              val dur = u32(bytes, p + 24)
+              if (ts > 0) m += ("duration_ms" -> (dur * 1000L / ts).toString)
+            } else if (id == "trak" && p + 8 + 96 <= end && !sawTkhd &&
+              new String(bytes, p + 12, 4, "ISO-8859-1") == "tkhd") {
+              m += ("width" -> (u32(bytes, p + 92) >> 16).toString,
+                "height" -> (u32(bytes, p + 96) >> 16).toString)
+              sawTkhd = true
+            }
+            if (sz < 8 || p + sz > end) p = end else p = (p + sz).toInt
+          }
+        }
+        m
       } else if (bytes.forall(b => (b & 0xff) >= 0x09)) {
         // no NUL/control bytes below tab => treat as text (unsigned
         // compare: UTF-8 multibyte chars are negative as JVM bytes)

@@ -1191,6 +1191,250 @@ object Multimodal {
   val pngStatsUdf = udf((b: Array[Byte]) => decodePng(b))
   val wavStatsUdf = udf((b: Array[Byte]) => decodeWav(b))
 
+  // ---- MP4 (ISO BMFF) video container: synthesis + real box walk ----
+
+  /** Per-sample statistics from an MP4 video track: raw RGB24 samples
+    * located through the stsc/stsz/stco sample tables, plus the sample's
+    * stts duration in media-timescale ticks. */
+  case class Mp4FrameStats(
+      frame_idx: Int, width: Int, height: Int, n_px: Long,
+      pix_sum: Long, pix_sq_sum: Long, first_px: Long, dur_ticks: Int)
+
+  /** A big-endian ISO box: [u32 size][fourcc type][payload...]. Unlike
+    * RIFF, sizes INCLUDE the 8-byte header and there is no word padding. */
+  private def isoBox(tpe: String, payloads: Array[Byte]*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + payloads.map(_.length).sum)
+    bb.putInt(bb.capacity()); putFourcc(bb, tpe)
+    payloads.foreach(bb.put)
+    bb.array()
+  }
+
+  private def beInts(vs: Long*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+    vs.foreach(v => bb.putInt(v.toInt))
+    bb.array()
+  }
+
+  private def beShorts(vs: Int*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(2 * vs.length)
+    vs.foreach(v => bb.putShort(v.toShort))
+    bb.array()
+  }
+
+  /** Minimal-but-valid MP4 writer: ftyp → moov (mvhd; trak → tkhd, mdia →
+    * mdhd/hdlr('vide')/minf → vmhd/dinf/stbl with the full sample-table
+    * set: 'raw ' VisualSampleEntry stsd, one-entry stts, a TWO-chunk
+    * stsc/stco split — frame 0 alone in chunk 1, the rest in chunk 2 —
+    * so the decoder must run the real sample-to-chunk reconstruction) →
+    * mdat of top-down unpadded RGB24 frames. Byte k of frame f is
+    * `(seed + f·w·h·3 + k) % 256`, so a SQL oracle recomputes every
+    * sample's exact pixel statistics THROUGH the box walk; every sample's
+    * stts delta is `delta` ticks on a 1000-tick/s media timescale. */
+  def synthMp4(seed: Long, w: Int, h: Int, frames: Int, delta: Int): Array[Byte] = {
+    val frameLen = w * h * 3
+    val nChunks = if (frames > 1) 2 else 1
+    def moovFor(mdatStart: Long): Array[Byte] = {
+      val entry = isoBox("raw ",
+        beShorts(0, 0, 0, 1),                  // 6 reserved bytes + data_ref_index
+        beInts(0, 0, 0, 0),                    // pre_defined/reserved (16 bytes)
+        beShorts(w, h),
+        beInts(0x00480000L, 0x00480000L, 0),   // 72 dpi h/v, reserved
+        beShorts(1),                           // frame_count per sample
+        new Array[Byte](32),                   // compressorname (empty pstring)
+        beShorts(24, 0xffff))                  // depth, pre_defined = -1
+      val stsd = isoBox("stsd", beInts(0, 1), entry)
+      val stts = isoBox("stts", beInts(0, 1, frames, delta))
+      val stsc =
+        if (frames > 1) isoBox("stsc", beInts(0, 2, 1, 1, 1, 2, frames - 1L, 1))
+        else isoBox("stsc", beInts(0, 1, 1, 1, 1))
+      val stsz = isoBox("stsz",
+        beInts(0, 0, frames), beInts((0 until frames).map(_ => frameLen.toLong): _*))
+      val stco =
+        if (frames > 1) isoBox("stco", beInts(0, 2, mdatStart, mdatStart + frameLen))
+        else isoBox("stco", beInts(0, 1, mdatStart))
+      val stbl = isoBox("stbl", stsd, stts, stsc, stsz, stco)
+      val dinf = isoBox("dinf",
+        isoBox("dref", beInts(0, 1), isoBox("url ", beInts(1))))
+      val vmhd = isoBox("vmhd", beInts(1), beShorts(0, 0, 0, 0))
+      val minf = isoBox("minf", vmhd, dinf, stbl)
+      val hdlr = isoBox("hdlr", beInts(0, 0), "vide".getBytes("ISO-8859-1"),
+        beInts(0, 0, 0), beShorts('v' << 8)) // reserved + name "v\0"
+      val dur = frames.toLong * delta
+      val mdhd = isoBox("mdhd",
+        beInts(0, 0, 0, 1000, dur), beShorts(0x55c4, 0)) // timescale 1000, lang 'und'
+      val mdia = isoBox("mdia", mdhd, hdlr, minf)
+      val unity = beInts(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000L)
+      val tkhd = isoBox("tkhd",
+        beInts(7, 0, 0, 1, 0, dur, 0, 0), beShorts(0, 0, 0, 0), unity,
+        beInts(w.toLong << 16, h.toLong << 16)) // flags=7, track 1, 16.16 dims
+      val mvhd = isoBox("mvhd",
+        beInts(0, 0, 0, 1000, dur, 0x00010000L), beShorts(0x0100, 0),
+        beInts(0, 0), unity, beInts(0, 0, 0, 0, 0, 0, 2))
+      isoBox("moov", mvhd, isoBox("trak", tkhd, mdia))
+    }
+    val ftyp = isoBox("ftyp", "isom".getBytes("ISO-8859-1"), beInts(0x200),
+      "isom".getBytes("ISO-8859-1"))
+    // stco holds absolute file offsets, which depend on moov's own size:
+    // size a placeholder moov first (box sizes don't change with offset
+    // VALUES — beInts is fixed-width), then emit with the real offsets.
+    val mdatStart = ftyp.length + moovFor(0L).length + 8L
+    val moov = moovFor(mdatStart)
+    val mdat = java.nio.ByteBuffer.allocate(8 + frames * frameLen)
+    mdat.putInt(mdat.capacity()); putFourcc(mdat, "mdat")
+    val arr = mdat.array()
+    var f = 0
+    while (f < frames) {
+      val base = 8 + f * frameLen
+      val fOff = seed + f.toLong * frameLen
+      var k = 0
+      while (k < frameLen) {
+        arr(base + k) = (((fOff + k) % 256 + 256) % 256).toByte
+        k += 1
+      }
+      f += 1
+    }
+    ftyp ++ moov ++ arr
+  }
+
+  /** Real ISO BMFF walk: validates the ftyp brand, descends moov → trak →
+    * mdia → minf → stbl of the first 'vide'-handler track, reads the
+    * VisualSampleEntry dims from stsd, expands stts into per-sample
+    * durations, and reconstructs every sample's absolute file offset from
+    * stsc (sample-to-chunk runs) + stsz (sizes) + stco (chunk offsets) —
+    * the standard sample-lookup algorithm. Raw RGB24 samples are then
+    * read straight out of mdat space. Returns None for anything
+    * structurally unsound: short/overflowing box sizes, missing tables,
+    * absurd dimensions, samples that escape the file, or a non-'raw '
+    * codec. Big-endian sizes and header-inclusive box lengths are the
+    * ISO-vs-RIFF difference this walk exists to get right. */
+  def decodeMp4(bytes: Array[Byte]): Option[Seq[Mp4FrameStats]] = {
+    if (bytes == null || bytes.length < 16) return None
+    // (type, payloadStart, payloadEnd) for each well-formed child box
+    def children(from: Int, to: Int): Option[Seq[(String, Int, Int)]] = {
+      val out = Vector.newBuilder[(String, Int, Int)]
+      var p = from
+      while (p < to) {
+        if (p + 8 > to) return None
+        val sz = u32be(bytes, p)
+        if (sz < 8 || p + sz > to) return None // size 0/1 (to-end, 64-bit) unsupported
+        out += ((fourcc(bytes, p + 4), p + 8, p + sz.toInt))
+        p += sz.toInt
+      }
+      Some(out.result())
+    }
+    val top = children(0, bytes.length).getOrElse(return None)
+    if (!top.headOption.exists(_._1 == "ftyp")) return None
+    def find(bs: Seq[(String, Int, Int)], tpe: String): Option[(Int, Int)] =
+      bs.collectFirst { case (t, s, e) if t == tpe => (s, e) }
+    val (moovS, moovE) = find(top, "moov").getOrElse(return None)
+    val moovKids = children(moovS, moovE).getOrElse(return None)
+    // first trak whose hdlr handler_type is 'vide'
+    val videoTrak = moovKids.collectFirst {
+      case ("trak", s, e) =>
+        for {
+          kids <- children(s, e)
+          (mdS, mdE) <- find(kids, "mdia")
+          mdKids <- children(mdS, mdE)
+          (hS, hE) <- find(mdKids, "hdlr")
+          if hE - hS >= 12 && fourcc(bytes, hS + 8) == "vide"
+        } yield mdKids
+    }.flatten.getOrElse(return None)
+    val (mdhdS, mdhdE) = find(videoTrak, "mdhd").getOrElse(return None)
+    if (mdhdE - mdhdS < 24 || (bytes(mdhdS) & 0xff) != 0) return None // v0 only
+    val (minfS, minfE) = find(videoTrak, "minf").getOrElse(return None)
+    val stblKids = (for {
+      minfKids <- children(minfS, minfE)
+      (sS, sE) <- find(minfKids, "stbl")
+      k <- children(sS, sE)
+    } yield k).getOrElse(return None)
+    // stsd: first sample entry must be 'raw ' with sane dims
+    val (stsdS, stsdE) = find(stblKids, "stsd").getOrElse(return None)
+    if (stsdE - stsdS < 8 + 86 || u32be(bytes, stsdS + 4) < 1) return None
+    val entryS = stsdS + 8
+    if (u32be(bytes, entryS) < 86 || fourcc(bytes, entryS + 4) != "raw ") return None
+    val w = ((bytes(entryS + 32) & 0xff) << 8) | (bytes(entryS + 33) & 0xff)
+    val h = ((bytes(entryS + 34) & 0xff) << 8) | (bytes(entryS + 35) & 0xff)
+    if (w <= 0 || h <= 0 || w > (1 << 12) || h > (1 << 12)) return None
+    val frameLen = w * h * 3
+    // stts → per-sample durations
+    val (sttsS, sttsE) = find(stblKids, "stts").getOrElse(return None)
+    val nRuns = u32be(bytes, sttsS + 4).toInt
+    if (nRuns < 0 || sttsS + 8 + 8L * nRuns > sttsE) return None
+    val durs = Vector.newBuilder[Int]
+    var r = 0
+    while (r < nRuns) {
+      val cnt = u32be(bytes, sttsS + 8 + 8 * r)
+      val d = u32be(bytes, sttsS + 12 + 8 * r).toInt
+      if (cnt < 0 || cnt > (1 << 20)) return None
+      var i = 0L
+      while (i < cnt) { durs += d; i += 1 }
+      r += 1
+    }
+    // stsz sizes
+    val (stszS, stszE) = find(stblKids, "stsz").getOrElse(return None)
+    val fixedSz = u32be(bytes, stszS + 4)
+    val nSamples = u32be(bytes, stszS + 8).toInt
+    if (nSamples <= 0 || nSamples > (1 << 20)) return None
+    val sizes = Array.tabulate(nSamples) { i =>
+      if (fixedSz != 0) fixedSz
+      else if (stszS + 12 + 4L * i + 4 <= stszE) u32be(bytes, stszS + 12 + 4 * i)
+      else return None
+    }
+    // stsc runs + stco offsets → absolute sample offsets
+    val (stscS, stscE) = find(stblKids, "stsc").getOrElse(return None)
+    val nStsc = u32be(bytes, stscS + 4).toInt
+    if (nStsc <= 0 || stscS + 8 + 12L * nStsc > stscE) return None
+    val stsc = Array.tabulate(nStsc)(i => (
+      u32be(bytes, stscS + 8 + 12 * i),    // first_chunk (1-based)
+      u32be(bytes, stscS + 12 + 12 * i)))  // samples_per_chunk
+    val (stcoS, stcoE) = find(stblKids, "stco").getOrElse(return None)
+    val nChunks = u32be(bytes, stcoS + 4).toInt
+    if (nChunks <= 0 || stcoS + 8 + 4L * nChunks > stcoE) return None
+    val chunkOff = Array.tabulate(nChunks)(i => u32be(bytes, stcoS + 8 + 4 * i))
+    val offsets = new Array[Long](nSamples)
+    var sample = 0
+    var chunk = 0
+    while (chunk < nChunks && sample < nSamples) {
+      // samples_per_chunk of the last stsc run whose first_chunk <= chunk+1
+      val spc = stsc.takeWhile(_._1 <= chunk + 1).lastOption.getOrElse(return None)._2
+      var inChunk = 0L
+      var off = chunkOff(chunk)
+      while (inChunk < spc && sample < nSamples) {
+        offsets(sample) = off
+        off += sizes(sample)
+        sample += 1; inChunk += 1
+      }
+      chunk += 1
+    }
+    if (sample < nSamples) return None
+    val allDurs = durs.result()
+    if (allDurs.length < nSamples) return None
+    val out = Vector.newBuilder[Mp4FrameStats]
+    var s = 0
+    while (s < nSamples) {
+      val off = offsets(s)
+      if (sizes(s) != frameLen || off < 0 || off + frameLen > bytes.length)
+        return None
+      val base = off.toInt
+      var sum = 0L; var sq = 0L
+      var k = 0
+      while (k < frameLen) {
+        val v = bytes(base + k) & 0xff
+        sum += v; sq += v.toLong * v
+        k += 1
+      }
+      val first = (bytes(base) & 0xff).toLong + (bytes(base + 1) & 0xff) +
+        (bytes(base + 2) & 0xff)
+      out += Mp4FrameStats(s, w, h, w.toLong * h, sum, sq, first, allDurs(s))
+      s += 1
+    }
+    Some(out.result())
+  }
+
+  val synthMp4Udf = udf((seed: Long, w: Int, h: Int, frames: Int, delta: Int) =>
+    synthMp4(seed, w, h, frames, delta))
+  val mp4FramesUdf = udf((b: Array[Byte]) => decodeMp4(b))
+
   /** Ingest: raw (id, kind, bytes) -> typed media table with sniffed
     * header metadata. Pure column expressions + the D1 sniff UDF. */
   def ingest(raw: DataFrame): DataFrame = {

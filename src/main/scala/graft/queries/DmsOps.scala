@@ -608,6 +608,59 @@ object DmsOps {
       }
     ),
     Q(
+      "mm_decode_mp4",
+      // REAL ISO-BMFF container decode, exact-hash-checked: deterministic
+      // MP4s (ftyp brand, moov sample tables — 'raw ' VisualSampleEntry
+      // stsd, stts durations, a two-chunk stsc/stco split so the
+      // sample-to-chunk reconstruction actually runs — mdat of top-down
+      // RGB24 frames) are synthesized per doc and walked by decodeMp4.
+      // Byte k of frame f is (seed + f·w·h·3 + k) % 256 and every
+      // sample's stts delta is 30 + doc_id % 5, so DuckDB recomputes each
+      // sample's exact pixel sums AND duration THROUGH the box walk: a
+      // big-endian/size-inclusion, stsc-run, chunk-offset or stts bug
+      // breaks the hash. Closes the non-RIFF video-container seam next
+      // to mm_decode_avi.
+      Some("""WITH f AS (SELECT unnest(range(0, 3)) AS f),
+             |k AS (SELECT unnest(range(0, 45)) AS k)
+             |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+             |       CAST(3 + doc_id % 3 AS INT) AS width,
+             |       3 AS height,
+             |       CAST((3 + doc_id % 3) * 3 AS BIGINT) AS n_px,
+             |       CAST(sum((doc_id * 19 + f * (3 + doc_id % 3) * 9 + k) % 256)
+             |            AS BIGINT) AS pix_sum,
+             |       CAST(sum(((doc_id * 19 + f * (3 + doc_id % 3) * 9 + k) % 256)
+             |                * ((doc_id * 19 + f * (3 + doc_id % 3) * 9 + k) % 256))
+             |            AS BIGINT) AS pix_sq_sum,
+             |       CAST((doc_id * 19 + f * (3 + doc_id % 3) * 9) % 256
+             |            + (doc_id * 19 + f * (3 + doc_id % 3) * 9 + 1) % 256
+             |            + (doc_id * 19 + f * (3 + doc_id % 3) * 9 + 2) % 256
+             |            AS BIGINT) AS first_px,
+             |       CAST(30 + doc_id % 5 AS INT) AS dur_ticks
+             |FROM documents CROSS JOIN f CROSS JOIN k
+             |WHERE f < 2 + doc_id % 2 AND k < (3 + doc_id % 3) * 9
+             |GROUP BY doc_id, f
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val mm = graft.multimodal.Multimodal
+        val raw = t.documents.select(
+          col("doc_id").as("media_id"),
+          mm.synthMp4Udf(col("doc_id") * 19,
+            (col("doc_id") % 3 + 3).cast("int"), lit(3),
+            (col("doc_id") % 2 + 2).cast("int"),
+            (col("doc_id") % 5 + 30).cast("int")).as("content"))
+        ordered(
+          raw.select(col("media_id"),
+            explode(mm.mp4FramesUdf(col("content"))).as("s"))
+            .select(col("media_id"), col("s.frame_idx").as("frame_idx"),
+              col("s.width").as("width"), col("s.height").as("height"),
+              col("s.n_px").as("n_px"), col("s.pix_sum").as("pix_sum"),
+              col("s.pix_sq_sum").as("pix_sq_sum"), col("s.first_px").as("first_px"),
+              col("s.dur_ticks").as("dur_ticks"))
+        )
+      }
+    ),
+    Q(
       "mm_decode_gif",
       // REAL video-path decode, exact-hash-checked: deterministic animated
       // GIFs (2..4 full-size frames, 256-gray palette, real LZW streams)

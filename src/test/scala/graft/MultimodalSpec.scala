@@ -308,6 +308,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeAvi(hugeDims).isEmpty)
   }
 
+  test("decodeMp4: closed-form RGB24 samples through the real ISO-BMFF walk") {
+    val (seed, w, h, nf, delta) = (53L, 5, 3, 4, 33)
+    val mp4 = Multimodal.synthMp4(seed, w, h, nf, delta)
+    val frames = Multimodal.decodeMp4(mp4).get
+    assert(frames.size == nf)
+    val fs = w * h * 3
+    frames.zipWithIndex.foreach { case (f, i) =>
+      assert(f.frame_idx == i && f.width == w && f.height == h &&
+        f.n_px == w * h && f.dur_ticks == delta)
+      val vals = (0 until fs).map(k => (seed + i.toLong * fs + k) % 256)
+      assert(f.pix_sum == vals.sum)
+      assert(f.pix_sq_sum == vals.map(v => v * v).sum)
+      assert(f.first_px == vals.take(3).sum)
+    }
+    // the two-chunk stsc/stco split means samples 1..n-1 sit at offsets
+    // the decoder can only find by actually running the sample-to-chunk
+    // run expansion — a single-chunk assumption would misplace frame 2+
+    val single = Multimodal.decodeMp4(Multimodal.synthMp4(seed, w, h, 1, delta)).get
+    assert(single.size == 1 && single.head.pix_sum == frames.head.pix_sum)
+    // D1 sniff: brand, 16.16 tkhd dims, mvhd duration on the 1000 timescale
+    val meta = graft.functions.Metadata.sniff(mp4)
+    assert(meta("mime") == "video/mp4" && meta("brand") == "isom" &&
+      meta("width") == "5" && meta("height") == "3" &&
+      meta("duration_ms") == (nf * delta).toString)
+    // structural gates: None, never garbage
+    assert(Multimodal.decodeMp4(mp4.take(64)).isEmpty)       // truncated mid-moov
+    assert(Multimodal.decodeMp4(mp4.dropRight(4)).isEmpty)   // mdat short of stsz
+    val wrongBrand = mp4.clone(); wrongBrand(4) = 'x'        // no ftyp first box
+    assert(Multimodal.decodeMp4(wrongBrand).isEmpty)
+    val codec = new String(mp4, 0, mp4.length, "ISO-8859-1").indexOf("raw ")
+    val notRaw = mp4.clone(); notRaw(codec) = 'j'            // unsupported codec
+    assert(Multimodal.decodeMp4(notRaw).isEmpty)
+  }
+
   test("decodeAvi: MJPEG frames decode through the JDK's own JPEG codec") {
     val (w, h, nf) = (16, 8, 2)
     val jpegs = (0 until nf).map { f =>
