@@ -1435,6 +1435,211 @@ object Multimodal {
     synthMp4(seed, w, h, frames, delta))
   val mp4FramesUdf = udf((b: Array[Byte]) => decodeMp4(b))
 
+  // ---- MKV (Matroska / EBML) video container: synthesis + real walk ----
+
+  /** Per-frame statistics from a Matroska video track: V_UNCOMPRESSED
+    * RGB24 SimpleBlocks located through the EBML element walk, plus the
+    * frame's absolute timestamp (cluster Timestamp + block's signed
+    * 16-bit relative timestamp, in TimestampScale ticks = ms here). */
+  case class MkvFrameStats(
+      frame_idx: Int, width: Int, height: Int, n_px: Long,
+      pix_sum: Long, pix_sq_sum: Long, first_px: Long, ts_ms: Long)
+
+  /** EBML variable-length integer at `p`: the first byte's leading-zero
+    * count picks the width n (1..8); IDs keep the length-marker bit in
+    * their value (Matroska convention), sizes strip it. Returns
+    * (value, n) or None on a zero lead byte / truncation / (for sizes)
+    * the reserved all-ones "unknown size". */
+  private def ebmlVar(b: Array[Byte], p: Int, end: Int,
+      keepMarker: Boolean): Option[(Long, Int)] = {
+    if (p >= end) return None
+    val first = b(p) & 0xff
+    if (first == 0) return None
+    val n = java.lang.Integer.numberOfLeadingZeros(first) - 23 // 1..8
+    if (n > 8 || p + n > end) return None
+    var v: Long = if (keepMarker) first else first & ((1 << (8 - n)) - 1)
+    var i = 1
+    while (i < n) { v = (v << 8) | (b(p + i) & 0xff); i += 1 }
+    if (!keepMarker && v == (1L << (7 * n)) - 1) return None // unknown size
+    Some((v, n))
+  }
+
+  /** One EBML element at `p`: (id, payloadStart, payloadEnd) or None. */
+  private def ebmlEl(b: Array[Byte], p: Int, end: Int): Option[(Long, Int, Int)] =
+    for {
+      (id, idLen) <- ebmlVar(b, p, end, keepMarker = true)
+      (sz, szLen) <- ebmlVar(b, p + idLen, end, keepMarker = false)
+      if sz <= end - (p + idLen + szLen)
+    } yield (id, p + idLen + szLen, p + idLen + szLen + sz.toInt)
+
+  private def ebmlIdBytes(id: Long): Array[Byte] = {
+    val n = if (id <= 0xff) 1 else if (id <= 0xffff) 2
+      else if (id <= 0xffffff) 3 else 4
+    Array.tabulate(n)(i => ((id >> (8 * (n - 1 - i))) & 0xff).toByte)
+  }
+
+  private def ebmlSizeBytes(v: Long): Array[Byte] = {
+    var n = 1
+    while (v >= (1L << (7 * n)) - 1) n += 1 // all-ones per width is reserved
+    val full = (1L << (7 * n)) | v
+    Array.tabulate(n)(i => ((full >> (8 * (n - 1 - i))) & 0xff).toByte)
+  }
+
+  private def ebmlWrap(id: Long, payloads: Array[Byte]*): Array[Byte] = {
+    val body = payloads.foldLeft(Array.emptyByteArray)(_ ++ _)
+    ebmlIdBytes(id) ++ ebmlSizeBytes(body.length) ++ body
+  }
+
+  private def ebmlUint(v: Long): Array[Byte] = {
+    var n = 1
+    while (n < 8 && (v >>> (8 * n)) != 0) n += 1
+    Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte)
+  }
+
+  /** Minimal-but-valid Matroska writer: EBML header (DocType matroska) →
+    * Segment → Info (TimestampScale 1 ms/tick) + Tracks (one video
+    * TrackEntry, CodecID V_UNCOMPRESSED, PixelWidth/Height) + TWO
+    * Clusters — frame 0 alone at cluster timestamp 0, frames 1.. in a
+    * second cluster at timestamp `delta` carrying signed RELATIVE block
+    * timestamps — so the walk must combine cluster + block time and
+    * cannot shortcut to one container level. Byte k of frame f is
+    * `(seed + f·w·h·3 + k) % 256`, the same closed form the SQL oracle
+    * recomputes; frame f's absolute timestamp is f·delta ms. */
+  def synthMkv(seed: Long, w: Int, h: Int, frames: Int, delta: Int): Array[Byte] = {
+    val frameLen = w * h * 3
+    def frameBytes(f: Int): Array[Byte] = {
+      val fOff = seed + f.toLong * frameLen
+      Array.tabulate(frameLen)(k => (((fOff + k) % 256 + 256) % 256).toByte)
+    }
+    def simpleBlock(f: Int, relTs: Int): Array[Byte] =
+      ebmlWrap(0xA3, // SimpleBlock: track varint 1, s16 rel ts, flags, frame
+        Array[Byte](0x81.toByte, (relTs >> 8).toByte, relTs.toByte, 0x00),
+        frameBytes(f))
+    val header = ebmlWrap(0x1A45DFA3L,
+      ebmlWrap(0x4286, ebmlUint(1)), ebmlWrap(0x42F7, ebmlUint(1)),
+      ebmlWrap(0x42F2, ebmlUint(4)), ebmlWrap(0x42F3, ebmlUint(8)),
+      ebmlWrap(0x4282, "matroska".getBytes("ISO-8859-1")),
+      ebmlWrap(0x4287, ebmlUint(2)), ebmlWrap(0x4285, ebmlUint(2)))
+    val info = ebmlWrap(0x1549A966L, ebmlWrap(0x2AD7B1, ebmlUint(1000000L)))
+    val tracks = ebmlWrap(0x1654AE6BL, ebmlWrap(0xAE,
+      ebmlWrap(0xD7, ebmlUint(1)), ebmlWrap(0x73C5, ebmlUint(1)),
+      ebmlWrap(0x83, ebmlUint(1)), // TrackType video
+      ebmlWrap(0x86, "V_UNCOMPRESSED".getBytes("ISO-8859-1")),
+      ebmlWrap(0xE0, ebmlWrap(0xB0, ebmlUint(w)), ebmlWrap(0xBA, ebmlUint(h)))))
+    val cluster0 = ebmlWrap(0x1F43B675L,
+      ebmlWrap(0xE7, ebmlUint(0)), simpleBlock(0, 0))
+    val rest = (1 until frames).map(f =>
+      simpleBlock(f, (f - 1) * delta)) // relative to cluster ts = delta
+    val cluster1 =
+      if (frames > 1)
+        ebmlWrap(0x1F43B675L, (ebmlWrap(0xE7, ebmlUint(delta)) +: rest): _*)
+      else Array.emptyByteArray
+    header ++ ebmlWrap(0x18538067L, info, tracks, cluster0, cluster1)
+  }
+
+  /** Real EBML/Matroska walk: validates the EBML header's DocType, then
+    * descends Segment → Tracks for the first video TrackEntry
+    * (TrackType 1, CodecID V_UNCOMPRESSED, Video→PixelWidth/Height) and
+    * Segment → Cluster* for its SimpleBlocks, combining each cluster's
+    * Timestamp with the block's signed 16-bit relative timestamp. The
+    * variable-length ID/size integers — length encoded in the leading
+    * zeros of the first byte — are the EBML-vs-RIFF/ISO difference this
+    * walk exists to get right. Returns None for anything structurally
+    * unsound: bad varints, unknown sizes, a non-matroska DocType, absurd
+    * dims, lacing, or frames that don't match w·h·3. */
+  def decodeMkv(bytes: Array[Byte]): Option[Seq[MkvFrameStats]] = {
+    if (bytes == null || bytes.length < 8) return None
+    def children(from: Int, to: Int): Option[Seq[(Long, Int, Int)]] = {
+      val out = Vector.newBuilder[(Long, Int, Int)]
+      var p = from
+      while (p < to) {
+        val (id, s, e) = ebmlEl(bytes, p, to).getOrElse(return None)
+        out += ((id, s, e))
+        p = e
+      }
+      Some(out.result())
+    }
+    def uintAt(s: Int, e: Int): Long = {
+      var v = 0L; var i = s
+      while (i < e && i - s < 8) { v = (v << 8) | (bytes(i) & 0xff); i += 1 }
+      v
+    }
+    val top = children(0, bytes.length).getOrElse(return None)
+    val (_, hS, hE) = top.headOption.filter(_._1 == 0x1A45DFA3L)
+      .getOrElse(return None)
+    val hKids = children(hS, hE).getOrElse(return None)
+    val docType = hKids.collectFirst { case (0x4282L, s, e) =>
+      new String(bytes, s, e - s, "ISO-8859-1") }
+    if (!docType.contains("matroska")) return None
+    val (_, segS, segE) = top.collectFirst { case t @ (0x18538067L, _, _) => t }
+      .getOrElse(return None)
+    val segKids = children(segS, segE).getOrElse(return None)
+    // first video track entry
+    val video = segKids.collectFirst { case (0x1654AE6BL, s, e) =>
+      children(s, e).flatMap(_.collectFirst { case (0xAEL, ts, te) =>
+        children(ts, te).flatMap { entry =>
+          val typ = entry.collectFirst { case (0x83L, s2, e2) => uintAt(s2, e2) }
+          val num = entry.collectFirst { case (0xD7L, s2, e2) => uintAt(s2, e2) }
+          val codec = entry.collectFirst { case (0x86L, s2, e2) =>
+            new String(bytes, s2, e2 - s2, "ISO-8859-1") }
+          val dims = entry.collectFirst { case (0xE0L, s2, e2) =>
+            children(s2, e2).map { v =>
+              (v.collectFirst { case (0xB0L, a, b) => uintAt(a, b) },
+               v.collectFirst { case (0xBAL, a, b) => uintAt(a, b) })
+            }
+          }.flatten
+          for {
+            t <- typ if t == 1L
+            n <- num
+            c <- codec if c == "V_UNCOMPRESSED"
+            (Some(wl), Some(hl)) <- dims
+          } yield (n, wl.toInt, hl.toInt)
+        }
+      }.flatten)
+    }.flatten.getOrElse(return None)
+    val (trackNum, w, h) = video
+    if (w <= 0 || h <= 0 || w > (1 << 12) || h > (1 << 12)) return None
+    val frameLen = w * h * 3
+    val out = Vector.newBuilder[MkvFrameStats]
+    var idx = 0
+    for ((cid, cS, cE) <- segKids if cid == 0x1F43B675L) {
+      val cKids = children(cS, cE).getOrElse(return None)
+      val clusterTs = cKids.collectFirst { case (0xE7L, s, e) => uintAt(s, e) }
+        .getOrElse(return None)
+      for ((bid, bS, bE) <- cKids if bid == 0xA3) {
+        val (tn, tnLen) = ebmlVar(bytes, bS, bE, keepMarker = false)
+          .getOrElse(return None)
+        if (tn == trackNum) {
+          if (bS + tnLen + 3 > bE) return None
+          val rel = ((bytes(bS + tnLen) & 0xff) << 8 |
+            (bytes(bS + tnLen + 1) & 0xff)).toShort.toInt
+          val flags = bytes(bS + tnLen + 2) & 0xff
+          if ((flags & 0x06) != 0) return None // lacing unsupported
+          val fS = bS + tnLen + 3
+          if (bE - fS != frameLen) return None
+          var sum = 0L; var sq = 0L
+          var k = fS
+          while (k < bE) {
+            val v = bytes(k) & 0xff
+            sum += v; sq += v.toLong * v
+            k += 1
+          }
+          val first = (bytes(fS) & 0xff).toLong + (bytes(fS + 1) & 0xff) +
+            (bytes(fS + 2) & 0xff)
+          out += MkvFrameStats(idx, w, h, w.toLong * h, sum, sq, first,
+            clusterTs + rel)
+          idx += 1
+        }
+      }
+    }
+    val res = out.result()
+    if (res.isEmpty) None else Some(res)
+  }
+
+  val synthMkvUdf = udf((seed: Long, w: Int, h: Int, frames: Int, delta: Int) =>
+    synthMkv(seed, w, h, frames, delta))
+  val mkvFramesUdf = udf((b: Array[Byte]) => decodeMkv(b))
+
   /** Ingest: raw (id, kind, bytes) -> typed media table with sniffed
     * header metadata. Pure column expressions + the D1 sniff UDF. */
   def ingest(raw: DataFrame): DataFrame = {

@@ -661,6 +661,59 @@ object DmsOps {
       }
     ),
     Q(
+      "mm_decode_mkv",
+      // REAL EBML/Matroska container decode, exact-hash-checked: per-doc
+      // MKVs (EBML header, Segment → Info/Tracks with a V_UNCOMPRESSED
+      // video TrackEntry, two Clusters of SimpleBlocks carrying signed
+      // relative timestamps) are synthesized and walked by decodeMkv.
+      // Byte k of frame f is (seed + f·w·h·3 + k) % 256 and frame f's
+      // absolute timestamp is f·(30 + doc_id % 5) ms, so DuckDB
+      // recomputes each block's exact pixel sums AND timestamp THROUGH
+      // the walk: a varint-width, unknown-size, cluster/block-timestamp
+      // or lacing bug breaks the hash. With RIFF (AVI), ISO-BMFF (MP4)
+      // and EBML (MKV) all walked for real, every major video container
+      // family is off the stub seam.
+      Some("""WITH f AS (SELECT unnest(range(0, 3)) AS f),
+             |k AS (SELECT unnest(range(0, 45)) AS k)
+             |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+             |       CAST(3 + doc_id % 3 AS INT) AS width,
+             |       3 AS height,
+             |       CAST((3 + doc_id % 3) * 3 AS BIGINT) AS n_px,
+             |       CAST(sum((doc_id * 23 + f * (3 + doc_id % 3) * 9 + k) % 256)
+             |            AS BIGINT) AS pix_sum,
+             |       CAST(sum(((doc_id * 23 + f * (3 + doc_id % 3) * 9 + k) % 256)
+             |                * ((doc_id * 23 + f * (3 + doc_id % 3) * 9 + k) % 256))
+             |            AS BIGINT) AS pix_sq_sum,
+             |       CAST((doc_id * 23 + f * (3 + doc_id % 3) * 9) % 256
+             |            + (doc_id * 23 + f * (3 + doc_id % 3) * 9 + 1) % 256
+             |            + (doc_id * 23 + f * (3 + doc_id % 3) * 9 + 2) % 256
+             |            AS BIGINT) AS first_px,
+             |       CAST(f * (30 + doc_id % 5) AS BIGINT) AS ts_ms
+             |FROM documents CROSS JOIN f CROSS JOIN k
+             |WHERE f < 2 + doc_id % 2 AND k < (3 + doc_id % 3) * 9
+             |GROUP BY doc_id, f
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val mm = graft.multimodal.Multimodal
+        val raw = t.documents.select(
+          col("doc_id").as("media_id"),
+          mm.synthMkvUdf(col("doc_id") * 23,
+            (col("doc_id") % 3 + 3).cast("int"), lit(3),
+            (col("doc_id") % 2 + 2).cast("int"),
+            (col("doc_id") % 5 + 30).cast("int")).as("content"))
+        ordered(
+          raw.select(col("media_id"),
+            explode(mm.mkvFramesUdf(col("content"))).as("s"))
+            .select(col("media_id"), col("s.frame_idx").as("frame_idx"),
+              col("s.width").as("width"), col("s.height").as("height"),
+              col("s.n_px").as("n_px"), col("s.pix_sum").as("pix_sum"),
+              col("s.pix_sq_sum").as("pix_sq_sum"), col("s.first_px").as("first_px"),
+              col("s.ts_ms").as("ts_ms"))
+        )
+      }
+    ),
+    Q(
       "mm_decode_gif",
       // REAL video-path decode, exact-hash-checked: deterministic animated
       // GIFs (2..4 full-size frames, 256-gray palette, real LZW streams)

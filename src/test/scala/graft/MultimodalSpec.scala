@@ -342,6 +342,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeMp4(notRaw).isEmpty)
   }
 
+  test("decodeMkv: closed-form RGB24 blocks through the real EBML walk") {
+    val (seed, w, h, nf, delta) = (71L, 5, 3, 4, 34)
+    val mkv = Multimodal.synthMkv(seed, w, h, nf, delta)
+    val frames = Multimodal.decodeMkv(mkv).get
+    assert(frames.size == nf)
+    val fs = w * h * 3
+    frames.zipWithIndex.foreach { case (f, i) =>
+      assert(f.frame_idx == i && f.width == w && f.height == h &&
+        f.n_px == w * h && f.ts_ms == i.toLong * delta)
+      val vals = (0 until fs).map(k => (seed + i.toLong * fs + k) % 256)
+      assert(f.pix_sum == vals.sum)
+      assert(f.pix_sq_sum == vals.map(v => v * v).sum)
+      assert(f.first_px == vals.take(3).sum)
+    }
+    // frame timestamps come from TWO containers: cluster Timestamp +
+    // signed 16-bit block-relative ts — a walk that ignores either level
+    // lands on the wrong ts_ms
+    assert(frames.map(_.ts_ms) == (0 until nf).map(_.toLong * delta))
+    val single = Multimodal.decodeMkv(Multimodal.synthMkv(seed, w, h, 1, delta)).get
+    assert(single.size == 1 && single.head.pix_sum == frames.head.pix_sum)
+    // structural gates: None, never garbage
+    assert(Multimodal.decodeMkv(mkv.take(48)).isEmpty)     // truncated segment
+    assert(Multimodal.decodeMkv(mkv.dropRight(3)).isEmpty) // short last block
+    val wrongDoc = mkv.clone()
+    val dt = new String(mkv, 0, mkv.length, "ISO-8859-1").indexOf("matroska")
+    wrongDoc(dt) = 'x'
+    assert(Multimodal.decodeMkv(wrongDoc).isEmpty)         // non-matroska DocType
+    val codec = new String(mkv, 0, mkv.length, "ISO-8859-1").indexOf("V_UNCOMPRESSED")
+    val notRaw = mkv.clone(); notRaw(codec) = 'X'
+    assert(Multimodal.decodeMkv(notRaw).isEmpty)           // unsupported codec
+  }
+
   test("decodeAvi: MJPEG frames decode through the JDK's own JPEG codec") {
     val (w, h, nf) = (16, 8, 2)
     val jpegs = (0 until nf).map { f =>
