@@ -380,6 +380,65 @@ object EventOps {
               sum(col("c")).over(Window.partitionBy(col("src"))).cast("double"), 4))
         )
       }
+    ),
+    Q(
+      "t14_cohort_retention",
+      // Cohort retention matrix — the product-analytics complement to the
+      // t10 funnel: users cohorted by first-active week, each cell
+      // (cohort_week, week_offset) counts the cohort's users still
+      // active that many weeks later, with retention as a percentage of
+      // cohort size. All bucketing is integer day arithmetic off a fixed
+      // epoch (datediff div 7 — no timezone/week-start semantics to
+      // disagree on) and retention is a ratio of exact BIGINTs rounded
+      // once. 100 TB shape: one hash aggregate to per-user first-day
+      // (map-side partial over user_id), an equi-join of events to their
+      // user's cohort on the SAME user_id partitioning, then everything
+      // rides the (user, week) distinct relation and the weeks² cell
+      // matrix; cohort sizes (≤ weeks rows) broadcast onto the cells.
+      Some("""WITH ev AS (
+             |  SELECT user_id,
+             |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+             |  FROM events
+             |),
+             |firstday AS (SELECT user_id, min(day) AS first_day FROM ev GROUP BY user_id),
+             |uw AS (
+             |  SELECT DISTINCT ev.user_id, f.first_day // 7 AS cohort_week,
+             |         ev.day // 7 - f.first_day // 7 AS week_offset
+             |  FROM ev JOIN firstday f ON ev.user_id = f.user_id
+             |),
+             |cells AS (
+             |  SELECT cohort_week, week_offset, count(*) AS n_active
+             |  FROM uw GROUP BY cohort_week, week_offset
+             |),
+             |sizes AS (
+             |  SELECT first_day // 7 AS cohort_week, count(*) AS cohort_size
+             |  FROM firstday GROUP BY 1
+             |)
+             |SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+             |       round(100.0 * c.n_active / s.cohort_size, 4) AS retention_pct
+             |FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val ev = t.events.select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("day"))
+        val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+        val uw = ev.join(firstDay, Seq("user_id"))
+          .select(col("user_id"), expr("first_day div 7").as("cohort_week"),
+            expr("day div 7 - first_day div 7").as("week_offset"))
+          .distinct()
+        val cells = uw.groupBy(col("cohort_week"), col("week_offset"))
+          .agg(count(lit(1)).as("n_active"))
+        val sizes = firstDay.groupBy(expr("first_day div 7").as("cohort_week"))
+          .agg(count(lit(1)).as("cohort_size"))
+        ordered(
+          cells.join(broadcast(sizes), Seq("cohort_week"))
+            .select(col("cohort_week"), col("week_offset"), col("n_active"),
+              col("cohort_size"),
+              round(lit(100.0) * col("n_active") / col("cohort_size"), 4)
+                .as("retention_pct"))
+        )
+      }
     )
   )
 
