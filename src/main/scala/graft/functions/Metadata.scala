@@ -129,6 +129,13 @@ object Metadata {
           }
         }
         m
+      } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x1a &&
+        (bytes(1) & 0xff) == 0x45 && (bytes(2) & 0xff) == 0xdf &&
+        (bytes(3) & 0xff) == 0xa3) {
+        // EBML (Matroska/WebM): the 4-byte header-element ID; deep dims
+        // need the full varint walk (Multimodal.decodeMkv) — the sniff
+        // reports the container family only
+        Map("mime" -> "video/x-matroska")
       } else if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
         bytes(6) == 'y' && bytes(7) == 'p') {
         // MP4/ISO BMFF: big-endian header-INCLUSIVE box sizes (the

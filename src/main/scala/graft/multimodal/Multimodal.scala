@@ -789,9 +789,37 @@ object Multimodal {
             pack(Array(mean / 32768.0, rms / 32768.0, zcr,
               s.sample_rate.toDouble, s.n_samples.toDouble))
           }
+        // the three real container walks feed the same pooled multi-frame
+        // stats as the animated-GIF path: every video family is a REAL
+        // decode in the feature pipeline, not a stub
+        case "video/avi" =>
+          decodeAvi(row.content).filter(_.nonEmpty).map(fs =>
+            videoFeats(row, featureDim,
+              fs.map(f => (f.width, f.height, f.pix_sum, f.pix_sq_sum, f.first_px))))
+        case "video/mp4" =>
+          decodeMp4(row.content).filter(_.nonEmpty).map(fs =>
+            videoFeats(row, featureDim,
+              fs.map(f => (f.width, f.height, f.pix_sum, f.pix_sq_sum, f.first_px))))
+        case "video/x-matroska" =>
+          decodeMkv(row.content).filter(_.nonEmpty).map(fs =>
+            videoFeats(row, featureDim,
+              fs.map(f => (f.width, f.height, f.pix_sum, f.pix_sq_sum, f.first_px))))
         case _ => None
       }
       real.getOrElse(decodeStub.decode(row, featureDim))
+    }
+
+    /** Pooled per-frame RGB24 stats -> clip features (the GIF shape). */
+    private def videoFeats(row: MediaRow, featureDim: Int,
+        fs: Seq[(Int, Int, Long, Long, Long)]): MediaFeatures = {
+      val n = fs.map { case (w, h, _, _, _) => w.toLong * h * 3 }.sum.toDouble
+      val mean = fs.map(_._3).sum / n
+      val variance = math.max(fs.map(_._4).sum / n - mean * mean, 0.0)
+      val (w0, h0, _, _, first0) = fs.head
+      val vals = Array(mean / 255.0, math.sqrt(variance) / 255.0,
+        first0 / 765.0, w0.toDouble, h0.toDouble)
+      MediaFeatures(row.media_id, row.kind, w0, h0, fs.size,
+        Array.tabulate(featureDim)(i => if (i < vals.length) vals(i).toFloat else 0f))
     }
   }
 

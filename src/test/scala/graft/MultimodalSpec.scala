@@ -488,6 +488,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(13L).width == 4 && feats(13L).height == 6)
   }
 
+  test("realDecoder: video containers (avi/mp4/mkv) decode for real") {
+    import spark.implicits._
+    val rows = Seq(
+      (20L, "video", Multimodal.synthAvi(11L, 4, 3, 2)),
+      (21L, "video", Multimodal.synthMp4(13L, 4, 3, 3, 40)),
+      (22L, "video", Multimodal.synthMkv(17L, 4, 3, 3, 40)))
+      .toDF("media_id", "kind", "content")
+    // sniff routes each container family (EBML branch is new)
+    assert(graft.functions.Metadata.sniff(
+      Multimodal.synthMkv(17L, 4, 3, 3, 40))("mime") == "video/x-matroska")
+    val feats = Multimodal.pipeline(spark, rows, featureDim = 8,
+        decoder = Multimodal.realDecoder)
+      .collect().map(f => f.media_id -> f).toMap
+    // pooled mean over ALL frames equals the closed form: byte k of frame
+    // f is (seed + f*36 + k) % 256 over 36 bytes/frame
+    def meanOf(seed: Long, frames: Int): Double =
+      (0 until frames).flatMap(f =>
+        (0 until 36).map(k => (seed + f * 36 + k) % 256)).sum / (frames * 36.0)
+    assert(math.abs(feats(20L).features(0) - meanOf(11L, 2) / 255.0) < 1e-6)
+    assert(math.abs(feats(21L).features(0) - meanOf(13L, 3) / 255.0) < 1e-6)
+    assert(math.abs(feats(22L).features(0) - meanOf(17L, 3) / 255.0) < 1e-6)
+    // n_frames is the real decoded frame count, not a stub constant
+    assert(feats(20L).n_frames == 2 && feats(21L).n_frames == 3 &&
+      feats(22L).n_frames == 3)
+  }
+
   test("dHash: deterministic 64-bit perceptual hash, brightness twins collide") {
     // closed-form recompute of one hash: multiplicative 5x3 BMP, 9x8
     // nearest-neighbor resample, integer grayscale, adjacent comparisons
