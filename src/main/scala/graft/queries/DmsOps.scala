@@ -227,6 +227,75 @@ object DmsOps {
       }
     ),
     Q(
+      "d8_incremental_agg",
+      // Incremental aggregate maintenance — the materialized-view refresh
+      // law, hash-PROVEN exact: a per-group aggregate (docs grouped by
+      // length(text) % 5, counting docs + total chars) at snapshot t2 is
+      // computed as base(t1) ⊎ delta, where the delta contributes
+      // -old for every removed/changed file and +new for every
+      // added/changed file (group MIGRATION on update falls out of the
+      // ± pair). The oracle aggregates the t2 snapshot directly, so the
+      // hash match proves base + delta == full recompute. 100 TB shape:
+      // the base aggregate is a tiny materialized relation (group
+      // cardinality, not corpus), the delta rides the snapshot-diff
+      // relation (changed files only) — refresh cost is O(delta), the
+      // corpus is never rescanned. Same t1/t2 fences as d8_snapshot_diff
+      // so all of added/removed/changed/unchanged are exercised.
+      Some(s"""WITH $versionedCte,
+              |s2 AS (
+              |  SELECT filename, doc_id, text,
+              |         row_number() OVER (PARTITION BY filename
+              |                            ORDER BY version DESC, doc_id DESC) AS rn
+              |  FROM v WHERE version <= (CASE WHEN filename = 'doc9' THEN 4 ELSE 8 END)
+              |        AND filename <> 'doc7'
+              |)
+              |SELECT CAST(length(text) % 5 AS INT) AS grp,
+              |       count(*) AS n_docs,
+              |       CAST(sum(length(text)) AS BIGINT) AS total_chars
+              |FROM s2 WHERE rn = 1
+              |GROUP BY 1
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val w = Window.partitionBy(col("filename"))
+          .orderBy(col("version").desc, col("doc_id").desc)
+        def snap(pred: Column) = versioned(t).filter(pred)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("filename"), col("doc_id"), col("text"))
+        val s1 = snap(col("version") <= 4 && !col("filename").isin("doc3", "doc4"))
+        val s2 = snap(
+          col("version") <= when(col("filename") === "doc9", 4).otherwise(8) &&
+            col("filename") =!= "doc7")
+        // the "materialized view" as of t1 (in production this relation
+        // is stored, not recomputed — its size is group cardinality)
+        val base = s1
+          .select((length(col("text")) % 5).cast("int").as("grp"),
+            length(col("text")).cast("long").as("chars"))
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("total_chars"))
+        val diff = s1.as("a").join(s2.as("b"), Seq("filename"), "full_outer")
+        val removedOrOld = diff
+          .filter(col("a.doc_id").isNotNull &&
+            (col("b.doc_id").isNull || col("a.doc_id") =!= col("b.doc_id")))
+          .select((length(col("a.text")) % 5).cast("int").as("grp"),
+            lit(-1L).as("n_docs"),
+            (-length(col("a.text"))).cast("long").as("total_chars"))
+        val addedOrNew = diff
+          .filter(col("b.doc_id").isNotNull &&
+            (col("a.doc_id").isNull || col("a.doc_id") =!= col("b.doc_id")))
+          .select((length(col("b.text")) % 5).cast("int").as("grp"),
+            lit(1L).as("n_docs"),
+            length(col("b.text")).cast("long").as("total_chars"))
+        ordered(
+          base.unionByName(removedOrOld).unionByName(addedOrNew)
+            .groupBy(col("grp"))
+            .agg(sum(col("n_docs")).as("n_docs"),
+              sum(col("total_chars")).as("total_chars"))
+            .filter(col("n_docs") > 0)
+        )
+      }
+    ),
+    Q(
       "s8_delete_antijoin",
       // delete() (DMS.py:279-311) as rewrite-on-delete: anti-join the
       // tombstone set, survivors keep their counts
