@@ -415,7 +415,8 @@ object EventOps {
              |  FROM firstday GROUP BY 1
              |)
              |SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
-             |       round(100.0 * c.n_active / s.cohort_size, 4) AS retention_pct
+             |       round(100.0 * CAST(c.n_active AS DOUBLE) / s.cohort_size, 4)
+             |         AS retention_pct
              |FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
              |ORDER BY ALL NULLS FIRST""".stripMargin),
       (spark, dir) => {

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Canon._
 import graft.functions.Text
@@ -26,6 +27,75 @@ object TextOps {
       |)""".stripMargin
 
   val all: Seq[Q] = skewProfileQ +: quantileNormQ +: pmiAssocQ +: Seq(
+    Q(
+      "d7_zipf_fit",
+      // Zipf's-law fit over the corpus unigram distribution — the
+      // token-frequency health diagnostic (natural text slopes ≈ −1;
+      // template spam and tokenizer bugs bend it): OLS slope/intercept of
+      // ln(freq) on ln(rank), EXACT-hash-checked despite being a float
+      // regression. The trick is the centered integer form: per-term
+      // ln's are rounded once to 6dp and scaled to BIGINTs, then
+      // slope = Σ(n·xi−Σx)(n·yi−Σy) / Σ(n·xi−Σx)² — the n factors
+      // cancel against the classic nΣxy−ΣxΣy form — so numerator and
+      // denominator are exact DECIMAL sums of exact integer products,
+      // order-independent, and each engine does ONE double division at
+      // the end (the D7k exact-products-cast-once discipline). 100 TB
+      // shape: one corpus scan to the term-frequency aggregate, then
+      // everything — the ranking window included — rides the
+      // vocab-bounded relation; the stats join is a 1-row broadcast.
+      Some(s"""WITH $toksCte,
+              |tok AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+              |tf AS (SELECT term, count(*) AS tf FROM tok GROUP BY 1),
+              |r AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, term ASC) AS rank
+              |      FROM tf),
+              |xy AS (SELECT CAST(round(ln(rank) * 1000000) AS BIGINT) AS xi,
+              |              CAST(round(ln(tf) * 1000000) AS BIGINT) AS yi
+              |       FROM r),
+              |s AS (SELECT count(*) AS n, sum(xi) AS sx, sum(yi) AS sy FROM xy),
+              |c AS (SELECT CAST(s.n * xy.xi - s.sx AS DECIMAL(14,0)) AS xc,
+              |             CAST(s.n * xy.yi - s.sy AS DECIMAL(14,0)) AS yc
+              |      FROM xy CROSS JOIN s),
+              |agg AS (SELECT sum(xc * yc) AS num, sum(xc * xc) AS den FROM c)
+              |SELECT s.n AS n_terms,
+              |       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS slope,
+              |       round((CAST(sy AS DOUBLE)
+              |              - CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+              |                * CAST(sx AS DOUBLE))
+              |             / (1000000.0 * s.n), 6) AS intercept
+              |FROM agg CROSS JOIN s
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val tf = t.documents
+          .select(explode(Text.tokenize(col("text"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+        // ranking window over the REDUCED vocab relation (same discipline
+        // as d7_quantile_norm's pooled CDF), not the token stream
+        val ranked = tf.withColumn("rank",
+          row_number().over(Window.orderBy(col("tf").desc, col("term").asc)))
+        val xy = ranked.select(
+          round(log(col("rank")) * lit(1000000d)).cast("long").as("xi"),
+          round(log(col("tf")) * lit(1000000d)).cast("long").as("yi"))
+          .localCheckpoint() // feeds both the stats row and the centering
+        val s = xy.agg(count(lit(1)).as("n"),
+          sum(col("xi")).as("sx"), sum(col("yi")).as("sy"))
+        val c = xy.crossJoin(broadcast(s))
+          .select((col("n") * col("xi") - col("sx")).cast("decimal(14,0)").as("xc"),
+            (col("n") * col("yi") - col("sy")).cast("decimal(14,0)").as("yc"))
+        val agg = c.agg(sum(col("xc") * col("yc")).as("num"),
+          sum(col("xc") * col("xc")).as("den"))
+        ordered(
+          agg.crossJoin(broadcast(s))
+            .select(col("n").as("n_terms"),
+              round(col("num").cast("double") / col("den").cast("double"), 6)
+                .as("slope"),
+              round((col("sy").cast("double")
+                - col("num").cast("double") / col("den").cast("double")
+                  * col("sx").cast("double"))
+                / (lit(1000000d) * col("n")), 6).as("intercept"))
+        )
+      }
+    ),
     Q(
       "a6_heavy_hitters",
       // Two-pass exact heavy hitters: pass 1 sketches candidates with a

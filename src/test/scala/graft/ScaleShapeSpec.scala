@@ -176,6 +176,8 @@ class ScaleShapeSpec extends AnyFunSuite {
       "d7_source_kl", // 1-row corpus-token-total scalar broadcast
       "d11_dsir_select", // 1-row corpus-totals scalar broadcast into the
       // 256-row importance table; the corpus side is pure equi-joins
+      "d7_zipf_fit", // two 1-row stats broadcasts (Σx/Σy centering, final
+      // slope assembly) onto the vocab-bounded rank relation
       "s12_histogram" // 1-row min/max scalar broadcast into bucket assign
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
