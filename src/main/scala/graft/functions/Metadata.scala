@@ -146,10 +146,12 @@ object Metadata {
           "brand" -> new String(bytes, 8, 4, "ISO-8859-1"))
         var i = 0
         var moov = -1L
-        while (i + 8 <= bytes.length && moov < 0) {
+        var corrupt = false
+        while (!corrupt && i + 8 <= bytes.length && moov < 0) {
           val sz = u32(bytes, i)
-          if (new String(bytes, i + 4, 4, "ISO-8859-1") == "moov") moov = i
-          if (sz < 8 || i + sz > bytes.length) moov = Long.MinValue // corrupt
+          if (new String(bytes, i + 4, 4, "ISO-8859-1") == "moov" &&
+            sz >= 8 && i + sz <= bytes.length) moov = i
+          else if (sz < 8 || i + sz > bytes.length) corrupt = true // stop, don't spin
           else i = (i + sz).toInt
         }
         if (moov >= 0) {
@@ -159,7 +161,7 @@ object Metadata {
           while (p + 8 <= end) {
             val sz = u32(bytes, p)
             val id = new String(bytes, p + 4, 4, "ISO-8859-1")
-            if (id == "mvhd" && p + 24 <= end) {
+            if (id == "mvhd" && p + 28 <= end) {
               val ts = u32(bytes, p + 20)
               val dur = u32(bytes, p + 24)
               if (ts > 0) m += ("duration_ms" -> (dur * 1000L / ts).toString)

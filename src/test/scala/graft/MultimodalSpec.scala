@@ -340,6 +340,14 @@ class MultimodalSpec extends AnyFunSuite {
     val codec = new String(mp4, 0, mp4.length, "ISO-8859-1").indexOf("raw ")
     val notRaw = mp4.clone(); notRaw(codec) = 'j'            // unsupported codec
     assert(Multimodal.decodeMp4(notRaw).isEmpty)
+    // sniff must TERMINATE on a corrupt top-level box size (zero/huge) —
+    // a walk that doesn't advance would hang the ingest executor
+    val zeroBox = mp4.clone()
+    val ftypLen = 20
+    zeroBox(ftypLen) = 0; zeroBox(ftypLen + 1) = 0
+    zeroBox(ftypLen + 2) = 0; zeroBox(ftypLen + 3) = 0      // moov size = 0
+    assert(graft.functions.Metadata.sniff(zeroBox)("mime") == "video/mp4")
+    assert(Multimodal.decodeMp4(zeroBox).isEmpty)
   }
 
   test("decodeMkv: closed-form RGB24 blocks through the real EBML walk") {
