@@ -140,6 +140,53 @@ object Windows {
       }
     ),
     Q(
+      "w7_rolling_median",
+      // Centered 7-slot rolling MEDIAN over the daily per-type event
+      // series — the robust smoother (a single spike day moves a rolling
+      // mean but not the median). Spark has no native windowed median,
+      // so the frame is materialized per row (collect_list over ROWS
+      // ±3 → sort_array → middle element(s)) — exact, and cheap because
+      // the window rides the days × types relation the daily aggregate
+      // already reduced to, NOT the event stream; DuckDB's native
+      // windowed median is the oracle, so the even-frame
+      // average-of-middles convention is pinned too. Edge days simply
+      // have smaller frames (both engines agree). 100 TB shape: one
+      // event-scan aggregate with map-side partials, then the window
+      // runs on the tiny daily relation partitioned by type.
+      Some("""WITH daily AS (
+             |  SELECT event_type,
+             |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             |         count(*) AS n
+             |  FROM events GROUP BY 1, 2
+             |)
+             |SELECT event_type, day, n,
+             |       CAST(median(n) OVER (PARTITION BY event_type ORDER BY day
+             |              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE)
+             |         AS roll_median
+             |FROM daily
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val daily = t.events
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(-3, 3)
+        ordered(
+          daily
+            .withColumn("arr", sort_array(collect_list(col("n")).over(w)))
+            .withColumn("m", size(col("arr")))
+            .select(col("event_type"), col("day"), col("n"),
+              when(pmod(col("m"), lit(2)) === 1,
+                element_at(col("arr"), expr("cast((m + 1) div 2 as int)")).cast("double"))
+                .otherwise((element_at(col("arr"), expr("cast(m div 2 as int)"))
+                  + element_at(col("arr"), expr("cast(m div 2 + 1 as int)"))) / lit(2.0))
+                .as("roll_median"))
+        )
+      }
+    ),
+    Q(
       "o3_topk_per_key",
       Some("""SELECT o_custkey, o_orderkey, o_totalprice
              FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
