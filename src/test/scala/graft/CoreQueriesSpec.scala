@@ -34,6 +34,49 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(orphans.isEmpty)
   }
 
+  test("t14: every cohort's offset-0 cell retains 100% of the cohort") {
+    // a user's first event defines the cohort, so week_offset 0 must
+    // contain every cohort member — retention exactly 100
+    val rows = run("t14_cohort_retention")
+      .filter(col("week_offset") === 0).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") == r.getAs[Long]("cohort_size"))
+      assert(r.getAs[Double]("retention_pct") == 100.0)
+    }
+  }
+
+  test("d8_incremental_agg: totals match a direct aggregate of the t2 snapshot") {
+    // the oracle proves base+delta == recompute cell by cell; this law
+    // pins the global invariant inside the engine too: group totals sum
+    // to the t2 snapshot's doc count (49 files survive the fences)
+    val out = run("d8_incremental_agg").collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 49L)
+    assert(out.forall(_.getAs[Long]("total_chars") > 0L))
+  }
+
+  test("d7_zipf_fit: slope is negative and finite on real corpus data") {
+    val r = run("d7_zipf_fit").collect().head
+    val slope = r.getAs[Double]("slope")
+    assert(!slope.isNaN && !slope.isInfinite)
+    assert(slope < 0.0, s"rank-frequency slope must fall, got $slope")
+    assert(r.getAs[Long]("n_terms") > 1L)
+  }
+
+  test("w7: rolling median is bracketed by its frame and robust to one spike") {
+    val rows = run("w7_rolling_median").collect()
+    // median of any frame containing the row lies within the series'
+    // global min/max per type — cheap bracketing sanity
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rs) =>
+      val ns = rs.map(_.getAs[Long]("n").toDouble)
+      rs.foreach { r =>
+        val m = r.getAs[Double]("roll_median")
+        assert(m >= ns.min && m <= ns.max)
+      }
+    }
+  }
+
   test("the SQL entry path: temp views + spark.sql + extension functions") {
     // users of the library can work entirely in SQL: register the corpus
     // as views, query with spark.sql, and call the engine's native
