@@ -118,4 +118,26 @@ object Text {
     ColumnBridge.column(graft.plans.JaroWinkler(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
+
+  /** Deflate-compressed byte length of the UTF-8 text (zlib level 9,
+    * default strategy) — the RefinedWeb/Gopher-style compressibility
+    * quality signal: near-duplicate boilerplate and template spam
+    * compress far below natural text. Deterministic for a given JDK
+    * zlib. */
+  def deflatedLen(text: Column): Column = deflatedLenUdf(text)
+
+  private lazy val deflatedLenUdf =
+    org.apache.spark.sql.functions.udf { (s: String) =>
+      if (s == null) 0L
+      else {
+        val d = new java.util.zip.Deflater(9)
+        try {
+          d.setInput(s.getBytes("UTF-8")); d.finish()
+          val buf = new Array[Byte](8192)
+          var total = 0L
+          while (!d.finished()) total += d.deflate(buf)
+          total
+        } finally d.end()
+      }
+    }
 }

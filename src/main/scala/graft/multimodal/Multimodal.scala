@@ -1375,11 +1375,15 @@ object Multimodal {
       (sS, sE) <- find(minfKids, "stbl")
       k <- children(sS, sE)
     } yield k).getOrElse(return None)
-    // stsd: first sample entry must be 'raw ' with sane dims
+    // stsd: first sample entry must be 'raw ' (byte-exact RGB24) or
+    // 'jpeg' (Motion-JPEG-in-BMFF, decoded through the JDK codec) with
+    // sane dims
     val (stsdS, stsdE) = find(stblKids, "stsd").getOrElse(return None)
     if (stsdE - stsdS < 8 + 86 || u32be(bytes, stsdS + 4) < 1) return None
     val entryS = stsdS + 8
-    if (u32be(bytes, entryS) < 86 || fourcc(bytes, entryS + 4) != "raw ") return None
+    val codec = fourcc(bytes, entryS + 4)
+    if (u32be(bytes, entryS) < 86 || (codec != "raw " && codec != "jpeg"))
+      return None
     val w = ((bytes(entryS + 32) & 0xff) << 8) | (bytes(entryS + 33) & 0xff)
     val h = ((bytes(entryS + 34) & 0xff) << 8) | (bytes(entryS + 35) & 0xff)
     if (w <= 0 || h <= 0 || w > (1 << 12) || h > (1 << 12)) return None
@@ -1441,22 +1445,107 @@ object Multimodal {
     var s = 0
     while (s < nSamples) {
       val off = offsets(s)
-      if (sizes(s) != frameLen || off < 0 || off + frameLen > bytes.length)
-        return None
-      val base = off.toInt
-      var sum = 0L; var sq = 0L
-      var k = 0
-      while (k < frameLen) {
-        val v = bytes(base + k) & 0xff
-        sum += v; sq += v.toLong * v
-        k += 1
+      val len = sizes(s)
+      if (off < 0 || len <= 0 || off + len > bytes.length) return None
+      if (codec == "raw ") {
+        if (len != frameLen) return None
+        val base = off.toInt
+        var sum = 0L; var sq = 0L
+        var k = 0
+        while (k < frameLen) {
+          val v = bytes(base + k) & 0xff
+          sum += v; sq += v.toLong * v
+          k += 1
+        }
+        val first = (bytes(base) & 0xff).toLong + (bytes(base + 1) & 0xff) +
+          (bytes(base + 2) & 0xff)
+        out += Mp4FrameStats(s, w, h, w.toLong * h, sum, sq, first, allDurs(s))
+      } else { // 'jpeg': each sample is a complete JPEG, JDK codec decodes
+        val img = try {
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+            bytes.slice(off.toInt, off.toInt + len.toInt)))
+        } catch { case _: Exception => null }
+        if (img == null) return None
+        var sum = 0L; var sq = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            var c = 0
+            while (c < 3) {
+              val v = (rgb >> (8 * c)) & 0xff
+              sum += v; sq += v.toLong * v
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val tl = img.getRGB(0, 0)
+        val first = ((tl & 0xff) + ((tl >> 8) & 0xff) + ((tl >> 16) & 0xff)).toLong
+        out += Mp4FrameStats(s, img.getWidth, img.getHeight,
+          img.getWidth.toLong * img.getHeight, sum, sq, first, allDurs(s))
       }
-      val first = (bytes(base) & 0xff).toLong + (bytes(base + 1) & 0xff) +
-        (bytes(base + 2) & 0xff)
-      out += Mp4FrameStats(s, w, h, w.toLong * h, sum, sq, first, allDurs(s))
       s += 1
     }
     Some(out.result())
+  }
+
+  /** Motion-JPEG MP4 writer for the cross-codec spec: the same moov
+    * skeleton as [[synthMp4]], but the sample entry is 'jpeg' and every
+    * mdat sample is a complete JPEG from the JDK's own encoder (sizes
+    * vary per sample, so stsz is non-uniform and the chunk-offset
+    * arithmetic is genuinely exercised). */
+  def synthMp4Jpeg(jpegFrames: Seq[Array[Byte]], w: Int, h: Int,
+      delta: Int): Array[Byte] = {
+    val frames = jpegFrames.size
+    val nChunks = if (frames > 1) 2 else 1
+    def moovFor(mdatStart: Long): Array[Byte] = {
+      val entry = isoBox("jpeg",
+        beShorts(0, 0, 0, 1), beInts(0, 0, 0, 0), beShorts(w, h),
+        beInts(0x00480000L, 0x00480000L, 0), beShorts(1),
+        new Array[Byte](32), beShorts(24, 0xffff))
+      val stsd = isoBox("stsd", beInts(0, 1), entry)
+      val stts = isoBox("stts", beInts(0, 1, frames, delta))
+      val stsc =
+        if (frames > 1) isoBox("stsc", beInts(0, 2, 1, 1, 1, 2, frames - 1L, 1))
+        else isoBox("stsc", beInts(0, 1, 1, 1, 1))
+      val stsz = isoBox("stsz",
+        beInts(0, 0, frames), beInts(jpegFrames.map(_.length.toLong): _*))
+      val stco =
+        if (frames > 1)
+          isoBox("stco", beInts(0, 2, mdatStart,
+            mdatStart + jpegFrames.head.length))
+        else isoBox("stco", beInts(0, 1, mdatStart))
+      val stbl = isoBox("stbl", stsd, stts, stsc, stsz, stco)
+      val dinf = isoBox("dinf",
+        isoBox("dref", beInts(0, 1), isoBox("url ", beInts(1))))
+      val vmhd = isoBox("vmhd", beInts(1), beShorts(0, 0, 0, 0))
+      val minf = isoBox("minf", vmhd, dinf, stbl)
+      val hdlr = isoBox("hdlr", beInts(0, 0), "vide".getBytes("ISO-8859-1"),
+        beInts(0, 0, 0), beShorts('v' << 8))
+      val dur = frames.toLong * delta
+      val mdhd = isoBox("mdhd",
+        beInts(0, 0, 0, 1000, dur), beShorts(0x55c4, 0))
+      val mdia = isoBox("mdia", mdhd, hdlr, minf)
+      val unity = beInts(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000L)
+      val tkhd = isoBox("tkhd",
+        beInts(7, 0, 0, 1, 0, dur, 0, 0), beShorts(0, 0, 0, 0), unity,
+        beInts(w.toLong << 16, h.toLong << 16))
+      val mvhd = isoBox("mvhd",
+        beInts(0, 0, 0, 1000, dur, 0x00010000L), beShorts(0x0100, 0),
+        beInts(0, 0), unity, beInts(0, 0, 0, 0, 0, 0, 2))
+      isoBox("moov", mvhd, isoBox("trak", tkhd, mdia))
+    }
+    val ftyp = isoBox("ftyp", "isom".getBytes("ISO-8859-1"), beInts(0x200),
+      "isom".getBytes("ISO-8859-1"))
+    val mdatStart = ftyp.length + moovFor(0L).length + 8L
+    val moov = moovFor(mdatStart)
+    val body = jpegFrames.foldLeft(Array.emptyByteArray)(_ ++ _)
+    val mdat = java.nio.ByteBuffer.allocate(8 + body.length)
+    mdat.putInt(mdat.capacity()); putFourcc(mdat, "mdat"); mdat.put(body)
+    ftyp ++ moov ++ mdat.array()
   }
 
   val synthMp4Udf = udf((seed: Long, w: Int, h: Int, frames: Int, delta: Int) =>

@@ -97,6 +97,32 @@ object TextOps {
       }
     ),
     Q(
+      "d7_compression_ratio",
+      // Compressibility quality gate (the RefinedWeb/Gopher signal):
+      // deflate-compressed length over raw length per doc — template spam
+      // and boilerplate near-dups compress far below natural text, so a
+      // low ratio is a drop signal no token statistic catches. zlib has
+      // no SQL twin, so this is a declared rows-only query; the
+      // FunctionsSpec laws pin that the UDF is REAL compression
+      // (inflate round-trips, repetitive text compresses much harder
+      // than high-entropy text) and deterministic. 100 TB shape: one
+      // narrow scan, per-row CPU, no shuffle before the final order —
+      // the same profile as the other d7 gates.
+      None,
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.documents.select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("n_chars"),
+            Text.deflatedLen(col("text")).as("z_len"))
+            .withColumn("ratio",
+              round(col("z_len").cast("double") / col("n_chars"), 4))
+            .withColumn("low_entropy", col("ratio") < 0.35)
+        )
+      }
+    ),
+    Q(
       "a6_heavy_hitters",
       // Two-pass exact heavy hitters: pass 1 sketches candidates with a
       // Misra-Gries aggregate (k=256 counters — fixed memory, one buffer

@@ -710,4 +710,34 @@ class FunctionsSpec extends AnyFunSuite {
       Vectors.cosine(col("a"), col("z"))).head()
     assert(row.getDouble(0) == 1.0 && row.getDouble(1) == 0.0)
   }
+
+  test("D7: deflatedLen is real zlib — round-trips, separates entropy, deterministic") {
+    import spark.implicits._
+    val boiler = "the same line of boilerplate over and over. " * 40
+    val varied = (1 to 200).map(i => s"tok${i * 7919 % 1001}x${i}").mkString(" ")
+    val df = Seq((1L, boiler), (2L, varied)).toDF("id", "text")
+    val out = df.select(col("id"), Text.deflatedLen(col("text")).as("z"),
+      length(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (zb, nb) = out(1L); val (zv, nv) = out(2L)
+    // repetitive text compresses much harder than high-entropy text
+    assert(zb.toDouble / nb < 0.10, s"boilerplate ratio ${zb.toDouble / nb}")
+    assert(zv.toDouble / nv > 0.30, s"varied ratio ${zv.toDouble / nv}")
+    // the UDF's count is REAL compression: the same deflate stream
+    // inflates back to the original bytes at exactly that length
+    val d = new java.util.zip.Deflater(9)
+    d.setInput(boiler.getBytes("UTF-8")); d.finish()
+    val buf = new Array[Byte](1 << 16)
+    val m = d.deflate(buf); d.end()
+    assert(m.toLong == zb)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(buf, 0, m)
+    val back = new Array[Byte](boiler.getBytes("UTF-8").length)
+    assert(inf.inflate(back) == back.length &&
+      new String(back, "UTF-8") == boiler)
+    inf.end()
+    // deterministic across invocations (the query is re-runnable)
+    val again = df.select(Text.deflatedLen(col("text"))).collect().map(_.getLong(0)).toSet
+    assert(again == Set(zb, zv))
+  }
 }

@@ -350,6 +350,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeMp4(zeroBox).isEmpty)
   }
 
+  test("decodeMp4: Motion-JPEG samples decode through the JDK's own codec") {
+    val (w, h, nf, delta) = (16, 8, 3, 33)
+    val jpegs = (0 until nf).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x * 16 + f * 32) << 16) | (y * 24 << 8) | 160)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val mp4 = Multimodal.synthMp4Jpeg(jpegs, w, h, delta)
+    val frames = Multimodal.decodeMp4(mp4).get
+    assert(frames.size == nf)
+    // non-uniform stsz + the two-chunk split: the walk must hand the JDK
+    // codec each sample's EXACT bytes — stats equal a direct decode
+    frames.zip(jpegs).zipWithIndex.foreach { case ((f, j), i) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(j))
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      }
+      assert(f.width == w && f.height == h && f.pix_sum == sum &&
+        f.dur_ticks == delta && f.frame_idx == i)
+    }
+  }
+
   test("decodeMkv: closed-form RGB24 blocks through the real EBML walk") {
     val (seed, w, h, nf, delta) = (71L, 5, 3, 4, 34)
     val mkv = Multimodal.synthMkv(seed, w, h, nf, delta)
