@@ -382,6 +382,35 @@ object EventOps {
       }
     ),
     Q(
+      "t2_sliding_distinct",
+      // Distinct users per sliding window — the non-algebraic twin of
+      // t2's counts: overlapping windows can't share partial distinct
+      // state, so the correct distributed shape is explode-to-window
+      // THEN (window, user) dedup THEN count, keeping the heavy distinct
+      // on the (window, user) hash — never a per-window set union. 100 TB
+      // shape: one shuffle on (window, user) with map-side dedup
+      // partials, then a map-side-combinable count; state is bounded by
+      // windows × active users, not events.
+      Some("""SELECT strftime(time_bucket(INTERVAL 15 MINUTES, ts)
+             |                - j * INTERVAL 15 MINUTES, '%Y-%m-%d %H:%M:%S') AS w_start,
+             |       count(DISTINCT user_id) AS n_users
+             |FROM events CROSS JOIN (SELECT unnest(range(4)) AS j)
+             |GROUP BY 1
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.events
+            .select(window(col("ts"), "1 hour", "15 minutes").as("w"),
+              col("user_id"))
+            .select(tstr(col("w.start")).as("w_start"), col("user_id"))
+            .distinct()
+            .groupBy(col("w_start"))
+            .agg(count(lit(1)).as("n_users"))
+        )
+      }
+    ),
+    Q(
       "t14_cohort_retention",
       // Cohort retention matrix — the product-analytics complement to the
       // t10 funnel: users cohorted by first-active week, each cell
