@@ -203,6 +203,44 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Directed containment-similarity join: C(A→B) = |A∩B| / |A| over
+    * n-gram shingle SETS — the asymmetric companion to
+    * [[ngramJaccardPairs]]. Jaccard misses the quote/boilerplate case
+    * (a short doc fully embedded in a long one scores |A|/|B| ≈ 0);
+    * containment flags it at 1.0. Emits ORDERED pairs (a contained in
+    * b), so a sub-document fires a→b without the reverse.
+    *
+    * Same inverted-index backbone as the Jaccard join (xxhash64 shingle
+    * identities, one posting-list materialization feeding the self-join
+    * and the size lookup); the denominator is the CONTAINED side's set
+    * size only. At 100 TB the same hot-shingle df valve applies —
+    * containment's skew profile is identical to Jaccard's because the
+    * candidate generation is the same join.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      shingleWidth: Int = 3,
+      minContainment: Double = 0.9
+  ): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"),
+        explode(Text.shingles(Text.tokenize(col("text")), shingleWidth)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x")
+      .join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+      .withColumn("containment", col("inter").cast("double") / col("na"))
+      .filter(col("containment") >= minContainment)
+      .select(col("a"), col("b"), col("containment"))
+  }
+
   /** Prefix-filtered set-similarity join (PPJoin / Vernica et al.,
     * SIGMOD'10, distributed form) — same OUTPUT as [[ngramJaccardPairs]],
     * different candidate cost: shingles get a global canonical order

@@ -201,6 +201,57 @@ object DedupOps {
       }
     ),
     Q(
+      "d5_containment",
+      // Directed containment C(A→B) = |A∩B|/|A| over 3-gram shingle
+      // sets — the quote/boilerplate detector Jaccard structurally
+      // misses: a short doc fully embedded in a long one has Jaccard
+      // |A|/|B| ≈ 0 but containment 1.0. The corpus alone has no
+      // sub-documents, so a half-length copy of every doc is unioned in
+      // (doc_id + 20000) and the hash-check proves every plant comes
+      // back a→original at exactly 1.0 plus whatever organic near-dup
+      // overlap clears 0.9 — in BOTH directions only when truly mutual.
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 20000 AS doc_id,
+             |         substring(text, 1, CAST(length(text) // 2 AS INT)) AS text
+             |  FROM documents
+             |),
+             |toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                     x -> x <> '') AS tokens
+             |  FROM u
+             |),
+             |sh AS (
+             |  SELECT DISTINCT doc_id,
+             |         unnest([array_to_string(tokens[i:i+2], ' ')
+             |                 FOR i IN range(1, len(tokens) - 1)]) AS shingle
+             |  FROM toks WHERE len(tokens) >= 3
+             |),
+             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+             |  FROM sh x JOIN sh y
+             |    ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+             |  GROUP BY 1, 2
+             |)
+             |SELECT a, b, round(inter * 1.0 / na.n_sh, 4) AS containment
+             |FROM inter JOIN sizes na ON na.doc_id = a
+             |WHERE inter * 1.0 / na.n_sh >= 0.9
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val d = t.documents.select(col("doc_id"), col("text"))
+        val u = d.unionByName(d.select((col("doc_id") + 20000L).as("doc_id"),
+          col("text").substr(lit(1),
+            floor(length(col("text")) / 2).cast("int")).as("text")))
+        ordered(
+          Dedup.containmentPairs(u, shingleWidth = 3, minContainment = 0.9)
+            .select(col("a"), col("b"), r4(col("containment")).as("containment")))
+      }
+    ),
+    Q(
       "d5_ngram_jaccard_capped",
       // the maxShingleDf valve ON (df cap 2): shingles held by more than
       // two docs are dropped BEFORE the posting-list self-join — the

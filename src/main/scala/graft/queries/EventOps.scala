@@ -469,6 +469,44 @@ object EventOps {
                 .as("retention_pct"))
         )
       }
+    ),
+    Q(
+      "t15_cumulative_users",
+      // Cumulative-unique-users growth curve — the DAU/MAU "total users
+      // ever seen by day d" chart. The classic trap is a cumulative
+      // COUNT(DISTINCT) window (quadratic: every day rescans every
+      // user); the distributive form used here is per-user FIRST day
+      // (one hash aggregate), new-user counts per day, and a running
+      // sum over the day grid — all exact integers. 100 TB shape: one
+      // map-side-combinable min-aggregate over user_id, then everything
+      // rides the days-sized relation; the cumulative window orders a
+      // few hundred rows, never the event log.
+      Some("""WITH fd AS (
+             |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1
+             |),
+             |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+             |nu AS (SELECT day, count(*) AS new_users FROM fd GROUP BY 1)
+             |SELECT CAST(d.day AS VARCHAR) AS day,
+             |       coalesce(nu.new_users, 0) AS new_users,
+             |       CAST(sum(coalesce(nu.new_users, 0))
+             |              OVER (ORDER BY d.day) AS BIGINT) AS cum_users
+             |FROM days d LEFT JOIN nu USING (day)
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val ev = t.events.select(to_date(col("ts")).as("day"), col("user_id"))
+        val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+        val newUsers = firstDay.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+        val days = ev.select(col("day")).distinct()
+        val w = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ordered(
+          days.join(newUsers, Seq("day"), "left")
+            .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+            .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+              col("new_users"), sum(col("new_users")).over(w).as("cum_users"))
+        )
+      }
     )
   )
 

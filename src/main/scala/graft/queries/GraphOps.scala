@@ -136,6 +136,130 @@ object GraphOps {
             round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4)
               .as("clustering_coeff"))
       }
+    ),
+    Q(
+      "g3_bfs_hops",
+      // Bounded multi-source BFS over the same deterministic link graph:
+      // shortest hop distance (<= 3) from the seed set {doc_id < 3} —
+      // the crawl-frontier / influence-radius primitive next to g1's
+      // PageRank. Each round expands EVERY known node through the edge
+      // relation at the round's literal distance and a min-aggregate
+      // keeps the first discovery, so the result is pure integer math.
+      // 100 TB shape: per round one equi-join shuffle (edges x known, on
+      // src — the same key every round, so the edge side's partitioning
+      // is reused) + one min hash-aggregate with map-side partials; the
+      // frontier relation is bounded by reached nodes, and rounds are a
+      // fixed count, not data-dependent.
+      Some("""WITH nn AS (SELECT count(*) AS n FROM documents),
+             |e AS (
+             |  SELECT doc_id AS src,
+             |         (doc_id*31 + k*17 + 7) % (SELECT n FROM nn) AS dst
+             |  FROM documents CROSS JOIN (SELECT unnest(range(0,4)) AS k) ks
+             |),
+             |d0 AS (SELECT doc_id, 0 AS dist FROM documents WHERE doc_id < 3),
+             |d1 AS (SELECT doc_id, min(dist) AS dist FROM (
+             |         SELECT doc_id, dist FROM d0
+             |         UNION ALL
+             |         SELECT e.dst, 1 FROM e JOIN d0 ON d0.doc_id = e.src
+             |       ) GROUP BY doc_id),
+             |d2 AS (SELECT doc_id, min(dist) AS dist FROM (
+             |         SELECT doc_id, dist FROM d1
+             |         UNION ALL
+             |         SELECT e.dst, 2 FROM e JOIN d1 ON d1.doc_id = e.src
+             |       ) GROUP BY doc_id),
+             |d3 AS (SELECT doc_id, min(dist) AS dist FROM (
+             |         SELECT doc_id, dist FROM d2
+             |         UNION ALL
+             |         SELECT e.dst, 3 FROM e JOIN d2 ON d2.doc_id = e.src
+             |       ) GROUP BY doc_id)
+             |SELECT doc_id, CAST(dist AS BIGINT) AS dist FROM d3
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val docs = t.documents.select(col("doc_id")).localCheckpoint()
+        val n = docs.count()
+        val edges = docs.select(col("doc_id").as("src"),
+          explode(array((0 until 4).map(k =>
+            (col("doc_id") * 31 + k * 17 + 7) % n): _*)).as("dst"))
+        var dist = docs.filter(col("doc_id") < 3)
+          .select(col("doc_id"), lit(0).as("dist"))
+        for (r <- 1 to 3) {
+          val next = edges.join(dist, col("src") === col("doc_id"))
+            .select(col("dst").as("doc_id"), lit(r).as("dist"))
+          dist = dist.unionByName(next)
+            .groupBy(col("doc_id")).agg(min(col("dist")).as("dist"))
+        }
+        ordered(dist.select(col("doc_id"), col("dist").cast("long").as("dist")))
+      }
+    ),
+    Q(
+      "g4_link_predict",
+      // Common-neighbor link prediction over the undirected form of the
+      // link graph — the "likely same dup family" heuristic run before
+      // committing an expensive pairwise verify: for every NON-adjacent
+      // pair sharing >= 2 neighbors, the common-neighbor count and the
+      // neighborhood Jaccard cn/(d_a + d_b - cn), a ratio of exact
+      // BIGINTs rounded once. 100 TB shape: the candidate relation is
+      // the wedge join adj x adj on the shared center (bounded by
+      // sum(d^2), with the same degree-capping valve the dedup joins
+      // use), existing edges leave via a left-anti join on the edge key,
+      // and degrees ride the node relation onto the candidate pairs.
+      Some("""WITH nn AS (SELECT count(*) AS n FROM documents),
+             |raw AS (
+             |  SELECT doc_id AS src,
+             |         (doc_id*31 + k*17 + 7) % (SELECT n FROM nn) AS dst
+             |  FROM documents CROSS JOIN (SELECT unnest(range(0,4)) AS k) ks
+             |),
+             |e AS (
+             |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             |  FROM raw WHERE src <> dst
+             |),
+             |adj AS (SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e),
+             |deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+             |cand AS (
+             |  SELECT x.w AS a, y.w AS b, count(*) AS cn
+             |  FROM adj x JOIN adj y ON x.v = y.v AND x.w < y.w
+             |  GROUP BY 1, 2
+             |),
+             |nonedge AS (
+             |  SELECT c.a, c.b, c.cn FROM cand c
+             |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = c.a AND e.b = c.b)
+             |)
+             |SELECT ne.a, ne.b, ne.cn,
+             |       round(ne.cn * 1.0 / (da.d + db.d - ne.cn), 4) AS nbr_jaccard
+             |FROM nonedge ne
+             |JOIN deg da ON da.v = ne.a
+             |JOIN deg db ON db.v = ne.b
+             |WHERE ne.cn >= 2
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val docs = t.documents.select(col("doc_id")).localCheckpoint()
+        val n = docs.count()
+        val raw = docs.select(col("doc_id").as("src"),
+          explode(array((0 until 4).map(k =>
+            (col("doc_id") * 31 + k * 17 + 7) % n): _*)).as("dst"))
+        val e = raw.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+          .localCheckpoint() // feeds adjacency (twice), degrees and the anti-join
+        val adj = e.select(col("a").as("v"), col("b").as("w"))
+          .unionAll(e.select(col("b").as("v"), col("a").as("w")))
+        val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("d"))
+        val cand = adj.as("x")
+          .join(adj.as("y"), col("x.v") === col("y.v") && col("x.w") < col("y.w"))
+          .groupBy(col("x.w").as("a"), col("y.w").as("b"))
+          .agg(count(lit(1)).as("cn"))
+        val nonedge = cand.join(e, Seq("a", "b"), "left_anti")
+        ordered(
+          nonedge.filter(col("cn") >= 2)
+            .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+            .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+            .select(col("a"), col("b"), col("cn"),
+              round(col("cn") * lit(1.0) / (col("da") + col("db") - col("cn")), 4)
+                .as("nbr_jaccard")))
+      }
     )
   )
 }

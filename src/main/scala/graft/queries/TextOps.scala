@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Canon._
-import graft.functions.Text
+import graft.functions.{Text, Vectors}
 import graft.sources.Tables
 
 /** Text-analysis surface over the documents corpus — SURVEY.md §2.9
@@ -26,7 +26,8 @@ object TextOps {
       |  FROM documents
       |)""".stripMargin
 
-  val all: Seq[Q] = skewProfileQ +: quantileNormQ +: pmiAssocQ +: Seq(
+  val all: Seq[Q] = hybridRrfQ +: cmsEstimateQ +: skewProfileQ +:
+    quantileNormQ +: pmiAssocQ +: Seq(
     Q(
       "d7_zipf_fit",
       // Zipf's-law fit over the corpus unigram distribution — the
@@ -1325,4 +1326,190 @@ object TextOps {
         md5(col("text").substr(col("se.ss").cast("int"),
           (col("se.es") - col("se.ss") + 1L).cast("int"))).as("chunk_md5"))
   }
+
+  /** Hybrid retrieval with reciprocal-rank fusion — the RAG-stack staple:
+    * a lexical BM25 leg and an embedding-cosine leg each produce a
+    * top-50 ranking, fused by RRF score 1/(60+r_lex) + 1/(60+r_vec)
+    * (Cormack et al., SIGIR'09; 60 is the standard k). Hash-checked end
+    * to end: both legs' ranks are integers with rounded-score,
+    * id-tiebroken ordering, and the fusion score is the same literal
+    * IEEE formula (two exact divisions + one add) in both engines.
+    *
+    * 100 TB shape: each leg is already a distributed top-k
+    * (TakeOrderedAndProject — never a global sort) over its own index
+    * relation (postings / ANN candidates), the rank windows run over
+    * 50-row relations, and the fusion is a full-outer equi-join of two
+    * 50-row sides. Nothing corpus-sized crosses an exchange after the
+    * per-leg scoring.
+    */
+  private def hybridRrfQ: Q = Q(
+    "d3_hybrid_rrf",
+    Some(s"""WITH $toksCte,
+            |tok AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+            |postings AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            |dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY 1),
+            |stats AS (SELECT avg(dlen) AS avgdl,
+            |                 (SELECT count(*) FROM documents) AS n FROM dl),
+            |bm AS (
+            |  SELECT p.doc_id,
+            |    round(sum(
+            |      ln((stats.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+            |      * (p.tf * 2.2)
+            |      / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dlen / stats.avgdl))
+            |    ), 4) AS bm25
+            |  FROM postings p
+            |  JOIN (SELECT term, count(*) AS df FROM postings GROUP BY 1) d USING (term)
+            |  JOIN dl USING (doc_id) CROSS JOIN stats
+            |  WHERE p.term IN ('spark', 'window', 'shuffle')
+            |  GROUP BY p.doc_id
+            |),
+            |lex AS (
+            |  SELECT doc_id, lex_rank FROM (
+            |    SELECT doc_id,
+            |           row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+            |    FROM bm) WHERE lex_rank <= 50
+            |),
+            |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            |cs AS (
+            |  SELECT vec_id,
+            |    round(
+            |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            |        [qe[i]::DOUBLE * ce[i]::DOUBLE FOR i IN range(1, len(qe) + 1)]),
+            |        (acc, x) -> acc + x)
+            |      / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            |           [qe[i]::DOUBLE * qe[i]::DOUBLE FOR i IN range(1, len(qe) + 1)]),
+            |           (acc, x) -> acc + x))
+            |       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            |           [ce[i]::DOUBLE * ce[i]::DOUBLE FOR i IN range(1, len(ce) + 1)]),
+            |           (acc, x) -> acc + x))), 4) AS cos
+            |  FROM (SELECT vec_id, embedding AS ce FROM embeddings WHERE vec_id >= 1)
+            |  CROSS JOIN q
+            |),
+            |vec AS (
+            |  SELECT vec_id, vec_rank FROM (
+            |    SELECT vec_id,
+            |           row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS vec_rank
+            |    FROM cs) WHERE vec_rank <= 50
+            |),
+            |fused AS (
+            |  SELECT coalesce(l.doc_id, v.vec_id) AS doc_id, l.lex_rank, v.vec_rank,
+            |         round(coalesce(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0.0)
+            |             + coalesce(CAST(1.0 AS DOUBLE) / (60 + v.vec_rank), 0.0), 6) AS rrf
+            |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.vec_id
+            |)
+            |SELECT doc_id, lex_rank, vec_rank, rrf FROM (
+            |  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rn
+            |  FROM fused) WHERE rn <= 20
+            |ORDER BY ALL NULLS FIRST""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val queryTerms = Seq("spark", "window", "shuffle")
+      // lexical leg — the d3_search_bm25 scorer verbatim
+      val postings = t.documents
+        .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
+      val nDocs = t.documents.agg(count(lit(1)).as("n"))
+      val stats = dl.agg(avg(col("dlen")).as("avgdl")).crossJoin(nDocs)
+      val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+      val score = idf * (col("tf") * 2.2) /
+        (col("tf") + lit(1.2) * (lit(1) - lit(0.75) + lit(0.75) * col("dlen") / col("avgdl")))
+      val bm = postings
+        .filter(col("term").isin(queryTerms: _*))
+        .join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .groupBy(col("doc_id"))
+        .agg(r4(sum(score)).as("bm25"))
+      // distributed top-k FIRST (TakeOrderedAndProject), THEN the rank
+      // window over the 50 survivors — the global row_number never sees
+      // more than k rows
+      val lex = bm.orderBy(col("bm25").desc, col("doc_id").asc).limit(50)
+        .withColumn("lex_rank",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc))
+            .cast("long"))
+        .select(col("doc_id"), col("lex_rank"))
+      // vector leg — query vector is embedding 0, candidates the rest
+      val e = t.embeddings
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+      val cs = e.filter(col("vec_id") >= 1)
+        .select(col("vec_id"), col("embedding").as("ce"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), r4(Vectors.cosineFast(col("qe"), col("ce"))).as("cos"))
+      val vec = cs.orderBy(col("cos").desc, col("vec_id").asc).limit(50)
+        .withColumn("vec_rank",
+          row_number().over(Window.orderBy(col("cos").desc, col("vec_id").asc))
+            .cast("long"))
+        .select(col("vec_id").as("doc_id"), col("vec_rank"))
+      val fused = lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+          round(coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)), 6)
+            .as("rrf"))
+      ordered(fused.orderBy(col("rrf").desc, col("doc_id").asc).limit(20))
+    }
+  )
+
+  /** Count-min sketch frequency estimation (Cormode & Muthukrishnan '05)
+    * — the bounded-memory term-frequency sketch next to a6's HLL: d=4
+    * hash rows x w=64 buckets, each row a sum of the true counts of
+    * every term hashing there, estimate = min over rows. Deterministic
+    * end to end (bucket = 60 md5 bits mod w), so DuckDB rebuilds the
+    * identical sketch and the hash-check pins the guaranteed
+    * one-sided error: estimate >= truth, always.
+    *
+    * 100 TB shape: the sketch build is ONE hash aggregate over the
+    * term-TYPE relation (vocab-bounded, never the corpus) into d*w = 256
+    * cells — mergeable across partitions/days by cell-wise addition like
+    * the HLL registers; the probe side broadcasts 20 rows.
+    */
+  private def cmsEstimateQ: Q = Q(
+    "a6_cms_estimate",
+    Some(s"""WITH $toksCte,
+            |tok AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+            |tf AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+            |seeds AS (SELECT unnest(range(0, 4)) AS seed),
+            |sk AS (
+            |  SELECT seed,
+            |         ('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' || term),
+            |                            1, 15))::BIGINT % 64 AS bucket,
+            |         CAST(sum(cnt) AS BIGINT) AS total
+            |  FROM tf CROSS JOIN seeds GROUP BY 1, 2
+            |),
+            |top AS (SELECT term, cnt FROM tf ORDER BY cnt DESC, term ASC LIMIT 20)
+            |SELECT t.term, t.cnt AS true_cnt, min(sk.total) AS cms_est
+            |FROM top t CROSS JOIN seeds s
+            |JOIN sk ON sk.seed = s.seed
+            |       AND sk.bucket = ('0x' || substring(
+            |             md5(CAST(s.seed AS VARCHAR) || ':' || t.term), 1, 15))::BIGINT % 64
+            |GROUP BY 1, 2
+            |ORDER BY ALL NULLS FIRST""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      def bucket(seed: org.apache.spark.sql.Column, term: org.apache.spark.sql.Column) =
+        pmod(conv(substring(md5(concat(seed.cast("string"), lit(":"), term)), 1, 15),
+          16, 10).cast("long"), lit(64L))
+      val tf = t.documents
+        .select(explode(Text.tokenize(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // feeds the sketch build AND the probe side
+      val seeds = spark.range(0, 4).select(col("id").cast("int").as("seed"))
+      val sk = tf.crossJoin(broadcast(seeds))
+        .groupBy(col("seed"), bucket(col("seed"), col("term")).as("bucket"))
+        .agg(sum(col("cnt")).as("total"))
+      val top = tf.orderBy(col("cnt").desc, col("term").asc).limit(20)
+      ordered(
+        top.crossJoin(broadcast(seeds))
+          .select(col("term"), col("cnt"), col("seed"),
+            bucket(col("seed"), col("term")).as("bucket"))
+          .join(sk, Seq("seed", "bucket"))
+          .groupBy(col("term"), col("cnt"))
+          .agg(min(col("total")).as("cms_est"))
+          .select(col("term"), col("cnt").as("true_cnt"), col("cms_est")))
+    }
+  )
 }

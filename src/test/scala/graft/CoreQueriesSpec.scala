@@ -77,6 +77,78 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("a6_cms_estimate: the sketch's one-sided error law holds on every row") {
+    // count-min can only ever OVER-estimate (a bucket sums its term's
+    // true count plus colliders) — estimate < truth means a broken hash
+    val rows = run("a6_cms_estimate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("true_cnt"),
+        s"CMS under-estimated ${r.getAs[String]("term")}")
+    }
+  }
+
+  test("g3_bfs_hops: seeds at 0, all distances within the round bound") {
+    val rows = run("g3_bfs_hops").collect()
+    val dist = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dist")).toMap
+    assert(Seq(0L, 1L, 2L).forall(dist.get(_).contains(0L)))
+    assert(dist.values.forall(d => d >= 0L && d <= 3L))
+    // every direct successor of a seed must sit at distance <= 1
+    val n = 500L
+    for (s <- 0L to 2L; k <- 0 until 4) {
+      val succ = (s * 31 + k * 17 + 7) % n
+      assert(dist(succ) <= 1L, s"seed successor $succ at ${dist(succ)}")
+    }
+  }
+
+  test("g4_link_predict: candidates are strict non-edges with >= 2 witnesses") {
+    val n = 500L
+    val edges = (0L until n).flatMap(v => (0 until 4).map(k =>
+      (v * 31 + k * 17 + 7) % n).filter(_ != v).map(w =>
+      (math.min(v, w), math.max(v, w)))).toSet
+    val rows = run("g4_link_predict").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      assert(!edges.contains((a, b)), s"($a,$b) is already an edge")
+      assert(r.getAs[Long]("cn") >= 2L)
+    }
+  }
+
+  test("d3_hybrid_rrf: fusion scores reconcile with the leg ranks") {
+    val rows = run("d3_hybrid_rrf").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lex = Option(r.getAs[java.lang.Long]("lex_rank"))
+      val vec = Option(r.getAs[java.lang.Long]("vec_rank"))
+      assert(lex.isDefined || vec.isDefined, "doc in neither leg")
+      val expect = lex.map(l => 1.0 / (60 + l)).getOrElse(0.0) +
+        vec.map(v => 1.0 / (60 + v)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-6)
+    }
+  }
+
+  test("d5_containment is directional: halves embed in originals, never the reverse") {
+    val rows = run("d5_containment").collect()
+    val pairs = rows.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    // a healthy share of the planted half-docs must be caught...
+    val caught = pairs.count { case (a, b) => a >= 20000L && b == a - 20000L }
+    assert(caught > 100, s"only $caught half-doc plants detected")
+    // ...and no original is ever 'contained' in its own half — the
+    // asymmetry Jaccard cannot express
+    assert(!pairs.exists { case (a, b) => b == a + 20000L },
+      "an original doc scored as contained in its half")
+  }
+
+  test("t15_cumulative_users: monotone, and the plateau equals total distinct users") {
+    val rows = run("t15_cumulative_users").orderBy(col("day")).collect()
+    val cums = rows.map(_.getAs[Long]("cum_users"))
+    assert(cums.zip(cums.tail).forall { case (x, y) => x <= y })
+    val total = Tables(spark, sf).events.select(col("user_id")).distinct().count()
+    assert(cums.last == total)
+    assert(cums.sameElements(rows.map(_.getAs[Long]("new_users")).scanLeft(0L)(_ + _).tail))
+  }
+
   test("the SQL entry path: temp views + spark.sql + extension functions") {
     // users of the library can work entirely in SQL: register the corpus
     // as views, query with spark.sql, and call the engine's native
