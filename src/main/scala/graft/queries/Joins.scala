@@ -208,6 +208,91 @@ object Joins {
       }
     ),
     Q(
+      "j8_asof_nearest",
+      // As-of join, NEAREST direction (pandas merge_asof direction=
+      // 'nearest'): for each purchase, the error by the same user with
+      // the smallest |Δt| on EITHER side, ties preferring the backward
+      // match. Same union + event-time-window shape as j8 run in both
+      // directions — one shuffle on user_id total, the forward pass is
+      // the mirrored frame over the SAME sorted partition, no second
+      // exchange (the sort order serves both frames). Δt compares in
+      // exact integer microseconds (unix_micros/epoch_us), never float
+      // seconds. Frame boundaries pin the tie semantics: equal-ts
+      // errors sort before the purchase row, so they are backward
+      // matches (Δt = 0), and the forward frame is strictly after.
+      Some("""WITH u AS (
+               SELECT user_id, ts, event_id, 0 AS is_q
+               FROM events WHERE event_type = 'error'
+               UNION ALL
+               SELECT user_id, ts, NULL::BIGINT, 1
+               FROM events WHERE event_type = 'purchase'
+             ), m AS (
+               SELECT user_id, ts, is_q,
+                 last_value(CASE WHEN is_q = 0 THEN event_id END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, is_q, event_id ASC NULLS LAST
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_id,
+                 last_value(CASE WHEN is_q = 0 THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, is_q, event_id ASC NULLS LAST
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_us,
+                 first_value(CASE WHEN is_q = 0 THEN event_id END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, is_q, event_id ASC NULLS LAST
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_id,
+                 first_value(CASE WHEN is_q = 0 THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, is_q, event_id ASC NULLS LAST
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_us
+               FROM u
+             )
+             SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               CASE WHEN back_id IS NULL AND fwd_id IS NULL THEN NULL
+                    WHEN fwd_id IS NULL THEN back_id
+                    WHEN back_id IS NULL THEN fwd_id
+                    WHEN epoch_us(ts) - back_us <= fwd_us - epoch_us(ts) THEN back_id
+                    ELSE fwd_id END AS nearest_error_id,
+               CASE WHEN back_id IS NULL AND fwd_id IS NULL THEN NULL
+                    WHEN fwd_id IS NULL THEN 'b'
+                    WHEN back_id IS NULL THEN 'f'
+                    WHEN epoch_us(ts) - back_us <= fwd_us - epoch_us(ts) THEN 'b'
+                    ELSE 'f' END AS direction
+             FROM m WHERE is_q = 1 ORDER BY ALL NULLS FIRST"""),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val ev = t.events
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_q"))
+        val queries = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+            lit(1).as("is_q"))
+        val ord = Seq(col("ts"), col("is_q"), col("event_id").asc_nulls_last)
+        val wb = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wf = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val errId = when(col("is_q") === 0, col("event_id"))
+        val errUs = when(col("is_q") === 0, unix_micros(col("ts")))
+        val m = errors.unionByName(queries)
+          .withColumn("back_id", last(errId, ignoreNulls = true).over(wb))
+          .withColumn("back_us", last(errUs, ignoreNulls = true).over(wb))
+          .withColumn("fwd_id", first(errId, ignoreNulls = true).over(wf))
+          .withColumn("fwd_us", first(errUs, ignoreNulls = true).over(wf))
+        val pUs = unix_micros(col("ts"))
+        val backWins = pUs - col("back_us") <= col("fwd_us") - pUs
+        ordered(
+          m.filter(col("is_q") === 1)
+            .select(col("user_id"), tstr(col("ts")).as("ts_s"),
+              when(col("back_id").isNull && col("fwd_id").isNull, lit(null).cast("long"))
+                .when(col("fwd_id").isNull, col("back_id"))
+                .when(col("back_id").isNull, col("fwd_id"))
+                .when(backWins, col("back_id"))
+                .otherwise(col("fwd_id")).as("nearest_error_id"),
+              when(col("back_id").isNull && col("fwd_id").isNull, lit(null).cast("string"))
+                .when(col("fwd_id").isNull, lit("b"))
+                .when(col("back_id").isNull, lit("f"))
+                .when(backWins, lit("b"))
+                .otherwise(lit("f")).as("direction"))
+        )
+      }
+    ),
+    Q(
       "j9_interval_overlap",
       // interval-overlap join: order "activity windows" overlapping a fixed
       // probe window; conjunctive range predicate on a broadcast side

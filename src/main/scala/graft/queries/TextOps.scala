@@ -26,7 +26,7 @@ object TextOps {
       |  FROM documents
       |)""".stripMargin
 
-  val all: Seq[Q] = hybridRrfQ +: cmsEstimateQ +: skewProfileQ +:
+  val all: Seq[Q] = bpeMergesQ +: hybridRrfQ +: cmsEstimateQ +: skewProfileQ +:
     quantileNormQ +: pmiAssocQ +: Seq(
     Q(
       "d7_zipf_fit",
@@ -1325,6 +1325,123 @@ object TextOps {
         (col("se.es") - col("se.ss") + 1L).as("chunk_len"),
         md5(col("text").substr(col("se.ss").cast("int"),
           (col("se.es") - col("se.ss") + 1L).cast("int"))).as("chunk_md5"))
+  }
+
+  /** Distributed BPE merge training (Sennrich et al. 2016) — the
+    * tokenizer-training core of every LLM data stack, in pure relational
+    * form: three unrolled merge rounds, each one hash aggregate
+    * (adjacent-pair counts weighted by word frequency) + a 1-row argmax
+    * broadcast + a per-row pair substitution. The working relation is
+    * the DISTINCT-WORD vocabulary with counts — corpus scale never
+    * enters a round; this is exactly why industrial BPE trainers run on
+    * word-count tables, not raw text.
+    *
+    * Hash-checked end to end: word states live as 0x01-separated
+    * symbol strings, pair counts are exact BIGINTs, the argmax
+    * tie-breaks on the byte order of the pair key, and the merge applies
+    * via left-to-right non-overlapping `replace` — identical semantics
+    * in the JVM and DuckDB (a shared 'aaa' run merges its first two
+    * symbols, the standard BPE greedy behavior), proven by the oracle
+    * match. The vocabulary is restricted to ascii-alpha words so '.'
+    * regex segmentation cannot diverge between UTF-16 and codepoint
+    * engines.
+    *
+    * 100 TB shape: one corpus scan builds the word-count relation; each
+    * round shuffles only (pair, count) partial aggregates of the
+    * vocabulary and broadcasts a single row back. Rounds are a fixed
+    * count; state strings are checkpointed per round so lineage stays
+    * linear.
+    */
+  private def bpeMergesQ: Q = {
+    val S = "\u0001"
+    Q(
+      "d2_bpe_merges",
+      Some(s"""WITH $toksCte,
+              |wc AS (
+              |  SELECT term AS word, count(*) AS cnt
+              |  FROM (SELECT unnest(tokens) AS term FROM toks)
+              |  WHERE regexp_matches(term, '^[a-z]+$$') GROUP BY 1
+              |),
+              |st0 AS (
+              |  SELECT word, cnt,
+              |         chr(1) || regexp_replace(word, '(.)', '\\1' || chr(1), 'g') AS state
+              |  FROM wc
+              |),
+              |p1 AS (
+              |  SELECT p, CAST(sum(cnt) AS BIGINT) AS total FROM (
+              |    SELECT cnt, unnest([s[i] || chr(1) || s[i+1] FOR i IN range(1, len(s))]) AS p
+              |    FROM (SELECT cnt, list_filter(string_split(state, chr(1)), x -> x <> '') AS s
+              |          FROM st0)) GROUP BY 1
+              |),
+              |m1 AS (SELECT p, total FROM p1 ORDER BY total DESC, p ASC LIMIT 1),
+              |st1 AS (
+              |  SELECT word, cnt,
+              |         replace(state, chr(1) || m1.p || chr(1),
+              |                 chr(1) || replace(m1.p, chr(1), '') || chr(1)) AS state
+              |  FROM st0 CROSS JOIN m1
+              |),
+              |p2 AS (
+              |  SELECT p, CAST(sum(cnt) AS BIGINT) AS total FROM (
+              |    SELECT cnt, unnest([s[i] || chr(1) || s[i+1] FOR i IN range(1, len(s))]) AS p
+              |    FROM (SELECT cnt, list_filter(string_split(state, chr(1)), x -> x <> '') AS s
+              |          FROM st1)) GROUP BY 1
+              |),
+              |m2 AS (SELECT p, total FROM p2 ORDER BY total DESC, p ASC LIMIT 1),
+              |st2 AS (
+              |  SELECT word, cnt,
+              |         replace(state, chr(1) || m2.p || chr(1),
+              |                 chr(1) || replace(m2.p, chr(1), '') || chr(1)) AS state
+              |  FROM st1 CROSS JOIN m2
+              |),
+              |p3 AS (
+              |  SELECT p, CAST(sum(cnt) AS BIGINT) AS total FROM (
+              |    SELECT cnt, unnest([s[i] || chr(1) || s[i+1] FOR i IN range(1, len(s))]) AS p
+              |    FROM (SELECT cnt, list_filter(string_split(state, chr(1)), x -> x <> '') AS s
+              |          FROM st2)) GROUP BY 1
+              |),
+              |m3 AS (SELECT p, total FROM p3 ORDER BY total DESC, p ASC LIMIT 1)
+              |SELECT 1 AS round, split_part(p, chr(1), 1) AS left_sym,
+              |       split_part(p, chr(1), 2) AS right_sym, total AS pair_count FROM m1
+              |UNION ALL
+              |SELECT 2, split_part(p, chr(1), 1), split_part(p, chr(1), 2), total FROM m2
+              |UNION ALL
+              |SELECT 3, split_part(p, chr(1), 1), split_part(p, chr(1), 2), total FROM m3
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val wc = t.documents
+          .select(explode(Text.tokenize(col("text"))).as("word"))
+          .filter(col("word").rlike("^[a-z]+$"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        var st = wc.select(col("word"), col("cnt"),
+          concat(lit(S), regexp_replace(col("word"), "(.)", "$1" + S)).as("state"))
+          .localCheckpoint()
+        val merges = (1 to 3).map { r =>
+          val syms = filter(split(col("state"), S), x => x =!= "")
+          val pairs = zip_with(
+            slice(syms, lit(1), size(syms) - 1),
+            slice(syms, lit(2), size(syms) - 1),
+            (a, b) => concat(a, lit(S), b))
+          val pc = st
+            .select(col("cnt"), explode(pairs).as("p"))
+            .groupBy(col("p")).agg(sum(col("cnt")).as("total"))
+          val m = pc.orderBy(col("total").desc, col("p").asc).limit(1)
+          // apply the chosen merge to every word state: left-to-right
+          // non-overlapping substitution, broadcast of the 1-row winner
+          st = st.crossJoin(broadcast(m))
+            .select(col("word"), col("cnt"),
+              replace(col("state"),
+                concat(lit(S), col("p"), lit(S)),
+                concat(lit(S), translate(col("p"), S, ""), lit(S))).as("state"))
+            .localCheckpoint()
+          m.select(lit(r).as("round"),
+            element_at(split(col("p"), S), 1).as("left_sym"),
+            element_at(split(col("p"), S), 2).as("right_sym"),
+            col("total").as("pair_count"))
+        }
+        ordered(merges.reduce(_ unionByName _))
+      }
+    )
   }
 
   /** Hybrid retrieval with reciprocal-rank fusion — the RAG-stack staple:

@@ -133,6 +133,24 @@ object Streams {
       .join(knownShas, Seq("content_sha"), "left_anti")
       .dropDuplicates("content_sha")
 
+  /** Incremental new-user counts — the streaming twin of
+    * `t15_cumulative_users`: first sighting of each user claims its day
+    * (stream dedup on user_id), then a per-day count maintained in
+    * Update mode; the running total is the consumer-side cumsum of the
+    * day rows, so the growth curve never recounts history. First
+    * SIGHTING means arrival order: on an event-time-ordered replay this
+    * equals the batch first-day curve exactly (the parity spec drives
+    * that), on an out-of-order live stream it is the standard CDC
+    * approximation. State is one key per distinct user — at real scale
+    * the first-sighting filter becomes a stream-static anti-join
+    * against the persisted user index (the [[novelDocs]] shape) so the
+    * state store holds only the current watermark window. */
+  def newUserCounts(events: DataFrame): DataFrame =
+    events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .dropDuplicates("user_id")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("new_users"))
+
   /** Bloom-gated ingest: flag each streamed doc against a STATIC corpus
     * Bloom filter ([[graft.dedup.Dedup.bloomWords]]) — stateless per
     * micro-batch (no state store at all: the filter rides in as a

@@ -149,6 +149,45 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(cums.sameElements(rows.map(_.getAs[Long]("new_users")).scanLeft(0L)(_ + _).tail))
   }
 
+  test("d2_bpe_merges: counts non-increasing, round-1 winner re-derived exactly") {
+    val rows = run("d2_bpe_merges").orderBy(col("round")).collect()
+    assert(rows.length == 3)
+    val counts = rows.map(_.getAs[Long]("pair_count"))
+    // merging can only redistribute mass downward: each round's best
+    // pair is bounded by the previous round's
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    // independent driver-side recompute of the round-1 argmax
+    val words = Tables(spark, sf).documents
+      .select(explode(graft.functions.Text.tokenize(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+    for ((w, c) <- words; i <- 0 until w.length - 1) {
+      val k = (w(i).toString, w(i + 1).toString)
+      pairCounts(k) = pairCounts.getOrElse(k, 0L) + c
+    }
+    val best = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a + "" + b) }
+    assert((rows(0).getAs[String]("left_sym"), rows(0).getAs[String]("right_sym")) == best._1)
+    assert(rows(0).getAs[Long]("pair_count") == best._2)
+  }
+
+  test("j8_asof_nearest: backward choices agree with the backward-only as-of join") {
+    val near = run("j8_asof_nearest")
+      .filter(col("direction") === "b")
+      .select(col("user_id"), col("ts_s"), col("nearest_error_id"))
+    val back = run("j8_asof")
+      .select(col("user_id"), col("ts_s"), col("last_error_id"))
+    // whenever 'nearest' picks the backward side, it must be exactly the
+    // match j8 computes — the two queries share one semantics there
+    val disagree = near.join(back, Seq("user_id", "ts_s"))
+      .filter(col("nearest_error_id") =!= col("last_error_id"))
+    assert(disagree.count() == 0)
+    assert(near.count() > 0)
+    // and 'f' rows exist only where a forward error is strictly closer
+    assert(run("j8_asof_nearest").filter(col("direction") === "f").count() > 0)
+  }
+
   test("the SQL entry path: temp views + spark.sql + extension functions") {
     // users of the library can work entirely in SQL: register the corpus
     // as views, query with spark.sql, and call the engine's native

@@ -264,6 +264,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  test("T15 streaming new-user counts: ordered replay equals the batch curve") {
+    import spark.implicits._
+    // event-time-ordered replay of the real sf0.001 event log in three
+    // micro-batches: dedup + day-count state must carry across batches
+    val evs = graft.sources.Tables(spark, sf).events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .orderBy(col("ts"), col("event_id")).as[Ev].collect().toSeq
+    val mem = MemoryStream[Ev](21, spark, None)
+    val q = Streams.newUserCounts(mem.toDF())
+      .writeStream.format("memory").queryName("t15_sink")
+      .outputMode(OutputMode.Update()).start()
+    evs.grouped((evs.size + 2) / 3).foreach { b =>
+      mem.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    // update mode re-emits a day on change; the last row per day is the
+    // current count
+    val got = spark.table("t15_sink")
+      .groupBy("day").agg(last("new_users").as("new_users"))
+      .as[(java.sql.Date, Long)].collect()
+      .map { case (d, n) => d.toString -> n }.toMap
+    // the streamed curve reconciles with the oracle-checked query:
+    // on ordered replay, day-wise new_users equal t15's column (a day
+    // with zero new users never gets a streaming row)
+    val t15 = SparkEntry.queries("t15_cumulative_users")(spark, sf)
+      .select(col("day"), col("new_users"))
+      .as[(String, Long)].collect().toMap
+    assert(got == t15.filter(_._2 > 0) && got.nonEmpty)
+  }
+
   test("T9 stream-stream interval join: two MemoryStreams equal batch") {
     import spark.implicits._
     val views = Seq(
