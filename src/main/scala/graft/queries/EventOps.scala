@@ -471,6 +471,58 @@ object EventOps {
       }
     ),
     Q(
+      "t11_mad_robust",
+      // Robust anomaly gate — t11's z-score breaks when the outliers
+      // you hunt contaminate the mean/std themselves; median/MAD has a
+      // 50% breakdown point. med and MAD are EXACT discrete medians
+      // (percentile_disc returns an element, no interpolation formula
+      // to diverge on), the deviation |x − med| is exact IEEE, and the
+      // score (x − med)/(1.4826·MAD) is the same literal double formula
+      // in both engines — comparisons and the final rounding see
+      // identical bits. 100 TB shape: two grouped percentile passes
+      // over event_type (5 rows out), the per-row scoring joins the
+      // 5-row stats relation broadcast onto the scan; at real scale the
+      // discrete median comes from the GK sketch with this query as
+      // the exact fence.
+      Some("""WITH med AS (
+             |  SELECT event_type,
+             |         percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+             |  FROM events GROUP BY 1
+             |),
+             |dev AS (
+             |  SELECT e.event_id, e.event_type, e.value, m.med,
+             |         abs(e.value - m.med) AS adev
+             |  FROM events e JOIN med m USING (event_type)
+             |),
+             |mad AS (
+             |  SELECT event_type,
+             |         percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+             |  FROM dev GROUP BY 1
+             |)
+             |SELECT d.event_id, d.event_type, d.value,
+             |       round((d.value - d.med) / (1.4826 * m2.mad), 4) AS robust_z
+             |FROM dev d JOIN mad m2 USING (event_type)
+             |WHERE m2.mad > 0
+             |  AND abs((d.value - d.med) / (1.4826 * m2.mad)) > 3.5
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val ev = t.events.select(col("event_id"), col("event_type"), col("value"))
+        val med = ev.groupBy(col("event_type"))
+          .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("adev", abs(col("value") - col("med")))
+        val mad = dev.groupBy(col("event_type"))
+          .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").as("mad"))
+        val z = (col("value") - col("med")) / (lit(1.4826) * col("mad"))
+        ordered(
+          dev.join(broadcast(mad), "event_type")
+            .filter(col("mad") > 0 && abs(z) > 3.5)
+            .select(col("event_id"), col("event_type"), col("value"),
+              r4(z).as("robust_z")))
+      }
+    ),
+    Q(
       "t15_cumulative_users",
       // Cumulative-unique-users growth curve — the DAU/MAU "total users
       // ever seen by day d" chart. The classic trap is a cumulative

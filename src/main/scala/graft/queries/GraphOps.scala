@@ -193,6 +193,88 @@ object GraphOps {
       }
     ),
     Q(
+      "g5_kcore_peel",
+      // Bounded k-core peeling (k=10) — the "dense dup-family core"
+      // extractor: three unrolled rounds of remove-degree-<k nodes,
+      // then recompute degrees on the induced subgraph. Each round is
+      // two semi-joins (keep edges whose BOTH endpoints survive) + one
+      // count aggregate — all equi-joins on node ids, pure integers.
+      // The base 4-out graph is 8-REGULAR (each per-k successor map is
+      // a bijection mod N), so it alone would peel to nothing under
+      // k=10 in one round; a planted dense core among doc_id < 50
+      // (8 extra intra-core out-edges each) is what survives — and
+      // peeling is genuinely iterative, because core nodes whose base
+      // edges pointed outside lose them when the bulk dies in round 1.
+      // A full k-core runs peels to fixpoint; three rounds are the
+      // bounded prefix (the spec proves round-over-round containment).
+      // 100 TB shape: the edge relation is filtered in place each
+      // round (no rebuild), the survivor set is the broadcast side,
+      // and rounds are a fixed count — the standard distributed
+      // peeling step of Montresor et al.'s k-core algorithm.
+      Some("""WITH nn AS (SELECT count(*) AS n FROM documents),
+             |raw AS (
+             |  SELECT doc_id AS src,
+             |         (doc_id*31 + k*17 + 7) % (SELECT n FROM nn) AS dst
+             |  FROM documents CROSS JOIN (SELECT unnest(range(0,4)) AS k) ks
+             |  UNION ALL
+             |  SELECT doc_id AS src, (doc_id*7 + j*13 + 3) % 50 AS dst
+             |  FROM documents CROSS JOIN (SELECT unnest(range(0,8)) AS j) js
+             |  WHERE doc_id < 50
+             |),
+             |e0 AS (
+             |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             |  FROM raw WHERE src <> dst
+             |),
+             |d0 AS (SELECT v, count(*) AS d FROM
+             |        (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
+             |k1 AS (SELECT v FROM d0 WHERE d >= 10),
+             |e1 AS (SELECT a, b FROM e0
+             |       WHERE a IN (SELECT v FROM k1) AND b IN (SELECT v FROM k1)),
+             |d1 AS (SELECT v, count(*) AS d FROM
+             |        (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1) GROUP BY v),
+             |k2 AS (SELECT v FROM d1 WHERE d >= 10),
+             |e2 AS (SELECT a, b FROM e1
+             |       WHERE a IN (SELECT v FROM k2) AND b IN (SELECT v FROM k2)),
+             |d2 AS (SELECT v, count(*) AS d FROM
+             |        (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2) GROUP BY v),
+             |k3 AS (SELECT v FROM d2 WHERE d >= 10),
+             |e3 AS (SELECT a, b FROM e2
+             |       WHERE a IN (SELECT v FROM k3) AND b IN (SELECT v FROM k3)),
+             |d3 AS (SELECT v, count(*) AS d FROM
+             |        (SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3) GROUP BY v)
+             |SELECT v AS doc_id, d AS core_deg FROM d3
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val docs = t.documents.select(col("doc_id")).localCheckpoint()
+        val n = docs.count()
+        val raw = docs.select(col("doc_id").as("src"),
+            explode(array((0 until 4).map(k =>
+              (col("doc_id") * 31 + k * 17 + 7) % n): _*)).as("dst"))
+          .unionByName(docs.filter(col("doc_id") < 50)
+            .select(col("doc_id").as("src"),
+              explode(array((0 until 8).map(j =>
+                (col("doc_id") * 7 + j * 13 + 3) % 50): _*)).as("dst")))
+        var e = raw.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+          .localCheckpoint()
+        def degrees(edges: org.apache.spark.sql.DataFrame) =
+          edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
+            .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        for (_ <- 1 to 3) {
+          val keep = degrees(e).filter(col("d") >= 10).select(col("v"))
+          e = e
+            .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+            .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+            .select(col("a"), col("b"))
+            .localCheckpoint()
+        }
+        ordered(degrees(e).select(col("v").as("doc_id"), col("d").as("core_deg")))
+      }
+    ),
+    Q(
       "g4_link_predict",
       // Common-neighbor link prediction over the undirected form of the
       // link graph — the "likely same dup family" heuristic run before

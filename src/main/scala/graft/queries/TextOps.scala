@@ -26,8 +26,8 @@ object TextOps {
       |  FROM documents
       |)""".stripMargin
 
-  val all: Seq[Q] = bpeMergesQ +: hybridRrfQ +: cmsEstimateQ +: skewProfileQ +:
-    quantileNormQ +: pmiAssocQ +: Seq(
+  val all: Seq[Q] = prfExpandQ +: bpeMergesQ +: hybridRrfQ +: cmsEstimateQ +:
+    skewProfileQ +: quantileNormQ +: pmiAssocQ +: Seq(
     Q(
       "d7_zipf_fit",
       // Zipf's-law fit over the corpus unigram distribution — the
@@ -1326,6 +1326,113 @@ object TextOps {
         md5(col("text").substr(col("se.ss").cast("int"),
           (col("se.es") - col("se.ss") + 1L).cast("int"))).as("chunk_md5"))
   }
+
+  /** Pseudo-relevance-feedback query expansion (Rocchio '71 lineage, the
+    * classic two-pass IR trick): run BM25 for the base query, harvest
+    * the dominant terms of the top-10 docs ("the relevant set"), add the
+    * best 3 of them to the query, re-score. Every stage is the already-
+    * proven exact BM25 machinery; the harvest is a semi-join of the
+    * postings against 10 doc ids and rides term TYPES, never the corpus.
+    * Expansion picks deterministic winners: total tf in the feedback
+    * docs desc, length >= 4 (drops stop-ish tokens), term asc ties,
+    * base terms excluded.
+    *
+    * 100 TB shape: pass 1 is the d3 BM25 plan (postings are the
+    * persisted inverted index); the feedback-doc semi-join touches 10
+    * postings lists; pass 2 re-filters the SAME postings relation on 6
+    * terms instead of 3 — no stage rescans raw text.
+    */
+  private def prfExpandQ: Q = Q(
+    "d3_prf_expand",
+    Some(s"""WITH $toksCte,
+            |tok AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+            |postings AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            |dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY 1),
+            |stats AS (SELECT avg(dlen) AS avgdl,
+            |                 (SELECT count(*) FROM documents) AS n FROM dl),
+            |dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+            |bm1 AS (
+            |  SELECT p.doc_id,
+            |    round(sum(
+            |      ln((stats.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+            |      * (p.tf * 2.2)
+            |      / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dlen / stats.avgdl))
+            |    ), 4) AS bm25
+            |  FROM postings p JOIN dfreq d USING (term)
+            |  JOIN dl USING (doc_id) CROSS JOIN stats
+            |  WHERE p.term IN ('spark', 'window', 'shuffle')
+            |  GROUP BY p.doc_id
+            |),
+            |fb AS (
+            |  SELECT doc_id FROM (
+            |    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r
+            |    FROM bm1) WHERE r <= 10
+            |),
+            |exp AS (
+            |  SELECT term FROM (
+            |    SELECT p.term, CAST(sum(p.tf) AS BIGINT) AS fbtf,
+            |           row_number() OVER (ORDER BY CAST(sum(p.tf) AS BIGINT) DESC,
+            |                              p.term ASC) AS r
+            |    FROM postings p JOIN fb USING (doc_id)
+            |    WHERE length(p.term) >= 4
+            |      AND p.term NOT IN ('spark', 'window', 'shuffle')
+            |    GROUP BY p.term) WHERE r <= 3
+            |),
+            |bm2 AS (
+            |  SELECT p.doc_id,
+            |    round(sum(
+            |      ln((stats.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+            |      * (p.tf * 2.2)
+            |      / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dlen / stats.avgdl))
+            |    ), 4) AS bm25x
+            |  FROM postings p JOIN dfreq d USING (term)
+            |  JOIN dl USING (doc_id) CROSS JOIN stats
+            |  WHERE p.term IN ('spark', 'window', 'shuffle')
+            |     OR p.term IN (SELECT term FROM exp)
+            |  GROUP BY p.doc_id
+            |)
+            |SELECT doc_id, bm25x FROM (
+            |  SELECT doc_id, bm25x,
+            |         row_number() OVER (ORDER BY bm25x DESC, doc_id ASC) AS r
+            |  FROM bm2) WHERE r <= 20
+            |ORDER BY ALL NULLS FIRST""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val base = Seq("spark", "window", "shuffle")
+      val postings = t.documents
+        .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // pass 1, the harvest AND pass 2 all ride this
+      val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
+      val stats = dl.agg(avg(col("dlen")).as("avgdl"))
+        .crossJoin(t.documents.agg(count(lit(1)).as("n")))
+      val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+      val score = idf * (col("tf") * 2.2) /
+        (col("tf") + lit(1.2) * (lit(1) - lit(0.75) + lit(0.75) * col("dlen") / col("avgdl")))
+      def bm25(terms: org.apache.spark.sql.DataFrame, out: String) = postings
+        .join(broadcast(terms), "term")
+        .join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .groupBy(col("doc_id"))
+        .agg(r4(sum(score)).as(out))
+      val baseTerms = spark.createDataFrame(
+        base.map(Tuple1(_))).toDF("term")
+      val bm1 = bm25(baseTerms, "bm25")
+      val fb = bm1.orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
+        .select(col("doc_id"))
+      val exp = postings
+        .join(broadcast(fb), "doc_id")
+        .filter(length(col("term")) >= 4 && !col("term").isin(base: _*))
+        .groupBy(col("term")).agg(sum(col("tf")).as("fbtf"))
+        .orderBy(col("fbtf").desc, col("term").asc).limit(3)
+        .select(col("term"))
+      val bm2 = bm25(baseTerms.unionByName(exp), "bm25x")
+      ordered(bm2.orderBy(col("bm25x").desc, col("doc_id").asc).limit(20))
+    }
+  )
 
   /** Distributed BPE merge training (Sennrich et al. 2016) — the
     * tokenizer-training core of every LLM data stack, in pure relational

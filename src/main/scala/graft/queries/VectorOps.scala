@@ -593,6 +593,80 @@ object VectorOps {
       }
     ),
     Q(
+      "d6_diverse_topk",
+      // Cluster-diversified top-k — the retrieval-diversification shape
+      // (the cheap, scale-sane alternative to iterative MMR): candidates
+      // first rank WITHIN their IVF cluster and only the best 2 per
+      // (query, cluster) survive, then the global top-10 reranks the
+      // survivors — so no single dense neighborhood can monopolize a
+      // result page. Everything is the already-proven exact machinery
+      // (fixture centroids, packed-decimal argmax assignment, fold-exact
+      // cosine), so the full path hash-matches. 100 TB shape: assignment
+      // is the IVF index build (corpus bucketed by cluster on disk); the
+      // per-cluster rank is a window over each cluster's candidates; the
+      // final top-10 is a per-query TakeOrdered over <= 2*k survivors.
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+              |  FROM embeddings
+              |),
+              |cents AS (
+              |  SELECT cluster, [CAST(x AS DOUBLE) FOR x IN centroid] AS cv
+              |  FROM '/root/repo/fixtures/ivf_centroids.parquet'
+              |),
+              |corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+              |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+              |ascore AS (
+              |  SELECT corpus.vec_id, cents.cluster,
+              |         ${cosSql("corpus.v", "cents.cv")} AS sim
+              |  FROM corpus CROSS JOIN cents
+              |),
+              |asg AS (
+              |  SELECT vec_id,
+              |         CAST(9999 - (max(CAST(round((sim + 1.0) * 5e14) AS HUGEINT)
+              |                          * 10000 + (9999 - cluster)) % 10000)
+              |              AS INTEGER) AS cluster
+              |  FROM ascore GROUP BY vec_id
+              |),
+              |scored AS (
+              |  SELECT q.q_id, c.vec_id, a.cluster,
+              |         round(${cosSql("q.qv", "c.v")}, 4) AS cos
+              |  FROM q CROSS JOIN corpus c JOIN asg a ON a.vec_id = c.vec_id
+              |),
+              |incluster AS (
+              |  SELECT q_id, vec_id, cluster, cos FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY q_id, cluster
+              |                                 ORDER BY cos DESC, vec_id ASC) AS cr
+              |    FROM scored) WHERE cr <= 2
+              |)
+              |SELECT q_id, rn, vec_id, cluster, cos FROM (
+              |  SELECT q_id, vec_id, cluster, cos,
+              |         row_number() OVER (PARTITION BY q_id
+              |                            ORDER BY cos DESC, vec_id ASC) AS rn
+              |  FROM incluster) WHERE rn <= 10
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val cents = spark.read.parquet("/root/repo/fixtures/ivf_centroids.parquet")
+        val e = t.embeddings
+        val corpus = e.filter(col("vec_id") >= 5)
+        val asg = graft.functions.Ivf.assign(corpus, cents)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val scored = corpus.join(asg, "vec_id")
+          .crossJoin(broadcast(q))
+          .select(col("q_id"), col("vec_id"), col("cluster"),
+            r4(Vectors.cosineFast(col("qe"), col("embedding"))).as("cos"))
+        val wc = Window.partitionBy(col("q_id"), col("cluster"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        val wg = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        ordered(
+          scored.withColumn("cr", row_number().over(wc)).filter(col("cr") <= 2)
+            .withColumn("rn", row_number().over(wg)).filter(col("rn") <= 10)
+            .select(col("q_id"), col("rn"), col("vec_id"), col("cluster"), col("cos")))
+      }
+    ),
+    Q(
       "d6_ivf_ann",
       // IVF ANN (mandate's second scale path): 8 coarse centroids, 2
       // Lloyd iterations, probe the 2 nearest lists, exact rerank.

@@ -188,6 +188,53 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(run("j8_asof_nearest").filter(col("direction") === "f").count() > 0)
   }
 
+  test("d6_diverse_topk: no cluster holds more than 2 of any result page") {
+    val rows = run("d6_diverse_topk").collect()
+    assert(rows.nonEmpty)
+    val perQc = rows.groupBy(r => (r.getAs[Long]("q_id"), r.getAs[Int]("cluster")))
+    assert(perQc.values.forall(_.length <= 2))
+    val perQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(perQ.values.forall(_.length == 10))
+  }
+
+  test("t11_mad_robust: every flagged row re-verifies against driver-side median/MAD") {
+    def medianOf(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+    val vals = Tables(spark, sf).events
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    val flagged = run("t11_mad_robust").collect()
+    assert(flagged.nonEmpty)
+    flagged.foreach { r =>
+      val xs = vals(r.getAs[String]("event_type")).map(_.getAs[Double]("value")).toSeq
+      val med = medianOf(xs)
+      val mad = medianOf(xs.map(x => math.abs(x - med)))
+      val z = (r.getAs[Double]("value") - med) / (1.4826 * mad)
+      assert(math.abs(z) > 3.5)
+      assert(math.abs(r.getAs[Double]("robust_z") - z) < 1e-3)
+    }
+  }
+
+  test("g5_kcore_peel: the regular bulk dies, only the planted dense core survives") {
+    val rows = run("g5_kcore_peel").collect()
+    // the base graph is 8-regular — under k=10 it cannot survive; the
+    // planted intra-core edges are confined to doc_id < 50
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("doc_id") < 50L))
+  }
+
+  test("d3_prf_expand: expansion never lowers a doc's score vs the base query") {
+    val base = run("d3_search_bm25").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    val exp = run("d3_prf_expand").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25x")).toMap
+    assert(exp.nonEmpty)
+    // BM25 terms contribute non-negatively, so adding query terms can
+    // only add score — any doc present in both rankings must not drop
+    val both = base.keySet intersect exp.keySet
+    assert(both.nonEmpty)
+    both.foreach { d => assert(exp(d) >= base(d) - 1e-9) }
+  }
+
   test("the SQL entry path: temp views + spark.sql + extension functions") {
     // users of the library can work entirely in SQL: register the corpus
     // as views, query with spark.sql, and call the engine's native
