@@ -523,6 +523,35 @@ object EventOps {
       }
     ),
     Q(
+      "w9_max_gap",
+      // Longest inactivity gap per user — the SLA/churn-signal window:
+      // one user-partitioned lag (the SAME per-user event-time sort
+      // every per-user analytic shares), gaps in exact integer
+      // microseconds, one max aggregate. Users with a single event
+      // have no gap and drop out via the lag NULL.
+      Some("""WITH g AS (
+             |  SELECT user_id,
+             |         epoch_us(ts) - lag(epoch_us(ts))
+             |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |  FROM events
+             |)
+             |SELECT user_id, max(gap_us) AS max_gap_us
+             |FROM g WHERE gap_us IS NOT NULL
+             |GROUP BY 1
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        ordered(
+          t.events
+            .withColumn("gap_us",
+              unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+            .filter(col("gap_us").isNotNull)
+            .groupBy(col("user_id"))
+            .agg(max(col("gap_us")).as("max_gap_us")))
+      }
+    ),
+    Q(
       "t15_cumulative_users",
       // Cumulative-unique-users growth curve — the DAU/MAU "total users
       // ever seen by day d" chart. The classic trap is a cumulative

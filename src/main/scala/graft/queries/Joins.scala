@@ -293,6 +293,35 @@ object Joins {
       }
     ),
     Q(
+      "j15_rel_division",
+      // Relational DIVISION — the classic operator the basic algebra
+      // can't express directly ("users who did EVERY event type"):
+      // implemented as the count-distinct reformulation, one hash
+      // aggregate per user compared against the 1-row universe size —
+      // never the naive double-NOT-EXISTS correlated scan. 100 TB
+      // shape: per-user distinct ride a (user_id, type) dedup with
+      // map-side partials; the universe count is a broadcast scalar.
+      Some("""WITH uni AS (SELECT count(DISTINCT event_type) AS nt FROM events),
+             |per AS (
+             |  SELECT user_id, count(DISTINCT event_type) AS nt_user
+             |  FROM events GROUP BY 1
+             |)
+             |SELECT p.user_id, p.nt_user
+             |FROM per p CROSS JOIN uni u
+             |WHERE p.nt_user = u.nt
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val uni = t.events.agg(countDistinct(col("event_type")).as("nt"))
+        val per = t.events.groupBy(col("user_id"))
+          .agg(countDistinct(col("event_type")).as("nt_user"))
+        ordered(
+          per.crossJoin(broadcast(uni))
+            .filter(col("nt_user") === col("nt"))
+            .select(col("user_id"), col("nt_user")))
+      }
+    ),
+    Q(
       "j9_interval_overlap",
       // interval-overlap join: order "activity windows" overlapping a fixed
       // probe window; conjunctive range predicate on a broadcast side

@@ -178,7 +178,17 @@ class ScaleShapeSpec extends AnyFunSuite {
       // 256-row importance table; the corpus side is pure equi-joins
       "d7_zipf_fit", // two 1-row stats broadcasts (Σx/Σy centering, final
       // slope assembly) onto the vocab-bounded rank relation
-      "s12_histogram" // 1-row min/max scalar broadcast into bucket assign
+      "s12_histogram", // 1-row min/max scalar broadcast into bucket assign
+      "d3_hybrid_rrf", // 1-row BM25 stats + 1-row query vector broadcasts;
+      // the fusion itself is a full-outer equi-join of two 50-row sides
+      "d3_prf_expand", // the same 1-row BM25 stats broadcast, both passes
+      "a6_cms_estimate", // 4-row seed relation broadcast onto the vocab
+      // (sketch build) and the 20-row probe side — constant build sides
+      "d2_bpe_merges", // 1-row argmax merge broadcast per round
+      "j15_rel_division", // 1-row universe-size scalar broadcast
+      "d6_diverse_topk" // k-row centroid + 5-row query-set broadcasts
+      // (the same fixture cross joins as d6_ivf_assign); the candidate
+      // scoring joins assignment by vec_id — an equi-join
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (fenced(name)) None
