@@ -1227,7 +1227,7 @@ object TextOps {
             |),
             |tot AS (SELECT CAST(2 * sum(c) AS BIGINT) AS tp FROM pc)
             |SELECT a, b, c,
-            |       round(ln(CAST(c * tp AS DOUBLE) / CAST(ma.mw * mb.mw AS DOUBLE)), 4)
+            |       round(ln(CAST(c * tp AS DOUBLE) / CAST(ma.mw * mb.mw AS DOUBLE)), 4) + 0.0
             |         AS pmi
             |FROM pc JOIN m ma ON pc.a = ma.w JOIN m mb ON pc.b = mb.w
             |CROSS JOIN tot
@@ -1255,8 +1255,11 @@ object TextOps {
           .join(broadcast(m.withColumnRenamed("w", "b").withColumnRenamed("mw", "mb")), Seq("b"))
           .crossJoin(broadcast(tot)) // 1-row pair total
           .select(col("a"), col("b"), col("c"),
-            round(log((col("c") * col("tp")).cast("double") /
-              (col("ma") * col("mb")).cast("double")), 4).as("pmi"))
+            // `+ 0.0` canonicalizes IEEE negative zero (-0.0 + 0.0 = +0.0):
+            // DuckDB and Spark round a tiny negative PMI to differently
+            // signed zeros, which are ==-equal but stringify differently.
+            (round(log((col("c") * col("tp")).cast("double") /
+              (col("ma") * col("mb")).cast("double")), 4) + lit(0.0)).as("pmi"))
       )
     }
   )

@@ -25,10 +25,15 @@ final case class Tables(spark: SparkSession, dir: String) {
   lazy val documents: DataFrame  = table("documents")
   lazy val embeddings: DataFrame = table("embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * raw long (`spark.sql.legacy.parquet.nanosAsLong`). Re-materialize it
-    * as a proper microsecond timestamp column so every downstream operator
-    * (windows, watermarks, date functions) sees a TimestampType.
+  /** `events.ts` arrives in whatever parquet flavor the data generator chose
+    * for that run — observed so far: TIMESTAMP(NANOS) (which Spark reads as a
+    * raw long under `spark.sql.legacy.parquet.nanosAsLong`) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark reads as
+    * TIMESTAMP_NTZ). Normalize every flavor to a session-zoned TimestampType
+    * here, once, so downstream epoch extractors (`unix_micros` rejects NTZ at
+    * analysis time), windows, and watermarks all see one type. The session
+    * time zone is pinned to UTC (Graft.scala), so the NTZ→LTZ cast is a
+    * relabel with no wall-clock shift.
     */
   lazy val events: DataFrame = {
     val raw = table("events")
@@ -37,6 +42,8 @@ final case class Tables(spark: SparkSession, dir: String) {
         // integer DIV: a double intermediate would lose precision on
         // nanosecond-scale epoch values (2^63 ≫ 2^53)
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
