@@ -59,11 +59,23 @@ object Bench {
       } else t1
       name -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal rounding: local[32] noise is ±20-40%, sub-ms digits are
+    // pure line-length. The driver's stdout capture keeps only the LAST
+    // ~2000 chars of the line, so the aggregate fields (value, failed)
+    // go at the END where they always survive truncation, and the full
+    // per-query map is ALSO written to BENCH_FULL.json in the repo so a
+    // truncated capture never loses per-query durations.
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failed":[${failed.mkString(",")}],"value":${r3(total)}}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), line + "\n")
+    catch { case _: Throwable => () } // repo may be read-only in some harnesses
+    println(line)
     spark.stop()
   }
 }

@@ -20,6 +20,17 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a query that throws must still leave a dump, or the driver's
+        // compare silently omits it and the red row is invisible — a
+        // 1-row sentinel with a __verify_error column guarantees a
+        // schema/hash mismatch, so "absent" can only mean "never
+        // registered"
+        try {
+          import spark.implicits._
+          Seq(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+            .toDF("__verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
       // localCheckpoint() blocks are never auto-freed; drop them so a
       // 200+-query dump doesn't accumulate storage memory across queries

@@ -112,7 +112,7 @@ object GraphOps {
              |FROM w CROSS JOIN t""".stripMargin),
       (spark, dir) => {
         val t = Tables(spark, dir)
-        val docs = t.documents.select(col("doc_id")).localCheckpoint()
+        val docs = t.documents.select(col("doc_id")) // cheap column-pruned scan: re-reading beats pinning the id column in executor memory
         val n = docs.count()
         val raw = docs.select(col("doc_id").as("src"),
           explode(array((0 until 4).map(k =>
@@ -176,7 +176,7 @@ object GraphOps {
              |ORDER BY ALL NULLS FIRST""".stripMargin),
       (spark, dir) => {
         val t = Tables(spark, dir)
-        val docs = t.documents.select(col("doc_id")).localCheckpoint()
+        val docs = t.documents.select(col("doc_id")) // cheap column-pruned scan: re-reading beats pinning the id column in executor memory
         val n = docs.count()
         val edges = docs.select(col("doc_id").as("src"),
           explode(array((0 until 4).map(k =>
@@ -246,7 +246,7 @@ object GraphOps {
              |ORDER BY ALL NULLS FIRST""".stripMargin),
       (spark, dir) => {
         val t = Tables(spark, dir)
-        val docs = t.documents.select(col("doc_id")).localCheckpoint()
+        val docs = t.documents.select(col("doc_id")) // cheap column-pruned scan: re-reading beats pinning the id column in executor memory
         val n = docs.count()
         val raw = docs.select(col("doc_id").as("src"),
             explode(array((0 until 4).map(k =>
@@ -316,7 +316,7 @@ object GraphOps {
              |ORDER BY ALL NULLS FIRST""".stripMargin),
       (spark, dir) => {
         val t = Tables(spark, dir)
-        val docs = t.documents.select(col("doc_id")).localCheckpoint()
+        val docs = t.documents.select(col("doc_id")) // cheap column-pruned scan: re-reading beats pinning the id column in executor memory
         val n = docs.count()
         val raw = docs.select(col("doc_id").as("src"),
           explode(array((0 until 4).map(k =>

@@ -158,6 +158,61 @@ object TextOps {
       }
     ),
     Q(
+      "a6_heavy_hitters_stream",
+      // T13 oracle closure: the SAME two-pass heavy-hitters answer, but
+      // with pass 1's candidate set produced by the STREAMING sharded
+      // Misra-Gries sketch (Streams.heavyHittersStream) instead of the
+      // batch aggregate — the corpus replays through a file stream, the
+      // final per-shard snapshots are unioned, and pass 2 recounts the
+      // candidates exactly. Because every term's full count lives in one
+      // shard and count > n/50 ≥ n_shard/50 > n_shard/(k+1) (k=64), a
+      // true heavy hitter can never be evicted from its shard — so the
+      // streamed candidate set has no false negatives and the exact
+      // recount + integer threshold reproduces the oracle's HAVING
+      // verbatim, hash-checkable despite sketch merge-order
+      // nondeterminism. This upgrades the parity SPEC to an oracle row.
+      Some(s"""WITH $toksCte,
+              |tok AS (SELECT unnest(tokens) AS term FROM toks)
+              |SELECT term, count(*) AS cnt
+              |FROM tok
+              |GROUP BY term
+              |HAVING count(*) * 50 > (SELECT count(*) FROM tok)
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        import spark.implicits._
+        val t = Tables(spark, dir)
+        val toks = t.documents
+          .select(explode(Text.tokenize(col("text"))).as("term"))
+        // replay the corpus as a stream through the sharded MG sketch
+        val sterms = spark.readStream.schema(t.documents.schema)
+          // documents.parquet may be a single FILE (the generator's
+          // layout); the file-stream source needs a directory-rooted
+          // GLOB, not a bare file path — `documents.*` keeps the glob
+          // prefix (= the directory) as the stream's base path
+          .parquet(s"$dir/documents.*")
+          .select(explode(Text.tokenize(col("text"))).as("term")).as[String]
+        val sink = s"hh_stream_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+        graft.streaming.Streams.runToMemory(
+          graft.streaming.Streams.heavyHittersStream(sterms).toDF(), sink,
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        val wShard = Window.partitionBy(col("shard")).orderBy(col("gen").desc)
+        val cands = spark.table(sink)
+          .withColumn("rn", row_number().over(wShard))
+          .filter(col("rn") === 1) // latest snapshot per shard
+          .select(explode(col("terms")).as("term"))
+          .distinct() // ≤ shards·k rows — broadcastable by construction
+        val total = toks.agg(count(lit(1)).as("n"))
+        ordered(
+          toks.join(broadcast(cands), "term")
+            .groupBy(col("term"))
+            .agg(count(lit(1)).as("cnt"))
+            .crossJoin(broadcast(total)) // 1-row total
+            .filter(col("cnt") * 50 > col("n"))
+            .select(col("term"), col("cnt"))
+        )
+      }
+    ),
+    Q(
       "d7_lm_score",
       // CCNet-style LM quality scoring: train an add-one-smoothed bigram
       // model ON the corpus (counts + vocab size — the "LM table", bounded

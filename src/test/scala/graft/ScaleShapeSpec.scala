@@ -155,6 +155,8 @@ class ScaleShapeSpec extends AnyFunSuite {
       "d7_quantile_norm", // 1-row corpus-total scalar (pooled lookup is an equi-join)
       "d7_pmi_assoc", // 1-row pair-total scalar (marginal joins are equi)
       "g2_triangles", // three 1-row scalar aggregates (triple join is equi)
+      "a6_heavy_hitters_stream", // 1-row token-total scalar broadcast
+      // (candidate recount join is equi on term)
       "a6_hll_intersect", // two 1-row sketch/audit aggregates
       "d6_cosine_topk", // small query set x corpus, reranked top-k
       "d6_ivf_ann", // k-row centroid relation x vectors (assignment)
