@@ -41,7 +41,201 @@ object DedupOps {
        |  FROM toks WHERE len(tokens) >= 3
        |)""".stripMargin
 
+  /** Shared DuckDB CTE chain (requires `WITH RECURSIVE` + [[shinglesCte]]
+    * in scope): MinHash signatures → LSH bands → verified pairs →
+    * symmetric edges → recursive reachability → per-doc cluster
+    * assignment `comp(doc_id, cluster_id)`. The oracle twin of
+    * `Dedup.minhashPairs` + `Dedup.connectedComponents`; composed by
+    * d5_dedup_clusters and the round-7 cluster-consumer queries. */
+  private val clustersCtes =
+    """sigs AS (
+      |  SELECT doc_id, seed,
+      |         min(((('0x' || substring(md5(shingle), 1, 15))::BIGINT
+      |                % 2147483647)
+      |              * (((2 * seed + 1) * 1103515245) % 2147483647)
+      |              + ((seed * 40503 + 12345) % 2147483647))
+      |             % 2147483647) AS sig
+      |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed)
+      |  GROUP BY doc_id, seed
+      |),
+      |bands AS (
+      |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+      |         string_agg(sig::VARCHAR, ',' ORDER BY sig) AS band_key
+      |  FROM sigs GROUP BY doc_id, band
+      |),
+      |cands AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.band_key = y.band_key
+      |   AND x.doc_id < y.doc_id
+      |),
+      |pairs AS (
+      |  SELECT c.a, c.b
+      |  FROM cands c
+      |  JOIN sigs sx ON sx.doc_id = c.a
+      |  JOIN sigs sy ON sy.doc_id = c.b AND sy.seed = sx.seed
+      |  GROUP BY c.a, c.b
+      |  HAVING sum(CASE WHEN sx.sig = sy.sig THEN 1 ELSE 0 END) / 8.0 >= 0.5
+      |),
+      |edges AS (
+      |  SELECT a AS src, b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT b AS src, a AS dst FROM pairs
+      |),
+      |reach(node, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT reach.node, e.dst
+      |  FROM reach JOIN edges e ON e.src = reach.r
+      |),
+      |comp AS (
+      |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+      |)""".stripMargin
+
   val all: Seq[Q] = assemble()
+
+  /** Engine twin of the `comp` CTE: MinHash-LSH pairs → connected
+    * components → every doc's cluster id (singletons = own id). One LSH
+    * band join + the CC iteration over edge ENDPOINTS only; the corpus
+    * re-enters once for the left-join assignment. */
+  private def clusterAssign(t: Tables): DataFrame = {
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    val pairs = Dedup.minhashPairs(docs, shingleWidth = 3, numHashes = 8,
+      rowsPerBand = 2, minEstJaccard = 0.5).select(col("a"), col("b"))
+    docs.select(col("doc_id"))
+      .join(Dedup.connectedComponents(pairs), col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** DuckDB quality CTEs (verbatim from d7_quality_score, renamed to
+    * avoid clashes): `quality(doc_id, quality)` with the floor-based
+    * 4dp rounding that is bit-identical across engines. */
+  // lazy: referenced from assemble() during object init, which runs
+  // before this declaration's initializer in source order
+  private lazy val qualityCtes =
+    """qq AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                x -> x <> '') AS qtoks,
+      |    text
+      |  FROM documents
+      |), qm AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(qtoks) > 0
+      |         THEN len(array_to_string(qtoks, '')) * 1.0 / len(qtoks)
+      |         ELSE 0.0 END AS mean_len,
+      |    CASE WHEN len(text) > 0
+      |         THEN (len(text) - len(regexp_replace(text, '[a-zA-Z ]', '', 'g')))
+      |              * 1.0 / len(text)
+      |         ELSE 0.0 END AS alpha_ratio,
+      |    CASE WHEN len(qtoks) > 0
+      |         THEN len(list_distinct(qtoks)) * 1.0 / len(qtoks)
+      |         ELSE 0.0 END AS distinct_ratio
+      |  FROM qq
+      |), quality AS (
+      |  SELECT doc_id,
+      |    floor(((CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+      |          * 0.3 + alpha_ratio * 0.4 + distinct_ratio * 0.3) * 10000 + 0.5)
+      |      / 10000 AS quality
+      |  FROM qm
+      |)""".stripMargin
+
+  private lazy val keepBestQ = Q(
+    "d4_keep_best_per_cluster",
+    // Canonical-document selection — the pipeline step AFTER near-dup
+    // clustering: instead of the arbitrary min-id keeper, keep the
+    // HIGHEST-QUALITY member of each dup family (ties → min doc_id).
+    // Composes two independently-verified operators (d5_dedup_clusters'
+    // component assignment × d7_quality_score's gate) into one plan.
+    // 100 TB shape: the CC iteration sees only edge endpoints (docs that
+    // actually paired — the tiny minority); the corpus enters once for
+    // the assignment left-join and once for the per-doc quality scan
+    // (narrow, codegen'd); both windows ride the cluster relation whose
+    // partitions are dup-family-sized, never corpus-sized.
+    Some(s"""WITH RECURSIVE $shinglesCte,
+            |$clustersCtes,
+            |$qualityCtes,
+            |ranked AS (
+            |  SELECT c.doc_id, c.cluster_id, q.quality,
+            |         count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+            |         row_number() OVER (PARTITION BY c.cluster_id
+            |                            ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+            |  FROM comp c JOIN quality q ON q.doc_id = c.doc_id
+            |)
+            |SELECT cluster_id, doc_id AS kept_doc_id, quality,
+            |       CAST(cluster_size AS BIGINT) AS cluster_size
+            |FROM ranked WHERE rn = 1
+            |ORDER BY ALL NULLS FIRST""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val quality = t.documents.select(col("doc_id"),
+        // floor(x*1e4+0.5)/1e4 — the cross-engine-exact rounding proven
+        // by d7_quality_score
+        (floor(Text.qualityScore(col("text")) * 10000 + 0.5) / 10000).as("quality"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+      val wr = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      ordered(
+        clusterAssign(t).join(quality, "doc_id")
+          .withColumn("cluster_size", count(lit(1)).over(w))
+          .withColumn("rn", row_number().over(wr))
+          .filter(col("rn") === 1)
+          .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
+            col("quality"), col("cluster_size")))
+    })
+
+  private lazy val clusterSplitQ = Q(
+    "d11_cluster_split",
+    // LEAKAGE-GUARDED train/val/test split: the split bucket hashes the
+    // near-dup CLUSTER id, not the doc id — so a dup family can never
+    // straddle train and test (the classic eval-contamination vector a
+    // doc-hash split leaves open; d11_train_val_test is that weaker
+    // form). The max_splits_per_cluster audit column proves the
+    // invariant inside the result itself. 100 TB shape: same CC
+    // iteration over edge endpoints; the split tag is one md5 per row;
+    // the guard aggregate rides the cluster relation and broadcasts as
+    // a 1-row scalar.
+    Some(s"""WITH RECURSIVE $shinglesCte,
+            |$clustersCtes,
+            |tagged AS (
+            |  SELECT doc_id, cluster_id,
+            |         CASE WHEN (('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100) < 80
+            |                THEN 'train'
+            |              WHEN (('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100) < 90
+            |                THEN 'val'
+            |              ELSE 'test' END AS split
+            |  FROM comp
+            |),
+            |guard AS (
+            |  SELECT max(cnt) AS max_splits FROM
+            |    (SELECT cluster_id, count(DISTINCT split) AS cnt
+            |     FROM tagged GROUP BY cluster_id)
+            |)
+            |SELECT split, count(*) AS n_docs,
+            |       count(DISTINCT cluster_id) AS n_clusters,
+            |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+            |       CAST((SELECT max_splits FROM guard) AS BIGINT)
+            |         AS max_splits_per_cluster
+            |FROM tagged GROUP BY split
+            |ORDER BY ALL NULLS FIRST""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val bucket = pmod(conv(substring(md5(col("cluster_id").cast("string")), 1, 15),
+        16, 10).cast("long"), lit(100L))
+      val tagged = clusterAssign(t)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .localCheckpoint() // feeds the guard scalar and the per-split rows
+      val guard = tagged.groupBy(col("cluster_id"))
+        .agg(countDistinct(col("split")).as("cnt"))
+        .agg(max(col("cnt")).as("max_splits_per_cluster"))
+      ordered(
+        tagged.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster_id")).as("n_clusters"),
+            sum(col("doc_id")).as("id_sum"))
+          .crossJoin(broadcast(guard))) // 1-row audit scalar
+    })
 
   private def assemble(): Seq[Q] = {
     val base = baseQueries
@@ -104,7 +298,7 @@ object DedupOps {
               t.documents.select(col("doc_id"), col("text")),
               shingleWidth = 3, minJaccard = 0.5)
               .select(col("a"), col("b"), r4(col("jaccard")).as("jaccard")))
-        })
+        }) :+ keepBestQ :+ clusterSplitQ
   }
 
   private def baseQueries: Seq[Q] = Seq(
@@ -505,49 +699,7 @@ object DedupOps {
       // propagation (Dedup.connectedComponents) over edge endpoints only
       // and left-joins the assignment back to the corpus.
       Some(s"""WITH RECURSIVE $shinglesCte,
-              |sigs AS (
-              |  SELECT doc_id, seed,
-              |         min(((('0x' || substring(md5(shingle), 1, 15))::BIGINT
-              |                % 2147483647)
-              |              * (((2 * seed + 1) * 1103515245) % 2147483647)
-              |              + ((seed * 40503 + 12345) % 2147483647))
-              |             % 2147483647) AS sig
-              |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed)
-              |  GROUP BY doc_id, seed
-              |),
-              |bands AS (
-              |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-              |         string_agg(sig::VARCHAR, ',' ORDER BY sig) AS band_key
-              |  FROM sigs GROUP BY doc_id, band
-              |),
-              |cands AS (
-              |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-              |  FROM bands x JOIN bands y
-              |    ON x.band = y.band AND x.band_key = y.band_key
-              |   AND x.doc_id < y.doc_id
-              |),
-              |pairs AS (
-              |  SELECT c.a, c.b
-              |  FROM cands c
-              |  JOIN sigs sx ON sx.doc_id = c.a
-              |  JOIN sigs sy ON sy.doc_id = c.b AND sy.seed = sx.seed
-              |  GROUP BY c.a, c.b
-              |  HAVING sum(CASE WHEN sx.sig = sy.sig THEN 1 ELSE 0 END) / 8.0 >= 0.5
-              |),
-              |edges AS (
-              |  SELECT a AS src, b AS dst FROM pairs
-              |  UNION ALL
-              |  SELECT b AS src, a AS dst FROM pairs
-              |),
-              |reach(node, r) AS (
-              |  SELECT doc_id, doc_id FROM documents
-              |  UNION
-              |  SELECT reach.node, e.dst
-              |  FROM reach JOIN edges e ON e.src = reach.r
-              |),
-              |comp AS (
-              |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
-              |)
+              |$clustersCtes
               |SELECT doc_id, cluster_id,
               |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
               |       doc_id = cluster_id AS is_keeper

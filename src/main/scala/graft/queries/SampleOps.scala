@@ -386,6 +386,43 @@ object SampleOps {
               (col("wsum") > 0).cast("int").as("selected"))
         )
       }
+    ),
+    Q(
+      "d11_epoch_shuffle",
+      // Deterministic EPOCH SHUFFLE — the "global shuffle before
+      // training" step: every doc gets a seeded hash key, the key's low
+      // bits pick one of 16 output shards, and the within-shard position
+      // is the rank by (key, doc_id). Seed in, permutation out — the
+      // same epoch is byte-reproducible on any cluster size, no RNG
+      // state, no global sort. 100 TB shape: shard assignment is one
+      // md5 per row; the window is EXACTLY the physical plan you want —
+      // hash-repartition by shard + sort within partitions — so the
+      // only exchange is the one the training job needs anyway (each
+      // shard = one output file sequence). Changing the seed string
+      // re-deals the whole permutation.
+      Some("""WITH keyed AS (
+             |  SELECT doc_id,
+             |         ('0x' || substring(md5('epoch7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k
+             |  FROM documents
+             |)
+             |SELECT doc_id, CAST(k % 16 AS INT) AS shard,
+             |       CAST(row_number() OVER (PARTITION BY k % 16
+             |                               ORDER BY k, doc_id) AS BIGINT) AS pos
+             |FROM keyed
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val keyed = t.documents.select(col("doc_id"),
+          conv(substring(md5(concat(lit("epoch7:"), col("doc_id").cast("string"))),
+            1, 15), 16, 10).cast("long").as("k"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("k"), lit(16L)))
+          .orderBy(col("k"), col("doc_id"))
+        ordered(
+          keyed.select(col("doc_id"),
+            pmod(col("k"), lit(16L)).cast("int").as("shard"),
+            row_number().over(w).as("pos")))
+      }
     )
   )
 }

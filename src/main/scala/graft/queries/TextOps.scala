@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Canon._
@@ -26,7 +27,7 @@ object TextOps {
       |  FROM documents
       |)""".stripMargin
 
-  val all: Seq[Q] = prfExpandQ +: bpeMergesQ +: hybridRrfQ +: cmsEstimateQ +:
+  val all: Seq[Q] = bpeQs ++: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
     skewProfileQ +: quantileNormQ +: pmiAssocQ +: Seq(
     Q(
       "d7_zipf_fit",
@@ -1517,54 +1518,94 @@ object TextOps {
     * count; state strings are checkpointed per round so lineage stays
     * linear.
     */
-  private def bpeMergesQ: Q = {
+  private def bpeQs: Seq[Q] = {
     val S = "\u0001"
-    Q(
+    // shared 3-round training loop: per-round winning merges + the final
+    // per-word symbol states (both ride the VOCAB relation, never the
+    // corpus -- word states are at most |vocab| rows regardless of SF)
+    def train(t: Tables): (Seq[DataFrame], DataFrame) = {
+      val wc = t.documents
+        .select(explode(Text.tokenize(col("text"))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      var st = wc.select(col("word"), col("cnt"),
+        concat(lit(S), regexp_replace(col("word"), "(.)", "$1" + S)).as("state"))
+        .localCheckpoint()
+      val merges = (1 to 3).map { r =>
+        val syms = filter(split(col("state"), S), x => x =!= "")
+        val pairs = zip_with(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1),
+          (a, b) => concat(a, lit(S), b))
+        val pc = st
+          .select(col("cnt"), explode(pairs).as("p"))
+          .groupBy(col("p")).agg(sum(col("cnt")).as("total"))
+        val m = pc.orderBy(col("total").desc, col("p").asc).limit(1)
+        // apply the chosen merge to every word state: left-to-right
+        // non-overlapping substitution, broadcast of the 1-row winner
+        st = st.crossJoin(broadcast(m))
+          .select(col("word"), col("cnt"),
+            replace(col("state"),
+              concat(lit(S), col("p"), lit(S)),
+              concat(lit(S), translate(col("p"), S, ""), lit(S))).as("state"))
+          .localCheckpoint()
+        m.select(lit(r).as("round"),
+          element_at(split(col("p"), S), 1).as("left_sym"),
+          element_at(split(col("p"), S), 2).as("right_sym"),
+          col("total").as("pair_count"))
+      }
+      (merges, st)
+    }
+    // the shared training CTE chain (wc -> st0 -> p1/m1 -> st1 -> p2/m2
+    // -> st2 -> p3/m3), composed by both the merges and the encode oracle
+    val bpeChainSql =
+      """wc AS (
+      |  SELECT term AS word, count(*) AS cnt
+      |  FROM (SELECT unnest(tokens) AS term FROM toks)
+      |  WHERE regexp_matches(term, '^[a-z]+$') GROUP BY 1
+      |),
+      |st0 AS (
+      |  SELECT word, cnt,
+      |         chr(1) || regexp_replace(word, '(.)', '\1' || chr(1), 'g') AS state
+      |  FROM wc
+      |),
+      |p1 AS (
+      |  SELECT p, CAST(sum(cnt) AS BIGINT) AS total FROM (
+      |    SELECT cnt, unnest([s[i] || chr(1) || s[i+1] FOR i IN range(1, len(s))]) AS p
+      |    FROM (SELECT cnt, list_filter(string_split(state, chr(1)), x -> x <> '') AS s
+      |          FROM st0)) GROUP BY 1
+      |),
+      |m1 AS (SELECT p, total FROM p1 ORDER BY total DESC, p ASC LIMIT 1),
+      |st1 AS (
+      |  SELECT word, cnt,
+      |         replace(state, chr(1) || m1.p || chr(1),
+      |                 chr(1) || replace(m1.p, chr(1), '') || chr(1)) AS state
+      |  FROM st0 CROSS JOIN m1
+      |),
+      |p2 AS (
+      |  SELECT p, CAST(sum(cnt) AS BIGINT) AS total FROM (
+      |    SELECT cnt, unnest([s[i] || chr(1) || s[i+1] FOR i IN range(1, len(s))]) AS p
+      |    FROM (SELECT cnt, list_filter(string_split(state, chr(1)), x -> x <> '') AS s
+      |          FROM st1)) GROUP BY 1
+      |),
+      |m2 AS (SELECT p, total FROM p2 ORDER BY total DESC, p ASC LIMIT 1),
+      |st2 AS (
+      |  SELECT word, cnt,
+      |         replace(state, chr(1) || m2.p || chr(1),
+      |                 chr(1) || replace(m2.p, chr(1), '') || chr(1)) AS state
+      |  FROM st1 CROSS JOIN m2
+      |),
+      |p3 AS (
+      |  SELECT p, CAST(sum(cnt) AS BIGINT) AS total FROM (
+      |    SELECT cnt, unnest([s[i] || chr(1) || s[i+1] FOR i IN range(1, len(s))]) AS p
+      |    FROM (SELECT cnt, list_filter(string_split(state, chr(1)), x -> x <> '') AS s
+      |          FROM st2)) GROUP BY 1
+      |),
+      |m3 AS (SELECT p, total FROM p3 ORDER BY total DESC, p ASC LIMIT 1)""".stripMargin
+    val mergesQ = Q(
       "d2_bpe_merges",
       Some(s"""WITH $toksCte,
-              |wc AS (
-              |  SELECT term AS word, count(*) AS cnt
-              |  FROM (SELECT unnest(tokens) AS term FROM toks)
-              |  WHERE regexp_matches(term, '^[a-z]+$$') GROUP BY 1
-              |),
-              |st0 AS (
-              |  SELECT word, cnt,
-              |         chr(1) || regexp_replace(word, '(.)', '\\1' || chr(1), 'g') AS state
-              |  FROM wc
-              |),
-              |p1 AS (
-              |  SELECT p, CAST(sum(cnt) AS BIGINT) AS total FROM (
-              |    SELECT cnt, unnest([s[i] || chr(1) || s[i+1] FOR i IN range(1, len(s))]) AS p
-              |    FROM (SELECT cnt, list_filter(string_split(state, chr(1)), x -> x <> '') AS s
-              |          FROM st0)) GROUP BY 1
-              |),
-              |m1 AS (SELECT p, total FROM p1 ORDER BY total DESC, p ASC LIMIT 1),
-              |st1 AS (
-              |  SELECT word, cnt,
-              |         replace(state, chr(1) || m1.p || chr(1),
-              |                 chr(1) || replace(m1.p, chr(1), '') || chr(1)) AS state
-              |  FROM st0 CROSS JOIN m1
-              |),
-              |p2 AS (
-              |  SELECT p, CAST(sum(cnt) AS BIGINT) AS total FROM (
-              |    SELECT cnt, unnest([s[i] || chr(1) || s[i+1] FOR i IN range(1, len(s))]) AS p
-              |    FROM (SELECT cnt, list_filter(string_split(state, chr(1)), x -> x <> '') AS s
-              |          FROM st1)) GROUP BY 1
-              |),
-              |m2 AS (SELECT p, total FROM p2 ORDER BY total DESC, p ASC LIMIT 1),
-              |st2 AS (
-              |  SELECT word, cnt,
-              |         replace(state, chr(1) || m2.p || chr(1),
-              |                 chr(1) || replace(m2.p, chr(1), '') || chr(1)) AS state
-              |  FROM st1 CROSS JOIN m2
-              |),
-              |p3 AS (
-              |  SELECT p, CAST(sum(cnt) AS BIGINT) AS total FROM (
-              |    SELECT cnt, unnest([s[i] || chr(1) || s[i+1] FOR i IN range(1, len(s))]) AS p
-              |    FROM (SELECT cnt, list_filter(string_split(state, chr(1)), x -> x <> '') AS s
-              |          FROM st2)) GROUP BY 1
-              |),
-              |m3 AS (SELECT p, total FROM p3 ORDER BY total DESC, p ASC LIMIT 1)
+              |$bpeChainSql
               |SELECT 1 AS round, split_part(p, chr(1), 1) AS left_sym,
               |       split_part(p, chr(1), 2) AS right_sym, total AS pair_count FROM m1
               |UNION ALL
@@ -1573,40 +1614,63 @@ object TextOps {
               |SELECT 3, split_part(p, chr(1), 1), split_part(p, chr(1), 2), total FROM m3
               |ORDER BY ALL NULLS FIRST""".stripMargin),
       (spark, dir) => {
-        val t = Tables(spark, dir)
-        val wc = t.documents
-          .select(explode(Text.tokenize(col("text"))).as("word"))
-          .filter(col("word").rlike("^[a-z]+$"))
-          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-        var st = wc.select(col("word"), col("cnt"),
-          concat(lit(S), regexp_replace(col("word"), "(.)", "$1" + S)).as("state"))
-          .localCheckpoint()
-        val merges = (1 to 3).map { r =>
-          val syms = filter(split(col("state"), S), x => x =!= "")
-          val pairs = zip_with(
-            slice(syms, lit(1), size(syms) - 1),
-            slice(syms, lit(2), size(syms) - 1),
-            (a, b) => concat(a, lit(S), b))
-          val pc = st
-            .select(col("cnt"), explode(pairs).as("p"))
-            .groupBy(col("p")).agg(sum(col("cnt")).as("total"))
-          val m = pc.orderBy(col("total").desc, col("p").asc).limit(1)
-          // apply the chosen merge to every word state: left-to-right
-          // non-overlapping substitution, broadcast of the 1-row winner
-          st = st.crossJoin(broadcast(m))
-            .select(col("word"), col("cnt"),
-              replace(col("state"),
-                concat(lit(S), col("p"), lit(S)),
-                concat(lit(S), translate(col("p"), S, ""), lit(S))).as("state"))
-            .localCheckpoint()
-          m.select(lit(r).as("round"),
-            element_at(split(col("p"), S), 1).as("left_sym"),
-            element_at(split(col("p"), S), 2).as("right_sym"),
-            col("total").as("pair_count"))
-        }
+        val (merges, _) = train(Tables(spark, dir))
         ordered(merges.reduce(_ unionByName _))
       }
     )
+    val encodeQ = Q(
+      "d2_bpe_encode",
+      // TOKENIZER APPLICATION — the companion to d2_bpe_merges: encode
+      // every document with the 3 learned merges and report its symbol
+      // (token) counts. The word->symbol-count table comes straight from
+      // the training loop's final states, so the encode step is ONE hash
+      // join of the corpus word stream against the VOCAB-bounded state
+      // relation (broadcastable at realistic vocab sizes) followed by a
+      // per-doc aggregate -- the exact 100 TB shape of running a trained
+      // tokenizer over a corpus. avg_word_syms < word length shows the
+      // merges compress; identical hashes prove both engines learned AND
+      // applied the identical merge table.
+      Some(s"""WITH $toksCte,
+              |$bpeChainSql,
+              |st3 AS (
+              |  SELECT word, cnt,
+              |         replace(state, chr(1) || m3.p || chr(1),
+              |                 chr(1) || replace(m3.p, chr(1), '') || chr(1)) AS state
+              |  FROM st2 CROSS JOIN m3
+              |),
+              |wsym AS (
+              |  SELECT word,
+              |         len(list_filter(string_split(state, chr(1)), x -> x <> '')) AS nsym
+              |  FROM st3
+              |),
+              |tokw AS (
+              |  SELECT doc_id, term AS word
+              |  FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
+              |  WHERE regexp_matches(term, '^[a-z]+$$')
+              |)
+              |SELECT doc_id, count(*) AS n_words,
+              |       CAST(sum(nsym) AS BIGINT) AS n_symbols,
+              |       round(CAST(sum(nsym) AS DOUBLE) / count(*), 4) AS avg_word_syms
+              |FROM tokw JOIN wsym USING (word)
+              |GROUP BY doc_id
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val (_, st) = train(t)
+        val wsym = st.select(col("word"),
+          size(filter(split(col("state"), S), x => x =!= "")).as("nsym"))
+        val words = t.documents
+          .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("word"))
+          .filter(col("word").rlike("^[a-z]+$"))
+        ordered(
+          words.join(wsym, "word") // vocab-bounded build side
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_words"), sum(col("nsym")).as("n_symbols"))
+            .withColumn("avg_word_syms",
+              round(col("n_symbols").cast("double") / col("n_words"), 4)))
+      }
+    )
+    Seq(mergesQ, encodeQ)
   }
 
   /** Hybrid retrieval with reciprocal-rank fusion — the RAG-stack staple:

@@ -1031,6 +1031,81 @@ object VectorOps {
               col("is_dup").isNull.cast("int").as("kept"))
         )
       }
+    ),
+    Q(
+      "d6_knn_graph",
+      // k-NN GRAPH construction (k=3) — the backbone of graph-based
+      // semantic clustering and diversity analysis over an embedded
+      // corpus: each vector's 3 nearest neighbors WITHIN its k-means
+      // cluster (same cluster-confinement trick as SemDeDup — the pair
+      // relation is cluster-local equi-join blocks, corpus²/k expected,
+      // never a global cartesian; the k-row centroid cross join is
+      // fenced behind the eager materialization). Ranking a float
+      // similarity is hash-checkable via the integer-key trick from the
+      // IVF assignment: both engines' cosines are bit-identical
+      // (strict-left-fold formula), so ranking by the sim scaled to an
+      // exact integer with a vec_id tiebreak is deterministic. 100 TB:
+      // one assignment pass, one cluster-partitioned self-join, windows
+      // partitioned per vector over ≤cluster-size rows.
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+              |  FROM embeddings
+              |),
+              |cents AS (
+              |  SELECT cluster, [CAST(x AS DOUBLE) FOR x IN centroid] AS cv
+              |  FROM '/root/repo/fixtures/ivf_centroids.parquet'
+              |),
+              |scored AS (
+              |  SELECT e.vec_id, cents.cluster, ${cosSql("e.v", "cents.cv")} AS sim
+              |  FROM e CROSS JOIN cents
+              |),
+              |asg AS (
+              |  SELECT vec_id,
+              |         CAST(9999 - (max(CAST(round((sim + 1.0) * 5e14) AS HUGEINT)
+              |                          * 10000 + (9999 - cluster)) % 10000)
+              |              AS INTEGER) AS cluster
+              |  FROM scored GROUP BY vec_id
+              |),
+              |m AS (SELECT a.vec_id, a.cluster, e.v FROM asg a JOIN e USING (vec_id)),
+              |prs AS (
+              |  SELECT x.vec_id AS src, y.vec_id AS dst,
+              |         ${cosSql("x.v", "y.v")} AS c
+              |  FROM m x JOIN m y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+              |),
+              |ranked AS (
+              |  SELECT src, dst, round(c, 4) AS sim,
+              |         row_number() OVER (
+              |           PARTITION BY src
+              |           ORDER BY CAST(round((c + 1.0) * 5e14) AS HUGEINT) DESC,
+              |                    dst ASC) AS rn
+              |  FROM prs
+              |)
+              |SELECT src AS vec_id, dst AS nn_id, sim, CAST(rn AS BIGINT) AS rank
+              |FROM ranked WHERE rn <= 3
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val cents = spark.read.parquet("/root/repo/fixtures/ivf_centroids.parquet")
+        val e = t.embeddings
+        val m = graft.functions.Ivf.assign(e, cents).join(e, "vec_id")
+          .select(col("vec_id"), col("cluster"), col("embedding"))
+          .localCheckpoint() // both sides of the cluster-local self-join
+        val c = Vectors.cosineFast(col("embedding"), col("pemb"))
+        val prs = m
+          .join(m.select(col("cluster"), col("vec_id").as("dst"),
+            col("embedding").as("pemb")),
+            Seq("cluster"))
+          .filter(col("dst") =!= col("vec_id"))
+          .select(col("vec_id"), col("dst"), c.as("c"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(round((col("c") + 1.0) * lit(5e14)).cast("long").desc,
+            col("dst").asc)
+        ordered(
+          prs.withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 3)
+            .select(col("vec_id"), col("dst").as("nn_id"),
+              r4(col("c")).as("sim"), col("rn").cast("long").as("rank")))
+      }
     )
   )
 }

@@ -157,6 +157,8 @@ class ScaleShapeSpec extends AnyFunSuite {
       "g2_triangles", // three 1-row scalar aggregates (triple join is equi)
       "a6_heavy_hitters_stream", // 1-row token-total scalar broadcast
       // (candidate recount join is equi on term)
+      "d11_cluster_split", // 1-row max-splits audit scalar broadcast
+      // (cluster assignment + split tagging are equi/window only)
       "a6_hll_intersect", // two 1-row sketch/audit aggregates
       "d6_cosine_topk", // small query set x corpus, reranked top-k
       "d6_ivf_ann", // k-row centroid relation x vectors (assignment)
