@@ -23,6 +23,12 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
+      // old-gen garbage from the previous query (freed checkpoint blocks,
+      // codegen classes) otherwise lands as GC pauses inside the NEXT
+      // query's timing — observed ~2x inflation on the d3 family mid-sweep
+      // vs isolated runs, reproducing round 5's late-alphabet artifact at
+      // a smaller scale
+      System.gc()
     }
     // JIT + parquet-footer warmup so per-query numbers measure the plan,
     // not first-touch class loading

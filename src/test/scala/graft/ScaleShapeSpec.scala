@@ -138,6 +138,17 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"sampling should add no shuffle beyond the final agg:\n$plan")
   }
 
+  test("epoch shuffle is join-free: one hash exchange (the shard partitioning) plus the oracle sort") {
+    val df = SparkEntry.queries("d11_epoch_shuffle")(spark, sf)
+    val plan = executedPlan(df)
+    assert(!plan.contains("Join"), s"unexpected join in epoch shuffle plan:\n$plan")
+    // the window's hashpartitioning on the shard key IS the training
+    // job's repartition — the only data-dependent exchange; the global
+    // range sort exists solely for the deterministic oracle dump
+    assert(plan.contains("hashpartitioning"),
+      s"shard window lost its hash partitioning:\n$plan")
+  }
+
   test("no accidental cartesians: nested-loop joins only where fenced") {
     // BroadcastNestedLoopJoin / CartesianProduct are O(n*m) — acceptable
     // only in queries that deliberately fence a small cross product.
