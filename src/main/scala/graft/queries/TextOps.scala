@@ -27,7 +27,7 @@ object TextOps {
       |  FROM documents
       |)""".stripMargin
 
-  val all: Seq[Q] = bpeQs ++: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
+  val all: Seq[Q] = bpeQs ++: keywordsQ +: stopwordQ +: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
     skewProfileQ +: quantileNormQ +: pmiAssocQ +: Seq(
     Q(
       "d7_zipf_fit",
@@ -1813,6 +1813,114 @@ object TextOps {
     * cells — mergeable across partitions/days by cell-wise addition like
     * the HLL registers; the probe side broadcasts 20 rows.
     */
+  /** D2k: per-document KEYWORD EXTRACTION — top-3 TF-IDF terms, the
+    * document-tagging primitive (index hints, topic routing, dedup
+    * blocking keys). Exact-hash-checked despite the float idf: ln(N/df)
+    * is rounded ONCE to 12dp and scaled into a DECIMAL(20,12), so the
+    * per-term score tf·idf is an exact decimal product and the per-doc
+    * ranking (score desc, term asc) compares exact decimals — no IEEE
+    * ordering ambiguity (the d7_lm_score / DSIR discipline). 100 TB
+    * shape: one corpus scan to the (doc, term, tf) postings aggregate;
+    * df and the idf table ride the term-TYPE relation and hash-join
+    * back by term; the rank window partitions per doc over
+    * doc-vocabulary-sized groups. Nothing corpus-sized is re-shuffled
+    * after the postings exchange.
+    */
+  private def keywordsQ: Q = Q(
+    "d2_keywords_tfidf",
+    Some(s"""WITH $toksCte,
+            |tok AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+            |postings AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            |df AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+            |n AS (SELECT count(*) AS n_docs FROM documents),
+            |idf AS (
+            |  SELECT term,
+            |         CAST(round(ln(CAST(n_docs AS DOUBLE) / df), 12)
+            |              AS DECIMAL(20,12)) AS idf
+            |  FROM df CROSS JOIN n
+            |),
+            |scored AS (
+            |  SELECT p.doc_id, p.term, p.tf * i.idf AS score
+            |  FROM postings p JOIN idf i USING (term)
+            |),
+            |ranked AS (
+            |  SELECT doc_id, term, score,
+            |         row_number() OVER (PARTITION BY doc_id
+            |                            ORDER BY score DESC, term ASC) AS rank
+            |  FROM scored
+            |)
+            |SELECT doc_id, term, CAST(rank AS BIGINT) AS rank,
+            |       round(CAST(score AS DOUBLE), 4) AS score
+            |FROM ranked WHERE rank <= 3
+            |ORDER BY ALL NULLS FIRST""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val postings = t.documents
+        .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // feeds df and the scored join — one tokenize
+      val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = t.documents.agg(count(lit(1)).as("n_docs"))
+      val idf = df.crossJoin(broadcast(n)) // 1-row corpus count
+        .select(col("term"),
+          round(log(col("n_docs").cast("double") / col("df")), 12)
+            .cast("decimal(20,12)").as("idf"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      ordered(
+        postings.join(idf, "term")
+          .select(col("doc_id"), col("term"), (col("tf") * col("idf")).as("score"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("term"), col("rank").cast("long").as("rank"),
+            round(col("score").cast("double"), 4).as("score")))
+    })
+
+  /** D7s: stopword-ratio quality gate (the Gopher rule: natural prose
+    * carries a floor fraction of function words; machine-generated lists,
+    * keyword-stuffed spam and non-linguistic payloads fall under it).
+    * One narrow scan, per-row HOF counting against a broadcast-literal
+    * function-word set, ratio via one IEEE division and the
+    * floor-rounding both engines compute identically. At 100 TB this is
+    * codegen'd per-row compute with no shuffle before the final order.
+    */
+  private def stopwordQ: Q = {
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "that", "it", "for", "on", "with", "as", "at", "by", "this", "be", "are")
+    val stopSqlList = stop.map(w => s"'$w'").mkString("[", ", ", "]")
+    Q(
+      "d7_stopword_ratio",
+      Some(s"""WITH $toksCte
+              |SELECT doc_id, len(tokens) AS n_tokens,
+              |       len(list_filter(tokens,
+              |           x -> list_contains($stopSqlList, x))) AS n_stop,
+              |       floor(CAST(len(list_filter(tokens,
+              |             x -> list_contains($stopSqlList, x))) AS DOUBLE)
+              |             / len(tokens) * 10000 + 0.5) / 10000 AS stop_ratio,
+              |       CAST(len(list_filter(tokens,
+              |             x -> list_contains($stopSqlList, x)))
+              |            * 100 >= 6 * len(tokens) AS INTEGER) AS passes
+              |FROM toks WHERE len(tokens) > 0
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val stopArr = array(stop.map(lit): _*)
+        val toks = Text.tokenize(col("text"))
+        val nStop = size(filter(toks, x => array_contains(stopArr, x)))
+        ordered(
+          t.documents
+            .filter(size(toks) > 0)
+            .select(col("doc_id"),
+              size(toks).as("n_tokens"),
+              nStop.as("n_stop"),
+              // floor(x*1e4+0.5)/1e4: the cross-engine-exact rounding
+              (floor(nStop.cast("double") / size(toks) * 10000 + 0.5) / 10000)
+                .as("stop_ratio"),
+              // integer-only gate: no IEEE compare at the threshold
+              (nStop * 100 >= size(toks) * 6).cast("int").as("passes")))
+      })
+  }
+
   private def cmsEstimateQ: Q = Q(
     "a6_cms_estimate",
     Some(s"""WITH $toksCte,

@@ -170,6 +170,8 @@ class ScaleShapeSpec extends AnyFunSuite {
       // (candidate recount join is equi on term)
       "d11_cluster_split", // 1-row max-splits audit scalar broadcast
       // (cluster assignment + split tagging are equi/window only)
+      "d2_keywords_tfidf", // 1-row n_docs scalar broadcast into the
+      // term-type idf relation (postings joins are equi on term/doc)
       "a6_hll_intersect", // two 1-row sketch/audit aggregates
       "d6_cosine_topk", // small query set x corpus, reranked top-k
       "d6_ivf_ann", // k-row centroid relation x vectors (assignment)

@@ -121,6 +121,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).schema.fieldNames.sameElements(Array("k", "v")))
   }
 
+  test("S3 schema evolution: mergeSchema unions columns across parquet generations") {
+    // the 100 TB reality: a long-lived dataset's early files lack columns
+    // added later; the reader must union schemas and null-fill, with
+    // column pruning still reaching the scan
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/gen=1")
+    Seq((3L, "gamma", "en"), (4L, "delta", "fr")).toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/gen=2")
+    val df = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(df.columns.toSet == Set("doc_id", "text", "lang", "gen"))
+    assert(df.count() == 4)
+    // old-generation rows surface the new column as null, new rows keep it
+    assert(df.filter(col("gen") === 1 && col("lang").isNull).count() == 2)
+    assert(df.filter(col("gen") === 2).select("lang").as[String].collect().sorted
+      .sameElements(Array("en", "fr")))
+    // pruning: a doc_id-only projection reads just that column
+    val scan = df.select("doc_id").queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint>"), scan)
+  }
+
   test("A10: centroid aggregator merges partials correctly across partitions") {
     import spark.implicits._
     val df = Seq(
