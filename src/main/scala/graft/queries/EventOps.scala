@@ -588,6 +588,99 @@ object EventOps {
               col("new_users"), sum(col("new_users")).over(w).as("cum_users"))
         )
       }
+    ),
+    Q(
+      "t16_psi_drift",
+      // Population-Stability-Index DRIFT MONITOR — the standard ingest
+      // health check between two time slices of a feature distribution
+      // (PSI < 0.1 stable, > 0.25 drifted): the event value bucketed into
+      // 10 equal widths, first-vs-second epoch half compared per bucket.
+      // Exact-hash-checked via the d7_source_kl discipline: with add-one
+      // smoothing the ln argument is (c1s·t2s)/(c2s·t1s) — a ratio of
+      // exact BIGINT products — rounded ONCE to DECIMAL(20,12); the
+      // weight (p1−p2) is rewritten as the exact integer numerator
+      // (c1s·t2s − c2s·t1s) so each bucket's contribution is decimal ×
+      // bigint (exact), and the single division by t1s·t2s happens once
+      // per output value. 100 TB shape: one scan tags (bucket, half)
+      // against broadcast min/max/midpoint scalars, everything after
+      // rides the 10-row bucket relation; the epoch split needs no
+      // second scan (the midpoint is exact integer microseconds).
+      Some("""WITH mm AS (
+             |  SELECT min(value) AS lo, max(value) AS hi,
+             |         (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+             |  FROM events
+             |),
+             |tagged AS (
+             |  SELECT CAST(least(floor((value - mm.lo) / ((mm.hi - mm.lo) / 10)), 9) AS INT)
+             |           AS bucket,
+             |         CASE WHEN epoch_us(ts) >= mm.mid_us THEN 2 ELSE 1 END AS half
+             |  FROM events CROSS JOIN mm
+             |),
+             |c AS (
+             |  SELECT k.bucket,
+             |         CAST(coalesce(sum(CASE WHEN half = 1 THEN 1 END), 0) AS BIGINT) AS c1,
+             |         CAST(coalesce(sum(CASE WHEN half = 2 THEN 1 END), 0) AS BIGINT) AS c2
+             |  FROM (SELECT unnest(range(0, 10)) AS bucket) k
+             |  LEFT JOIN tagged t ON t.bucket = k.bucket
+             |  GROUP BY k.bucket
+             |),
+             |tot AS (
+             |  SELECT CAST(sum(c1) + 10 AS BIGINT) AS t1s,
+             |         CAST(sum(c2) + 10 AS BIGINT) AS t2s
+             |  FROM c
+             |),
+             |terms AS (
+             |  SELECT bucket, c1, c2,
+             |         (c1 + 1) * t2s - (c2 + 1) * t1s AS num,
+             |         CAST(round(ln(CAST((c1 + 1) * t2s AS DOUBLE)
+             |                       / CAST((c2 + 1) * t1s AS DOUBLE)), 12)
+             |              AS DECIMAL(20,12)) AS lr,
+             |         t1s, t2s
+             |  FROM c CROSS JOIN tot
+             |)
+             |SELECT bucket, c1 AS n_first, c2 AS n_second,
+             |       round(CAST(num * lr AS DOUBLE) / (t1s * t2s), 4) AS psi_term,
+             |       round(CAST(sum(num * lr) OVER () AS DOUBLE) / (t1s * t2s), 4)
+             |         AS psi_total
+             |FROM terms
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val ev = t.events
+        val mm = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+          ((min(unix_micros(col("ts"))) + max(unix_micros(col("ts")))) / 2)
+            .cast("long").as("mid_us"))
+        val width = (col("hi") - col("lo")) / 10
+        val tagged = ev.crossJoin(broadcast(mm)) // 1-row stats scalar
+          .select(
+            least(floor((col("value") - col("lo")) / width), lit(9.0))
+              .cast("int").as("bucket"),
+            when(unix_micros(col("ts")) >= col("mid_us"), 2).otherwise(1).as("half"))
+        val c = spark.range(0, 10).select(col("id").cast("int").as("bucket"))
+          .join(tagged, Seq("bucket"), "left")
+          .groupBy(col("bucket"))
+          .agg(coalesce(sum(when(col("half") === 1, 1L)), lit(0L)).as("c1"),
+            coalesce(sum(when(col("half") === 2, 1L)), lit(0L)).as("c2"))
+          .localCheckpoint() // 10-row relation feeds totals and the terms
+        val tot = c.agg((sum(col("c1")) + 10).cast("long").as("t1s"),
+          (sum(col("c2")) + 10).cast("long").as("t2s"))
+        val lr = round(
+          log(((col("c1") + 1) * col("t2s")).cast("double") /
+            ((col("c2") + 1) * col("t1s")).cast("double")), 12)
+          .cast("decimal(20,12)")
+        val wAll = Window.partitionBy() // 10-row relation: bounded by design
+        ordered(
+          c.crossJoin(broadcast(tot)) // 1-row smoothed totals
+            .select(col("bucket"), col("c1").as("n_first"), col("c2").as("n_second"),
+              ((col("c1") + 1) * col("t2s") - (col("c2") + 1) * col("t1s")).as("num"),
+              lr.as("lr"), col("t1s"), col("t2s"))
+            .select(col("bucket"), col("n_first"), col("n_second"),
+              round((col("num") * col("lr")).cast("double") /
+                (col("t1s") * col("t2s")), 4).as("psi_term"),
+              round(sum(col("num") * col("lr")).over(wAll).cast("double") /
+                (col("t1s") * col("t2s")), 4).as("psi_total"))
+        )
+      }
     )
   )
 

@@ -172,6 +172,8 @@ class ScaleShapeSpec extends AnyFunSuite {
       // (cluster assignment + split tagging are equi/window only)
       "d2_keywords_tfidf", // 1-row n_docs scalar broadcast into the
       // term-type idf relation (postings joins are equi on term/doc)
+      "t16_psi_drift", // two 1-row scalar broadcasts (min/max/midpoint
+      // stats; smoothed totals) onto the 10-row bucket relation
       "a6_hll_intersect", // two 1-row sketch/audit aggregates
       "d6_cosine_topk", // small query set x corpus, reranked top-k
       "d6_ivf_ann", // k-row centroid relation x vectors (assignment)
