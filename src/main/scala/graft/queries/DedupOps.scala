@@ -140,6 +140,85 @@ object DedupOps {
       |  FROM qm
       |)""".stripMargin
 
+  private lazy val snmQ = Q(
+    "d5_sorted_neighborhood",
+    // SORTED-NEIGHBORHOOD dedup (Hernández/Stolfo SNM) — the third classic
+    // candidate-generation family next to LSH banding and prefix
+    // filtering: sort the corpus by a normalized key so near-identical
+    // records land ADJACENT, then compare only a width-2 sliding window
+    // of neighbors. The corpus is all-distinct at this SF (see
+    // d4_exact_dedup), so a tail-mutated copy is unioned in to give every
+    // document one true near-dup that sorts immediately next to it.
+    // 100 TB shape: the sort is PARTITIONED by a 4-char key prefix (the
+    // block), so the window is a per-block analytic, never a global sort;
+    // candidates are w·n, not n²; verification is an exact token-set
+    // Jaccard on just those pairs. Block-boundary pairs are the
+    // documented SNM loss — both engines use the identical block + order,
+    // so the candidate sets match exactly and the result hash-checks.
+    Some("""WITH u AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 10000 AS doc_id, text || ' snmtail' AS text
+           |  FROM documents
+           |),
+           |tk AS (
+           |  SELECT doc_id, lower(trim(text)) AS norm,
+           |         list_distinct(list_filter(
+           |           string_split_regex(lower(trim(text)), '\s+'),
+           |           x -> x <> '')) AS tokens
+           |  FROM u
+           |),
+           |ord AS (
+           |  SELECT doc_id, tokens, substring(norm, 1, 4) AS blk,
+           |         row_number() OVER (PARTITION BY substring(norm, 1, 4)
+           |                            ORDER BY norm, doc_id) AS rn
+           |  FROM tk
+           |),
+           |cand AS (
+           |  SELECT least(x.doc_id, y.doc_id) AS a,
+           |         greatest(x.doc_id, y.doc_id) AS b,
+           |         len(list_intersect(x.tokens, y.tokens)) AS inter,
+           |         len(x.tokens) AS na, len(y.tokens) AS nb
+           |  FROM ord x JOIN ord y
+           |    ON x.blk = y.blk AND y.rn - x.rn BETWEEN 1 AND 2
+           |)
+           |SELECT DISTINCT a, b,
+           |       round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+           |FROM cand
+           |WHERE inter >= 1 AND inter * 1.0 / (na + nb - inter) >= 0.5
+           |ORDER BY ALL NULLS FIRST""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val d = t.documents.select(col("doc_id"), col("text"))
+      val u = d.unionByName(
+        d.select((col("doc_id") + 10000L).as("doc_id"),
+          concat(col("text"), lit(" snmtail")).as("text")))
+      val tk = u.select(
+        col("doc_id"),
+        lower(trim(col("text"))).as("norm"),
+        array_distinct(Text.tokenize(col("text"))).as("tokens"))
+      val w = Window.partitionBy(col("blk")).orderBy(col("norm"), col("doc_id"))
+      val ord = tk
+        .withColumn("blk", substring(col("norm"), 1, 4))
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("tokens"), col("blk"), col("rn"))
+      val cand = ord.as("x")
+        .join(ord.as("y"),
+          col("x.blk") === col("y.blk") &&
+            (col("y.rn") - col("x.rn")).between(1, 2))
+        .select(
+          least(col("x.doc_id"), col("y.doc_id")).as("a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
+          size(array_intersect(col("x.tokens"), col("y.tokens"))).as("inter"),
+          size(col("x.tokens")).as("na"), size(col("y.tokens")).as("nb"))
+      val jac = col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter"))
+      ordered(
+        cand.filter(col("inter") >= 1 && jac >= 0.5)
+          .select(col("a"), col("b"), r4(jac).as("jaccard"))
+          .distinct())
+    })
+
   private lazy val keepBestQ = Q(
     "d4_keep_best_per_cluster",
     // Canonical-document selection — the pipeline step AFTER near-dup
@@ -298,7 +377,7 @@ object DedupOps {
               t.documents.select(col("doc_id"), col("text")),
               shingleWidth = 3, minJaccard = 0.5)
               .select(col("a"), col("b"), r4(col("jaccard")).as("jaccard")))
-        }) :+ keepBestQ :+ clusterSplitQ
+        }) :+ keepBestQ :+ clusterSplitQ :+ snmQ
   }
 
   private def baseQueries: Seq[Q] = Seq(

@@ -681,6 +681,131 @@ object EventOps {
                 (col("t1s") * col("t2s")), 4).as("psi_total"))
         )
       }
+    ),
+    Q(
+      "t17_ks_drift",
+      // Kolmogorov-Smirnov two-sample DRIFT TEST — t16's nonparametric
+      // sibling: D = max |ECDF_first(v) - ECDF_second(v)| between the two
+      // epoch halves of the event value distribution, with no binning
+      // assumption. Exact-hash discipline: per-value half counts are
+      // BIGINTs, the ECDF difference is rewritten as the integer
+      // |cum1·t2 − cum2·t1| (all products < 2^53), the max is an integer
+      // argmax with ties broken by the smallest value, and the single
+      // division by t1·t2 happens once on the winning row. 100 TB shape:
+      // one scan tags halves against a broadcast midpoint scalar, then
+      // everything rides the DISTINCT-VALUE relation (the generator's
+      // 2-decimal grid — bounded); the running sums are one window over
+      // that bounded grid, never over raw events.
+      Some("""WITH e AS (SELECT value, epoch_us(ts) AS us FROM events),
+             |mm AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+             |c AS (
+             |  SELECT value,
+             |         CAST(coalesce(sum(CASE WHEN us < mm.mid THEN 1 END), 0)
+             |              AS BIGINT) AS c1,
+             |         CAST(coalesce(sum(CASE WHEN us >= mm.mid THEN 1 END), 0)
+             |              AS BIGINT) AS c2
+             |  FROM e CROSS JOIN mm GROUP BY value
+             |),
+             |cum AS (
+             |  SELECT value,
+             |         CAST(sum(c1) OVER (ORDER BY value) AS BIGINT) AS cum1,
+             |         CAST(sum(c2) OVER (ORDER BY value) AS BIGINT) AS cum2,
+             |         CAST(sum(c1) OVER () AS BIGINT) AS t1,
+             |         CAST(sum(c2) OVER () AS BIGINT) AS t2
+             |  FROM c
+             |),
+             |scored AS (
+             |  SELECT value, abs(cum1 * t2 - cum2 * t1) AS num, t1, t2 FROM cum
+             |)
+             |SELECT t1 AS n_first, t2 AS n_second, round(value, 4) AS ks_at,
+             |       round(CAST(num AS DOUBLE) / (t1 * t2), 4) AS ks_stat
+             |FROM scored ORDER BY num DESC, value ASC LIMIT 1""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val ev = t.events.select(col("value"), unix_micros(col("ts")).as("us"))
+        val mm = ev.agg(((min(col("us")) + max(col("us"))) / 2)
+          .cast("long").as("mid"))
+        val c = ev.crossJoin(broadcast(mm)) // 1-row midpoint scalar
+          .groupBy(col("value"))
+          .agg(
+            coalesce(sum(when(col("us") < col("mid"), 1L)), lit(0L)).as("c1"),
+            coalesce(sum(when(col("us") >= col("mid"), 1L)), lit(0L)).as("c2"))
+        // windows ride the distinct-value grid, not the event stream
+        val wOrd = Window.orderBy(col("value"))
+        val wAll = Window.partitionBy()
+        val scored = c.select(col("value"),
+            sum(col("c1")).over(wOrd).as("cum1"),
+            sum(col("c2")).over(wOrd).as("cum2"),
+            sum(col("c1")).over(wAll).as("t1"),
+            sum(col("c2")).over(wAll).as("t2"))
+          .select(col("value"),
+            abs(col("cum1") * col("t2") - col("cum2") * col("t1")).as("num"),
+            col("t1"), col("t2"))
+        ordered(
+          scored.orderBy(col("num").desc, col("value").asc).limit(1)
+            .select(col("t1").as("n_first"), col("t2").as("n_second"),
+              r4(col("value")).as("ks_at"),
+              round(col("num").cast("double") / (col("t1") * col("t2")), 4)
+                .as("ks_stat")))
+      }
+    ),
+    Q(
+      "t18_trending",
+      // TRENDING DETECTION — day-over-day lift per event type with top-3
+      // ranking per day: the burst-monitoring complement to the t16/t17
+      // drift pair. Smoothed lift (n+1)/(prev+1) is a ratio of exact
+      // BIGINTs rounded once; ranking happens on the ROUNDED lift with
+      // event_type as the tiebreak so both engines rank identically. A
+      // calendar-aware lag (previous PRESENT day only counts if it is
+      // day_idx - 1) avoids the gap bug a bare lag() has. 100 TB shape:
+      // one map-side-combinable (type, day) count aggregate, then
+      // everything — lag window, rank window — rides that bounded
+      // types×days relation, never raw events.
+      Some("""WITH d AS (
+             |  SELECT event_type,
+             |         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx
+             |  FROM events
+             |),
+             |c AS (SELECT event_type, day_idx, count(*) AS n
+             |      FROM d GROUP BY 1, 2),
+             |j AS (
+             |  SELECT event_type, day_idx, n,
+             |         CAST(CASE WHEN lag(day_idx) OVER w = day_idx - 1
+             |              THEN lag(n) OVER w ELSE 0 END AS BIGINT) AS prev_n
+             |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY day_idx)
+             |),
+             |r AS (
+             |  SELECT day_idx, event_type, n, prev_n,
+             |         round((n + 1) * 1.0 / (prev_n + 1), 4) AS lift,
+             |         row_number() OVER (
+             |           PARTITION BY day_idx
+             |           ORDER BY round((n + 1) * 1.0 / (prev_n + 1), 4) DESC,
+             |                    event_type ASC) AS rn
+             |  FROM j
+             |)
+             |SELECT day_idx, rn, event_type, n, prev_n, lift
+             |FROM r WHERE rn <= 3
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val d = t.events.select(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day_idx"))
+        val c = d.groupBy(col("event_type"), col("day_idx"))
+          .agg(count(lit(1)).as("n"))
+        val wl = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+        val j = c.select(col("event_type"), col("day_idx"), col("n"),
+          when(lag(col("day_idx"), 1).over(wl) === col("day_idx") - 1,
+            lag(col("n"), 1).over(wl)).otherwise(0L).as("prev_n"))
+        val lift = round((col("n") + 1) * lit(1.0) / (col("prev_n") + 1), 4)
+        val wr = Window.partitionBy(col("day_idx"))
+          .orderBy(lift.desc, col("event_type").asc)
+        ordered(
+          j.withColumn("lift", lift)
+            .withColumn("rn", row_number().over(wr))
+            .filter(col("rn") <= 3)
+            .select(col("day_idx"), col("rn"), col("event_type"),
+              col("n"), col("prev_n"), col("lift")))
+      }
     )
   )
 

@@ -435,6 +435,56 @@ object Relational {
               coalesce(col("n"), lit(0L)).as("n"))
         )
       }
+    ),
+    Q(
+      "s14_compaction_plan",
+      // SMALL-FILES COMPACTION PLANNER — the table-maintenance pass every
+      // 100 TB lakehouse runs: greedy sequential bin-packing of a
+      // partition's file inventory into ~64 KB target compaction groups.
+      // The inventory here is the documents table viewed as (partition =
+      // source, file = doc_id, bytes = n_chars). Group id is
+      // floor(bytes_before / target) off a per-partition running sum —
+      // pure integer arithmetic, so the plan hash-checks exactly. 100 TB
+      // shape: ONE window per partition ordered by file id (the natural
+      // per-partition analytic — no global sort), then a (partition,
+      // group) aggregate; output is bounded by total_bytes/target rows,
+      // not file count.
+      Some("""WITH f AS (
+             |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS bytes,
+             |         CAST(sum(n_chars) OVER (PARTITION BY source
+             |                                 ORDER BY doc_id) - n_chars
+             |              AS BIGINT) AS bytes_before
+             |  FROM documents
+             |)
+             |SELECT source, CAST(bytes_before // 65536 AS BIGINT) AS grp,
+             |       count(*) AS n_files,
+             |       CAST(sum(bytes) AS BIGINT) AS grp_bytes,
+             |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+             |       CAST(sum(bytes) AS BIGINT) >= 65536 AS reaches_target
+             |FROM f GROUP BY source, grp
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables(spark, dir)
+        val target = 65536L
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val f = t.documents
+          .select(col("source"), col("doc_id"),
+            col("n_chars").cast("long").as("bytes"))
+          .withColumn("bytes_before",
+            sum(col("bytes")).over(w) - col("bytes"))
+        ordered(
+          f.groupBy(col("source"),
+              expr(s"bytes_before DIV $target").as("grp"))
+            .agg(count(lit(1)).as("n_files"),
+              sum(col("bytes")).as("grp_bytes"),
+              min(col("doc_id")).as("first_doc"),
+              max(col("doc_id")).as("last_doc"))
+            .select(col("source"), col("grp"), col("n_files"),
+              col("grp_bytes"), col("first_doc"), col("last_doc"),
+              (col("grp_bytes") >= target).as("reaches_target")))
+      }
     )
   )
 }

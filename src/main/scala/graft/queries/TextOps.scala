@@ -27,7 +27,7 @@ object TextOps {
       |  FROM documents
       |)""".stripMargin
 
-  val all: Seq[Q] = bpeQs ++: keywordsQ +: stopwordQ +: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
+  val all: Seq[Q] = bpeQs ++: oovQ +: keywordsQ +: stopwordQ +: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
     skewProfileQ +: quantileNormQ +: pmiAssocQ +: Seq(
     Q(
       "d7_zipf_fit",
@@ -1826,6 +1826,60 @@ object TextOps {
     * doc-vocabulary-sized groups. Nothing corpus-sized is re-shuffled
     * after the postings exchange.
     */
+  /** D2v: tokenizer-vocabulary coverage — the OOV (out-of-vocabulary)
+    * rate of every document against the corpus's own top-1000 term
+    * vocabulary (count-ranked, term tiebreak, so both engines pick the
+    * identical vocab). The standard pre-training health check that a fixed
+    * tokenizer vocab actually covers a new data source. 100 TB shape: the
+    * vocab rank window rides the TERM relation (vocabulary-bounded, never
+    * corpus-bounded), the chosen vocab broadcasts, and the per-doc scan
+    * is one postings aggregate + one broadcast left-join — the corpus
+    * enters exactly once.
+    */
+  private def oovQ: Q = Q(
+    "d2_oov_rate",
+    Some(s"""WITH $toksCte,
+            |tok AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+            |tc AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+            |tot AS (SELECT term, CAST(sum(cnt) AS BIGINT) AS n FROM tc GROUP BY 1),
+            |vocab AS (
+            |  SELECT term FROM (
+            |    SELECT term, row_number() OVER (ORDER BY n DESC, term ASC) AS rn
+            |    FROM tot
+            |  ) WHERE rn <= 1000
+            |)
+            |SELECT tc.doc_id,
+            |       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+            |       CAST(coalesce(sum(CASE WHEN v.term IS NULL THEN cnt END), 0)
+            |            AS BIGINT) AS n_oov,
+            |       round(coalesce(sum(CASE WHEN v.term IS NULL THEN cnt END), 0)
+            |             * 1.0 / sum(cnt), 4) AS oov_rate
+            |FROM tc LEFT JOIN vocab v ON tc.term = v.term
+            |GROUP BY tc.doc_id
+            |ORDER BY ALL NULLS FIRST""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val tc = t.documents
+        .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = tc.groupBy(col("term")).agg(sum(col("cnt")).as("n"))
+      // rank window rides the vocabulary relation — bounded by design
+      val wv = Window.partitionBy().orderBy(col("n").desc, col("term").asc)
+      val vocab = tot.withColumn("rn", row_number().over(wv))
+        .filter(col("rn") <= 1000)
+        .select(col("term"), lit(1).as("hit"))
+      ordered(
+        tc.join(broadcast(vocab), Seq("term"), "left")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("cnt")).as("n_tokens"),
+            coalesce(sum(when(col("hit").isNull, col("cnt"))), lit(0L))
+              .as("n_oov"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            round(col("n_oov") * lit(1.0) / col("n_tokens"), 4)
+              .as("oov_rate")))
+    })
+
   private def keywordsQ: Q = Q(
     "d2_keywords_tfidf",
     Some(s"""WITH $toksCte,

@@ -106,6 +106,67 @@ object VectorOps {
       }
     ),
     Q(
+      "d6_hard_negatives",
+      // HARD-NEGATIVE MINING for contrastive training — for each anchor
+      // vector, the top-3 most-similar candidates with a DIFFERENT label:
+      // the pairs an embedding model most needs to push apart. Ranking
+      // happens on the ROUNDED cosine (then candidate id) so tie order is
+      // engine-independent — the d6_cosine_topk discipline with a label
+      // guard. This brute-force pass is the mining ORACLE; at 100 TB the
+      // identical label-filtered rerank runs over an IVF/PQ shortlist
+      // (d6_ivfpq_search) instead of the full candidate side, and the
+      // anchor set stays a broadcast-sized sample per mining round.
+      Some("""WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qe
+             |           FROM embeddings WHERE vec_id % 50 = 0),
+             |c AS (SELECT vec_id AS c_id, label AS c_label, embedding AS ce
+             |      FROM embeddings),
+             |scored AS (
+             |  SELECT q_id, q_label, c_id, c_label,
+             |    round(
+             |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        [qe[i]::DOUBLE * ce[i]::DOUBLE FOR i IN range(1, len(qe) + 1)]),
+             |        (acc, x) -> acc + x)
+             |      / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           [qe[i]::DOUBLE * qe[i]::DOUBLE FOR i IN range(1, len(qe) + 1)]),
+             |           (acc, x) -> acc + x))
+             |       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           [ce[i]::DOUBLE * ce[i]::DOUBLE FOR i IN range(1, len(ce) + 1)]),
+             |           (acc, x) -> acc + x))), 4) AS cos
+             |  FROM q CROSS JOIN c
+             |  WHERE c_label <> q_label
+             |),
+             |ranked AS (
+             |  SELECT q_id, q_label, c_id, c_label, cos,
+             |         row_number() OVER (PARTITION BY q_id
+             |                            ORDER BY cos DESC, c_id ASC) AS rn
+             |  FROM scored
+             |)
+             |SELECT q_id, q_label, rn, c_id AS neg_id, c_label AS neg_label, cos
+             |FROM ranked WHERE rn <= 3
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val e = t.embeddings
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("embedding").as("qe"))
+        val c = e.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+          col("embedding").as("ce"))
+        val scored = c.crossJoin(broadcast(q)) // anchor sample broadcasts
+          .filter(col("c_label") =!= col("q_label"))
+          .select(col("q_id"), col("q_label"), col("c_id"), col("c_label"),
+            r4(Vectors.cosineFast(col("qe"), col("ce"))).as("cos"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("c_id").asc)
+        ordered(
+          scored.withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 3)
+            .select(col("q_id"), col("q_label"), col("rn"),
+              col("c_id").as("neg_id"), col("c_label").as("neg_label"),
+              col("cos")))
+      }
+    ),
+    Q(
       "d6_quantize_int8",
       // per-vector symmetric int8 quantization — the 100 TB storage/IO
       // codec for embeddings (4x smaller scans, integer candidate math).

@@ -341,6 +341,84 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("d5_sorted_neighborhood: every planted tail-mutant pair is recovered") {
+    // the query unions a ' snmtail'-suffixed copy of every doc; the copy
+    // differs only in its final token, so it sorts NEXT TO its original
+    // (Jaccard = n/(n+1) >= 0.5) unless prefix-sharing docs crowd the
+    // window — the inherent SNM loss mode. Recall must stay high (the
+    // hash-match against DuckDB separately proves both engines lose the
+    // IDENTICAL pairs), but 100% is not the method's contract.
+    val rows = run("d5_sorted_neighborhood").collect()
+    val planted = rows.count(r =>
+      r.getAs[Long]("b") - r.getAs[Long]("a") == 10000L)
+    val corpus = Tables(spark, sf).documents.count()
+    assert(planted >= corpus * 9 / 10,
+      s"SNM recovered $planted of $corpus planted near-dup pairs")
+    rows.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("t17_ks_drift: statistic in [0,1] and halves cover every event") {
+    val r = run("t17_ks_drift").collect().head
+    val ks = r.getAs[Double]("ks_stat")
+    assert(ks >= 0.0 && ks <= 1.0)
+    val total = Tables(spark, sf).events.count()
+    assert(r.getAs[Long]("n_first") + r.getAs[Long]("n_second") == total)
+  }
+
+  test("s14_compaction_plan: groups are contiguous and conserve every byte") {
+    val rows = run("s14_compaction_plan").collect()
+    val t = Tables(spark, sf)
+    val totals = t.documents.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("bytes")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("bytes")).toMap
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      // conservation: the plan accounts for every byte of the partition
+      assert(rs.map(_.getAs[Long]("grp_bytes")).sum == totals(src))
+      // contiguity: group doc-id ranges never overlap in grp order
+      val ordered = rs.sortBy(_.getAs[Long]("grp"))
+      ordered.zip(ordered.tail).foreach { case (a, b) =>
+        assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+      }
+    }
+  }
+
+  test("t18_trending: ranks dense per day, cold-start lift is (n+1)") {
+    val rows = run("t18_trending").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("day_idx")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rn")).sorted
+      assert(ranks.head == 1 && ranks.last == ranks.length && ranks.length <= 3)
+    }
+    rows.filter(_.getAs[Long]("prev_n") == 0L).foreach { r =>
+      assert(r.getAs[Double]("lift") == (r.getAs[Long]("n") + 1).toDouble)
+    }
+  }
+
+  test("d6_hard_negatives: negatives never share the anchor's label") {
+    val rows = run("d6_hard_negatives").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("q_label") != r.getAs[Int]("neg_label"))
+      val cos = r.getAs[Double]("cos")
+      assert(cos >= -1.0001 && cos <= 1.0001)
+    }
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rn")).sorted
+      assert(ranks.head == 1 && ranks.last == ranks.length)
+    }
+  }
+
+  test("d2_oov_rate: rates bounded and the corpus tail is what overflows the vocab") {
+    val rows = run("d2_oov_rate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens"); val oov = r.getAs[Long]("n_oov")
+      assert(oov >= 0 && oov <= n)
+      val rate = r.getAs[Double]("oov_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
   test("d6_knn_graph: no self-edges, ranks dense 1..k, neighbors share the cluster") {
     val rows = run("d6_knn_graph").collect()
     assert(rows.nonEmpty)

@@ -205,9 +205,13 @@ class ScaleShapeSpec extends AnyFunSuite {
       // (sketch build) and the 20-row probe side — constant build sides
       "d2_bpe_merges", // 1-row argmax merge broadcast per round
       "j15_rel_division", // 1-row universe-size scalar broadcast
-      "d6_diverse_topk" // k-row centroid + 5-row query-set broadcasts
+      "d6_diverse_topk", // k-row centroid + 5-row query-set broadcasts
       // (the same fixture cross joins as d6_ivf_assign); the candidate
       // scoring joins assignment by vec_id — an equi-join
+      "t17_ks_drift", // 1-row epoch-midpoint scalar broadcast onto the
+      // event scan — constant-size build side (the t16_psi_drift shape)
+      "d6_hard_negatives" // broadcast anchor SAMPLE x corpus: the mining
+      // oracle; the scale path reranks an IVF/PQ shortlist instead
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (fenced(name)) None
