@@ -203,15 +203,20 @@ object DedupOps {
         .withColumn("blk", substring(col("norm"), 1, 4))
         .withColumn("rn", row_number().over(w))
         .select(col("doc_id"), col("tokens"), col("blk"), col("rn"))
-      val cand = ord.as("x")
-        .join(ord.as("y"),
-          col("x.blk") === col("y.blk") &&
-            (col("y.rn") - col("x.rn")).between(1, 2))
+      // the neighbor window as a PURE equi-join: each row emits its two
+      // target positions (rn+1, rn+2) as join keys, so the join is hash
+      // (blk, rn) = (blk, nrn) — an rn-band predicate on a blk-only join
+      // would materialize all pairs inside a block first (quadratic in
+      // block size, and natural-language prefixes make blocks skewed)
+      val lhs = ord.select(col("doc_id").as("x_id"), col("tokens").as("tx"),
+        col("blk"), explode(array(col("rn") + 1, col("rn") + 2)).as("nrn"))
+      val cand = lhs
+        .join(ord, lhs("blk") === ord("blk") && lhs("nrn") === ord("rn"))
         .select(
-          least(col("x.doc_id"), col("y.doc_id")).as("a"),
-          greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
-          size(array_intersect(col("x.tokens"), col("y.tokens"))).as("inter"),
-          size(col("x.tokens")).as("na"), size(col("y.tokens")).as("nb"))
+          least(col("x_id"), col("doc_id")).as("a"),
+          greatest(col("x_id"), col("doc_id")).as("b"),
+          size(array_intersect(col("tx"), col("tokens"))).as("inter"),
+          size(col("tx")).as("na"), size(col("tokens")).as("nb"))
       val jac = col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter"))
       ordered(
         cand.filter(col("inter") >= 1 && jac >= 0.5)
