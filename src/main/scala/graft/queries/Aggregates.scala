@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Canon._
 import graft.sources.Tables
 
@@ -376,6 +377,49 @@ object Aggregates {
               expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50_qty"),
               expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").as("p90_qty"))
         )
+      }
+    ),
+    Q(
+      "a9_weighted_median",
+      // EXACT weighted median — the revenue-weighted "typical quantity"
+      // per return flag: the smallest qty whose cumulative weight reaches
+      // half the group's total. All weight sums are exact DECIMAL(18,4)
+      // money arithmetic and the half-total test is the integer-scaled
+      // compare cum*2 >= total — no division, no IEEE threshold, so the
+      // chosen element is engine-independent. 100 TB shape: one
+      // (flag, qty) hash aggregate with map-side partials, then windows
+      // over the GROUPED relation (flags x distinct quantities —
+      // bounded), never over raw lineitem.
+      Some("""WITH g AS (
+             |  SELECT l_returnflag AS flag, l_quantity AS qty,
+             |         sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS w
+             |  FROM lineitem GROUP BY 1, 2
+             |),
+             |c AS (
+             |  SELECT flag, qty,
+             |         sum(w) OVER (PARTITION BY flag ORDER BY qty) AS cum,
+             |         sum(w) OVER (PARTITION BY flag) AS tot
+             |  FROM g
+             |)
+             |SELECT flag AS l_returnflag, min(qty) AS w_median_qty
+             |FROM c WHERE cum * 2 >= tot
+             |GROUP BY flag
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val g = t.lineitem
+          .groupBy(col("l_returnflag").as("flag"), col("l_quantity").as("qty"))
+          .agg(sum(money(col("l_extendedprice"))).as("w"))
+        val wc = Window.partitionBy(col("flag")).orderBy(col("qty"))
+        val wt = Window.partitionBy(col("flag"))
+        ordered(
+          g.select(col("flag"), col("qty"),
+              sum(col("w")).over(wc).as("cum"),
+              sum(col("w")).over(wt).as("tot"))
+            .filter(col("cum") * 2 >= col("tot"))
+            .groupBy(col("flag"))
+            .agg(min(col("qty")).as("w_median_qty"))
+            .select(col("flag").as("l_returnflag"), col("w_median_qty")))
       }
     ),
     Q(

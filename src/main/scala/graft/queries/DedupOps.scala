@@ -140,6 +140,90 @@ object DedupOps {
       |  FROM qm
       |)""".stripMargin
 
+  private lazy val incrementalLshQ = Q(
+    "d5_incremental_lsh",
+    // INCREMENTAL ingest-time near-dup: a batch of re-crawled documents
+    // (every 10th doc with a ' v2' tail edit) checked against the
+    // EXISTING corpus's persisted MinHash index. The production shape of
+    // LSH at 100 TB: the index's signatures are computed once and stored;
+    // each incoming batch only signatures ITSELF and band-joins
+    // new -> index — cost rides the batch size, never corpus x corpus
+    // (d5_minhash_pairs is the full-corpus backfill twin; d4_bloom_novel
+    // is the exact-hash fast path in front of this). Same 8-hash/4-band
+    // family as the clusters chain, so the estimate is hash-checkable.
+    Some("""WITH u AS (
+           |  SELECT doc_id, text, 0 AS is_new FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 10000 AS doc_id, text || ' v2' AS text, 1 AS is_new
+           |  FROM documents WHERE doc_id % 10 = 0
+           |),
+           |toks AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+           |                     x -> x <> '') AS tokens
+           |  FROM u
+           |),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |         unnest([array_to_string(tokens[i:i+2], ' ')
+           |                 FOR i IN range(1, len(tokens) - 1)]) AS shingle
+           |  FROM toks WHERE len(tokens) >= 3
+           |),
+           |sigs AS (
+           |  SELECT doc_id, seed,
+           |         min(((('0x' || substring(md5(shingle), 1, 15))::BIGINT
+           |                % 2147483647)
+           |              * (((2 * seed + 1) * 1103515245) % 2147483647)
+           |              + ((seed * 40503 + 12345) % 2147483647))
+           |             % 2147483647) AS sig
+           |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed)
+           |  GROUP BY doc_id, seed
+           |),
+           |bands AS (
+           |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+           |         string_agg(sig::VARCHAR, ',' ORDER BY sig) AS band_key
+           |  FROM sigs GROUP BY doc_id, band
+           |),
+           |cands AS (
+           |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS index_id
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.band_key = y.band_key
+           |  WHERE x.doc_id >= 10000 AND y.doc_id < 10000
+           |)
+           |SELECT c.new_id, c.index_id,
+           |       round(sum(CASE WHEN sx.sig = sy.sig THEN 1 ELSE 0 END) / 8.0, 4)
+           |         AS est_jaccard
+           |FROM cands c
+           |JOIN sigs sx ON sx.doc_id = c.new_id
+           |JOIN sigs sy ON sy.doc_id = c.index_id AND sy.seed = sx.seed
+           |GROUP BY c.new_id, c.index_id
+           |HAVING sum(CASE WHEN sx.sig = sy.sig THEN 1 ELSE 0 END) / 8.0 >= 0.5
+           |ORDER BY ALL NULLS FIRST""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val d = t.documents.select(col("doc_id"), col("text"))
+      val incoming = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text"))
+      // at 100 TB sigIdx is the PERSISTED signatures table; only the
+      // incoming batch pays the shingle->hash pipeline per ingest
+      val sigIdx = Dedup.minhashSignatures(d, 3, 8).localCheckpoint()
+      val sigNew = Dedup.minhashSignatures(incoming, 3, 8).localCheckpoint()
+      def bandSide(sigs: DataFrame, idName: String, sigName: String) =
+        sigs.select(col("doc_id").as(idName), col("sig").as(sigName),
+          explode(Dedup.bandKeys(col("sig"), 8, 2)).as("bk"))
+      val cand = bandSide(sigNew, "new_id", "sn")
+        .join(bandSide(sigIdx, "index_id", "si"), "bk")
+        .select(col("new_id"), col("index_id"), col("sn"), col("si"))
+        .distinct()
+      val est = size(filter(zip_with(col("sn"), col("si"), (p, q) => p === q),
+        m => m)) / lit(8.0)
+      ordered(
+        cand.select(col("new_id"), col("index_id"), est.as("est"))
+          .filter(col("est") >= 0.5)
+          .select(col("new_id"), col("index_id"), r4(col("est")).as("est_jaccard")))
+    })
+
   private lazy val snmQ = Q(
     "d5_sorted_neighborhood",
     // SORTED-NEIGHBORHOOD dedup (Hernández/Stolfo SNM) — the third classic
@@ -382,7 +466,7 @@ object DedupOps {
               t.documents.select(col("doc_id"), col("text")),
               shingleWidth = 3, minJaccard = 0.5)
               .select(col("a"), col("b"), r4(col("jaccard")).as("jaccard")))
-        }) :+ keepBestQ :+ clusterSplitQ :+ snmQ
+        }) :+ keepBestQ :+ clusterSplitQ :+ snmQ :+ incrementalLshQ
   }
 
   private def baseQueries: Seq[Q] = Seq(

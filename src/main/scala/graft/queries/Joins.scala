@@ -487,6 +487,46 @@ object Joins {
             .filter(col("jw") >= 0.88)
         )
       }
+    ),
+    Q(
+      "j16_band_join",
+      // EPSILON-BAND JOIN as a quantized EQUI-join — the scalable plan for
+      // |a.v - b.v| <= eps similarity joins (sensor alignment, price
+      // matching, numeric blocking): bucket both sides by floor(v/eps) and
+      // have the probe side fan out to its 5 surrounding buckets, turning
+      // the range predicate into a hash join + residual filter. The
+      // hash-match against DuckDB's native range join (IEJoin) proves the
+      // quantization LOSSLESS — +/-2 buckets absorbs any IEEE edge of the
+      // separately-computed quotients at band boundaries. 100 TB shape:
+      // candidates ride bucket occupancy (n·k/buckets), never the n·m
+      // cross product; the probe side is the small relation by
+      // construction and its 5x fan-out is free.
+      Some("""SELECT p.event_id AS probe_id, t.event_id AS match_id,
+             |       round(abs(p.value - t.value), 4) AS dv
+             |FROM (SELECT event_id, value FROM events WHERE event_id % 997 = 0) p
+             |JOIN events t
+             |  ON t.event_id <> p.event_id
+             | AND abs(p.value - t.value) <= 0.05
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val eps = 0.05
+        val ev = t.events.select(col("event_id"), col("value"))
+        val targets = ev.select(col("event_id").as("match_id"),
+          col("value").as("tv"),
+          floor(col("value") / eps).cast("long").as("bkt"))
+        val probes = ev.filter(col("event_id") % 997 === 0)
+          .select(col("event_id").as("probe_id"), col("value").as("pv"),
+            explode(sequence(
+              floor(col("value") / eps).cast("long") - 2,
+              floor(col("value") / eps).cast("long") + 2)).as("bkt"))
+        ordered(
+          probes.join(targets, "bkt")
+            .filter(col("probe_id") =!= col("match_id") &&
+              abs(col("pv") - col("tv")) <= eps)
+            .select(col("probe_id"), col("match_id"),
+              r4(abs(col("pv") - col("tv"))).as("dv")))
+      }
     )
   )
 }

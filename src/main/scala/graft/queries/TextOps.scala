@@ -27,7 +27,7 @@ object TextOps {
       |  FROM documents
       |)""".stripMargin
 
-  val all: Seq[Q] = bpeQs ++: oovQ +: keywordsQ +: stopwordQ +: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
+  val all: Seq[Q] = bpeQs ++: oovQ +: qlQ +: readabilityQ +: keywordsQ +: stopwordQ +: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
     skewProfileQ +: quantileNormQ +: pmiAssocQ +: Seq(
     Q(
       "d7_zipf_fit",
@@ -1826,6 +1826,122 @@ object TextOps {
     * doc-vocabulary-sized groups. Nothing corpus-sized is re-shuffled
     * after the postings exchange.
     */
+  /** D3q: query-likelihood retrieval with Dirichlet smoothing (mu=2000) —
+    * the third classical ranking model next to TF-IDF and BM25:
+    * score(q,d) = sum over query terms of ln((tf + mu*P(t|C)) / (dlen +
+    * mu)). Hash-exact via the d7_lm_score discipline: the ln argument is
+    * rewritten as the ratio of exact BIGINT products (tf*T + mu*cf) /
+    * (T*(dlen + mu)) — every product < 2^53 — rounded ONCE to
+    * DECIMAL(20,12); per-doc scores are exact decimal sums. Smoothing
+    * scores every document (a missing query term contributes its
+    * collection probability), so the cells relation is docs x |q| — at
+    * 100 TB the query side is a 3-row broadcast and the corpus enters
+    * once for postings; top-20 plans as TakeOrderedAndProject.
+    */
+  private def qlQ: Q = Q(
+    "d3_search_ql",
+    Some(s"""WITH $toksCte,
+            |tok AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+            |postings AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            |             FROM tok GROUP BY 1, 2),
+            |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dlen
+            |       FROM postings GROUP BY 1),
+            |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf
+            |       FROM postings GROUP BY 1),
+            |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t FROM postings),
+            |q AS (SELECT unnest(['spark', 'window', 'shuffle']) AS term),
+            |cells AS (
+            |  SELECT dl.doc_id, q.term, dl.dlen,
+            |         CAST(coalesce(p.tf, 0) AS BIGINT) AS tf, cf.cf, tot.t
+            |  FROM dl CROSS JOIN q
+            |  JOIN cf ON cf.term = q.term
+            |  CROSS JOIN tot
+            |  LEFT JOIN postings p ON p.doc_id = dl.doc_id AND p.term = q.term
+            |),
+            |scored AS (
+            |  SELECT doc_id,
+            |         CAST(round(ln(CAST(tf * t + 2000 * cf AS DOUBLE)
+            |                       / CAST(t * (dlen + 2000) AS DOUBLE)), 12)
+            |              AS DECIMAL(20,12)) AS lp
+            |  FROM cells
+            |)
+            |SELECT doc_id, round(CAST(sum(lp) AS DOUBLE), 4) AS ql
+            |FROM scored GROUP BY doc_id
+            |ORDER BY ql DESC, doc_id ASC LIMIT 20""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val queryTerms = Seq("spark", "window", "shuffle")
+      val postings = t.documents
+        .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // feeds dl, cf, tot and the per-cell tf lookup
+      val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
+      val cf = postings.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+      val tot = postings.agg(sum(col("tf")).as("t"))
+      val qcf = cf.filter(col("term").isin(queryTerms: _*))
+      val cells = dl
+        .crossJoin(broadcast(qcf))  // 3-row query-term relation
+        .crossJoin(broadcast(tot))  // 1-row collection total
+        .join(postings.filter(col("term").isin(queryTerms: _*)),
+          Seq("doc_id", "term"), "left")
+        .select(col("doc_id"), col("dlen"), col("cf"), col("t"),
+          coalesce(col("tf"), lit(0L)).as("tf"))
+      val lp = round(
+        log((col("tf") * col("t") + lit(2000L) * col("cf")).cast("double") /
+          (col("t") * (col("dlen") + 2000L)).cast("double")), 12)
+        .cast("decimal(20,12)")
+      cells.select(col("doc_id"), lp.as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("lp")).cast("double"), 4).as("ql"))
+        .orderBy(col("ql").desc, col("doc_id").asc)
+        .limit(20)
+    })
+
+  /** D7r: Flesch reading-ease readability — the classic prose-difficulty
+    * gate (score falls as sentences lengthen and words gain syllables).
+    * Syllables are approximated as VOWEL GROUPS ([aeiouy]+ runs), the
+    * standard cheap heuristic; sentences as terminal-punctuation runs
+    * with a floor of 1. All three counts are exact integers from the
+    * same regex engine class (RE2-free simple classes both engines agree
+    * on), the score is one IEEE expression rounded once. 100 TB: pure
+    * per-row narrow compute, no shuffle before the final order.
+    */
+  private def readabilityQ: Q = Q(
+    "d7_readability",
+    Some(s"""WITH $toksCte,
+            |m AS (
+            |  SELECT d.doc_id,
+            |         CAST(len(t.tokens) AS BIGINT) AS words,
+            |         CAST(greatest(len(regexp_extract_all(d.text, '[.!?]+')), 1)
+            |              AS BIGINT) AS sentences,
+            |         CAST(len(regexp_extract_all(lower(d.text), '[aeiouy]+'))
+            |              AS BIGINT) AS syllables
+            |  FROM documents d JOIN toks t USING (doc_id)
+            |  WHERE len(t.tokens) > 0
+            |)
+            |SELECT doc_id, words, sentences, syllables,
+            |       round(206.835 - 1.015 * (words * 1.0 / sentences)
+            |             - 84.6 * (syllables * 1.0 / words), 4) AS flesch
+            |FROM m
+            |ORDER BY ALL NULLS FIRST""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val m = t.documents.select(col("doc_id"),
+          size(Text.tokenize(col("text"))).cast("long").as("words"),
+          greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+            .cast("long").as("sentences"),
+          regexp_count(lower(col("text")), lit("[aeiouy]+"))
+            .cast("long").as("syllables"))
+        .filter(col("words") > 0)
+      ordered(
+        m.select(col("doc_id"), col("words"), col("sentences"), col("syllables"),
+          round(lit(206.835)
+            - lit(1.015) * (col("words") * lit(1.0) / col("sentences"))
+            - lit(84.6) * (col("syllables") * lit(1.0) / col("words")), 4)
+            .as("flesch")))
+    })
+
   /** D2v: tokenizer-vocabulary coverage — the OOV (out-of-vocabulary)
     * rate of every document against the corpus's own top-1000 term
     * vocabulary (count-ranked, term tiebreak, so both engines pick the

@@ -419,6 +419,67 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("d3_search_ql: log-likelihoods negative, top page full, smoothing total-orders") {
+    val rows = run("d3_search_ql").collect()
+    assert(rows.length == 20, "Dirichlet smoothing scores every doc; top-20 must fill")
+    rows.foreach(r => assert(r.getAs[Double]("ql") < 0.0))
+  }
+
+  test("d7_readability: sentence floor holds and the score is bounded above") {
+    val rows = run("d7_readability").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("words") > 0 && r.getAs[Long]("sentences") >= 1)
+      // 206.835 is the formula's intercept — no text can exceed it
+      assert(r.getAs[Double]("flesch") <= 206.835)
+    }
+  }
+
+  test("d5_incremental_lsh: pairs only cross new->index, planted recall high") {
+    val rows = run("d5_incremental_lsh").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("new_id") >= 10000L, "left side must be the batch")
+      assert(r.getAs[Long]("index_id") < 10000L, "right side must be the index")
+    }
+    val planted = rows.count(r =>
+      r.getAs[Long]("new_id") - 10000L == r.getAs[Long]("index_id"))
+    val expected = Tables(spark, sf).documents
+      .filter(col("doc_id") % 10 === 0).count()
+    // 8-hash estimates are noisy; the v2 tail edit barely moves Jaccard,
+    // so banding should recover nearly every planted re-crawl pair
+    assert(planted >= expected * 8 / 10,
+      s"incremental LSH recovered $planted of $expected planted pairs")
+  }
+
+  test("a9_weighted_median: matches a driver-side exact weighted median") {
+    val rows = run("a9_weighted_median").collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("w_median_qty"))
+      .toMap
+    val li = Tables(spark, sf).lineitem
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+    li.groupBy(_.getString(0)).foreach { case (flag, rs) =>
+      // brute-force reference: sort by qty, walk cumulative exact-cent
+      // weights to the first qty reaching half the total
+      val byQty = rs.map(r => (r.getDouble(1), math.round(r.getDouble(2) * 100)))
+        .sortBy(_._1)
+      val total = byQty.map(_._2).sum
+      var cum = 0L
+      val ref = byQty.find { case (_, w) => cum += w; cum * 2 >= total }.get._1
+      assert(rows(flag) == ref, s"flag $flag: got ${rows(flag)}, want $ref")
+    }
+  }
+
+  test("j16_band_join: every pair inside the band, no self-pairs") {
+    val rows = run("j16_band_join").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("probe_id") != r.getAs[Long]("match_id"))
+      assert(r.getAs[Double]("dv") <= 0.05)
+    }
+  }
+
   test("d6_knn_graph: no self-edges, ranks dense 1..k, neighbors share the cluster") {
     val rows = run("d6_knn_graph").collect()
     assert(rows.nonEmpty)

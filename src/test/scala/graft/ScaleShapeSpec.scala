@@ -210,8 +210,10 @@ class ScaleShapeSpec extends AnyFunSuite {
       // scoring joins assignment by vec_id — an equi-join
       "t17_ks_drift", // 1-row epoch-midpoint scalar broadcast onto the
       // event scan — constant-size build side (the t16_psi_drift shape)
-      "d6_hard_negatives" // broadcast anchor SAMPLE x corpus: the mining
+      "d6_hard_negatives", // broadcast anchor SAMPLE x corpus: the mining
       // oracle; the scale path reranks an IVF/PQ shortlist instead
+      "d3_search_ql" // 3-row query-term relation + 1-row collection-total
+      // scalar broadcasts (the d7_lm_score smoothing shape)
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (fenced(name)) None
