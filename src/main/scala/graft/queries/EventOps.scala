@@ -806,6 +806,52 @@ object EventOps {
             .select(col("day_idx"), col("rn"), col("event_type"),
               col("n"), col("prev_n"), col("lift")))
       }
+    ),
+    Q(
+      "w11_streak",
+      // LONGEST ACTIVITY STREAK per user — the engagement metric next to
+      // w9's max gap: the longest run of CONSECUTIVE active days, via the
+      // classic gaps-and-islands trick on the distinct-day grid (island
+      // id = day − row_number is constant exactly while days are
+      // consecutive). Pure integer day arithmetic off the epoch — no
+      // calendar/timezone semantics to diverge on. 100 TB shape: one
+      // (user, day) dedup aggregate with map-side partials, then the
+      // window and both aggregates ride that bounded users×days relation
+      // on the SAME user partitioning — never raw events.
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id,
+             |         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+             |  FROM events
+             |),
+             |isl AS (
+             |  SELECT user_id,
+             |         day - row_number() OVER (PARTITION BY user_id
+             |                                  ORDER BY day) AS grp
+             |  FROM days
+             |),
+             |runs AS (
+             |  SELECT user_id, grp, count(*) AS len
+             |  FROM isl GROUP BY user_id, grp
+             |)
+             |SELECT user_id, max(len) AS longest_streak,
+             |       CAST(sum(len) AS BIGINT) AS n_active_days
+             |FROM runs GROUP BY user_id
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val days = t.events
+          .select(col("user_id"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        ordered(
+          days.withColumn("grp", col("day") - row_number().over(w))
+            .groupBy(col("user_id"), col("grp"))
+            .agg(count(lit(1)).as("len"))
+            .groupBy(col("user_id"))
+            .agg(max(col("len")).as("longest_streak"),
+              sum(col("len")).as("n_active_days")))
+      }
     )
   )
 

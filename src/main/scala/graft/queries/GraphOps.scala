@@ -342,6 +342,73 @@ object GraphOps {
               round(col("cn") * lit(1.0) / (col("da") + col("db") - col("cn")), 4)
                 .as("nbr_jaccard")))
       }
+    ),
+    Q(
+      "g6_label_prop",
+      // LABEL-PROPAGATION community detection — the near-linear-time
+      // community algorithm (Raghavan et al. 2007), made hash-exact by
+      // running SYNCHRONOUS rounds with a total-order vote: each node
+      // adopts the neighbor label with the highest count, ties broken by
+      // the SMALLEST label. Three fixed rounds over the symmetrized
+      // deterministic link graph (the g1 generator), labels seeded with
+      // doc_id. Integer votes + deterministic tiebreak mean both engines
+      // converge identically — no float, no RNG, no async order. 100 TB
+      // shape: per round ONE edges-join-labels shuffle on src (the same
+      // co-partitionable key every round) + one (node, label) count
+      // aggregate with map-side partials; the vote winner is a hash
+      // aggregate over max(struct(count, -label)), never a corpus-wide
+      // window sort. Fixed round count, not data-dependent.
+      Some("""WITH nn AS (SELECT count(*) AS n FROM documents),
+             |e0 AS (
+             |  SELECT doc_id AS src,
+             |         (doc_id*31 + k*17 + 7) % (SELECT n FROM nn) AS dst
+             |  FROM documents CROSS JOIN (SELECT unnest(range(0,4)) AS k) ks
+             |),
+             |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+             |l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+             |c1 AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+             |       FROM e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+             |l1 AS (SELECT node, lbl FROM
+             |        (SELECT node, lbl, row_number() OVER (PARTITION BY node
+             |                 ORDER BY c DESC, lbl ASC) AS rn FROM c1)
+             |       WHERE rn = 1),
+             |c2 AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+             |       FROM e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+             |l2 AS (SELECT node, lbl FROM
+             |        (SELECT node, lbl, row_number() OVER (PARTITION BY node
+             |                 ORDER BY c DESC, lbl ASC) AS rn FROM c2)
+             |       WHERE rn = 1),
+             |c3 AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+             |       FROM e JOIN l2 l ON l.node = e.src GROUP BY 1, 2),
+             |l3 AS (SELECT node, lbl FROM
+             |        (SELECT node, lbl, row_number() OVER (PARTITION BY node
+             |                 ORDER BY c DESC, lbl ASC) AS rn FROM c3)
+             |       WHERE rn = 1)
+             |SELECT node AS doc_id, lbl AS community FROM l3
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val docs = t.documents.select(col("doc_id"))
+        val n = docs.count()
+        val e0 = docs.select(col("doc_id").as("src"),
+          explode(array((0 until 4).map(k =>
+            (col("doc_id") * 31 + k * 17 + 7) % n): _*)).as("dst"))
+        val edges = e0.unionByName(
+            e0.select(col("dst").as("src"), col("src").as("dst")))
+          .localCheckpoint() // feeds all 3 rounds; lineage cut like CC
+        var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
+        for (_ <- 1 to 3) {
+          // vote winner as a hash aggregate: max over (count, -label)
+          // picks highest count then SMALLEST label — no per-node window
+          labels = edges.join(labels, edges("src") === labels("node"))
+            .groupBy(edges("dst").as("node"), col("lbl"))
+            .agg(count(lit(1)).as("c"))
+            .groupBy(col("node"))
+            .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("win"))
+            .select(col("node"), (-col("win.neg")).as("lbl"))
+        }
+        ordered(labels.select(col("node").as("doc_id"), col("lbl").as("community")))
+      }
     )
   )
 }

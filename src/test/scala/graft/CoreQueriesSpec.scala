@@ -480,6 +480,35 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("g6_label_prop: total assignment, labels are node ids, communities merge") {
+    val rows = run("g6_label_prop").collect()
+    val corpus = Tables(spark, sf).documents.count()
+    assert(rows.length == corpus, "every node must get exactly one label")
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length)
+    val valid = ids.toSet
+    rows.foreach(r => assert(valid(r.getAs[Long]("community")),
+      "a community label must be a real node id"))
+    // on a connected 4-out random-ish graph, 3 rounds of propagation must
+    // actually merge labels — strictly fewer communities than nodes
+    assert(rows.map(_.getAs[Long]("community")).distinct.length < corpus)
+  }
+
+  test("w11_streak: streak bounded by active days, active days match a recount") {
+    val rows = run("w11_streak").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("longest_streak") >= 1L)
+      assert(r.getAs[Long]("longest_streak") <= r.getAs[Long]("n_active_days"))
+    }
+    val recount = Tables(spark, sf).events
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct().groupBy(col("user_id")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap
+    rows.foreach(r => assert(
+      r.getAs[Long]("n_active_days") == recount(r.getAs[Long]("user_id"))))
+  }
+
   test("d6_knn_graph: no self-edges, ranks dense 1..k, neighbors share the cluster") {
     val rows = run("d6_knn_graph").collect()
     assert(rows.nonEmpty)
