@@ -32,5 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[JaroWinkler], "jaro_winkler",
         "jaro_winkler(a, b) - Jaro-Winkler similarity of two strings."),
       ((args: Seq[Expression]) => JaroWinkler(args(0), args(1))): FunctionRegistry.FunctionBuilder))
+    // epsilon-band joins: abs(l - r) <= eps rewritten to a quantized
+    // equi-join so the naive formulation never plans a nested loop
+    ext.injectOptimizerRule(_ => BandJoinRewrite)
   }
 }

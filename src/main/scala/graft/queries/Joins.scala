@@ -527,6 +527,38 @@ object Joins {
             .select(col("probe_id"), col("match_id"),
               r4(abs(col("pv") - col("tv"))).as("dv")))
       }
+    ),
+    Q(
+      "j16_band_join_auto",
+      // the SAME band join written NAIVELY — a bare abs-distance
+      // predicate that would plan as BroadcastNestedLoopJoin — relying on
+      // [[graft.plans.BandJoinRewrite]] (injected via GraftExtensions) to
+      // derive the quantized equi-join automatically. Hash-matching the
+      // identical DuckDB oracle as the hand-written j16_band_join proves
+      // the optimizer rule is semantics-preserving end-to-end;
+      // ScaleShapeSpec's no-cartesian sweep proves the nested loop is
+      // actually gone from the executed plan.
+      Some("""SELECT p.event_id AS probe_id, t.event_id AS match_id,
+             |       round(abs(p.value - t.value), 4) AS dv
+             |FROM (SELECT event_id, value FROM events WHERE event_id % 997 = 0) p
+             |JOIN events t
+             |  ON t.event_id <> p.event_id
+             | AND abs(p.value - t.value) <= 0.05
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val ev = t.events.select(col("event_id"), col("value"))
+        val probes = ev.filter(col("event_id") % 997 === 0)
+          .select(col("event_id").as("probe_id"), col("value").as("pv"))
+        val targets = ev.select(col("event_id").as("match_id"),
+          col("value").as("tv"))
+        ordered(
+          probes.join(targets,
+              col("probe_id") =!= col("match_id") &&
+                abs(col("pv") - col("tv")) <= 0.05)
+            .select(col("probe_id"), col("match_id"),
+              r4(abs(col("pv") - col("tv"))).as("dv")))
+      }
     )
   )
 }

@@ -227,6 +227,31 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"unfenced nested-loop joins in: $offenders")
   }
 
+  test("BandJoinRewrite: naive abs-band join becomes a hash equi-join with fan-out") {
+    val plan = executedPlan(SparkEntry.queries("j16_band_join_auto")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"optimizer rule did not remove the nested loop:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"no hash/merge join after the band rewrite:\n$plan")
+    assert(plan.contains("Generate") || plan.contains("explode"),
+      s"missing the +/-2 bucket fan-out:\n$plan")
+  }
+
+  test("BandJoinRewrite: a join that already has an equality key is untouched") {
+    // same band predicate PLUS a cross-side equality: the rule must not
+    // add fan-out when a hash key already exists
+    val ev = graft.sources.Tables(spark, sf).events
+      .select(col("event_id"), col("user_id"), col("value"))
+    val a = ev.select(col("event_id").as("ida"), col("user_id").as("ua"), col("value").as("va"))
+    val b = ev.select(col("event_id").as("idb"), col("user_id").as("ub"), col("value").as("vb"))
+    val joined = a.join(b, col("ua") === col("ub") &&
+      abs(col("va") - col("vb")) <= 0.05 && col("ida") =!= col("idb"))
+    val plan = executedPlan(joined)
+    assert(!plan.contains("Generate"),
+      s"rule fired despite an existing equality key:\n$plan")
+  }
+
   test("t9 interval join is an equi-join on user_id, never a nested loop") {
     val plan = executedPlan(SparkEntry.queries("t9_interval_attrib")(spark, sf))
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
