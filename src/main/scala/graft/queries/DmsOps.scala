@@ -107,6 +107,44 @@ object DmsOps {
       }
     ),
     Q(
+      "d8_retention_gc",
+      // VERSION-RETENTION GC PLANNER — the VACUUM / expire-snapshots pass
+      // every versioned store runs: keep the LAST 2 versions of every
+      // file, emit the deletion manifest for the rest (version, storage
+      // row id, surviving latest, history depth). The manifest is the
+      // AUDITABLE artifact a 100 TB store wants before destructive GC —
+      // plan first, delete from the plan (the s8 anti-join executes it).
+      // One window family over the per-file version history; partitions
+      // are history-depth-sized, never corpus-sized.
+      Some(s"""WITH $versionedCte,
+              |r AS (
+              |  SELECT filename, version, doc_id,
+              |         row_number() OVER (PARTITION BY filename
+              |                 ORDER BY version DESC, doc_id DESC) AS rn,
+              |         count(*) OVER (PARTITION BY filename) AS n_versions,
+              |         max(version) OVER (PARTITION BY filename) AS latest
+              |  FROM v
+              |)
+              |SELECT filename, version, doc_id, latest,
+              |       CAST(n_versions AS BIGINT) AS n_versions
+              |FROM r WHERE rn > 2
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val w = Window.partitionBy(col("filename"))
+        val wr = w.orderBy(col("version").desc, col("doc_id").desc)
+        ordered(
+          versioned(t)
+            .select(col("filename"), col("version"), col("doc_id"),
+              row_number().over(wr).as("rn"),
+              count(lit(1)).over(w).as("n_versions"),
+              max(col("version")).over(w).as("latest"))
+            .filter(col("rn") > 2)
+            .select(col("filename"), col("version"), col("doc_id"),
+              col("latest"), col("n_versions")))
+      }
+    ),
+    Q(
       "d8_upsert_latest",
       // append a new batch for doc0..doc4 at next_version, then ask for
       // the latest version of every file — the upsert round-trip

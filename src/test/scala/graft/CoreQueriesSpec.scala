@@ -509,6 +509,18 @@ class CoreQueriesSpec extends AnyFunSuite {
       r.getAs[Long]("n_active_days") == recount(r.getAs[Long]("user_id"))))
   }
 
+  test("d8_retention_gc: manifest is history minus the two kept versions") {
+    val rows = run("d8_retention_gc").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("filename")).foreach { case (_, rs) =>
+      val n = rs.head.getAs[Long]("n_versions")
+      assert(rs.length == n - 2, "expire everything but the last 2")
+      val latest = rs.head.getAs[Int]("latest")
+      rs.foreach(r => assert(r.getAs[Int]("version") < latest,
+        "the surviving latest version must never be in the deletion manifest"))
+    }
+  }
+
   test("d6_knn_graph: no self-edges, ranks dense 1..k, neighbors share the cluster") {
     val rows = run("d6_knn_graph").collect()
     assert(rows.nonEmpty)
