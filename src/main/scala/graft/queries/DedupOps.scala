@@ -224,6 +224,156 @@ object DedupOps {
           .select(col("new_id"), col("index_id"), r4(col("est")).as("est_jaccard")))
     })
 
+  private lazy val pipelineIncrementalQ = Q(
+    "d9_pipeline_incremental",
+    // INCREMENTAL INGEST PIPELINE capstone — the decision an ingest
+    // service makes per arriving document, composed from three
+    // independently-verified stages: (1) exact novelty via content sha
+    // against the corpus hash index (d4's shape), (2) MinHash-LSH
+    // near-dup check against the persisted signature index
+    // (d5_incremental_lsh's shape) for exact-novel docs only — the
+    // short-circuit an ingest path wants, (3) admission. Three planted
+    // slices exercise every branch: verbatim re-uploads (dup_exact),
+    // tail-edited re-crawls (near_dup with their source as best match),
+    // token-reversed texts (reversal destroys every 3-gram shingle →
+    // admitted). 100 TB shape: the sha probe is a hash join on the
+    // (tiny relative to content) hash column; only surviving docs pay
+    // signatures; the band join rides the batch, never corpus x corpus.
+    Some("""WITH incoming AS (
+           |  SELECT doc_id + 10000 AS doc_id, text || ' v2' AS text
+           |  FROM documents WHERE doc_id % 10 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 20000 AS doc_id,
+           |         array_to_string(list_reverse(list_filter(
+           |           string_split_regex(lower(trim(text)), '\s+'),
+           |           x -> x <> '')), ' ') AS text
+           |  FROM documents WHERE doc_id % 10 = 5
+           |  UNION ALL
+           |  SELECT doc_id + 30000 AS doc_id, text
+           |  FROM documents WHERE doc_id % 10 = 7
+           |),
+           |known AS (SELECT DISTINCT sha256(text) AS sha FROM documents),
+           |ex AS (
+           |  SELECT i.doc_id, (k.sha IS NOT NULL) AS is_exact
+           |  FROM incoming i LEFT JOIN known k ON sha256(i.text) = k.sha
+           |),
+           |u AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT i.doc_id, i.text FROM incoming i
+           |  JOIN ex e ON e.doc_id = i.doc_id AND NOT e.is_exact
+           |),
+           |toks AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+           |                     x -> x <> '') AS tokens
+           |  FROM u
+           |),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |         unnest([array_to_string(tokens[i:i+2], ' ')
+           |                 FOR i IN range(1, len(tokens) - 1)]) AS shingle
+           |  FROM toks WHERE len(tokens) >= 3
+           |),
+           |sigs AS (
+           |  SELECT doc_id, seed,
+           |         min(((('0x' || substring(md5(shingle), 1, 15))::BIGINT
+           |                % 2147483647)
+           |              * (((2 * seed + 1) * 1103515245) % 2147483647)
+           |              + ((seed * 40503 + 12345) % 2147483647))
+           |             % 2147483647) AS sig
+           |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed)
+           |  GROUP BY doc_id, seed
+           |),
+           |bands AS (
+           |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+           |         string_agg(sig::VARCHAR, ',' ORDER BY sig) AS band_key
+           |  FROM sigs GROUP BY doc_id, band
+           |),
+           |cands AS (
+           |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS index_id
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.band_key = y.band_key
+           |  WHERE x.doc_id >= 10000 AND y.doc_id < 10000
+           |),
+           |est AS (
+           |  SELECT c.new_id, c.index_id,
+           |         sum(CASE WHEN sx.sig = sy.sig THEN 1 ELSE 0 END) / 8.0 AS est
+           |  FROM cands c
+           |  JOIN sigs sx ON sx.doc_id = c.new_id
+           |  JOIN sigs sy ON sy.doc_id = c.index_id AND sy.seed = sx.seed
+           |  GROUP BY c.new_id, c.index_id
+           |  HAVING sum(CASE WHEN sx.sig = sy.sig THEN 1 ELSE 0 END) / 8.0 >= 0.5
+           |),
+           |best AS (
+           |  SELECT new_id, index_id, est FROM (
+           |    SELECT new_id, index_id, est,
+           |           row_number() OVER (PARTITION BY new_id
+           |                              ORDER BY est DESC, index_id ASC) AS rn
+           |    FROM est
+           |  ) WHERE rn = 1
+           |)
+           |SELECT i.doc_id,
+           |       CASE WHEN e.is_exact THEN 'dup_exact'
+           |            WHEN b.new_id IS NOT NULL THEN 'near_dup'
+           |            ELSE 'admitted' END AS status,
+           |       b.index_id AS best_match,
+           |       round(b.est, 4) AS est
+           |FROM incoming i
+           |JOIN ex e ON e.doc_id = i.doc_id
+           |LEFT JOIN best b ON b.new_id = i.doc_id
+           |ORDER BY ALL NULLS FIRST""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val d = t.documents.select(col("doc_id"), col("text"))
+      val incoming = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 20000L).as("doc_id"),
+            concat_ws(" ", reverse(Text.tokenize(col("text")))).as("text")))
+        .unionByName(d.filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 30000L).as("doc_id"), col("text")))
+        .localCheckpoint() // feeds the sha probe, the LSH side, the output
+      val known = d.select(sha2(col("text"), 256).as("sha")).distinct()
+        .withColumn("known", lit(1))
+      val ex = incoming.withColumn("sha", sha2(col("text"), 256))
+        .join(known, Seq("sha"), "left")
+        .select(col("doc_id"), col("text"),
+          col("known").isNotNull.as("is_exact"))
+        .localCheckpoint()
+      // only exact-novel docs pay the signature pipeline (short-circuit)
+      val sigNew = Dedup.minhashSignatures(
+        ex.filter(!col("is_exact")).select(col("doc_id"), col("text")), 3, 8)
+        .localCheckpoint()
+      val sigIdx = Dedup.minhashSignatures(d, 3, 8).localCheckpoint()
+      def bandSide(sigs: DataFrame, idName: String, sigName: String) =
+        sigs.select(col("doc_id").as(idName), col("sig").as(sigName),
+          explode(Dedup.bandKeys(col("sig"), 8, 2)).as("bk"))
+      val estCol = size(filter(zip_with(col("sn"), col("si"), (p, q) => p === q),
+        m => m)) / lit(8.0)
+      val est = bandSide(sigNew, "new_id", "sn")
+        .join(bandSide(sigIdx, "index_id", "si"), "bk")
+        .select(col("new_id"), col("index_id"), col("sn"), col("si"))
+        .distinct()
+        .select(col("new_id"), col("index_id"), estCol.as("est"))
+        .filter(col("est") >= 0.5)
+      val wb = Window.partitionBy(col("new_id"))
+        .orderBy(col("est").desc, col("index_id").asc)
+      val best = est.withColumn("rn", row_number().over(wb))
+        .filter(col("rn") === 1)
+        .select(col("new_id"), col("index_id"), col("est"))
+      ordered(
+        ex.join(best, ex("doc_id") === best("new_id"), "left")
+          .select(ex("doc_id"),
+            when(col("is_exact"), "dup_exact")
+              .when(col("new_id").isNotNull, "near_dup")
+              .otherwise("admitted").as("status"),
+            col("index_id").as("best_match"),
+            r4(col("est")).as("est")))
+    })
+
   private lazy val snmQ = Q(
     "d5_sorted_neighborhood",
     // SORTED-NEIGHBORHOOD dedup (Hernández/Stolfo SNM) — the third classic
@@ -466,7 +616,8 @@ object DedupOps {
               t.documents.select(col("doc_id"), col("text")),
               shingleWidth = 3, minJaccard = 0.5)
               .select(col("a"), col("b"), r4(col("jaccard")).as("jaccard")))
-        }) :+ keepBestQ :+ clusterSplitQ :+ snmQ :+ incrementalLshQ
+        }) :+ keepBestQ :+ clusterSplitQ :+ snmQ :+ incrementalLshQ :+
+      pipelineIncrementalQ
   }
 
   private def baseQueries: Seq[Q] = Seq(

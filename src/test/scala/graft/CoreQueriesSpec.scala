@@ -521,6 +521,30 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("d9_pipeline_incremental: each planted slice lands in its branch") {
+    val rows = run("d9_pipeline_incremental").collect()
+    assert(rows.nonEmpty)
+    val bySlice = rows.groupBy(r => r.getAs[Long]("doc_id") / 10000L)
+    // verbatim re-uploads: every one an exact dup, with no near-dup probe
+    bySlice(3L).foreach { r =>
+      assert(r.getAs[String]("status") == "dup_exact")
+      assert(r.isNullAt(r.fieldIndex("best_match")),
+        "exact dups short-circuit before the LSH stage")
+    }
+    // tail-edited re-crawls: overwhelmingly near-dups of their source
+    val recrawl = bySlice(1L)
+    val matched = recrawl.count(r => r.getAs[String]("status") == "near_dup" &&
+      !r.isNullAt(r.fieldIndex("best_match")) &&
+      r.getAs[Long]("best_match") == r.getAs[Long]("doc_id") - 10000L)
+    assert(matched >= recrawl.length * 8 / 10,
+      s"only $matched/${recrawl.length} re-crawls matched their source")
+    // token-reversed docs: shingles destroyed, overwhelmingly admitted
+    val reversed = bySlice(2L)
+    val admitted = reversed.count(_.getAs[String]("status") == "admitted")
+    assert(admitted >= reversed.length * 9 / 10,
+      s"only $admitted/${reversed.length} reversed docs were admitted")
+  }
+
   test("d6_knn_graph: no self-edges, ranks dense 1..k, neighbors share the cluster") {
     val rows = run("d6_knn_graph").collect()
     assert(rows.nonEmpty)

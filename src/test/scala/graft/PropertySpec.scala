@@ -35,6 +35,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("J16a BandJoinRewrite law: rewritten join equals a driver-side pair scan") {
+    import spark.implicits._
+    // random values + random epsilon: the optimizer-rewritten join must
+    // return EXACTLY the pairs a brute-force reference finds, including
+    // negative values and band-boundary cases
+    val eps = Seq(0.05, 0.3, 1.0)
+    val values = Gen.listOfN(120, Gen.chooseNum(-500, 500).map(_ / 7.0))
+    draws(Gen.zip(values, Gen.oneOf(eps))).foreach { case (vs, e) =>
+      val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = rows.toDF("id", "v")
+      val a = df.select($"id".as("ida"), $"v".as("va"))
+      val b = df.select($"id".as("idb"), $"v".as("vb"))
+      val joined = a.join(b, $"ida" =!= $"idb" && abs($"va" - $"vb") <= e)
+        .select($"ida", $"idb").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        (ia, va) <- rows; (ib, vb) <- rows
+        if ia != ib && math.abs(va - vb) <= e
+      } yield (ia, ib)).toSet
+      assert(joined == expected,
+        s"eps=$e: missing=${(expected -- joined).take(5)} extra=${(joined -- expected).take(5)}")
+    }
+  }
+
   test("D8/A1 upsert law: latest(append(d, next)) == latest(d) + 1") {
     import spark.implicits._
     draws(Gen.listOfN(12, Gen.chooseNum(1, 5))).foreach { versions =>
