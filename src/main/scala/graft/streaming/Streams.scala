@@ -96,6 +96,26 @@ object Streams {
     // consumers (DocStore.findNearDups) distinct() them for free.
   }
 
+  /** T16s: streaming DRIFT-MONITOR source — live windowed bucket counts
+    * of a feature distribution against FROZEN reference bins (lo/width
+    * come from the training snapshot, broadcast as literals). The
+    * stateful part is only a watermarked (window, bucket) count — at
+    * most windows x 10 rows of state regardless of stream length; the
+    * PSI/KS arithmetic itself is a stateless transform a consumer runs
+    * on the tiny sink relation, exactly as batch t16_psi_drift /
+    * t17_ks_drift do. Works identically on a batch input (window() is
+    * the same function, the watermark a no-op) — the parity spec
+    * replays the real event log and matches the batch twin exactly. */
+  def psiBucketCounts(events: DataFrame, lo: Double, width: Double,
+      windowLen: String = "6 hours"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), windowLen),
+        least(greatest(floor((col("value") - lit(lo)) / lit(width)), lit(0.0)),
+          lit(9.0)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("bucket"), col("n"))
+
   /** T9: stream-stream interval join — view→click attribution: each click
     * matches views of the same user in (click.ts - 30m, click.ts]. BOTH
     * sides carry watermarks and the join condition bounds event time, so

@@ -295,6 +295,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == t15.filter(_._2 > 0) && got.nonEmpty)
   }
 
+  test("T16 streaming drift buckets: ordered replay equals the batch buckets") {
+    import spark.implicits._
+    val evDf = graft.sources.Tables(spark, sf).events
+    // frozen reference bins, exactly as the batch PSI monitor derives them
+    val mm = evDf.agg(min(col("value")).as("lo"), max(col("value")).as("hi")).head()
+    val lo = mm.getDouble(0); val width = (mm.getDouble(1) - lo) / 10
+    val evs = evDf
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .orderBy(col("ts"), col("event_id")).as[Ev].collect().toSeq
+    val mem = MemoryStream[Ev](22, spark, None)
+    val q = Streams.psiBucketCounts(mem.toDF(), lo, width)
+      .writeStream.format("memory").queryName("t16_sink")
+      .outputMode(OutputMode.Update()).start()
+    evs.grouped((evs.size + 2) / 3).foreach { b =>
+      mem.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    // update mode re-emits a cell on change; the last row is current
+    val got = spark.table("t16_sink")
+      .groupBy(col("w_start"), col("bucket"))
+      .agg(last(col("n")).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val want = Streams.psiBucketCounts(evDf, lo, width)
+      .collect().map(r => (r.getTimestamp(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == want && got.nonEmpty,
+      s"stream/batch divergence: ${(want.toSet -- got.toSet).take(3)}")
+  }
+
   test("T9 stream-stream interval join: two MemoryStreams equal batch") {
     import spark.implicits._
     val views = Seq(
