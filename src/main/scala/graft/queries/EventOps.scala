@@ -808,6 +808,71 @@ object EventOps {
       }
     ),
     Q(
+      "t19_funnel_windowed",
+      // TIME-CONSTRAINED FUNNEL — t10 with per-stage conversion DEADLINES
+      // (click within 1 hour of the view, purchase within 24 hours of the
+      // click): the form product analytics actually bills, because an
+      // unbounded funnel credits conversions that happen weeks later.
+      // Same strictly-ordered min-aggregate chain as t10 — the window
+      // bound is one extra interval predicate on each stage join, so the
+      // 100 TB shape is unchanged: three stage-pruned per-user hash
+      // aggregates chained by user_id equi-joins, one row per user after
+      // the first scan. Users who convert but MISS the deadline stall at
+      // the prior depth — the law spec pins windowed depth <= t10 depth.
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS v_ts
+             |  FROM events WHERE event_type = 'view' GROUP BY user_id
+             |),
+             |c AS (
+             |  SELECT e.user_id, min(e.ts) AS c_ts
+             |  FROM events e JOIN v ON e.user_id = v.user_id
+             |   AND e.ts > v.v_ts AND e.ts <= v.v_ts + INTERVAL 1 HOUR
+             |  WHERE e.event_type = 'click' GROUP BY e.user_id
+             |),
+             |p AS (
+             |  SELECT e.user_id, min(e.ts) AS p_ts
+             |  FROM events e JOIN c ON e.user_id = c.user_id
+             |   AND e.ts > c.c_ts AND e.ts <= c.c_ts + INTERVAL 24 HOUR
+             |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+             |)
+             |SELECT v.user_id,
+             |       strftime(v.v_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+             |       strftime(c.c_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+             |       strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+             |       1 + CASE WHEN c.c_ts IS NULL THEN 0 ELSE 1 END
+             |         + CASE WHEN p.p_ts IS NULL THEN 0 ELSE 1 END AS depth
+             |FROM v LEFT JOIN c ON c.user_id = v.user_id
+             |       LEFT JOIN p ON p.user_id = v.user_id
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val ev = t.events
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+        val c = ev.filter(col("event_type") === "click").as("e")
+          .join(v.as("v"), col("e.user_id") === col("v.user_id") &&
+            col("e.ts") > col("v.v_ts") &&
+            col("e.ts") <= col("v.v_ts") + expr("INTERVAL 1 HOUR"))
+          .groupBy(col("e.user_id").as("user_id"))
+          .agg(min(col("e.ts")).as("c_ts"))
+        val p = ev.filter(col("event_type") === "purchase").as("e")
+          .join(c.as("c"), col("e.user_id") === col("c.user_id") &&
+            col("e.ts") > col("c.c_ts") &&
+            col("e.ts") <= col("c.c_ts") + expr("INTERVAL 24 HOURS"))
+          .groupBy(col("e.user_id").as("user_id"))
+          .agg(min(col("e.ts")).as("p_ts"))
+        ordered(
+          v.join(c, Seq("user_id"), "left")
+            .join(p, Seq("user_id"), "left")
+            .select(col("user_id"),
+              tstr(col("v_ts")).as("view_ts"),
+              tstr(col("c_ts")).as("click_ts"),
+              tstr(col("p_ts")).as("purchase_ts"),
+              (lit(1) + when(col("c_ts").isNull, 0).otherwise(1)
+                + when(col("p_ts").isNull, 0).otherwise(1)).as("depth")))
+      }
+    ),
+    Q(
       "w11_streak",
       // LONGEST ACTIVITY STREAK per user — the engagement metric next to
       // w9's max gap: the longest run of CONSECUTIVE active days, via the

@@ -545,6 +545,22 @@ class CoreQueriesSpec extends AnyFunSuite {
       s"only $admitted/${reversed.length} reversed docs were admitted")
   }
 
+  test("t19_funnel_windowed: deadlines only ever lower the unbounded depth") {
+    val t10 = run("t10_funnel").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("depth")).toMap
+    val rows = run("t19_funnel_windowed").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Int]("depth")
+      assert(d >= 1 && d <= 3)
+      // a conversion window can only disqualify conversions, never mint them
+      assert(d <= t10(r.getAs[Long]("user_id")))
+      // shared stage 1: the first view is deadline-free, so it must agree
+      assert(r.getAs[String]("view_ts") != null)
+    }
+    assert(rows.length == t10.size, "stage 1 is identical, so user sets match")
+  }
+
   test("d6_knn_graph: no self-edges, ranks dense 1..k, neighbors share the cluster") {
     val rows = run("d6_knn_graph").collect()
     assert(rows.nonEmpty)
