@@ -355,6 +355,47 @@ object Windows {
           .select(col("cust"), round(col("spend"), 4).cast("double").as("spend"),
             col("n_orders")))
       }
+    ),
+    Q(
+      "w12_ratio_to_report",
+      // RATIO-TO-REPORT (percent-of-parent at two levels): each order's
+      // share of its customer's spend, and the customer's share of the
+      // grand total — the contribution-analysis window every BI layer
+      // ships. NOT an unpartitioned window over the fact table: the
+      // per-customer total is a window partitioned by customer, and the
+      // grand total is a 1-row aggregate of the per-customer relation
+      // broadcast back — so nothing corpus-sized ever moves to a single
+      // partition. All sums are exact DECIMAL(18,4); each share is one
+      // IEEE division of exact decimals, rounded once.
+      Some("""WITH o AS (
+             |  SELECT o_custkey, o_orderkey,
+             |         CAST(o_totalprice AS DECIMAL(18,4)) AS p
+             |  FROM orders
+             |),
+             |g AS (SELECT o_custkey, sum(p) AS cust_tot FROM o GROUP BY 1),
+             |t AS (SELECT sum(cust_tot) AS grand FROM g)
+             |SELECT o.o_custkey, o.o_orderkey,
+             |       round(CAST(o.p AS DOUBLE) / CAST(g.cust_tot AS DOUBLE), 4)
+             |         AS share_of_customer,
+             |       round(CAST(g.cust_tot AS DOUBLE) / CAST(t.grand AS DOUBLE), 4)
+             |         AS customer_share
+             |FROM o JOIN g USING (o_custkey) CROSS JOIN t
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val o = t.orders.select(col("o_custkey"), col("o_orderkey"),
+          money(col("o_totalprice")).as("p"))
+        val g = o.groupBy(col("o_custkey")).agg(sum(col("p")).as("cust_tot"))
+        val grand = g.agg(sum(col("cust_tot")).as("grand"))
+        ordered(
+          o.join(g, "o_custkey")
+            .crossJoin(broadcast(grand)) // 1-row grand-total scalar
+            .select(col("o_custkey"), col("o_orderkey"),
+              round(col("p").cast("double") / col("cust_tot").cast("double"), 4)
+                .as("share_of_customer"),
+              round(col("cust_tot").cast("double") / col("grand").cast("double"), 4)
+                .as("customer_share")))
+      }
     )
   )
 

@@ -212,8 +212,10 @@ class ScaleShapeSpec extends AnyFunSuite {
       // event scan — constant-size build side (the t16_psi_drift shape)
       "d6_hard_negatives", // broadcast anchor SAMPLE x corpus: the mining
       // oracle; the scale path reranks an IVF/PQ shortlist instead
-      "d3_search_ql" // 3-row query-term relation + 1-row collection-total
+      "d3_search_ql", // 3-row query-term relation + 1-row collection-total
       // scalar broadcasts (the d7_lm_score smoothing shape)
+      "w12_ratio_to_report" // 1-row grand-total scalar broadcast onto the
+      // per-customer relation — constant-size build side
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (fenced(name)) None

@@ -154,4 +154,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(got(0).sameElements(Array(2.0, 4.0)))
     assert(got(1).sameElements(Array(10.0, 20.0)))
   }
+
+  test("S3: hive-partitioned layout prunes partitions at the scan") {
+    import spark.implicits._
+    // the 100 TB data-skipping lever: a day-partitioned table read with a
+    // day filter must touch ONLY the matching partition directories —
+    // visible as PartitionFilters on the scan and a pruned partition count
+    val dir = tmp()
+    (0 until 1000).map(i => (i.toLong, i % 10, s"v$i"))
+      .toDF("id", "day", "v")
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val read = spark.read.parquet(dir).filter(col("day") === 3)
+    assert(read.count() == 100)
+    val scan = read.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    assert(scan.partitionFilters.nonEmpty,
+      "day predicate must reach the scan as a partition filter")
+    // selectedPartitions is lazy-evaluated metadata: 1 of 10 directories
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned partition, scanned ${scan.selectedPartitions.partitionCount}")
+  }
 }
