@@ -163,7 +163,8 @@ object Dedup {
       docs: DataFrame,
       shingleWidth: Int = 3,
       minJaccard: Double = 0.5,
-      maxShingleDf: Long = Long.MaxValue
+      maxShingleDf: Long = Long.MaxValue,
+      withCounts: Boolean = false // also emit exact (inter, un) integers
   ): DataFrame = {
     // shingle identity = its xxhash64: the distinct + self-join shuffle
     // 8-byte longs instead of ~30-char strings. Collision odds over n
@@ -200,7 +201,10 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
-      .select(col("a"), col("b"), col("jaccard"))
+      .select((Seq(col("a"), col("b")) ++
+        (if (withCounts)
+          Seq(col("inter"), (col("na") + col("nb") - col("inter")).as("un"))
+        else Seq.empty) :+ col("jaccard")): _*)
   }
 
   /** Directed containment-similarity join: C(A→B) = |A∩B| / |A| over

@@ -644,6 +644,70 @@ object DedupOps {
       }
     ),
     Q(
+      "d4_chunk_dedup",
+      // sub-document exact dedup (the RefinedWeb/CCNet line-dedup shape):
+      // split each doc into non-overlapping 5-token chunks, hash each
+      // chunk, count hashes CORPUS-WIDE, and score every doc by the
+      // fraction of its chunks that appear more than once anywhere
+      // (intra-doc repeats count — repetition IS duplication). The keep
+      // gate is the integer comparison dup*10 <= n*3 (frac <= 0.3) — no
+      // float threshold to diverge on; dup_frac itself is one rounded
+      // display division. 100 TB shape: chunks shuffle ONCE on the
+      // 128-bit digest (never the chunk text) into a count aggregate
+      // with map-side partials; the count joins back on the same digest
+      // partitioning, and the per-doc re-aggregate rides doc_id. No
+      // all-pairs anything — cost is linear in corpus tokens.
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS tk
+             |  FROM documents WHERE length(text) > 0
+             |),
+             |idx AS (
+             |  SELECT doc_id, tk,
+             |         unnest(range(CAST(ceil(len(tk)/5.0) AS BIGINT))) AS i
+             |  FROM toks
+             |),
+             |chunks AS (
+             |  SELECT doc_id,
+             |         md5(array_to_string(tk[(i*5+1):(i*5+5)], ' ')) AS h
+             |  FROM idx
+             |),
+             |counts AS (SELECT h, count(*) AS cnt FROM chunks GROUP BY 1),
+             |per AS (
+             |  SELECT c.doc_id, count(*) AS n_chunks,
+             |         CAST(sum(CASE WHEN k.cnt > 1 THEN 1 ELSE 0 END)
+             |              AS BIGINT) AS dup_chunks
+             |  FROM chunks c JOIN counts k USING (h) GROUP BY 1
+             |)
+             |SELECT doc_id, n_chunks, dup_chunks,
+             |       round(dup_chunks * 1.0 / n_chunks, 4) AS dup_frac,
+             |       CAST(dup_chunks * 10 <= n_chunks * 3 AS INT) AS keep
+             |FROM per
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val toks = t.documents.filter(length(col("text")) > 0)
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        val chunks = toks
+          .select(col("doc_id"), explode(expr(
+            // one pass builds every chunk digest; the token array binds
+            // once per row (named lambda arg), not once per element
+            """transform(sequence(0, CAST(ceil(size(tk)/5.0) AS INT) - 1),
+              |          i -> md5(array_join(slice(tk, i*5+1, 5), ' ')))"""
+              .stripMargin)).as("h"))
+        val counts = chunks.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+        val per = chunks.join(counts, "h")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("cnt") > 1, 1).otherwise(0)).as("dup_chunks"))
+        ordered(
+          per.select(col("doc_id"), col("n_chunks"), col("dup_chunks"),
+            round(col("dup_chunks").cast("double") / col("n_chunks"), 4)
+              .as("dup_frac"),
+            (col("dup_chunks") * 10 <= col("n_chunks") * 3).cast("int")
+              .as("keep")))
+      }
+    ),
+    Q(
       "d5_minhash_pairs",
       Some(s"""WITH $shinglesCte,
               |sigs AS (
@@ -711,6 +775,58 @@ object DedupOps {
           Dedup.ngramJaccardPairs(docs, shingleWidth = 3, minJaccard = 0.5)
             .select(col("a"), col("b"), r4(col("jaccard")).as("jaccard"))
         )
+      }
+    ),
+    Q(
+      "d5_dedup_yield_curve",
+      // the dedup TUNING report: for each candidate threshold t in
+      // 0.3..0.9, how many verified pairs survive and how many docs the
+      // greedy keep-smaller-id policy would drop (a doc is dropped at t
+      // iff it is the larger id of SOME pair with jaccard >= t). Every
+      // threshold test is the integer cross-multiply inter*10 >= t10*union
+      // — no float boundary for engines to disagree on. 100 TB shape: the
+      // pair relation is the post-verification dedup output (already
+      // bounded by the LSH/prefix valves — orders of magnitude below the
+      // corpus), and the 7-row threshold grid broadcasts against it; the
+      // corpus itself is scanned exactly once, by the shingle build the
+      // pair relation already rides.
+      Some(s"""WITH $shinglesCte,
+              |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+              |inter AS (
+              |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+              |  FROM sh x JOIN sh y
+              |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              |  GROUP BY 1, 2
+              |),
+              |pairs AS (
+              |  SELECT a, b, inter, na.n_sh + nb.n_sh - inter AS un
+              |  FROM inter
+              |  JOIN sizes na ON na.doc_id = a
+              |  JOIN sizes nb ON nb.doc_id = b
+              |),
+              |th AS (SELECT CAST(unnest(range(3, 10)) AS INT) AS t10)
+              |SELECT th.t10,
+              |       count(p.a) AS n_pairs,
+              |       count(DISTINCT p.b) AS n_docs_removed
+              |FROM th LEFT JOIN pairs p ON p.inter * 10 >= th.t10 * p.un
+              |GROUP BY 1
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val docs = t.documents.select(col("doc_id"), col("text"))
+        val pairs = Dedup.ngramJaccardPairs(docs, shingleWidth = 3,
+            minJaccard = 0.0, withCounts = true)
+          .select(col("a"), col("b"), col("inter"), col("un"))
+        val th = spark.range(3, 10).select(col("id").cast("int").as("t10"))
+        ordered(
+          // 7-row grid LEFT-joins the (bounded, post-verify) pair
+          // relation so zero-yield thresholds still report 0s; the pair
+          // side broadcasts — the corpus never re-enters
+          th.join(broadcast(pairs),
+              col("inter") * 10 >= col("t10") * col("un"), "left")
+            .groupBy(col("t10"))
+            .agg(count(col("a")).as("n_pairs"),
+              countDistinct(col("b")).as("n_docs_removed")))
       }
     ),
     Q(

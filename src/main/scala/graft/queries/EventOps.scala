@@ -917,6 +917,61 @@ object EventOps {
             .agg(max(col("len")).as("longest_streak"),
               sum(col("len")).as("n_active_days")))
       }
+    ),
+    Q(
+      "t20_time_to_convert",
+      // conversion-latency distribution: per user, exact integer seconds
+      // from FIRST signup to the FIRST purchase at-or-after it, then the
+      // population stats product teams actually read (count, min, exact
+      // discrete median/p90, max). All latency math is integer
+      // microseconds (never float seconds); percentile_disc picks real
+      // data points, so every output is engine-exact. 100 TB shape: two
+      // type-filtered hash aggregates (signups, then purchases gated by
+      // the signup time through ONE user_id equi-join — both sides
+      // already partitioned by user_id, so the join reuses the aggregate
+      // exchange), and the final stats are a single-row total aggregate
+      // with map-side partials. Nothing wider than per-user rows ever
+      // shuffles.
+      Some("""WITH su AS (
+             |  SELECT user_id, min(ts) AS st
+             |  FROM events WHERE event_type = 'signup' GROUP BY 1
+             |),
+             |conv AS (
+             |  SELECT e.user_id,
+             |         CAST((epoch_us(min(e.ts)) - epoch_us(min(su.st)))
+             |              // 1000000 AS BIGINT) AS lat_s
+             |  FROM events e JOIN su ON e.user_id = su.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts >= su.st
+             |  GROUP BY e.user_id
+             |)
+             |SELECT count(*) AS n_converted,
+             |       min(lat_s) AS min_s,
+             |       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_s)
+             |            AS BIGINT) AS p50_s,
+             |       CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_s)
+             |            AS BIGINT) AS p90_s,
+             |       max(lat_s) AS max_s
+             |FROM conv""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val su = t.events.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("st"))
+        val conv = t.events.filter(col("event_type") === "purchase").as("e")
+          .join(su.as("s"), col("e.user_id") === col("s.user_id") &&
+            col("e.ts") >= col("s.st"))
+          .groupBy(col("e.user_id"))
+          // integer microsecond DIV — never float seconds
+          .agg(expr("(unix_micros(min(e.ts)) - unix_micros(min(s.st)))" +
+            " DIV 1000000").as("lat_s"))
+        conv.agg(
+          count(lit(1)).as("n_converted"),
+          min(col("lat_s")).as("min_s"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_s)")
+            .cast("long").as("p50_s"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_s)")
+            .cast("long").as("p90_s"),
+          max(col("lat_s")).as("max_s"))
+      }
     )
   )
 

@@ -396,6 +396,80 @@ object Windows {
               round(col("cust_tot").cast("double") / col("grand").cast("double"), 4)
                 .as("customer_share")))
       }
+    ),
+    Q(
+      "w13_lorenz",
+      // Lorenz curve + exact Gini of customer spend concentration — the
+      // inequality profile every marketplace/revenue dashboard carries.
+      // Gini via the rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n
+      // over spend sorted ascending (tie-broken by custkey; tied spends
+      // give rank-permutation-invariant sums, so the tiebreak only pins
+      // engine agreement, not the value). 100 TB shape: the raw fact
+      // collapses to ONE per-customer hash aggregate (map-side partials)
+      // and every window after that rides the customer relation, which is
+      // orders-of-magnitude smaller than the fact; the unpartitioned rank
+      // is the one global pass — at true scale it becomes a range-
+      // partitioned sort + per-partition offset (the same plan Spark uses
+      // for a global orderBy), and the decile edges come from
+      // approx-quantiles instead of ntile. All spend sums are exact
+      // DECIMAL; doubles appear only in the final share/gini divisions,
+      // rounded once.
+      Some("""WITH spend AS (
+             |  SELECT o_custkey,
+             |         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS s
+             |  FROM orders GROUP BY 1
+             |),
+             |ranked AS (
+             |  SELECT s,
+             |         row_number() OVER (ORDER BY s, o_custkey) AS rn,
+             |         ntile(10)    OVER (ORDER BY s, o_custkey) AS decile
+             |  FROM spend
+             |),
+             |g AS (
+             |  SELECT round(CAST(2 * sum(rn * s) AS DOUBLE)
+             |               / (count(*) * CAST(sum(s) AS DOUBLE))
+             |               - (count(*) + 1.0) / count(*), 4) AS gini,
+             |         sum(s) AS tot
+             |  FROM ranked
+             |),
+             |d AS (
+             |  SELECT decile, count(*) AS n_customers, sum(s) AS ds
+             |  FROM ranked GROUP BY 1
+             |)
+             |SELECT d.decile, d.n_customers,
+             |       round(CAST(d.ds AS DOUBLE) / CAST(g.tot AS DOUBLE), 4)
+             |         AS spend_share,
+             |       round(CAST(sum(d.ds) OVER (ORDER BY d.decile) AS DOUBLE)
+             |             / CAST(g.tot AS DOUBLE), 4) AS cum_share,
+             |       g.gini
+             |FROM d CROSS JOIN g
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val spend = t.orders
+          .groupBy(col("o_custkey"))
+          .agg(sum(money(col("o_totalprice"))).as("s"))
+        val wAll = Window.orderBy(col("s"), col("o_custkey"))
+        val ranked = spend.select(col("s"),
+          row_number().over(wAll).as("rn"),
+          ntile(10).over(wAll).as("decile"))
+        val g = ranked.agg(
+          round((lit(2) * sum(col("rn") * col("s"))).cast("double")
+              / (count(lit(1)) * sum(col("s")).cast("double"))
+              - (count(lit(1)) + lit(1.0)) / count(lit(1)), 4).as("gini"),
+          sum(col("s")).as("tot"))
+        val d = ranked.groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_customers"), sum(col("s")).as("ds"))
+        val wCum = Window.orderBy(col("decile"))
+        ordered(
+          d.crossJoin(broadcast(g)) // 1-row gini/total scalar
+            .select(col("decile"), col("n_customers"),
+              round(col("ds").cast("double") / col("tot").cast("double"), 4)
+                .as("spend_share"),
+              round(sum(col("ds")).over(wCum).cast("double")
+                  / col("tot").cast("double"), 4).as("cum_share"),
+              col("gini")))
+      }
     )
   )
 

@@ -573,4 +573,61 @@ class CoreQueriesSpec extends AnyFunSuite {
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("w13_lorenz: Lorenz curve convex to the diagonal, gini consistent") {
+    val rows = run("w13_lorenz").collect().sortBy(_.getAs[Int]("decile"))
+    assert(rows.length == 10)
+    val cum = rows.map(_.getAs[Double]("cum_share"))
+    // cumulative shares climb to 1 and never exceed the diagonal's end
+    assert(cum.zip(cum.tail).forall { case (a, b) => b >= a })
+    assert(math.abs(cum.last - 1.0) < 1e-6)
+    // deciles are ascending-spend, so each share is >= the previous
+    // (Lorenz convexity) and the curve sits under the equality diagonal
+    val shares = rows.map(_.getAs[Double]("spend_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => b >= a - 1e-9 })
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Double]("cum_share") <= (i + 1) / 10.0 + 1e-6)
+    }
+    val gini = rows.head.getAs[Double]("gini")
+    assert(gini >= 0.0 && gini < 1.0)
+    // gini == 1 - 2 * area under the Lorenz curve (trapezoid over the
+    // decile grid approximates it; loose tolerance for within-decile
+    // variation at sf0.001)
+    val area = (0.0 +: cum).sliding(2).map(p => (p(0) + p(1)) / 20.0).sum
+    assert(math.abs(gini - (1.0 - 2.0 * area)) < 0.05)
+  }
+
+  test("t20_time_to_convert: ordered stats, only real latencies") {
+    val r = run("t20_time_to_convert").collect().head
+    val (n, mn, p50, p90, mx) = (r.getAs[Long]("n_converted"),
+      r.getAs[Long]("min_s"), r.getAs[Long]("p50_s"),
+      r.getAs[Long]("p90_s"), r.getAs[Long]("max_s"))
+    assert(n > 0)
+    assert(mn >= 0 && mn <= p50 && p50 <= p90 && p90 <= mx)
+  }
+
+  test("d4_chunk_dedup: fractions bounded, gate matches the integer rule") {
+    val rows = run("d4_chunk_dedup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_chunks"); val d = r.getAs[Long]("dup_chunks")
+      assert(n > 0 && d >= 0 && d <= n)
+      assert((r.getAs[Int]("keep") == 1) == (d * 10 <= n * 3))
+    }
+    // sub-document granularity actually fires at sf0.001 (corpus-wide
+    // chunk collisions exist) — the gradient the gate thresholds on
+    assert(rows.exists(_.getAs[Long]("dup_chunks") > 0))
+  }
+
+  test("d5_dedup_yield_curve: yield is antitone in the threshold") {
+    val rows = run("d5_dedup_yield_curve").collect().sortBy(_.getAs[Int]("t10"))
+    assert(rows.length == 7 && rows.head.getAs[Int]("t10") == 3)
+    val pairs = rows.map(_.getAs[Long]("n_pairs"))
+    val docs = rows.map(_.getAs[Long]("n_docs_removed"))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => b <= a })
+    assert(docs.zip(docs.tail).forall { case (a, b) => b <= a })
+    // removed docs are bounded by surviving pairs (each pair drops <= 1)
+    rows.foreach(r => assert(
+      r.getAs[Long]("n_docs_removed") <= r.getAs[Long]("n_pairs")))
+  }
 }
