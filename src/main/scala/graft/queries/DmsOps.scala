@@ -863,6 +863,66 @@ object DmsOps {
       }
     ),
     Q(
+      "mm_scene_cuts",
+      // REAL shot-boundary detection over decoded video frames,
+      // exact-hash-checked: consecutive-frame mean-intensity deltas on
+      // the mm_decode_gif frame sequences, a cut declared where the mean
+      // shifts by > 64 gray levels. The synth pattern's +997/frame pixel
+      // walk wraps mod 256 at varying phase, so ~10% of transitions
+      // genuinely cross the threshold — a real gradient, not all-cuts.
+      // The cut test is the integer cross-multiply |Δpx_sum| > 64·3·npx
+      // (no float mean), and DuckDB predicts every Δ in closed form, so
+      // any LZW decode bug still breaks the hash. 100 TB shape: decode
+      // is a per-row scan UDF at ingest; the transition lag rides a
+      // per-media window partitioned by media_id whose partitions are
+      // frame-count-sized — the standard video-pipeline explode.
+      Some("""WITH f AS (SELECT unnest(range(0, 4)) AS f),
+             |k AS (SELECT unnest(range(0, 20)) AS k),
+             |fr AS (
+             |  SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+             |         (3 + doc_id % 3) * 4 AS npx,
+             |         CAST(3 * sum((doc_id * 13 + 997 * f + k) % 256)
+             |              AS BIGINT) AS px_sum
+             |  FROM documents CROSS JOIN f CROSS JOIN k
+             |  WHERE f < 2 + doc_id % 3 AND k < (3 + doc_id % 3) * 4
+             |  GROUP BY doc_id, f
+             |),
+             |tr AS (
+             |  SELECT media_id, frame_idx, npx, px_sum,
+             |         lag(px_sum) OVER (PARTITION BY media_id
+             |                           ORDER BY frame_idx) AS prev
+             |  FROM fr
+             |)
+             |SELECT media_id, frame_idx,
+             |       CAST(abs(px_sum - prev) AS BIGINT) AS delta_sum,
+             |       CAST(abs(px_sum - prev) > 64 * 3 * npx AS INT) AS is_cut
+             |FROM tr WHERE prev IS NOT NULL
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val mm = graft.multimodal.Multimodal
+        val frames = t.documents.select(
+            col("doc_id").as("media_id"),
+            mm.synthGifUdf(col("doc_id") * 13,
+              (col("doc_id") % 3 + 3).cast("int"), lit(4),
+              (col("doc_id") % 3 + 2).cast("int")).as("content"))
+          .select(col("media_id"),
+            explode(mm.gifFramesUdf(col("content"))).as("s"))
+          .select(col("media_id"), col("s.frame_idx").as("frame_idx"),
+            (col("s.width") * col("s.height")).as("npx"),
+            col("s.px_sum").as("px_sum"))
+        val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+        ordered(
+          frames
+            .withColumn("prev", lag(col("px_sum"), 1).over(w))
+            .filter(col("prev").isNotNull)
+            .select(col("media_id"), col("frame_idx"),
+              abs(col("px_sum") - col("prev")).as("delta_sum"),
+              (abs(col("px_sum") - col("prev")) > lit(64) * 3 * col("npx"))
+                .cast("int").as("is_cut")))
+      }
+    ),
+    Q(
       "mm_audio_spectrum",
       // REAL spectral analysis, exact-hash-checked: square-wave WAVs of
       // period 8/16/32 samples are synthesized per doc and pushed through

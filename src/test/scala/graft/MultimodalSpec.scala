@@ -602,4 +602,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.count() == 6)
     assert(pairs.filter(col("cos").isNull).isEmpty)
   }
+
+  test("mm_scene_cuts: real gradient, flags match the integer rule, decode-backed") {
+    val rows = SparkEntry.queries("mm_scene_cuts")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    val cuts = rows.count(_.getAs[Int]("is_cut") == 1)
+    // the detector must actually discriminate: some transitions cut, most don't
+    assert(cuts > 0 && cuts < rows.length)
+    // every delta re-verifies against an independent decode of the same synth GIF
+    val byMedia = rows.groupBy(_.getAs[Long]("media_id"))
+    byMedia.take(5).foreach { case (id, rs) =>
+      val gif = Multimodal.synthGif(id * 13, (id % 3 + 3).toInt, 4, (id % 3 + 2).toInt)
+      val frames = Multimodal.decodeGif(gif).get.sortBy(_.frame_idx)
+      val expected = frames.sliding(2).map { case Seq(a, b) =>
+        (b.frame_idx, math.abs(b.px_sum - a.px_sum))
+      }.toMap
+      rs.foreach { r =>
+        assert(r.getAs[Long]("delta_sum") == expected(r.getAs[Int]("frame_idx")))
+      }
+    }
+  }
 }
