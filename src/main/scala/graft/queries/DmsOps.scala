@@ -1012,6 +1012,82 @@ object DmsOps {
             )
         )
       }
+    ),
+    Q(
+      "d8_scd2_history",
+      // Slowly-Changing-Dimension Type-2 build — the warehouse twin of the
+      // doc store's version chain: collapse each customer's order-status
+      // timeline into validity intervals [valid_from, valid_to) with an
+      // is_current flag. Gaps-and-islands: lag detects a status change,
+      // a running count of changes numbers the island, islands group to
+      // intervals, lead supplies the closing bound. All three windows and
+      // the final aggregate share ONE o_custkey hash partitioning — a
+      // single shuffle whose partitions are customer-history-sized, so the
+      // build scales with the dimension churn, not the fact. This is the
+      // MERGE-free SCD2 derivation: append-only order log in, versioned
+      // dimension out, recomputable incrementally per d8_incremental_agg.
+      Some("""WITH h AS (
+             |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+             |         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+             |                                  ORDER BY o_orderdate, o_orderkey)
+             |           AS prev
+             |  FROM orders
+             |),
+             |seg AS (
+             |  SELECT *,
+             |         count(*) FILTER (WHERE prev IS NULL OR prev <> o_orderstatus)
+             |           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |                 ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM h
+             |),
+             |islands AS (
+             |  SELECT o_custkey AS custkey, island AS version,
+             |         min(o_orderstatus) AS status,
+             |         min(o_orderdate) AS valid_from,
+             |         count(*) AS n_orders
+             |  FROM seg GROUP BY 1, 2
+             |)
+             |SELECT custkey, version, status,
+             |       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+             |       strftime(lead(valid_from) OVER (PARTITION BY custkey
+             |                                       ORDER BY version),
+             |                '%Y-%m-%d %H:%M:%S') AS valid_to,
+             |       CASE WHEN lead(valid_from) OVER (PARTITION BY custkey
+             |                                        ORDER BY version) IS NULL
+             |            THEN 1 ELSE 0 END AS is_current,
+             |       n_orders
+             |FROM islands
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val byCust = Window.partitionBy(col("custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val h = t.orders
+          .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_orderstatus"))
+          .withColumn("prev", lag(col("o_orderstatus"), 1).over(byCust))
+        val seg = h.withColumn("island",
+          count(when(col("prev").isNull ||
+            col("prev") =!= col("o_orderstatus"), lit(1)))
+            .over(byCust.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+        val islands = seg.groupBy(col("custkey"), col("island").as("version"))
+          .agg(min(col("o_orderstatus")).as("status"),
+            min(col("o_orderdate")).as("valid_from"),
+            count(lit(1)).as("n_orders"))
+        val byVersion = Window.partitionBy(col("custkey"))
+          .orderBy(col("version"))
+        ordered(
+          islands
+            .withColumn("next_from", lead(col("valid_from"), 1).over(byVersion))
+            .select(col("custkey"), col("version"), col("status"),
+              tstr(col("valid_from")).as("valid_from"),
+              tstr(col("next_from")).as("valid_to"),
+              when(col("next_from").isNull, lit(1)).otherwise(lit(0))
+                .as("is_current"),
+              col("n_orders"))
+        )
+      }
     )
   )
 }

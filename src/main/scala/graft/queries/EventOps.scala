@@ -972,6 +972,58 @@ object EventOps {
             .cast("long").as("p90_s"),
           max(col("lat_s")).as("max_s"))
       }
+    ),
+    Q(
+      "t21_seasonal_dow",
+      // Day-of-week seasonality profile — each (event_type, day)'s traffic
+      // against its weekday baseline, the decomposition behind "is Monday
+      // always this slow or is today anomalous?". Weekday is pure integer
+      // arithmetic (epoch-day mod 7, Thursday=0) so both engines bucket
+      // identically with zero timezone/locale semantics; the baseline is
+      // the mean daily count for that (type, weekday) and the ratio is a
+      // division of exact BIGINTs evaluated as the same IEEE expression in
+      // both engines, rounded once. 100 TB shape: the fact collapses to
+      // ONE (type, day) hash aggregate with map-side partials; the weekday
+      // baseline and the ratio both ride that bounded types x days
+      // relation — nothing after the first shuffle scales with events.
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
+             |  FROM events GROUP BY 1, 2
+             |),
+             |dowd AS (
+             |  SELECT event_type, d, cnt,
+             |         datediff('day', DATE '1970-01-01', d) % 7 AS dow
+             |  FROM daily
+             |),
+             |base AS (
+             |  SELECT event_type, dow, sum(cnt) AS tot, count(*) AS n_days
+             |  FROM dowd GROUP BY 1, 2
+             |)
+             |SELECT event_type, CAST(d AS VARCHAR) AS day, dow, cnt,
+             |       round(CAST(tot AS DOUBLE) / n_days, 4) AS dow_mean,
+             |       round(cnt / (CAST(tot AS DOUBLE) / n_days), 4) AS ratio
+             |FROM dowd JOIN base USING (event_type, dow)
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val daily = t.events
+          .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("dow",
+            pmod(datediff(col("d"), to_date(lit("1970-01-01"))), lit(7)))
+        val base = daily.groupBy(col("event_type"), col("dow"))
+          .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("n_days"))
+        ordered(
+          daily.join(base, Seq("event_type", "dow"))
+            .select(col("event_type"),
+              date_format(col("d"), "yyyy-MM-dd").as("day"),
+              col("dow"), col("cnt"),
+              round(col("tot").cast("double") / col("n_days"), 4)
+                .as("dow_mean"),
+              round(col("cnt") / (col("tot").cast("double") / col("n_days")), 4)
+                .as("ratio"))
+        )
+      }
     )
   )
 

@@ -470,6 +470,64 @@ object Windows {
                   / col("tot").cast("double"), 4).as("cum_share"),
               col("gini")))
       }
+    ),
+    Q(
+      "w14_reset_cumsum",
+      // Conditionally-resetting running total — spend accumulated per user
+      // since (exclusive of nothing, inclusive of) the last 'purchase'
+      // event: the classic sessionized-accumulator shape (budget burn-down,
+      // retry back-off, bonus-meter) that plain SUM OVER can't express
+      // without the two-window trick. Window 1 numbers the segment: count
+      // of purchases in STRICTLY PRECEDING rows (so a purchase row closes
+      // its own segment and the next row starts fresh); window 2 runs the
+      // cumulative sum inside (user, segment). Both windows share the same
+      // user_id hash partitioning — one shuffle, one sort, two frames.
+      // Sums are exact DECIMAL (event values are 2-decimal doubles), so the
+      // running total is order-independent within ties and bit-identical
+      // across engines; the single double conversion happens at output.
+      // 100 TB shape: per-user partitions are user-history-sized; nothing
+      // global, no join, the fact is scanned once.
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |         CAST(value AS DECIMAL(18,4)) AS v
+             |  FROM events
+             |),
+             |seg AS (
+             |  SELECT user_id, event_id, ts, v,
+             |         count(*) FILTER (WHERE event_type = 'purchase')
+             |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |           AS segment
+             |  FROM e
+             |)
+             |SELECT user_id, event_id,
+             |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, segment,
+             |       round(CAST(sum(v) OVER (PARTITION BY user_id, segment
+             |                               ORDER BY ts, event_id
+             |                               ROWS BETWEEN UNBOUNDED PRECEDING
+             |                               AND CURRENT ROW) AS DOUBLE), 4)
+             |         AS run_sum
+             |FROM seg
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val seg = t.events
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), money(col("value")).as("v"))
+          .withColumn("segment",
+            count(when(col("event_type") === "purchase", lit(1)))
+              .over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+        val bySeg = Window.partitionBy(col("user_id"), col("segment"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ordered(
+          seg.select(col("user_id"), col("event_id"),
+            tstr(col("ts")).as("ts"), col("segment"),
+            round(sum(col("v")).over(bySeg).cast("double"), 4).as("run_sum"))
+        )
+      }
     )
   )
 

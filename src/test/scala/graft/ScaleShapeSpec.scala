@@ -214,8 +214,13 @@ class ScaleShapeSpec extends AnyFunSuite {
       // oracle; the scale path reranks an IVF/PQ shortlist instead
       "d3_search_ql", // 3-row query-term relation + 1-row collection-total
       // scalar broadcasts (the d7_lm_score smoothing shape)
-      "w12_ratio_to_report" // 1-row grand-total scalar broadcast onto the
+      "w12_ratio_to_report", // 1-row grand-total scalar broadcast onto the
       // per-customer relation — constant-size build side
+      "w13_lorenz", // 1-row gini/grand-total scalar broadcast onto the
+      // 10-row decile relation — constant-size build side
+      "d5_dedup_yield_curve" // 7-row threshold-grid broadcast onto the
+      // bounded candidate-pair relation (the same shingle self-join as
+      // d5_ngram_jaccard provides the pairs; the grid is a constant)
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (fenced(name)) None
