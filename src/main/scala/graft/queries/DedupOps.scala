@@ -1226,6 +1226,98 @@ object DedupOps {
               (col("n_contaminated") > 0).as("flagged"))
         )
       }
+    ),
+    Q(
+      "d5_tfidf_cosine_pairs",
+      // Sparse TF-IDF cosine pair mining — doc-doc similarity through the
+      // INVERTED INDEX, never a dense vector product: candidate pairs come
+      // only from terms the two docs actually share, and only RARE terms
+      // (df <= 50) are allowed to generate candidates — the df valve that
+      // keeps the posting self-join linear-ish at 100 TB (a term shared by
+      // half the corpus would otherwise emit |corpus|^2/4 pairs while
+      // contributing near-zero idf weight). Weights are integer-quantized
+      // (round(idf*1e6) as BIGINT, times the exact tf), dot products and
+      // norms are exact DECIMAL sums of long products — order-independent,
+      // so both engines hash the same bytes; doubles appear once, in the
+      // final cosine. The complement to d5_ngram_jaccard: set overlap
+      // there, weighted vector angle here, same posting-join backbone.
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                     x -> x <> '') AS tokens
+             |  FROM documents
+             |),
+             |u AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM u GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |nd AS (SELECT count(*) AS n_docs FROM toks),
+             |w AS (
+             |  SELECT tf.doc_id, tf.term,
+             |         CAST(round(ln(CAST(nd.n_docs AS DOUBLE) / df.df) * 1000000)
+             |              AS BIGINT) * tf.tf AS wi
+             |  FROM tf JOIN df USING (term) CROSS JOIN nd
+             |  WHERE df.df <= 50
+             |),
+             |norms AS (
+             |  SELECT doc_id, sum(CAST(wi * wi AS DECIMAL(38,0))) AS nrm
+             |  FROM w GROUP BY 1
+             |),
+             |pairs AS (
+             |  SELECT a.doc_id AS a, b.doc_id AS b,
+             |         sum(CAST(a.wi * b.wi AS DECIMAL(38,0))) AS dot,
+             |         count(*) AS shared
+             |  FROM w a JOIN w b USING (term)
+             |  WHERE a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |)
+             |SELECT a, b, shared,
+             |       round(CAST(dot AS DOUBLE)
+             |             / (sqrt(CAST(na.nrm AS DOUBLE))
+             |                * sqrt(CAST(nb.nrm AS DOUBLE))), 4) AS cos
+             |FROM pairs
+             |JOIN norms na ON pairs.a = na.doc_id
+             |JOIN norms nb ON pairs.b = nb.doc_id
+             |WHERE round(CAST(dot AS DOUBLE)
+             |            / (sqrt(CAST(na.nrm AS DOUBLE))
+             |               * sqrt(CAST(nb.nrm AS DOUBLE))), 4) >= 0.3
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val toks = t.documents
+          .select(col("doc_id"), Text.tokenize(col("text")).as("tokens"))
+        val u = toks.select(col("doc_id"), explode(col("tokens")).as("term"))
+        // the postings relation feeds df, norms, and BOTH pair sides —
+        // materialize once (each consumer prunes different columns, so
+        // plain exchange reuse can't fire)
+        val tf = u.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf")).localCheckpoint()
+        val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val nd = toks.agg(count(lit(1)).as("n_docs"))
+        val w = tf.join(dfr.filter(col("df") <= 50), Seq("term"))
+          .crossJoin(broadcast(nd)) // 1-row corpus-size scalar
+          .select(col("doc_id"), col("term"),
+            (round(log(col("n_docs").cast("double") / col("df"))
+              * lit(1000000d)).cast("long") * col("tf")).as("wi"))
+          .localCheckpoint()
+        val norms = w.groupBy(col("doc_id"))
+          .agg(sum((col("wi") * col("wi")).cast("decimal(38,0)")).as("nrm"))
+        val pairs = w.as("a")
+          .join(w.as("b"), col("a.term") === col("b.term") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+          .agg(sum((col("a.wi") * col("b.wi")).cast("decimal(38,0)")).as("dot"),
+            count(lit(1)).as("shared"))
+        val cos = round(col("dot").cast("double") /
+          (sqrt(col("na.nrm").cast("double")) *
+            sqrt(col("nb.nrm").cast("double"))), 4)
+        ordered(
+          pairs
+            .join(norms.as("na"), col("a") === col("na.doc_id"))
+            .join(norms.as("nb"), col("b") === col("nb.doc_id"))
+            .filter(cos >= 0.3)
+            .select(col("a"), col("b"), col("shared"), cos.as("cos"))
+        )
+      }
     )
   )
 

@@ -27,7 +27,7 @@ object TextOps {
       |  FROM documents
       |)""".stripMargin
 
-  val all: Seq[Q] = bpeQs ++: oovQ +: qlQ +: readabilityQ +: keywordsQ +: stopwordQ +: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
+  val all: Seq[Q] = charEntropyQ +: bpeQs ++: oovQ +: qlQ +: readabilityQ +: keywordsQ +: stopwordQ +: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
     skewProfileQ +: quantileNormQ +: pmiAssocQ +: Seq(
     Q(
       "d7_zipf_fit",
@@ -2054,6 +2054,67 @@ object TextOps {
     * floor-rounding both engines compute identically. At 100 TB this is
     * codegen'd per-row compute with no shuffle before the final order.
     */
+  /** D7: per-document Shannon character entropy (bits/char) — the
+    * randomness gate that separates natural text (~4 bits) from base64
+    * blobs, minified code, and key-mash spam, complementing the deflate
+    * compressibility gate (d7_compression_ratio) with a closed-form,
+    * dictionary-free signal. Exact-hash discipline (the d7_source_kl
+    * recipe): per-character-class ln(p) is a ratio of exact BIGINTs,
+    * rounded once to DECIMAL(20,12), weighted by the exact count, summed
+    * exactly; the division by n and by ln(2) happens once, then round(4).
+    * 100 TB shape: chars explode then immediately collapse to a per-doc
+    * character-class histogram (≤ alphabet-size rows per doc) via one
+    * hash aggregate with map-side partials; nothing downstream scales
+    * with text length.
+    */
+  private def charEntropyQ: Q =
+    Q(
+      "d7_char_entropy",
+      Some("""WITH ch AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split(text, ''), x -> x <> '') AS cs
+             |  FROM documents
+             |),
+             |cc AS (
+             |  SELECT doc_id, unnest(cs) AS c FROM ch
+             |),
+             |hist AS (SELECT doc_id, c, count(*) AS cnt FROM cc GROUP BY 1, 2),
+             |n AS (SELECT doc_id, sum(cnt) AS n FROM hist GROUP BY 1),
+             |terms AS (
+             |  SELECT hist.doc_id, hist.cnt,
+             |         CAST(round(ln(CAST(hist.cnt AS DOUBLE) / n.n), 12)
+             |              AS DECIMAL(20,12)) AS lp
+             |  FROM hist JOIN n USING (doc_id)
+             |)
+             |SELECT terms.doc_id, CAST(min(n.n) AS BIGINT) AS n_chars,
+             |       count(*) AS n_classes,
+             |       round(-CAST(sum(lp * cnt) AS DOUBLE) / min(n.n) / ln(2), 4)
+             |         AS entropy_bits
+             |FROM terms JOIN n USING (doc_id)
+             |GROUP BY terms.doc_id
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val hist = t.documents
+          .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+          .filter(col("c") =!= "")
+          .groupBy(col("doc_id"), col("c"))
+          .agg(count(lit(1)).as("cnt"))
+        val n = hist.groupBy(col("doc_id")).agg(sum(col("cnt")).as("n"))
+        val lp = round(log(col("cnt").cast("double") / col("n")), 12)
+          .cast("decimal(20,12)")
+        ordered(
+          hist.join(n, Seq("doc_id"))
+            .select(col("doc_id"), col("cnt"), col("n"), lp.as("lp"))
+            .groupBy(col("doc_id"))
+            .agg(min(col("n")).as("n_chars"),
+              count(lit(1)).as("n_classes"),
+              round(-sum(col("lp") * col("cnt")).cast("double")
+                / min(col("n")) / lit(math.log(2.0)), 4).as("entropy_bits"))
+        )
+      }
+    )
+
   private def stopwordQ: Q = {
     val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
       "that", "it", "for", "on", "with", "as", "at", "by", "this", "be", "are")

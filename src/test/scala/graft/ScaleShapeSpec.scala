@@ -218,9 +218,12 @@ class ScaleShapeSpec extends AnyFunSuite {
       // per-customer relation — constant-size build side
       "w13_lorenz", // 1-row gini/grand-total scalar broadcast onto the
       // 10-row decile relation — constant-size build side
-      "d5_dedup_yield_curve" // 7-row threshold-grid broadcast onto the
+      "d5_dedup_yield_curve", // 7-row threshold-grid broadcast onto the
       // bounded candidate-pair relation (the same shingle self-join as
       // d5_ngram_jaccard provides the pairs; the grid is a constant)
+      "d5_tfidf_cosine_pairs" // 1-row corpus-size scalar broadcast into
+      // the idf weight; the pair mining itself is a df-capped posting
+      // equi-join
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (fenced(name)) None
