@@ -1024,6 +1024,75 @@ object EventOps {
                 .as("ratio"))
         )
       }
+    ),
+    Q(
+      "t22_attribution_position",
+      // Position-based (U-shaped) multi-touch attribution — each purchase
+      // distributes its value across the user's views in the prior 7 days:
+      // one touch takes 100%, two take 50/50, three+ give 40% to the first
+      // touch, 40% to the last, and the middles split the remaining 20%
+      // evenly. The marketing-analytics complement to t9's last-touch
+      // interval join. Credit weights are CASE arithmetic over exact
+      // BIGINT (rn, n) — the same IEEE expression in both engines, with
+      // one rounding at the end. 100 TB shape: the pair relation is an
+      // equi-join on user_id with the time-range predicate as a join
+      // residual (the t9 shape — never a cartesian), and both windows ride
+      // the per-purchase touch lists, which the 7-day horizon bounds.
+      Some("""WITH p AS (
+             |  SELECT event_id AS p_id, user_id, ts AS p_ts, value AS v
+             |  FROM events WHERE event_type = 'purchase'
+             |),
+             |w AS (
+             |  SELECT event_id AS v_id, user_id, ts AS v_ts
+             |  FROM events WHERE event_type = 'view'
+             |),
+             |pairs AS (
+             |  SELECT p.p_id, p.user_id, p.v, w.v_id, w.v_ts
+             |  FROM p JOIN w ON p.user_id = w.user_id
+             |   AND w.v_ts < p.p_ts AND w.v_ts >= p.p_ts - INTERVAL 7 DAY
+             |),
+             |pos AS (
+             |  SELECT *,
+             |         row_number() OVER (PARTITION BY p_id
+             |                            ORDER BY v_ts, v_id) AS rn,
+             |         count(*) OVER (PARTITION BY p_id) AS n
+             |  FROM pairs
+             |)
+             |SELECT p_id, user_id, v_id, rn, n,
+             |       round(CASE WHEN n = 1 THEN 1.0
+             |                  WHEN n = 2 THEN 0.5
+             |                  WHEN rn = 1 OR rn = n THEN 0.4
+             |                  ELSE 0.2 / (n - 2) END * v, 4) AS credit
+             |FROM pos
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val ev = t.events
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            col("ts").as("p_ts"), col("value").as("v"))
+        val w = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("v_id"), col("user_id").as("w_user"),
+            col("ts").as("v_ts"))
+        val pairs = p.join(w,
+          col("user_id") === col("w_user") &&
+            col("v_ts") < col("p_ts") &&
+            col("v_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+        val byP = Window.partitionBy(col("p_id"))
+        val pos = pairs
+          .withColumn("rn",
+            row_number().over(byP.orderBy(col("v_ts"), col("v_id"))))
+          .withColumn("n", count(lit(1)).over(byP))
+        ordered(
+          pos.select(col("p_id"), col("user_id"), col("v_id"),
+            col("rn").cast("long").as("rn"), col("n"),
+            round(when(col("n") === 1, lit(1.0))
+              .when(col("n") === 2, lit(0.5))
+              .when(col("rn") === 1 || col("rn") === col("n"), lit(0.4))
+              .otherwise(lit(0.2) / (col("n") - 2)) * col("v"), 4)
+              .as("credit"))
+        )
+      }
     )
   )
 

@@ -1167,6 +1167,135 @@ object VectorOps {
             .select(col("vec_id"), col("dst").as("nn_id"),
               r4(col("c")).as("sim"), col("rn").cast("long").as("rank")))
       }
+    ),
+    Q(
+      "d6_kmeans_lloyd",
+      // K-MEANS LLOYD TRAINING, exact-hash-checked — the piece Ivf.train
+      // leaves spec-only (float centroid sums over shuffle order are not
+      // reproducible). This twin makes one full Lloyd round deterministic
+      // end to end: (1) assignment via the packed-BIGINT argmin — the
+      // squared-L2 fold is a strict left fold in index order, quantized to
+      // 1e-12 and packed with the cluster id so min() IS argmin with a
+      // smallest-id tie-break; (2) the centroid update sums elements as
+      // exact DECIMAL(25,15) after a single round(12) quantization —
+      // order-independent, so the new means are bit-identical across
+      // engines; (3) reassignment against the updated means, reporting
+      // per-cluster sizes before/after, the quantized inertia, and the
+      // first centroid coordinate. 100 TB shape: each iteration is one
+      // corpus scan against a k-row broadcast plus one (cluster, dim)
+      // hash aggregate (k*64 cells) with map-side partials — the classic
+      // distributed Lloyd, with the k-row codebook the only driver-side
+      // state.
+      Some("""WITH e AS (
+             |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+             |  FROM embeddings
+             |),
+             |init AS (
+             |  SELECT CAST(vec_id AS INTEGER) AS cluster, v AS cv
+             |  FROM e WHERE vec_id < 8
+             |),
+             |d1 AS (
+             |  SELECT e.vec_id, init.cluster,
+             |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           [(e.v[i] - init.cv[i]) * (e.v[i] - init.cv[i])
+             |            FOR i IN range(1, len(e.v) + 1)]),
+             |           (acc, x) -> acc + x) AS d
+             |  FROM e CROSS JOIN init
+             |),
+             |p1 AS (
+             |  SELECT vec_id,
+             |         min(CAST(round(d * 1000000000000) AS BIGINT) * 10000
+             |             + cluster) AS p
+             |  FROM d1 GROUP BY 1
+             |),
+             |a1 AS (
+             |  SELECT e.vec_id, e.v, CAST(p1.p % 10000 AS INTEGER) AS cluster
+             |  FROM e JOIN p1 USING (vec_id)
+             |),
+             |n1t AS (SELECT cluster, count(*) AS n1 FROM a1 GROUP BY 1),
+             |mx AS (
+             |  SELECT a1.cluster, r.range AS i,
+             |         sum(CAST(round(a1.v[r.range], 12) AS DECIMAL(25,15))) AS s,
+             |         count(*) AS cnt
+             |  FROM a1 CROSS JOIN range(1, 65) r GROUP BY 1, 2
+             |),
+             |m AS (SELECT cluster, i, CAST(s AS DOUBLE) / cnt AS m FROM mx),
+             |cents2 AS (SELECT cluster, list(m ORDER BY i) AS cv FROM m GROUP BY 1),
+             |d2_ AS (
+             |  SELECT e.vec_id, c.cluster,
+             |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           [(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+             |            FOR i IN range(1, len(e.v) + 1)]),
+             |           (acc, x) -> acc + x) AS d
+             |  FROM e CROSS JOIN cents2 c
+             |),
+             |p2 AS (
+             |  SELECT vec_id,
+             |         min(CAST(round(d * 1000000000000) AS BIGINT) * 10000
+             |             + cluster) AS p
+             |  FROM d2_ GROUP BY 1
+             |),
+             |a2 AS (
+             |  SELECT vec_id, CAST(p % 10000 AS INTEGER) AS cluster,
+             |         p // 10000 AS dq
+             |  FROM p2
+             |),
+             |c0 AS (
+             |  SELECT cluster, round(min(CASE WHEN i = 1 THEN m END), 6) AS c0
+             |  FROM m GROUP BY 1
+             |)
+             |SELECT a2.cluster, min(n1t.n1) AS n1, count(*) AS n2,
+             |       round(CAST(CAST(sum(a2.dq) AS BIGINT) AS DOUBLE)
+             |             / 1000000000000, 4) AS inertia,
+             |       min(c0.c0) AS c0
+             |FROM a2 JOIN n1t USING (cluster) JOIN c0 USING (cluster)
+             |GROUP BY 1
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val e = t.embeddings
+          .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+          // feeds init, both assignment scans, and the final vec join
+          .localCheckpoint()
+        val init = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
+        def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x)
+        def argmin(cents: org.apache.spark.sql.DataFrame) =
+          e.crossJoin(broadcast(cents))
+            .select(col("vec_id"),
+              (round(d2(col("v"), col("cv")) * lit(1000000000000d))
+                .cast("long") * 10000 + col("cluster")).as("pk"))
+            .groupBy(col("vec_id")).agg(min(col("pk")).as("p"))
+        val a1 = e.join(argmin(init), Seq("vec_id"))
+          .select(col("vec_id"), col("v"),
+            (col("p") % 10000).cast("int").as("cluster"))
+        val n1t = a1.groupBy(col("cluster")).agg(count(lit(1)).as("n1"))
+        val m = a1.select(col("cluster"), posexplode(col("v")).as(Seq("i0", "x")))
+          .groupBy(col("cluster"), (col("i0") + 1).as("i"))
+          .agg(sum(round(col("x"), 12).cast("decimal(25,15)")).as("s"),
+            count(lit(1)).as("cnt"))
+          .select(col("cluster"), col("i"),
+            (col("s").cast("double") / col("cnt")).as("m"))
+          .localCheckpoint() // feeds cents2 and the c0 report
+        val cents2 = m.groupBy(col("cluster"))
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+            s => s.getField("m")).as("cv"))
+        val a2 = argmin(cents2)
+          .select(col("vec_id"), (col("p") % 10000).cast("int").as("cluster"),
+            expr("p DIV 10000").as("dq"))
+        val c0 = m.groupBy(col("cluster"))
+          .agg(round(min(when(col("i") === 1, col("m"))), 6).as("c0"))
+        ordered(
+          a2.join(n1t, Seq("cluster")).join(c0, Seq("cluster"))
+            .groupBy(col("cluster"))
+            .agg(min(col("n1")).as("n1"), count(lit(1)).as("n2"),
+              round(sum(col("dq")).cast("double") / lit(1000000000000d), 4)
+                .as("inertia"),
+              min(col("c0")).as("c0"))
+        )
+      }
     )
   )
 }

@@ -221,9 +221,11 @@ class ScaleShapeSpec extends AnyFunSuite {
       "d5_dedup_yield_curve", // 7-row threshold-grid broadcast onto the
       // bounded candidate-pair relation (the same shingle self-join as
       // d5_ngram_jaccard provides the pairs; the grid is a constant)
-      "d5_tfidf_cosine_pairs" // 1-row corpus-size scalar broadcast into
+      "d5_tfidf_cosine_pairs", // 1-row corpus-size scalar broadcast into
       // the idf weight; the pair mining itself is a df-capped posting
       // equi-join
+      "d6_kmeans_lloyd" // k-row centroid broadcast cross joins (the
+      // d6_ivf_assign shape), one per Lloyd iteration
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (fenced(name)) None
