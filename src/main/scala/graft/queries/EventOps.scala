@@ -1093,6 +1093,73 @@ object EventOps {
               .as("credit"))
         )
       }
+    ),
+    Q(
+      "t23_rfm_segmentation",
+      // RFM customer segmentation — recency / frequency / monetary
+      // quintile scores plus a rule-based segment label, the workhorse
+      // behind lifecycle marketing ("champions", "at-risk"). Recency is
+      // integer calendar-day arithmetic against the corpus max timestamp
+      // (a 1-row broadcast scalar); monetary is an exact DECIMAL sum;
+      // quintiles are ntile(5) with a user_id tie-break so bucket edges
+      // are engine-independent. 100 TB shape: the fact collapses to ONE
+      // per-user purchase aggregate (map-side partials); every window
+      // after that rides the users relation — at true scale the ntiles
+      // become approx-quantile cut points broadcast back, same result
+      // contract.
+      Some("""WITH pur AS (
+             |  SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
+             |         sum(CAST(value AS DECIMAL(18,4))) AS mon
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+             |),
+             |mx AS (SELECT max(ts) AS now FROM events),
+             |base AS (
+             |  SELECT user_id,
+             |         datediff('day', CAST(last_ts AS DATE), CAST(now AS DATE))
+             |           AS recency_days,
+             |         freq, round(CAST(mon AS DOUBLE), 2) AS monetary
+             |  FROM pur CROSS JOIN mx
+             |),
+             |scored AS (
+             |  SELECT *,
+             |         ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r,
+             |         ntile(5) OVER (ORDER BY freq ASC, user_id) AS f,
+             |         ntile(5) OVER (ORDER BY monetary ASC, user_id) AS m
+             |  FROM base
+             |)
+             |SELECT user_id, recency_days, freq, monetary, r, f, m,
+             |       CASE WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champion'
+             |            WHEN r <= 2 AND f >= 4 THEN 'at_risk_loyal'
+             |            WHEN r >= 4 AND f <= 2 THEN 'recent_light'
+             |            ELSE 'regular' END AS segment
+             |FROM scored
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val ev = t.events
+        val pur = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("freq"),
+            sum(money(col("value"))).as("mon"))
+        val mx = ev.agg(max(col("ts")).as("now"))
+        val base = pur.crossJoin(broadcast(mx)) // 1-row corpus-max scalar
+          .select(col("user_id"),
+            datediff(col("now").cast("date"), col("last_ts").cast("date"))
+              .as("recency_days"),
+            col("freq"), round(col("mon").cast("double"), 2).as("monetary"))
+        val r = ntile(5).over(Window.orderBy(col("recency_days").desc, col("user_id")))
+        val f = ntile(5).over(Window.orderBy(col("freq").asc, col("user_id")))
+        val m = ntile(5).over(Window.orderBy(col("monetary").asc, col("user_id")))
+        val scored = base.withColumn("r", r).withColumn("f", f).withColumn("m", m)
+        ordered(
+          scored.select(col("user_id"), col("recency_days"), col("freq"),
+            col("monetary"), col("r"), col("f"), col("m"),
+            when(col("r") >= 4 && col("f") >= 4 && col("m") >= 4, "champion")
+              .when(col("r") <= 2 && col("f") >= 4, "at_risk_loyal")
+              .when(col("r") >= 4 && col("f") <= 2, "recent_light")
+              .otherwise("regular").as("segment"))
+        )
+      }
     )
   )
 

@@ -423,6 +423,60 @@ object SampleOps {
             pmod(col("k"), lit(16L)).cast("int").as("shard"),
             row_number().over(w).cast("long").as("pos")))
       }
+    ),
+    Q(
+      "d11_curriculum",
+      // Curriculum-phase construction — order the corpus easy→hard (length
+      // as the difficulty proxy; swap in d7_readability at will) and cut
+      // it into four quartile phases, reporting each phase's doc count,
+      // difficulty range, token budget, and share of the corpus tokens —
+      // the schedule a curriculum-learning run consumes phase by phase.
+      // ntile over (difficulty, doc_id) is a deterministic total order;
+      // token sums are exact BIGINTs and the share divides them once.
+      // 100 TB shape: one scan derives (doc, difficulty, n_tokens); the
+      // quartile edges become approx-quantile cut points at true scale
+      // (same contract), and everything after rides the 4-row phase
+      // relation.
+      Some("""WITH toks AS (
+             |  SELECT doc_id, n_chars,
+             |         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |             x -> x <> '')) AS n_tokens
+             |  FROM documents
+             |),
+             |phased AS (
+             |  SELECT *, ntile(4) OVER (ORDER BY n_chars, doc_id) AS phase
+             |  FROM toks
+             |),
+             |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM toks)
+             |SELECT phase, count(*) AS n_docs,
+             |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+             |       CAST(sum(n_tokens) AS BIGINT) AS phase_tokens,
+             |       round(CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE)
+             |             / min(tot.t), 4) AS token_share
+             |FROM phased CROSS JOIN tot
+             |GROUP BY phase
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables(spark, dir)
+        val toks = t.documents
+          .select(col("doc_id"), col("n_chars"),
+            size(graft.functions.Text.tokenize(col("text"))).cast("long")
+              .as("n_tokens"))
+        val phased = toks.withColumn("phase",
+          ntile(4).over(Window.orderBy(col("n_chars"), col("doc_id"))))
+        val tot = toks.agg(sum(col("n_tokens")).as("t"))
+        ordered(
+          phased.crossJoin(broadcast(tot)) // 1-row corpus-token scalar
+            .groupBy(col("phase"))
+            .agg(count(lit(1)).as("n_docs"),
+              min(col("n_chars")).as("min_chars"),
+              max(col("n_chars")).as("max_chars"),
+              sum(col("n_tokens")).as("phase_tokens"),
+              round(sum(col("n_tokens")).cast("double") / min(col("t")), 4)
+                .as("token_share"))
+        )
+      }
     )
   )
 }

@@ -27,7 +27,7 @@ object TextOps {
       |  FROM documents
       |)""".stripMargin
 
-  val all: Seq[Q] = charEntropyQ +: bpeQs ++: oovQ +: qlQ +: readabilityQ +: keywordsQ +: stopwordQ +: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
+  val all: Seq[Q] = proximityQ +: charEntropyQ +: bpeQs ++: oovQ +: qlQ +: readabilityQ +: keywordsQ +: stopwordQ +: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
     skewProfileQ +: quantileNormQ +: pmiAssocQ +: Seq(
     Q(
       "d7_zipf_fit",
@@ -2054,6 +2054,59 @@ object TextOps {
     * floor-rounding both engines compute identically. At 100 TB this is
     * codegen'd per-row compute with no shuffle before the final order.
     */
+  /** D3: proximity (slop) search — documents where 'hash' and 'join'
+    * co-occur within 3 token positions, the NEAR operator between exact
+    * phrase match (slop 0, d3_search_phrase) and bag-of-words retrieval.
+    * Positions come from one posting derivation (posexplode); the pair
+    * test is an equi-join on doc_id with the |pa−pb| ≤ slop residual —
+    * per-doc position lists bound the join, never corpus². Distances are
+    * differences of positions so the 0- vs 1-based indexing of the two
+    * engines cancels. 100 TB shape: at scale the two position lists come
+    * out of the persisted positional index (the d3_search_phrase
+    * backbone) already partitioned by term, and the doc_id equi-join
+    * touches only docs containing BOTH terms.
+    */
+  private def proximityQ: Q =
+    Q(
+      "d3_search_proximity",
+      Some(s"""WITH $toksCte,
+              |pa AS (
+              |  SELECT doc_id,
+              |         unnest([i FOR i IN range(1, len(tokens) + 1)
+              |                 IF tokens[i] = 'hash']) AS pa
+              |  FROM toks
+              |),
+              |pb AS (
+              |  SELECT doc_id,
+              |         unnest([i FOR i IN range(1, len(tokens) + 1)
+              |                 IF tokens[i] = 'join']) AS pb
+              |  FROM toks
+              |)
+              |SELECT pa.doc_id, count(*) AS n_pairs,
+              |       CAST(min(abs(pa.pa - pb.pb)) AS BIGINT) AS min_dist
+              |FROM pa JOIN pb USING (doc_id)
+              |WHERE abs(pa.pa - pb.pb) <= 3
+              |GROUP BY 1
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val pos = t.documents
+          .select(col("doc_id"), posexplode(Text.tokenize(col("text")))
+            .as(Seq("pos", "term")))
+        val pa = pos.filter(col("term") === "hash")
+          .select(col("doc_id"), col("pos").as("pa"))
+        val pb = pos.filter(col("term") === "join")
+          .select(col("doc_id").as("doc_b"), col("pos").as("pb"))
+        ordered(
+          pa.join(pb, col("doc_id") === col("doc_b") &&
+              abs(col("pa") - col("pb")) <= 3)
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_pairs"),
+              min(abs(col("pa") - col("pb"))).cast("long").as("min_dist"))
+        )
+      }
+    )
+
   /** D7: per-document Shannon character entropy (bits/char) — the
     * randomness gate that separates natural text (~4 bits) from base64
     * blobs, minified code, and key-mash spam, complementing the deflate

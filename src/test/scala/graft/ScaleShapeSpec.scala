@@ -224,8 +224,12 @@ class ScaleShapeSpec extends AnyFunSuite {
       "d5_tfidf_cosine_pairs", // 1-row corpus-size scalar broadcast into
       // the idf weight; the pair mining itself is a df-capped posting
       // equi-join
-      "d6_kmeans_lloyd" // k-row centroid broadcast cross joins (the
+      "d6_kmeans_lloyd", // k-row centroid broadcast cross joins (the
       // d6_ivf_assign shape), one per Lloyd iteration
+      "t23_rfm_segmentation", // 1-row corpus-max-timestamp scalar
+      // broadcast onto the per-user purchase aggregate
+      "d11_curriculum" // 1-row corpus-token-total scalar broadcast onto
+      // the 4-row phase relation
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (fenced(name)) None
