@@ -903,6 +903,114 @@ object Aggregates {
               .cast("double") /
             sum(volume).cast("double"), 4).cast("double").as("promo_revenue"))
       }
+    ),
+    Q(
+      "a11_assoc_rules",
+      // MARKET-BASKET ASSOCIATION RULES — the classic Apriori pair pass
+      // (Agrawal & Srikant 1994) at brand granularity: which brands
+      // co-occur in the same order, with directional confidence and lift?
+      // All supports are exact integers; the confidence floor is an
+      // INTEGER-ONLY gate (100·c_ab >= 5·c_a) so rule admission never
+      // touches an IEEE threshold; confidence and lift are single
+      // rounded divisions over exact BIGINT products (< 2^53). 100 TB
+      // shape: the fact enters once into a distinct (order, brand) hash
+      // aggregate; the pair self-join is on the ORDER key so candidates
+      // ride basket-size², never item-count²; brand marginals live on
+      // the 25-row brand-TYPE relation and broadcast back, as does the
+      // 1-row order-count scalar.
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+             |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             |),
+             |nt AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+             |m AS (SELECT brand, CAST(count(*) AS BIGINT) AS cnt FROM items GROUP BY 1),
+             |pr AS (
+             |  SELECT i1.brand AS a, i2.brand AS b, CAST(count(*) AS BIGINT) AS c_ab
+             |  FROM items i1 JOIN items i2 ON i1.ok = i2.ok AND i1.brand <> i2.brand
+             |  GROUP BY 1, 2
+             |)
+             |SELECT pr.a AS antecedent, pr.b AS consequent, pr.c_ab AS support_n,
+             |       round(pr.c_ab * 1.0 / ma.cnt, 4) AS confidence,
+             |       round(CAST(pr.c_ab * nt.n_orders AS DOUBLE) /
+             |             CAST(ma.cnt * mb.cnt AS DOUBLE), 4) AS lift
+             |FROM pr JOIN m ma ON pr.a = ma.brand JOIN m mb ON pr.b = mb.brand
+             |CROSS JOIN nt
+             |WHERE pr.c_ab * 100 >= ma.cnt * 5
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val items = t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey"))
+          .join(t.part.select(col("p_partkey"), col("p_brand").as("brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("ok"), col("brand")).distinct()
+        val nt = items.agg(countDistinct(col("ok")).as("n_orders"))
+        val m = items.groupBy(col("brand")).agg(count(lit(1)).as("cnt"))
+        val pr = items.as("i1")
+          .join(items.as("i2"),
+            col("i1.ok") === col("i2.ok") && col("i1.brand") =!= col("i2.brand"))
+          .groupBy(col("i1.brand").as("a"), col("i2.brand").as("b"))
+          .agg(count(lit(1)).as("c_ab"))
+        ordered(
+          pr.join(broadcast(m.select(col("brand").as("ma_b"), col("cnt").as("ma_cnt"))),
+              col("a") === col("ma_b"))
+            .join(broadcast(m.select(col("brand").as("mb_b"), col("cnt").as("mb_cnt"))),
+              col("b") === col("mb_b"))
+            .crossJoin(broadcast(nt)) // 1-row order-count scalar
+            .filter(col("c_ab") * 100 >= col("ma_cnt") * 5)
+            .select(col("a").as("antecedent"), col("b").as("consequent"),
+              col("c_ab").as("support_n"),
+              round(col("c_ab") * lit(1.0) / col("ma_cnt"), 4).as("confidence"),
+              round((col("c_ab") * col("n_orders")).cast("double") /
+                (col("ma_cnt") * col("mb_cnt")).cast("double"), 4).as("lift")))
+      }
+    ),
+    Q(
+      "a9_trimmed_mean",
+      // 10% TWO-SIDED TRIMMED MEAN — the outlier-robust location estimate
+      // between the mean and the median: per return flag, drop the lowest
+      // and highest floor(n/10) prices by rank and average the middle.
+      // Row_number ties among equal prices are arbitrary, but the KEPT
+      // MULTISET depends only on per-value counts, so both engines keep
+      // identical values; the kept sum rides exact DECIMAL and the mean
+      // is one rounded division. This window form IS the exact oracle;
+      // at 100 TB the same result comes from approx-quantile trim
+      // thresholds + a filtered aggregate (the a9_approx_quantiles path)
+      // — here the per-flag sort is a 3-partition range sort, the plan
+      // Spark already uses for any global orderBy.
+      Some("""WITH r AS (
+             |  SELECT l_returnflag AS flag,
+             |         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             |         row_number() OVER (PARTITION BY l_returnflag
+             |                            ORDER BY l_extendedprice) AS rn,
+             |         count(*) OVER (PARTITION BY l_returnflag) AS c
+             |  FROM lineitem
+             |)
+             |SELECT flag, CAST(max(c) AS BIGINT) AS n,
+             |       CAST(count(*) AS BIGINT) AS kept_n,
+             |       CAST(CAST(sum(price) AS DECIMAL(18,2)) AS DOUBLE) AS kept_sum,
+             |       round(CAST(sum(price) AS DOUBLE) / count(*), 4) AS trimmed_mean
+             |FROM r
+             |WHERE rn > c // 10 AND rn <= c - c // 10
+             |GROUP BY flag
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val wf = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+        val wc = Window.partitionBy(col("l_returnflag"))
+        val r = t.lineitem.select(
+          col("l_returnflag").as("flag"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price"),
+          row_number().over(wf).as("rn"),
+          count(lit(1)).over(wc).as("c"))
+        ordered(
+          r.filter(col("rn") > expr("c DIV 10") &&
+              col("rn") <= col("c") - expr("c DIV 10"))
+            .groupBy(col("flag"))
+            .agg(max(col("c")).as("n"), count(lit(1)).as("kept_n"),
+              sum(col("price")).cast("decimal(18,2)").cast("double").as("kept_sum"),
+              round(sum(col("price")).cast("double") / count(lit(1)), 4)
+                .as("trimmed_mean")))
+      }
     )
   )
 }

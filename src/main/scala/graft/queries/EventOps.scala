@@ -1160,6 +1160,195 @@ object EventOps {
               .otherwise("regular").as("segment"))
         )
       }
+    ),
+    Q(
+      "t24_ab_test",
+      // TWO-PROPORTION A/B TEST — the experimentation primitive every
+      // product pipeline ends in: users deterministically assigned to
+      // variants by the same auditable md5 bucket as the d11 splits (no
+      // RNG, assignment stable as the corpus grows), conversion = a
+      // purchase of at least 150 (a mid-distribution threshold; "any
+      // purchase" is degenerate here — every user has one, and p = 1
+      // zeroes the pooled variance), pooled two-proportion z statistic
+      // with the denominator nullif-guarded so a degenerate cohort
+      // yields NULL, not an ANSI divide-by-zero. All counts are
+      // exact integers from two hash aggregates; rates and z are IEEE
+      // expressions over those integers written with IDENTICAL shape in
+      // both engines (each +,*,/,sqrt is correctly-rounded, so identical
+      // inputs + identical tree = identical doubles), each rounded once.
+      // 100 TB shape: one per-user aggregate (map-side combinable), then
+      // a single-row conditional-sum aggregate; the z math runs on one
+      // row. Output is one row regardless of corpus size.
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |         CASE WHEN (('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2) = 0
+             |              THEN 'A' ELSE 'B' END AS variant,
+             |         max(CASE WHEN event_type = 'purchase' AND value >= 150
+             |                  THEN 1 ELSE 0 END) AS conv
+             |  FROM events GROUP BY 1, 2
+             |),
+             |s AS (
+             |  SELECT CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |         CAST(sum(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+             |         CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |         CAST(sum(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+             |  FROM u
+             |)
+             |SELECT n_a, conv_a, round(conv_a * 1.0 / n_a, 4) AS rate_a,
+             |       n_b, conv_b, round(conv_b * 1.0 / n_b, 4) AS rate_b,
+             |       round((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b) /
+             |             nullif(sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b)) *
+             |                  (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b)) *
+             |                  (1.0 / n_a + 1.0 / n_b)), 0), 4) AS z
+             |FROM s""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val bucket = pmod(
+          conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long"), lit(2L))
+        val u = t.events
+          .groupBy(col("user_id"),
+            when(bucket === 0, "A").otherwise("B").as("variant"))
+          .agg(max(when(col("event_type") === "purchase" && col("value") >= 150, 1)
+            .otherwise(0)).as("conv"))
+        val s = u.agg(
+          sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === "A", col("conv")).otherwise(0L)).cast("long").as("conv_a"),
+          sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("variant") === "B", col("conv")).otherwise(0L)).cast("long").as("conv_b"))
+        val pA = col("conv_a") * lit(1.0) / col("n_a")
+        val pB = col("conv_b") * lit(1.0) / col("n_b")
+        val pPool = (col("conv_a") + col("conv_b")) * lit(1.0) / (col("n_a") + col("n_b"))
+        s.select(col("n_a"), col("conv_a"), round(pA, 4).as("rate_a"),
+          col("n_b"), col("conv_b"), round(pB, 4).as("rate_b"),
+          round((pA - pB) /
+            nullif(sqrt(pPool * (lit(1) - pPool) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), lit(0)), 4).as("z"))
+      }
+    ),
+    Q(
+      "t25_gap_fill",
+      // GAP-FILL / RESAMPLE TO A REGULAR GRID — the time-series
+      // regularization step before any per-entity model: per-user daily
+      // purchase activity densified onto the full corpus day range with
+      // zero-fill for absent days, a forward-filled cumulative spend, and
+      // days-since-last-activity (forward fill expressed as a RUNNING MAX
+      // of the active day — engine-exact integer arithmetic, no
+      // last_value/IGNORE NULLS portability edge). Money rides
+      // DECIMAL(18,4) so the running sum is order-independent; the only
+      // doubles are final casts of exact decimals. 100 TB shape: events
+      // collapse to one (user, day) hash aggregate; the grid is the
+      // users relation × a generated day sequence (the OUTPUT size of any
+      // resample, not a blowup) built from a 1-row broadcast bounds
+      // scalar; windows partition by user over day-count-sized frames.
+      Some("""WITH p AS (
+             |  SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+             |         count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS spend
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+             |),
+             |b AS (SELECT CAST(min(epoch_us(ts) // 86400000000) AS BIGINT) AS d0,
+             |             CAST(max(epoch_us(ts) // 86400000000) AS BIGINT) AS d1
+             |      FROM events),
+             |u AS (SELECT DISTINCT user_id FROM events),
+             |grid AS (
+             |  SELECT u.user_id, g.d AS day_idx
+             |  FROM u CROSS JOIN b CROSS JOIN UNNEST(range(b.d0, b.d1 + 1)) AS g(d)
+             |),
+             |f AS (
+             |  SELECT grid.user_id, grid.day_idx,
+             |         CAST(coalesce(p.n, 0) AS BIGINT) AS n,
+             |         CAST(coalesce(p.spend, 0) AS DECIMAL(18,4)) AS spend,
+             |         CASE WHEN p.n IS NOT NULL THEN grid.day_idx END AS active_day
+             |  FROM grid LEFT JOIN p
+             |    ON grid.user_id = p.user_id AND grid.day_idx = p.day_idx
+             |)
+             |SELECT user_id, day_idx, n,
+             |       CAST(spend AS DOUBLE) AS spend,
+             |       CAST(CAST(sum(spend) OVER w AS DECIMAL(18,4)) AS DOUBLE) AS cum_spend,
+             |       day_idx - max(active_day) OVER w AS days_since_active
+             |FROM f
+             |WINDOW w AS (PARTITION BY user_id ORDER BY day_idx
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val day = expr("unix_micros(ts) DIV 86400000000")
+        val p = t.events.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("p_user"), day.as("p_day"))
+          .agg(count(lit(1)).as("pn"), sum(money(col("value"))).as("pspend"))
+        val b = t.events.agg(min(day).as("d0"), max(day).as("d1"))
+        val grid = t.events.select(col("user_id")).distinct()
+          .crossJoin(broadcast(b)) // 1-row day-bounds scalar
+          .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day_idx"))
+        val f = grid.join(p,
+            col("user_id") === col("p_user") && col("day_idx") === col("p_day"),
+            "left")
+          .select(col("user_id"), col("day_idx"),
+            coalesce(col("pn"), lit(0L)).as("n"),
+            coalesce(col("pspend"), lit(0).cast("decimal(18,4)")).as("spend"),
+            when(col("pn").isNotNull, col("day_idx")).as("active_day"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day_idx"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ordered(
+          f.select(col("user_id"), col("day_idx"), col("n"),
+            col("spend").cast("double").as("spend"),
+            sum(col("spend")).over(w).cast("decimal(18,4)").cast("double")
+              .as("cum_spend"),
+            (col("day_idx") - max(col("active_day")).over(w)).as("days_since_active")))
+      }
+    ),
+    Q(
+      "t26_cusum",
+      // CUSUM CHANGE-POINT LOCALIZATION — where did the error-rate level
+      // shift? The cumulative sum of deviations from the global mean
+      // peaks (in absolute value) at the change point. Kept EXACT by
+      // scaling: S_k·D = cum_n·D − k·T (cum count × day count minus rank
+      // × total) is pure BIGINT arithmetic — no mean division, no float
+      // anywhere in the output, so the argmax flag is engine-independent
+      // by construction. 100 TB shape: events collapse to one per-day
+      // hash aggregate; every window (running sum, rank, global max)
+      // rides the bounded day relation, never raw events; the totals row
+      // broadcasts.
+      Some("""WITH d AS (
+             |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx
+             |  FROM events WHERE event_type = 'error'
+             |),
+             |c AS (SELECT day_idx, count(*) AS n FROM d GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS nd FROM c),
+             |s AS (
+             |  SELECT day_idx, CAST(n AS BIGINT) AS n,
+             |         CAST(sum(n) OVER (ORDER BY day_idx) AS BIGINT) AS cum_n,
+             |         CAST(row_number() OVER (ORDER BY day_idx) AS BIGINT) AS k,
+             |         tot, nd
+             |  FROM c CROSS JOIN t
+             |)
+             |SELECT day_idx, n, cum_n,
+             |       cum_n * nd - k * tot AS s_scaled,
+             |       CASE WHEN abs(cum_n * nd - k * tot) =
+             |                 max(abs(cum_n * nd - k * tot)) OVER () THEN 1 ELSE 0 END AS is_peak
+             |FROM s ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val c = t.events.filter(col("event_type") === "error")
+          .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day_idx"))
+          .agg(count(lit(1)).as("n"))
+        val tot = c.agg(sum(col("n")).as("tot"), count(lit(1)).as("nd"))
+        val wd = Window.orderBy(col("day_idx")) // rides the bounded day relation
+        val s = c.crossJoin(broadcast(tot))
+          .select(col("day_idx"), col("n"),
+            sum(col("n")).over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("cum_n"),
+            row_number().over(wd).cast("long").as("k"),
+            col("tot"), col("nd"))
+        val sScaled = col("cum_n") * col("nd") - col("k") * col("tot")
+        val wAll = Window.partitionBy() // 30-row relation: global max is fine
+        ordered(
+          s.select(col("day_idx"), col("n"), col("cum_n"),
+            sScaled.as("s_scaled"),
+            when(abs(sScaled) === max(abs(sScaled)).over(
+              wAll.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)),
+              1).otherwise(0).as("is_peak")))
+      }
     )
   )
 

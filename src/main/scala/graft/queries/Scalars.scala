@@ -636,6 +636,50 @@ object Scalars {
               graft.functions.Layout.unzB(col("z"), 16).as("hour_low16"))
         )
       }
+    ),
+    Q(
+      "sc_benford",
+      // BENFORD FIRST-DIGIT AUDIT — the fraud/synthetic-data smell test:
+      // does the leading digit of the money column follow log10(1+1/d)?
+      // Digit extraction is EXACT: prices are cents-exact, so
+      // round(x·100) is an integer whose decimal rendering both engines
+      // agree on, and the first character of that rendering is the first
+      // significant digit (shifting by 10² preserves it). Observed counts
+      // are integers; expected counts and chi² terms are IEEE expressions
+      // with identical shape both sides, each rounded once (the
+      // d7_lm_score ln-discipline, applied to log10). 100 TB shape: one
+      // scan into a 9-row hash aggregate; all the statistics ride the
+      // 9-row digit relation against a broadcast 1-row total.
+      Some("""WITH c AS (
+             |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+             |  FROM lineitem
+             |),
+             |o AS (
+             |  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             |         CAST(count(*) AS BIGINT) AS obs
+             |  FROM c GROUP BY 1
+             |),
+             |n AS (SELECT CAST(sum(obs) AS BIGINT) AS tot FROM o)
+             |SELECT digit, obs,
+             |       round(tot * log10(1 + 1.0 / digit), 4) AS expected,
+             |       round((obs - tot * log10(1 + 1.0 / digit)) *
+             |             (obs - tot * log10(1 + 1.0 / digit)) /
+             |             (tot * log10(1 + 1.0 / digit)), 4) AS chi_term
+             |FROM o CROSS JOIN n ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val o = t.lineitem
+          .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          .groupBy(substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
+          .agg(count(lit(1)).as("obs"))
+        val n = o.agg(sum(col("obs")).as("tot"))
+        val e = col("tot") * log10(lit(1) + lit(1.0) / col("digit"))
+        ordered(
+          o.crossJoin(broadcast(n)) // 1-row total scalar
+            .select(col("digit"), col("obs"),
+              round(e, 4).as("expected"),
+              round((col("obs") - e) * (col("obs") - e) / e, 4).as("chi_term")))
+      }
     )
   )
 }

@@ -630,4 +630,124 @@ class CoreQueriesSpec extends AnyFunSuite {
     rows.foreach(r => assert(
       r.getAs[Long]("n_docs_removed") <= r.getAs[Long]("n_pairs")))
   }
+
+  test("t24_ab_test: counts, rates, and z match a driver-side recompute") {
+    val r = run("t24_ab_test").collect().head
+    val ev = Tables(spark, sf).events
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+    def bucket(u: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val users = ev.map(_.getAs[Long]("user_id")).distinct
+    val conv = ev.filter(x => x.getAs[String]("event_type") == "purchase" &&
+      x.getAs[Double]("value") >= 150).map(_.getAs[Long]("user_id")).toSet
+    val (a, b) = users.partition(bucket(_) == 0)
+    assert(r.getAs[Long]("n_a") == a.length && r.getAs[Long]("n_b") == b.length)
+    val (ca, cb) = (a.count(conv), b.count(conv))
+    assert(r.getAs[Long]("conv_a") == ca && r.getAs[Long]("conv_b") == cb)
+    val (pa, pb) = (ca * 1.0 / a.length, cb * 1.0 / b.length)
+    val pp = (ca + cb) * 1.0 / (a.length + b.length)
+    val z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1.0 / a.length + 1.0 / b.length))
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-3)
+  }
+
+  test("t25_gap_fill: grid complete per user; activity and spend conserved") {
+    val rows = run("t25_gap_fill").collect()
+    val ev = Tables(spark, sf).events.collect()
+    val days = ev.map(r => r.getAs[java.sql.Timestamp]("ts").getTime / 86400000L)
+    val span = (days.max - days.min + 1).toInt
+    val purchases = ev.filter(_.getAs[String]("event_type") == "purchase")
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    // every user present with exactly one row per day of the corpus span
+    assert(byUser.size == ev.map(_.getAs[Long]("user_id")).distinct.length)
+    byUser.foreach { case (u, rs) =>
+      assert(rs.length == span, s"user $u grid incomplete")
+      // zero-fill conserves the user's true purchase count
+      assert(rs.map(_.getAs[Long]("n")).sum ==
+        purchases.count(_.getAs[Long]("user_id") == u))
+      val sorted = rs.sortBy(_.getAs[Long]("day_idx"))
+      // forward-filled cumulative is monotone and ends at the total
+      val cums = sorted.map(_.getAs[Double]("cum_spend"))
+      assert(cums.zip(cums.tail).forall { case (x, y) => y >= x - 1e-9 })
+      // days_since_active: null before first activity, else gap since
+      // the most recent active day
+      var lastActive = Option.empty[Long]
+      sorted.foreach { rr =>
+        val d = rr.getAs[Long]("day_idx")
+        if (rr.getAs[Long]("n") > 0) lastActive = Some(d)
+        val got = Option(rr.getAs[java.lang.Long]("days_since_active")).map(_.toLong)
+        assert(got == lastActive.map(d - _))
+      }
+    }
+  }
+
+  test("t26_cusum: scaled excursion matches recompute; peak is the argmax") {
+    val rows = run("t26_cusum").collect().sortBy(_.getAs[Long]("day_idx"))
+    assert(rows.nonEmpty)
+    val ns = rows.map(_.getAs[Long]("n"))
+    val tot = ns.sum; val nd = rows.length.toLong
+    var cum = 0L
+    val expected = ns.zipWithIndex.map { case (n, i) =>
+      cum += n; cum * nd - (i + 1) * tot
+    }
+    assert(rows.map(_.getAs[Long]("s_scaled")).toSeq == expected.toSeq)
+    // S_D is identically zero: the deviations sum out over the full span
+    assert(expected.last == 0L)
+    val mx = expected.map(math.abs).max
+    rows.zip(expected).foreach { case (r, s) =>
+      assert((r.getAs[Int]("is_peak") == 1) == (math.abs(s) == mx))
+    }
+  }
+
+  test("a11_assoc_rules: support and lift symmetric; confidence gate holds") {
+    val rows = run("a11_assoc_rules").collect()
+    assert(rows.nonEmpty)
+    val byPair = rows.map(r => (r.getAs[String]("antecedent"),
+      r.getAs[String]("consequent")) -> r).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("antecedent"), r.getAs[String]("consequent"))
+      // the mirror rule survives the gate at sf0.001's dense co-occurrence;
+      // support counts pairs, lift is symmetric by construction
+      byPair.get((b, a)).foreach { m =>
+        assert(m.getAs[Long]("support_n") == r.getAs[Long]("support_n"))
+        assert(m.getAs[Double]("lift") == r.getAs[Double]("lift"))
+      }
+      assert(r.getAs[Double]("confidence") >= 0.05 - 1e-9)
+      assert(r.getAs[Double]("confidence") <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("lift") > 0)
+    }
+  }
+
+  test("a9_trimmed_mean: matches a driver-side sort-and-trim recompute") {
+    val rows = run("a9_trimmed_mean").collect()
+    val li = Tables(spark, sf).lineitem
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .groupBy(_.getAs[String]("l_returnflag"))
+    assert(rows.length == li.size)
+    rows.foreach { r =>
+      val prices = li(r.getAs[String]("flag"))
+        .map(x => BigDecimal(x.getAs[Double]("l_extendedprice")).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)).sorted
+      val k = prices.length / 10
+      val kept = prices.slice(k, prices.length - k)
+      assert(r.getAs[Long]("n") == prices.length)
+      assert(r.getAs[Long]("kept_n") == kept.length)
+      assert(math.abs(r.getAs[Double]("kept_sum") - kept.sum.toDouble) < 1e-6)
+      val mean = (kept.sum / kept.length).toDouble
+      assert(math.abs(r.getAs[Double]("trimmed_mean") - mean) < 1e-3)
+    }
+  }
+
+  test("sc_benford: digit counts conserve the row count; chi terms non-negative") {
+    val rows = run("sc_benford").collect()
+    val n = Tables(spark, sf).lineitem.count()
+    assert(rows.map(_.getAs[Long]("obs")).sum == n)
+    assert(rows.forall(r => r.getAs[Long]("digit") >= 1 && r.getAs[Long]("digit") <= 9))
+    // expected counts follow Benford mass and sum back to ~n
+    assert(math.abs(rows.map(_.getAs[Double]("expected")).sum - n) < 1.0)
+    assert(rows.forall(_.getAs[Double]("chi_term") >= 0))
+  }
 }
