@@ -939,10 +939,15 @@ object Aggregates {
              |ORDER BY ALL NULLS FIRST""".stripMargin),
       (spark, dir) => {
         val t = Tables(spark, dir)
+        // materialize the distinct item set ONCE: it feeds both pair-join
+        // sides, both marginals, and the order count — without this the
+        // fact⋈part join re-runs five times (observed 10 scans in the
+        // executed plan)
         val items = t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey"))
           .join(t.part.select(col("p_partkey"), col("p_brand").as("brand")),
             col("l_partkey") === col("p_partkey"))
           .select(col("ok"), col("brand")).distinct()
+          .localCheckpoint()
         val nt = items.agg(countDistinct(col("ok")).as("n_orders"))
         val m = items.groupBy(col("brand")).agg(count(lit(1)).as("cnt"))
         val pr = items.as("i1")
@@ -962,6 +967,43 @@ object Aggregates {
               round(col("c_ab") * lit(1.0) / col("ma_cnt"), 4).as("confidence"),
               round((col("c_ab") * col("n_orders")).cast("double") /
                 (col("ma_cnt") * col("mb_cnt")).cast("double"), 4).as("lift")))
+      }
+    ),
+    Q(
+      "a12_mode",
+      // DETERMINISTIC MODE PER GROUP — most frequent quantity per return
+      // flag, ties to the smallest value. Deliberately NOT a window: the
+      // winner comes from max(struct(count, −qty)) over the (flag, qty)
+      // count relation — two hash aggregates with map-side partials and
+      // no per-flag sort, the g6 vote-winner shape. Engine-independent by
+      // construction: the struct compare is pure integer lexicographic.
+      // 100 TB shape: the fact collapses immediately to the value-TYPE
+      // relation (flags × distinct quantities, bounded); everything after
+      // rides that.
+      Some("""WITH c AS (
+             |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty,
+             |         CAST(count(*) AS BIGINT) AS n
+             |  FROM lineitem GROUP BY 1, 2
+             |),
+             |w AS (
+             |  SELECT flag, qty, n,
+             |         row_number() OVER (PARTITION BY flag
+             |                            ORDER BY n DESC, qty ASC) AS rn
+             |  FROM c
+             |)
+             |SELECT flag, qty AS mode_qty, n
+             |FROM w WHERE rn = 1 ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val c = t.lineitem
+          .groupBy(col("l_returnflag").as("flag"),
+            col("l_quantity").cast("long").as("qty"))
+          .agg(count(lit(1)).as("n"))
+        ordered(
+          c.groupBy(col("flag"))
+            .agg(max(struct(col("n"), (-col("qty")).as("neg"))).as("win"))
+            .select(col("flag"), (-col("win.neg")).as("mode_qty"),
+              col("win.n").as("n")))
       }
     ),
     Q(

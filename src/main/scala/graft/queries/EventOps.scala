@@ -1298,6 +1298,173 @@ object EventOps {
       }
     ),
     Q(
+      "t28_hysteresis",
+      // ALERTING STATE MACHINE WITH HYSTERESIS — the monitor that pages:
+      // a day turns the alert ON at ≥110% of the mean daily error count
+      // and OFF at ≤90%; between the bands it CARRIES the previous
+      // state, so a series hovering at the threshold doesn't flap. Both
+      // gates are INTEGER-ONLY (10·n·D vs 11·T / 9·T — the mean never
+      // materializes as a float), and the carry is forward-fill via two
+      // RUNNING MAXes of the last on-day / off-day (the t25 discipline:
+      // no last_value/IGNORE NULLS portability edge) — the whole state
+      // machine is engine-exact integer arithmetic. 100 TB shape: events
+      // collapse to the per-day aggregate; the totals row broadcasts;
+      // every window rides the bounded day relation.
+      Some("""WITH c AS (
+             |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+             |         CAST(count(*) AS BIGINT) AS n
+             |  FROM events WHERE event_type = 'error' GROUP BY 1
+             |),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+             |             CAST(count(*) AS BIGINT) AS nd FROM c),
+             |f AS (
+             |  SELECT d, n,
+             |         CASE WHEN 10 * n * nd >= 11 * tot THEN 1
+             |              WHEN 10 * n * nd <= 9 * tot THEN 0 END AS gate
+             |  FROM c CROSS JOIN t
+             |),
+             |s AS (
+             |  SELECT d, n, gate,
+             |         max(CASE WHEN gate = 1 THEN d END) OVER w AS last_on,
+             |         max(CASE WHEN gate = 0 THEN d END) OVER w AS last_off
+             |  FROM f WINDOW w AS (ORDER BY d
+             |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |)
+             |SELECT d AS day_idx, n, gate,
+             |       CASE WHEN last_on IS NULL THEN 0
+             |            WHEN last_off IS NULL THEN 1
+             |            WHEN last_on > last_off THEN 1 ELSE 0 END AS alert
+             |FROM s ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val c = t.events.filter(col("event_type") === "error")
+          .groupBy(expr("unix_micros(ts) DIV 86400000000").as("d"))
+          .agg(count(lit(1)).as("n"))
+        val tot = c.agg(sum(col("n")).as("tot"), count(lit(1)).as("nd"))
+        val gate = when(lit(10) * col("n") * col("nd") >= lit(11) * col("tot"), 1)
+          .when(lit(10) * col("n") * col("nd") <= lit(9) * col("tot"), 0)
+        val w = Window.orderBy(col("d")) // bounded day relation
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val s = c.crossJoin(broadcast(tot))
+          .select(col("d"), col("n"), gate.as("gate"))
+          .select(col("d"), col("n"), col("gate"),
+            max(when(col("gate") === 1, col("d"))).over(w).as("last_on"),
+            max(when(col("gate") === 0, col("d"))).over(w).as("last_off"))
+        ordered(
+          s.select(col("d").as("day_idx"), col("n"), col("gate"),
+            when(col("last_on").isNull, 0)
+              .when(col("last_off").isNull, 1)
+              .when(col("last_on") > col("last_off"), 1)
+              .otherwise(0).as("alert")))
+      }
+    ),
+    Q(
+      "w15_rolling_slope",
+      // ROLLING OLS TREND — the windowed regression primitive: per event
+      // type, the least-squares slope of daily counts over the trailing
+      // 7 present days, from the closed form
+      // (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). Every Σ is an exact BIGINT
+      // windowed sum (all products < 2^53: day_idx ≈ 2·10⁴, counts
+      // bounded), so numerator and denominator are engine-exact integers
+      // and the single division is rounded once; short head frames
+      // (n = 1 ⇒ zero denominator) yield NULL via nullif, identically in
+      // both engines. 100 TB shape: events collapse to the (type, day)
+      // aggregate; all five windowed sums share ONE frame over that
+      // bounded relation — one window family, no self-join.
+      Some("""WITH c AS (
+             |  SELECT event_type,
+             |         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+             |         CAST(count(*) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2
+             |),
+             |s AS (
+             |  SELECT event_type, d, y,
+             |         CAST(count(*) OVER w AS BIGINT) AS n,
+             |         CAST(sum(d) OVER w AS BIGINT) AS sx,
+             |         CAST(sum(y) OVER w AS BIGINT) AS sy,
+             |         CAST(sum(d * y) OVER w AS BIGINT) AS sxy,
+             |         CAST(sum(d * d) OVER w AS BIGINT) AS sxx
+             |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY d
+             |                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             |)
+             |SELECT event_type, d AS day_idx, y AS n_events,
+             |       round((n * sxy - sx * sy) * 1.0 /
+             |             nullif(n * sxx - sx * sx, 0), 4) AS slope
+             |FROM s ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val c = t.events
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("d"))
+          .agg(count(lit(1)).as("y"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+          .rowsBetween(-6, Window.currentRow)
+        val s = c.select(col("event_type"), col("d"), col("y"),
+          count(lit(1)).over(w).as("n"),
+          sum(col("d")).over(w).as("sx"),
+          sum(col("y")).over(w).as("sy"),
+          sum(col("d") * col("y")).over(w).as("sxy"),
+          sum(col("d") * col("d")).over(w).as("sxx"))
+        ordered(
+          s.select(col("event_type"), col("d").as("day_idx"),
+            col("y").as("n_events"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) * lit(1.0) /
+              nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0)), 4)
+              .as("slope")))
+      }
+    ),
+    Q(
+      "t27_path_regex",
+      // SEQUENCE-PATTERN MATCHING (MATCH_RECOGNIZE-lite) — regex over a
+      // user's event-symbol string: each event becomes one character
+      // (v/c/p/s/e), the per-user journey is the (ts, event_id)-ordered
+      // concatenation, and funnel-ish patterns are counted with plain
+      // regex ('vc*p' = view, any clicks, purchase). Non-overlapping
+      // leftmost matching and greedy 'c*' behave identically in Java
+      // regex and RE2, and the symbol order is total ((ts, event_id)
+      // unique), so the whole result is engine-exact. 100 TB shape: one
+      // per-user sorted collect (bounded by a user's event count — the
+      // same per-user relation every sessionization already builds),
+      // then pure per-row regex compute; no window, no join.
+      Some("""WITH s AS (
+             |  SELECT user_id, ts, event_id,
+             |         CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+             |              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+             |              ELSE 'e' END AS sym
+             |  FROM events
+             |),
+             |p AS (
+             |  SELECT user_id, string_agg(sym, '' ORDER BY ts, event_id) AS path
+             |  FROM s GROUP BY user_id
+             |)
+             |SELECT user_id, CAST(length(path) AS BIGINT) AS path_len,
+             |       CAST(len(regexp_extract_all(path, 'vc')) AS BIGINT) AS n_vc,
+             |       CAST(len(regexp_extract_all(path, 'vc*p')) AS BIGINT) AS n_conv,
+             |       substring(path, 1, 5) AS prefix5
+             |FROM p ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val sym = when(col("event_type") === "view", "v")
+          .when(col("event_type") === "click", "c")
+          .when(col("event_type") === "purchase", "p")
+          .when(col("event_type") === "signup", "s")
+          .otherwise("e")
+        val p = t.events
+          .select(col("user_id"),
+            struct(col("ts"), col("event_id"), sym.as("sym")).as("st"))
+          .groupBy(col("user_id"))
+          .agg(concat_ws("",
+            transform(sort_array(collect_list(col("st"))),
+              x => x.getField("sym"))).as("path"))
+        ordered(
+          p.select(col("user_id"),
+            length(col("path")).cast("long").as("path_len"),
+            regexp_count(col("path"), lit("vc")).cast("long").as("n_vc"),
+            regexp_count(col("path"), lit("vc*p")).cast("long").as("n_conv"),
+            substring(col("path"), 1, 5).as("prefix5")))
+      }
+    ),
+    Q(
       "t26_cusum",
       // CUSUM CHANGE-POINT LOCALIZATION — where did the error-rate level
       // shift? The cumulative sum of deviations from the global mean

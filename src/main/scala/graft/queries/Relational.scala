@@ -256,6 +256,158 @@ object Relational {
       }
     ),
     Q(
+      "s15_fd_profile",
+      // FUNCTIONAL-DEPENDENCY PROFILING (Metanome-style data profiling):
+      // does column A determine column B? For each candidate FD the
+      // violation count = groups of A carrying more than one distinct B.
+      // Four candidates across four tables — two that hold (key → attr)
+      // and two that don't — so the profile output exercises both
+      // verdicts. 100 TB shape: one (A, countDistinct B) hash aggregate
+      // per candidate (map-side partials, distinct-aggregate expansion),
+      // then a 1-row summary per candidate; the union is 4 rows total.
+      // All counts integer; fd_holds is an integer compare.
+      Some("""SELECT fd, n_groups, violating,
+             |       CASE WHEN violating = 0 THEN 1 ELSE 0 END AS fd_holds
+             |FROM (
+             |  SELECT 'lineitem: l_orderkey->l_partkey' AS fd,
+             |         CAST(count(*) AS BIGINT) AS n_groups,
+             |         CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating
+             |  FROM (SELECT l_orderkey, count(DISTINCT l_partkey) AS nd
+             |        FROM lineitem GROUP BY 1)
+             |  UNION ALL
+             |  SELECT 'part: p_partkey->p_brand',
+             |         CAST(count(*) AS BIGINT),
+             |         CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM (SELECT p_partkey, count(DISTINCT p_brand) AS nd
+             |        FROM part GROUP BY 1)
+             |  UNION ALL
+             |  SELECT 'orders: o_custkey->o_orderkey',
+             |         CAST(count(*) AS BIGINT),
+             |         CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM (SELECT o_custkey, count(DISTINCT o_orderkey) AS nd
+             |        FROM orders GROUP BY 1)
+             |  UNION ALL
+             |  SELECT 'customer: c_nationkey->c_mktsegment',
+             |         CAST(count(*) AS BIGINT),
+             |         CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS nd
+             |        FROM customer GROUP BY 1)
+             |)
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        def profile(name: String, df: org.apache.spark.sql.DataFrame, lhs: String, rhs: String) =
+          df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("nd"))
+            .agg(count(lit(1)).as("n_groups"),
+              sum(when(col("nd") > 1, 1L).otherwise(0L)).as("violating"))
+            .select(lit(name).as("fd"), col("n_groups"), col("violating"))
+        val u = profile("lineitem: l_orderkey->l_partkey", t.lineitem,
+            "l_orderkey", "l_partkey")
+          .unionAll(profile("part: p_partkey->p_brand", t.part,
+            "p_partkey", "p_brand"))
+          .unionAll(profile("orders: o_custkey->o_orderkey", t.orders,
+            "o_custkey", "o_orderkey"))
+          .unionAll(profile("customer: c_nationkey->c_mktsegment", t.customer,
+            "c_nationkey", "c_mktsegment"))
+        ordered(
+          u.withColumn("fd_holds",
+            when(col("violating") === 0, 1).otherwise(0)))
+      }
+    ),
+    Q(
+      "s16_ri_audit",
+      // REFERENTIAL-INTEGRITY AUDIT — orphan foreign keys across the
+      // star: rows whose FK has no matching PK, per edge. The proof that
+      // an ingest (or a dedup/GC pass) didn't sever the joins every
+      // downstream query assumes. 100 TB shape: one left-anti join per
+      // edge (PK sides are dim-sized and broadcast where small; the
+      // fact-side edges plan as shuffled anti-joins with map-side
+      // partial counts after); output is one row per edge regardless of
+      // scale. All integers.
+      Some("""SELECT edge, n_rows, n_orphans,
+             |       CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS intact
+             |FROM (
+             |  SELECT 'lineitem.l_orderkey->orders' AS edge,
+             |         (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+             |         CAST((SELECT count(*) FROM lineitem l
+             |               WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                                 WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+             |           AS n_orphans
+             |  UNION ALL
+             |  SELECT 'orders.o_custkey->customer',
+             |         (SELECT CAST(count(*) AS BIGINT) FROM orders),
+             |         CAST((SELECT count(*) FROM orders o
+             |               WHERE NOT EXISTS (SELECT 1 FROM customer c
+             |                                 WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+             |  UNION ALL
+             |  SELECT 'lineitem.l_partkey->part',
+             |         (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+             |         CAST((SELECT count(*) FROM lineitem l
+             |               WHERE NOT EXISTS (SELECT 1 FROM part p
+             |                                 WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+             |  UNION ALL
+             |  SELECT 'customer.c_nationkey->nation',
+             |         (SELECT CAST(count(*) AS BIGINT) FROM customer),
+             |         CAST((SELECT count(*) FROM customer c
+             |               WHERE NOT EXISTS (SELECT 1 FROM nation n
+             |                                 WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+             |)
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        def audit(name: String, fact: org.apache.spark.sql.DataFrame, fk: String,
+            dim: org.apache.spark.sql.DataFrame, pk: String) = {
+          val rows = fact.agg(count(lit(1)).as("n_rows"))
+          val orphans = fact.join(dim.select(col(pk)),
+              fact(fk) === col(pk), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+          rows.crossJoin(orphans) // two 1-row scalars
+            .select(lit(name).as("edge"), col("n_rows"), col("n_orphans"))
+        }
+        val u = audit("lineitem.l_orderkey->orders", t.lineitem, "l_orderkey",
+            t.orders, "o_orderkey")
+          .unionAll(audit("orders.o_custkey->customer", t.orders, "o_custkey",
+            t.customer, "c_custkey"))
+          .unionAll(audit("lineitem.l_partkey->part", t.lineitem, "l_partkey",
+            t.part, "p_partkey"))
+          .unionAll(audit("customer.c_nationkey->nation", t.customer,
+            "c_nationkey", t.nation, "n_nationkey"))
+        ordered(
+          u.withColumn("intact", when(col("n_orphans") === 0, 1).otherwise(0)))
+      }
+    ),
+    Q(
+      "o5_keyset_page",
+      // KEYSET (cursor) PAGINATION — the API-serving pattern that replaces
+      // OFFSET at scale: the client passes the last row's (o_orderdate,
+      // o_orderkey) and the next page is a pushed-down predicate + top-k,
+      // never a skip-scan. The tuple compare is expanded to its
+      // disjunctive form so it reaches the parquet scan as min/max-
+      // skippable filters, and the page plans as TakeOrderedAndProject —
+      // page cost rides the page size and pruned-file count, not the
+      // offset depth. The page SET is deterministic: o_orderkey breaks
+      // all date ties.
+      Some("""SELECT o_orderkey, o_custkey,
+             |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate,
+             |       o_totalprice AS price
+             |FROM orders
+             |WHERE o_orderdate > TIMESTAMP '1996-06-01 00:00:00'
+             |   OR (o_orderdate = TIMESTAMP '1996-06-01 00:00:00' AND o_orderkey > 3000)
+             |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val cursor = to_timestamp(lit("1996-06-01 00:00:00"))
+        t.orders
+          .filter(col("o_orderdate") > cursor ||
+            (col("o_orderdate") === cursor && col("o_orderkey") > 3000))
+          .select(col("o_orderkey"), col("o_custkey"),
+            tstr(col("o_orderdate")).as("odate"),
+            col("o_totalprice").as("price"))
+          .orderBy(col("odate"), col("o_orderkey"))
+          .limit(50)
+      }
+    ),
+    Q(
       "u1_union",
       Some("""SELECT nationkey, src FROM (
                SELECT DISTINCT c_nationkey AS nationkey, 'c' AS src FROM customer

@@ -27,7 +27,7 @@ object TextOps {
       |  FROM documents
       |)""".stripMargin
 
-  val all: Seq[Q] = proximityQ +: charEntropyQ +: bpeQs ++: oovQ +: qlQ +: readabilityQ +: keywordsQ +: stopwordQ +: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
+  val all: Seq[Q] = vocabCoverageQ +: sourceReportQ +: booleanQ +: proximityQ +: charEntropyQ +: bpeQs ++: oovQ +: qlQ +: readabilityQ +: keywordsQ +: stopwordQ +: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
     skewProfileQ +: quantileNormQ +: pmiAssocQ +: Seq(
     Q(
       "d7_zipf_fit",
@@ -1250,6 +1250,150 @@ object TextOps {
         quantileNormalize(t.documents.select(col("doc_id"), col("source"),
           length(col("text")).as("score")))
       )
+    }
+  )
+
+  private lazy val vocabCoverageQ = Q(
+    "d2_vocab_coverage",
+    // VOCABULARY COVERAGE CURVE — what vocab size covers what fraction of
+    // the token stream? The sizing question every tokenizer build starts
+    // with (coverage at k is why BPE vocabularies are 32k not 320k).
+    // Terms are count-ranked with term tiebreak (the d2_oov_rate
+    // discipline) so both engines rank identically; covered mass per
+    // vocab size k is an exact BIGINT conditional sum over the RANKED
+    // TERM relation, coverage one rounded division against the broadcast
+    // total. 100 TB shape: corpus → term-count hash aggregate once; the
+    // rank window and the 4-row k-grid cross join ride the vocab-bounded
+    // term relation, never the corpus.
+    Some(s"""WITH $toksCte,
+            |tok AS (SELECT unnest(tokens) AS term FROM toks),
+            |tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+            |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM tc),
+            |r AS (SELECT term, c,
+            |             CAST(row_number() OVER (ORDER BY c DESC, term ASC) AS BIGINT) AS rk
+            |      FROM tc),
+            |g AS (SELECT unnest([10, 50, 100, 500]) AS k)
+            |SELECT g.k,
+            |       CAST(sum(CASE WHEN r.rk <= g.k THEN r.c ELSE 0 END) AS BIGINT) AS covered,
+            |       tot.t AS total,
+            |       round(sum(CASE WHEN r.rk <= g.k THEN r.c ELSE 0 END) * 1.0 / tot.t, 4)
+            |         AS coverage
+            |FROM g CROSS JOIN r CROSS JOIN tot
+            |GROUP BY g.k, tot.t
+            |ORDER BY ALL NULLS FIRST""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val tc = t.documents
+        .select(explode(Text.tokenize(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val tot = tc.agg(sum(col("c")).as("t"))
+      // unpartitioned rank rides the vocab-bounded term relation
+      val r = tc.withColumn("rk",
+        row_number().over(Window.orderBy(col("c").desc, col("term").asc)).cast("long"))
+      val g = spark.range(0, 4).select(
+        element_at(array(lit(10L), lit(50L), lit(100L), lit(500L)),
+          (col("id") + 1).cast("int")).as("k"))
+      ordered(
+        broadcast(g).crossJoin(r).crossJoin(broadcast(tot))
+          .groupBy(col("k"), col("t").as("total"))
+          .agg(sum(when(col("rk") <= col("k"), col("c")).otherwise(0L))
+            .as("covered"))
+          .select(col("k"), col("covered"), col("total"),
+            round(col("covered") * lit(1.0) / col("total"), 4).as("coverage")))
+    }
+  )
+
+  private lazy val sourceReportQ = Q(
+    "d9_source_report",
+    // PER-SOURCE CORPUS HEALTH REPORT — the observability dashboard a
+    // curation pipeline publishes after every ingest: per source, doc
+    // and token volume, exact-duplicate rate (md5 content groups with
+    // >1 member), and language purity. Composes the d4 exact-dedup
+    // grouping with per-row token counts in ONE plan. All counts exact
+    // integers; the two rates are single rounded divisions. 100 TB
+    // shape: one scan feeds both the md5-group aggregate and the
+    // per-source rollup; the dup-group relation joins back on the
+    // digest key (same partitioning), and the final output is
+    // source-count-sized.
+    Some("""WITH d AS (
+            |  SELECT doc_id, source, lang, md5(text) AS sig,
+            |         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+            |                              x -> x <> '')) AS BIGINT) AS n_tokens
+            |  FROM documents
+            |),
+            |sg AS (SELECT sig, CAST(count(*) AS BIGINT) AS members
+            |       FROM d GROUP BY sig)
+            |SELECT d.source,
+            |       CAST(count(*) AS BIGINT) AS n_docs,
+            |       CAST(sum(d.n_tokens) AS BIGINT) AS n_tokens,
+            |       CAST(sum(CASE WHEN sg.members > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            |         AS n_dup_docs,
+            |       round(sum(CASE WHEN sg.members > 1 THEN 1 ELSE 0 END) * 1.0
+            |             / count(*), 4) AS dup_rate,
+            |       CAST(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+            |         AS n_en,
+            |       round(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) * 1.0
+            |             / count(*), 4) AS en_rate
+            |FROM d JOIN sg ON d.sig = sg.sig
+            |GROUP BY d.source
+            |ORDER BY ALL NULLS FIRST""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val d = t.documents.select(col("doc_id"), col("source"), col("lang"),
+        md5(col("text")).as("sig"),
+        size(Text.tokenize(col("text"))).cast("long").as("n_tokens"))
+      val sg = d.groupBy(col("sig").as("g_sig"))
+        .agg(count(lit(1)).as("members"))
+      ordered(
+        d.join(sg, col("sig") === col("g_sig"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(when(col("members") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+            round(sum(when(col("members") > 1, 1L).otherwise(0L)) * lit(1.0) /
+              count(lit(1)), 4).as("dup_rate"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+            round(sum(when(col("lang") === "en", 1L).otherwise(0L)) * lit(1.0) /
+              count(lit(1)), 4).as("en_rate")))
+    }
+  )
+
+  private lazy val booleanQ = Q(
+    "d3_boolean",
+    // BOOLEAN RETRIEVAL (AND / NOT) — the set-operation face of the
+    // inverted index next to the ranked d3 family: documents containing
+    // 'spark' AND 'join' but NOT 'slow', with the per-term frequencies.
+    // 100 TB shape: the postings backbone every d3 query shares; each
+    // predicate joins ONE term's posting list (equi-join on doc_id, list
+    // sized by that term's df), the exclusion is a left-anti join against
+    // the negated term's postings — the corpus enters once to build
+    // postings and never again. All outputs integer counts; nothing to
+    // round.
+    Some(s"""WITH $toksCte,
+            |tok AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+            |p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            |      FROM tok GROUP BY 1, 2)
+            |SELECT a.doc_id, a.tf AS tf_spark, b.tf AS tf_join
+            |FROM p a JOIN p b ON a.doc_id = b.doc_id
+            |WHERE a.term = 'spark' AND b.term = 'join'
+            |  AND NOT EXISTS (SELECT 1 FROM p n
+            |                  WHERE n.doc_id = a.doc_id AND n.term = 'slow')
+            |ORDER BY ALL NULLS FIRST""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val postings = t.documents
+        .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val a = postings.filter(col("term") === "spark")
+        .select(col("doc_id"), col("tf").as("tf_spark"))
+      val b = postings.filter(col("term") === "join")
+        .select(col("doc_id").as("db"), col("tf").as("tf_join"))
+      val n = postings.filter(col("term") === "slow").select(col("doc_id").as("dn"))
+      ordered(
+        a.join(b, col("doc_id") === col("db"))
+          .join(n, col("doc_id") === col("dn"), "left_anti")
+          .select(col("doc_id"), col("tf_spark"), col("tf_join")))
     }
   )
 

@@ -741,6 +741,185 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("t27_path_regex: symbol paths and pattern counts match a driver recompute") {
+    val rows = run("t27_path_regex").collect()
+    val ev = Tables(spark, sf).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+    val symOf = Map("view" -> 'v', "click" -> 'c', "purchase" -> 'p',
+      "signup" -> 's').withDefaultValue('e')
+    val paths = ev.groupBy(_.getAs[Long]("user_id")).map { case (u, es) =>
+      u -> es.sortBy(e => (e.getAs[java.sql.Timestamp]("ts").getTime,
+        e.getAs[Long]("event_id")))
+        .map(e => symOf(e.getAs[String]("event_type"))).mkString
+    }
+    assert(rows.length == paths.size)
+    rows.foreach { r =>
+      val p = paths(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("path_len") == p.length)
+      assert(r.getAs[String]("prefix5") == p.take(5))
+      assert(r.getAs[Long]("n_vc") == "vc".r.findAllIn(p).length)
+      assert(r.getAs[Long]("n_conv") == "vc*p".r.findAllIn(p).length)
+    }
+  }
+
+  test("a12_mode: winner is the max-count value with min-value tiebreak") {
+    val rows = run("a12_mode").collect()
+    val counts = Tables(spark, sf).lineitem
+      .select(col("l_returnflag"), col("l_quantity").cast("long")).collect()
+      .groupBy(r => (r.getAs[String]("l_returnflag"), r.getLong(1)))
+      .view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val flag = r.getAs[String]("flag")
+      // toSeq first: collect on a Map would rebuild a Map keyed by n and
+      // silently collapse tied counts
+      val best = counts.toSeq.collect { case ((f, q), n) if f == flag => (n, -q) }.max
+      assert(r.getAs[Long]("n") == best._1)
+      assert(r.getAs[Long]("mode_qty") == -best._2)
+    }
+  }
+
+  test("o5_keyset_page: every row is past the cursor; page equals the sorted head") {
+    val rows = run("o5_keyset_page").collect()
+    assert(rows.length == 50)
+    val cursor = "1996-06-01 00:00:00"
+    rows.foreach { r =>
+      val d = r.getAs[String]("odate")
+      assert(d > cursor || (d == cursor && r.getAs[Long]("o_orderkey") > 3000))
+    }
+    // the page IS the first 50 of the keyset-filtered sort — no gaps
+    // (format the date engine-side: the parquet flavor may surface as NTZ)
+    val expected = Tables(spark, sf).orders
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("d"),
+        col("o_orderkey"))
+      .collect()
+      .map(o => (o.getAs[String]("d"), o.getAs[Long]("o_orderkey")))
+      .filter { case (d, k) => d > cursor || (d == cursor && k > 3000) }
+      .sorted.take(50).map(_._2).toSet
+    assert(rows.map(_.getAs[Long]("o_orderkey")).toSet == expected)
+  }
+
+  test("d3_boolean: results contain both terms and never the negated term") {
+    val rows = run("d3_boolean").collect()
+    assert(rows.nonEmpty)
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(d => d.getAs[Long]("doc_id") ->
+        d.getAs[String]("text").trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .toMap
+    val hits = rows.map(_.getAs[Long]("doc_id")).toSet
+    rows.foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("tf_spark") == toks.count(_ == "spark"))
+      assert(r.getAs[Long]("tf_join") == toks.count(_ == "join"))
+      assert(!toks.contains("slow"))
+    }
+    // completeness: every qualifying doc is in the result
+    docs.foreach { case (id, toks) =>
+      val qualifies = toks.contains("spark") && toks.contains("join") &&
+        !toks.contains("slow")
+      assert(hits.contains(id) == qualifies)
+    }
+  }
+
+  test("w15_rolling_slope: closed form matches a driver-side recompute") {
+    val rows = run("w15_rolling_slope").collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("day_idx"))
+      val series = sorted.map(r => (r.getAs[Long]("day_idx"), r.getAs[Long]("n_events")))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val win = series.slice(math.max(0, i - 6), i + 1)
+        val n = win.length.toLong
+        val sx = win.map(_._1).sum; val sy = win.map(_._2).sum
+        val sxy = win.map(p => p._1 * p._2).sum
+        val sxx = win.map(p => p._1 * p._1).sum
+        val denom = n * sxx - sx * sx
+        val got = Option(r.getAs[java.lang.Double]("slope")).map(_.toDouble)
+        if (denom == 0) assert(got.isEmpty)
+        else {
+          val slope = (n * sxy - sx * sy) * 1.0 / denom
+          assert(math.abs(got.get - slope) < 1e-3)
+        }
+      }
+    }
+  }
+
+  test("s15_fd_profile: key FDs hold, non-key candidates are violated") {
+    val rows = run("s15_fd_profile").collect()
+      .map(r => r.getAs[String]("fd") -> r).toMap
+    assert(rows.size == 4)
+    // p_partkey is the PK of part: the FD to any attribute must hold
+    assert(rows("part: p_partkey->p_brand").getAs[Int]("fd_holds") == 1)
+    // a customer with >1 order violates custkey->orderkey
+    assert(rows("orders: o_custkey->o_orderkey").getAs[Int]("fd_holds") == 0)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("violating") <= r.getAs[Long]("n_groups"))
+      assert((r.getAs[Int]("fd_holds") == 1) == (r.getAs[Long]("violating") == 0L))
+    }
+  }
+
+  test("s16_ri_audit: the TPC-H star is referentially intact; counts conserve") {
+    val rows = run("s16_ri_audit").collect()
+    assert(rows.length == 4)
+    val t = Tables(spark, sf)
+    val expectRows = Map(
+      "lineitem.l_orderkey->orders" -> t.lineitem.count(),
+      "orders.o_custkey->customer" -> t.orders.count(),
+      "lineitem.l_partkey->part" -> t.lineitem.count(),
+      "customer.c_nationkey->nation" -> t.customer.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == expectRows(r.getAs[String]("edge")))
+      assert(r.getAs[Long]("n_orphans") == 0L)
+      assert(r.getAs[Int]("intact") == 1)
+    }
+  }
+
+  test("t28_hysteresis: window formulation equals a sequential state fold") {
+    val rows = run("t28_hysteresis").collect().sortBy(_.getAs[Long]("day_idx"))
+    assert(rows.nonEmpty)
+    var state = 0
+    rows.foreach { r =>
+      Option(r.getAs[java.lang.Integer]("gate")).map(_.toInt) match {
+        case Some(g) => state = g
+        case None    => () // carry
+      }
+      assert(r.getAs[Int]("alert") == state,
+        s"day ${r.getAs[Long]("day_idx")}: window state != sequential fold")
+    }
+    // hysteresis actually exercises the carry branch on this corpus
+    assert(rows.exists(r => r.getAs[java.lang.Integer]("gate") == null))
+  }
+
+  test("d2_vocab_coverage: coverage is monotone in k and conserves the total") {
+    val rows = run("d2_vocab_coverage").collect().sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(10L, 50L, 100L, 500L))
+    val totals = rows.map(_.getAs[Long]("total")).distinct
+    assert(totals.length == 1)
+    val covered = rows.map(_.getAs[Long]("covered"))
+    assert(covered.zip(covered.tail).forall { case (a, b) => b >= a })
+    assert(covered.forall(c => c >= 0 && c <= totals.head))
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("coverage") -
+      r.getAs[Long]("covered").toDouble / r.getAs[Long]("total")) < 1e-3))
+  }
+
+  test("d9_source_report: volumes conserve; dup flags match a text-group recompute") {
+    val rows = run("d9_source_report").collect()
+    val docs = Tables(spark, sf).documents
+      .select(col("source"), col("lang"), col("text")).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    val dupTexts = docs.groupBy(_.getAs[String]("text"))
+      .filter(_._2.length > 1).values.flatten.toSeq
+    assert(rows.map(_.getAs[Long]("n_dup_docs")).sum == dupTexts.length)
+    rows.foreach { r =>
+      val src = docs.filter(_.getAs[String]("source") == r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == src.length)
+      assert(r.getAs[Long]("n_en") == src.count(_.getAs[String]("lang") == "en"))
+      assert(r.getAs[Long]("n_dup_docs") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("sc_benford: digit counts conserve the row count; chi terms non-negative") {
     val rows = run("sc_benford").collect()
     val n = Tables(spark, sf).lineitem.count()

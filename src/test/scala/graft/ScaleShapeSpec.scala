@@ -228,8 +228,22 @@ class ScaleShapeSpec extends AnyFunSuite {
       // d6_ivf_assign shape), one per Lloyd iteration
       "t23_rfm_segmentation", // 1-row corpus-max-timestamp scalar
       // broadcast onto the per-user purchase aggregate
-      "d11_curriculum" // 1-row corpus-token-total scalar broadcast onto
+      "d11_curriculum", // 1-row corpus-token-total scalar broadcast onto
       // the 4-row phase relation
+      "a11_assoc_rules", // 1-row order-count scalar broadcast onto the
+      // rule relation (pair + marginal joins are equi on order/brand)
+      "t25_gap_fill", // 1-row day-bounds scalar broadcast generating the
+      // resample grid; the daily join is equi on (user, day)
+      "t26_cusum", // 1-row (total, day-count) scalar broadcast onto the
+      // bounded day relation
+      "sc_benford", // 1-row total scalar broadcast onto the 9-row digit
+      // relation
+      "s16_ri_audit", // per-edge (1-row count × 1-row orphan-count)
+      // scalar cross joins; the orphan scans are left-anti equi-joins
+      "t28_hysteresis", // 1-row (total, day-count) scalar broadcast onto
+      // the bounded day relation (the t26 shape)
+      "d2_vocab_coverage" // 4-row k-grid and 1-row total broadcasts onto
+      // the vocab-bounded ranked term relation
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (fenced(name)) None
