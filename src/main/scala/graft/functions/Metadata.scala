@@ -129,6 +129,66 @@ object Metadata {
           }
         }
         m
+      } else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'E' && bytes(10) == 'B' && bytes(11) == 'P') {
+        // WebP: third RIFF family member. Three sub-formats carry dims
+        // differently: VP8X (extended) = 24-bit LE canvas-minus-one at
+        // payload offsets 4/7; VP8L (lossless) = 14+14 bits packed after
+        // the 0x2f signature byte; VP8 (lossy) = 14-bit LE u16 pair after
+        // the 0x9d012a start code.
+        var m = Map("mime" -> "image/webp")
+        if (bytes.length >= 20) {
+          val id = new String(bytes.slice(12, 16), "US-ASCII")
+          m += ("format" -> id.trim)
+          if (id == "VP8X" && bytes.length >= 30) {
+            val w = (u16le(bytes, 24) | ((bytes(26) & 0xff) << 16)) + 1
+            val h = ((bytes(27) & 0xff) | ((bytes(28) & 0xff) << 8) |
+              ((bytes(29) & 0xff) << 16)) + 1
+            m += ("width" -> w.toString, "height" -> h.toString)
+          } else if (id == "VP8L" && bytes.length >= 25 &&
+            (bytes(20) & 0xff) == 0x2f) {
+            val v = u32le(bytes, 21)
+            m += ("width" -> (((v & 0x3fff) + 1).toString),
+              "height" -> ((((v >> 14) & 0x3fff) + 1).toString))
+          } else if (id == "VP8 " && bytes.length >= 30 &&
+            (bytes(23) & 0xff) == 0x9d && (bytes(24) & 0xff) == 0x01 &&
+            (bytes(25) & 0xff) == 0x2a) {
+            m += ("width" -> (u16le(bytes, 26) & 0x3fff).toString,
+              "height" -> (u16le(bytes, 28) & 0x3fff).toString)
+          }
+        }
+        m
+      } else if (bytes.length >= 8 &&
+        ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 0x2a && bytes(3) == 0) ||
+          (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && bytes(3) == 0x2a))) {
+        // TIFF: endian-tagged IFD walk. The first IFD's entries are
+        // 12 bytes each (tag, type, count, value); ImageWidth = 256,
+        // ImageLength = 257, value inline for SHORT/LONG count 1 —
+        // SHORT values sit in the FIRST two bytes of the value field
+        // in either endianness.
+        val le = bytes(0) == 'I'
+        def r16(i: Int): Int =
+          if (le) u16le(bytes, i) else ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+        def r32(i: Int): Long =
+          if (le) u32le(bytes, i)
+          else ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+            ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+        var m = Map("mime" -> "image/tiff")
+        val ifd = r32(4)
+        if (ifd >= 8 && ifd + 2 <= bytes.length) {
+          val n = r16(ifd.toInt)
+          var e = 0
+          while (e < n && ifd + 2 + (e + 1) * 12 <= bytes.length) {
+            val p = (ifd + 2 + e * 12).toInt
+            val tag = r16(p); val typ = r16(p + 2)
+            val v = if (typ == 3) r16(p + 8).toLong else r32(p + 8)
+            if (tag == 256) m += ("width" -> v.toString)
+            if (tag == 257) m += ("height" -> v.toString)
+            e += 1
+          }
+        }
+        m
       } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x1a &&
         (bytes(1) & 0xff) == 0x45 && (bytes(2) & 0xff) == 0xdf &&
         (bytes(3) & 0xff) == 0xa3) {

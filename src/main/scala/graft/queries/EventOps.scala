@@ -1340,22 +1340,7 @@ object EventOps {
         val c = t.events.filter(col("event_type") === "error")
           .groupBy(expr("unix_micros(ts) DIV 86400000000").as("d"))
           .agg(count(lit(1)).as("n"))
-        val tot = c.agg(sum(col("n")).as("tot"), count(lit(1)).as("nd"))
-        val gate = when(lit(10) * col("n") * col("nd") >= lit(11) * col("tot"), 1)
-          .when(lit(10) * col("n") * col("nd") <= lit(9) * col("tot"), 0)
-        val w = Window.orderBy(col("d")) // bounded day relation
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val s = c.crossJoin(broadcast(tot))
-          .select(col("d"), col("n"), gate.as("gate"))
-          .select(col("d"), col("n"), col("gate"),
-            max(when(col("gate") === 1, col("d"))).over(w).as("last_on"),
-            max(when(col("gate") === 0, col("d"))).over(w).as("last_off"))
-        ordered(
-          s.select(col("d").as("day_idx"), col("n"), col("gate"),
-            when(col("last_on").isNull, 0)
-              .when(col("last_off").isNull, 1)
-              .when(col("last_on") > col("last_off"), 1)
-              .otherwise(0).as("alert")))
+        ordered(hysteresis(c))
       }
     ),
     Q(
@@ -1518,6 +1503,32 @@ object EventOps {
       }
     )
   )
+
+  /** The t28 hysteresis state machine as a reusable transform over any
+    * (d, n) daily-count relation: alert ON at ≥110% of the mean daily
+    * count, OFF at ≤90%, CARRY between the bands. Integer-only gates
+    * (10·n·D vs 11·T / 9·T) and running-max forward fill — engine-exact.
+    * The same transform runs over a streaming sink's windowed counts
+    * (StreamingSpec parity) and over the batch aggregate (the t28
+    * oracle). Input relation is day-count-bounded, so every window here
+    * is cheap at any corpus scale. */
+  def hysteresis(c: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tot = c.agg(sum(col("n")).as("tot"), count(lit(1)).as("nd"))
+    val gate = when(lit(10) * col("n") * col("nd") >= lit(11) * col("tot"), 1)
+      .when(lit(10) * col("n") * col("nd") <= lit(9) * col("tot"), 0)
+    val w = Window.orderBy(col("d")) // bounded day relation
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c.crossJoin(broadcast(tot))
+      .select(col("d"), col("n"), gate.as("gate"))
+      .select(col("d"), col("n"), col("gate"),
+        max(when(col("gate") === 1, col("d"))).over(w).as("last_on"),
+        max(when(col("gate") === 0, col("d"))).over(w).as("last_off"))
+      .select(col("d").as("day_idx"), col("n"), col("gate"),
+        when(col("last_on").isNull, 0)
+          .when(col("last_off").isNull, 1)
+          .when(col("last_on") > col("last_off"), 1)
+          .otherwise(0).as("alert"))
+  }
 
   /** The t10 funnel as a reusable transform over any (user_id, event_type,
     * ts) relation: first view, first click STRICTLY after it, first

@@ -27,7 +27,7 @@ object TextOps {
       |  FROM documents
       |)""".stripMargin
 
-  val all: Seq[Q] = vocabCoverageQ +: sourceReportQ +: booleanQ +: proximityQ +: charEntropyQ +: bpeQs ++: oovQ +: qlQ +: readabilityQ +: keywordsQ +: stopwordQ +: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
+  val all: Seq[Q] = vocabCoverageQ +: sourceReportQ +: boilerplateQ +: booleanQ +: proximityQ +: charEntropyQ +: bpeQs ++: oovQ +: qlQ +: readabilityQ +: keywordsQ +: stopwordQ +: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
     skewProfileQ +: quantileNormQ +: pmiAssocQ +: Seq(
     Q(
       "d7_zipf_fit",
@@ -1355,6 +1355,45 @@ object TextOps {
             sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
             round(sum(when(col("lang") === "en", 1L).otherwise(0L)) * lit(1.0) /
               count(lit(1)), 4).as("en_rate")))
+    }
+  )
+
+  private lazy val boilerplateQ = Q(
+    "d7_boilerplate",
+    // BOILERPLATE / TEMPLATE DETECTION — the Common-Crawl curation step
+    // that strips navigation chrome, license footers, and cookie banners:
+    // a 3-gram that recurs across MANY DISTINCT SOURCES is template
+    // text, not content (content phrases stay within a source; chrome
+    // crosses them). Top-100 by (source-spread, occurrences, gram) — a
+    // total order, so the page is deterministic and plans as a top-k.
+    // 100 TB shape: the corpus explodes once to (source, gram); a
+    // (gram, distinct-source + count) aggregate bounds everything after
+    // by the gram-TYPE relation; the top-100 is TakeOrderedAndProject,
+    // never a global sort materialization.
+    Some(s"""WITH $toksCte,
+            |g AS (
+            |  SELECT d.source, t.tokens[i] || ' ' || t.tokens[i+1] || ' ' || t.tokens[i+2] AS gram
+            |  FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+            |  CROSS JOIN UNNEST(range(1, len(t.tokens) - 1)) AS u(i)
+            |),
+            |s AS (SELECT gram, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+            |             CAST(count(*) AS BIGINT) AS n
+            |      FROM g GROUP BY 1)
+            |SELECT gram, n_sources, n FROM s
+            |WHERE n_sources >= 5
+            |ORDER BY n_sources DESC, n DESC, gram ASC LIMIT 100""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val toks = t.documents.select(col("source"), Text.tokenize(col("text")).as("tk"))
+      val g = toks.select(col("source"),
+        explode(expr(
+          "transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))"))
+          .as("gram"))
+      val s = g.groupBy(col("gram"))
+        .agg(countDistinct(col("source")).as("n_sources"), count(lit(1)).as("n"))
+      s.filter(col("n_sources") >= 5)
+        .orderBy(col("n_sources").desc, col("n").desc, col("gram").asc)
+        .limit(100)
     }
   )
 

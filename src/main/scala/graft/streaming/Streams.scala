@@ -116,6 +116,21 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("bucket"), col("n"))
 
+  /** T28, streaming half: watermarked daily counts of a filtered event
+    * stream — the live feed of the hysteresis alert monitor. State is one
+    * counter per open day-window regardless of stream length; the alert
+    * state machine itself ([[graft.queries.EventOps.hysteresis]]) stays a
+    * stateless transform over the tiny sink relation, exactly as the
+    * batch t28 computes it (StreamingSpec replays the real event log and
+    * matches the batch alerts cell for cell). */
+  def dailyCounts(events: DataFrame, eventType: String): DataFrame =
+    events
+      .filter(col("event_type") === eventType)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"))
+      .select(expr("unix_micros(window.start) DIV 86400000000").as("d"), col("n"))
+
   /** T9: stream-stream interval join — view→click attribution: each click
     * matches views of the same user in (click.ts - 30m, click.ts]. BOTH
     * sides carry watermarks and the join condition bounds event time, so

@@ -920,6 +920,30 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("d7_boilerplate: every reported gram really spans the claimed sources") {
+    val rows = run("d7_boilerplate").collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    val docs = Tables(spark, sf).documents
+      .select(col("source"), col("text")).collect()
+      .map(d => (d.getAs[String]("source"),
+        d.getAs[String]("text").trim.toLowerCase.split("\\s+").filter(_.nonEmpty)))
+    def spread(gram: String): (Long, Long) = {
+      val parts = gram.split(" ")
+      val hits = docs.flatMap { case (src, toks) =>
+        toks.sliding(3).filter(_.sameElements(parts)).map(_ => src)
+      }
+      (hits.distinct.length.toLong, hits.length.toLong)
+    }
+    rows.foreach { r =>
+      val (ns, n) = spread(r.getAs[String]("gram"))
+      assert(r.getAs[Long]("n_sources") == ns && ns >= 5)
+      assert(r.getAs[Long]("n") == n)
+    }
+    // ranking is by spread first
+    val spreads = rows.map(_.getAs[Long]("n_sources"))
+    assert(spreads.zip(spreads.tail).forall { case (a, b) => a >= b })
+  }
+
   test("sc_benford: digit counts conserve the row count; chi terms non-negative") {
     val rows = run("sc_benford").collect()
     val n = Tables(spark, sf).lineitem.count()

@@ -84,6 +84,62 @@ class FunctionsSpec extends AnyFunSuite {
     assert(td("height") == "600")
   }
 
+  test("D1: TIFF IFD walk in both endiannesses; SHORT and LONG value types") {
+    def tiffBytes(w: Int, h: Int, le: Boolean, shortType: Boolean): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(64)
+        .order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+        else java.nio.ByteOrder.BIG_ENDIAN)
+      if (le) b.put('I'.toByte).put('I'.toByte).put(0x2a.toByte).put(0.toByte)
+      else b.put('M'.toByte).put('M'.toByte).put(0.toByte).put(0x2a.toByte)
+      b.putInt(8) // IFD offset
+      b.putShort(2) // 2 entries
+      val typ = if (shortType) 3 else 4
+      def entry(tag: Int, v: Int): Unit = {
+        b.putShort(tag.toShort).putShort(typ.toShort).putInt(1)
+        if (shortType) { b.putShort(v.toShort); b.putShort(0) } else b.putInt(v)
+      }
+      entry(256, w); entry(257, h)
+      b.putInt(0) // next-IFD terminator
+      b.array()
+    }
+    for (le <- Seq(true, false); st <- Seq(true, false)) {
+      val m = Metadata.sniff(tiffBytes(1920, 1080, le, st))
+      assert(m("mime") == "image/tiff" && m("width") == "1920" &&
+        m("height") == "1080", s"le=$le shortType=$st: $m")
+    }
+  }
+
+  test("D1: WebP dims across VP8X, VP8L, and lossy VP8 payloads") {
+    def riffWebp(chunk: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(20 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(12 + payload.length).put("WEBP".getBytes)
+      b.put(chunk.getBytes).putInt(payload.length).put(payload)
+      b.array()
+    }
+    // VP8X: 4 flag bytes then 24-bit LE (w-1, h-1)
+    val x = new Array[Byte](10)
+    val (xw, xh) = (4000 - 1, 3000 - 1)
+    x(4) = (xw & 0xff).toByte; x(5) = ((xw >> 8) & 0xff).toByte
+    x(6) = ((xw >> 16) & 0xff).toByte
+    x(7) = (xh & 0xff).toByte; x(8) = ((xh >> 8) & 0xff).toByte
+    x(9) = ((xh >> 16) & 0xff).toByte
+    val mx = Metadata.sniff(riffWebp("VP8X", x))
+    assert(mx("mime") == "image/webp" && mx("width") == "4000" && mx("height") == "3000")
+    // VP8L: 0x2f then 14+14 bits (w-1, h-1)
+    val v = (639) | (479 << 14)
+    val l = Array[Byte](0x2f.toByte, (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val ml = Metadata.sniff(riffWebp("VP8L", l))
+    assert(ml("width") == "640" && ml("height") == "480")
+    // VP8 lossy: 3-byte frame tag, 0x9d012a start code, 14-bit u16 dims
+    val p = java.nio.ByteBuffer.allocate(10).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    p.put(new Array[Byte](3)).put(0x9d.toByte).put(0x01.toByte).put(0x2a.toByte)
+    p.putShort(320.toShort).putShort(240.toShort)
+    val mv = Metadata.sniff(riffWebp("VP8 ", p.array()))
+    assert(mv("width") == "320" && mv("height") == "240")
+  }
+
   test("D1: PNG dimensions from IHDR") {
     val m = Metadata.sniff(pngBytes(640, 480))
     assert(m("mime") == "image/png" && m("width") == "640" && m("height") == "480")

@@ -324,6 +324,37 @@ class StreamingSpec extends AnyFunSuite {
       s"stream/batch divergence: ${(want.toSet -- got.toSet).take(3)}")
   }
 
+  test("T28 streaming hysteresis: replayed day counts + shared transform equal batch alerts") {
+    import spark.implicits._
+    val evDf = graft.sources.Tables(spark, sf).events
+    val evs = evDf
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .orderBy(col("ts"), col("event_id")).as[Ev].collect().toSeq
+    val mem = MemoryStream[Ev](28, spark, None)
+    val q = Streams.dailyCounts(mem.toDF(), "error")
+      .writeStream.format("memory").queryName("t28_sink")
+      .outputMode(OutputMode.Update()).start()
+    evs.grouped((evs.size + 2) / 3).foreach { b =>
+      mem.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    // update mode re-emits a day on change; keep the latest count
+    val sink = spark.table("t28_sink")
+      .groupBy(col("d")).agg(last(col("n")).as("n"))
+    val got = graft.queries.EventOps.hysteresis(sink)
+      .collect().map(r => r.getAs[Long]("day_idx") ->
+        (r.getAs[Long]("n"), r.getAs[Int]("alert"))).toMap
+    val batchDays = evDf.filter(col("event_type") === "error")
+      .groupBy(expr("unix_micros(ts) DIV 86400000000").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val want = graft.queries.EventOps.hysteresis(batchDays)
+      .collect().map(r => r.getAs[Long]("day_idx") ->
+        (r.getAs[Long]("n"), r.getAs[Int]("alert"))).toMap
+    assert(got == want && got.nonEmpty,
+      s"stream/batch hysteresis divergence: ${(want.toSet -- got.toSet).take(3)}")
+  }
+
   test("T9 stream-stream interval join: two MemoryStreams equal batch") {
     import spark.implicits._
     val views = Seq(
