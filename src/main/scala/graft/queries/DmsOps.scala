@@ -90,6 +90,81 @@ object DmsOps {
 
   val all: Seq[Q] = Seq(
     Q(
+      "d8_merge_cdc",
+      // MERGE INTO semantics — apply one CDC batch (inserts, updates,
+      // deletes) to a snapshot in a single pass: the lakehouse primitive
+      // under every `MERGE WHEN MATCHED / NOT MATCHED` statement. The
+      // change batch is synthesized DETERMINISTICALLY from the snapshot
+      // itself (key mod 10: 0→delete, 1→update price +1, 3→insert with a
+      // shifted key), so both engines derive the identical batch with no
+      // fixture. Applied as ONE full-outer equi-join on the key +
+      // per-row case analysis — never a per-op loop; the output summary
+      // proves row conservation and exact DECIMAL money movement. 100 TB
+      // shape: one shuffle on the merge key (or zero with a bucketed
+      // base table), map-side partial counts after.
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS k, o_orderstatus AS status,
+             |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+             |  FROM orders
+             |),
+             |cdc AS (
+             |  SELECT k, 'D' AS op, NULL AS new_status,
+             |         CAST(NULL AS DECIMAL(18,2)) AS new_price
+             |  FROM base WHERE k % 10 = 0
+             |  UNION ALL
+             |  SELECT k, 'U', 'U2', price + 1 FROM base WHERE k % 10 = 1
+             |  UNION ALL
+             |  SELECT k + 100000000, 'I', 'NEW', CAST(1.50 AS DECIMAL(18,2))
+             |  FROM base WHERE k % 10 = 3
+             |),
+             |merged AS (
+             |  SELECT coalesce(c.k, b.k) AS k,
+             |         CASE WHEN c.op = 'D' THEN NULL
+             |              WHEN c.op IN ('U', 'I') THEN c.new_status
+             |              ELSE b.status END AS status,
+             |         CASE WHEN c.op = 'D' THEN NULL
+             |              WHEN c.op IN ('U', 'I') THEN c.new_price
+             |              ELSE b.price END AS price,
+             |         CASE WHEN c.op IS NULL THEN 'KEEP' ELSE c.op END AS action
+             |  FROM base b FULL OUTER JOIN cdc c ON b.k = c.k
+             |)
+             |SELECT action, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(CAST(sum(price) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+             |FROM merged GROUP BY action
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val base = t.orders.select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        val cdc = base.filter(col("k") % 10 === 0)
+          .select(col("k"), lit("D").as("op"),
+            lit(null).cast("string").as("new_status"),
+            lit(null).cast("decimal(18,2)").as("new_price"))
+          .unionAll(base.filter(col("k") % 10 === 1)
+            .select(col("k"), lit("U"), lit("U2"),
+              (col("price") + 1).cast("decimal(18,2)")))
+          .unionAll(base.filter(col("k") % 10 === 3)
+            .select((col("k") + 100000000L).as("k"), lit("I"), lit("NEW"),
+              lit(1.50).cast("decimal(18,2)")))
+        val m = base.as("b").join(cdc.as("c"), col("b.k") === col("c.k"), "full_outer")
+          .select(
+            coalesce(col("c.k"), col("b.k")).as("k"),
+            when(col("c.op") === "D", lit(null))
+              .when(col("c.op").isin("U", "I"), col("c.new_status"))
+              .otherwise(col("b.status")).as("status"),
+            when(col("c.op") === "D", lit(null).cast("decimal(18,2)"))
+              .when(col("c.op").isin("U", "I"), col("c.new_price"))
+              .otherwise(col("b.price")).as("price"),
+            when(col("c.op").isNull, "KEEP").otherwise(col("c.op")).as("action"))
+        ordered(
+          m.groupBy(col("action"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("price")).cast("decimal(18,2)").cast("double")
+                .as("total_price")))
+      }
+    ),
+    Q(
       "d8_next_version",
       // upload()'s version assignment (DMS.py:113-117) as one aggregate:
       // next = coalesce(max(version), 0) + 1, NUMERIC max (v10 > v2)

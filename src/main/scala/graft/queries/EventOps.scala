@@ -1298,6 +1298,49 @@ object EventOps {
       }
     ),
     Q(
+      "t29_interarrival",
+      // INTER-ARRIVAL DISTRIBUTION — the arrival-process profile per
+      // event type: per-user consecutive gaps in exact integer seconds,
+      // summarized with percentile_disc so every output value is a REAL
+      // observed gap (engine-exact, no interpolation — the t20
+      // discipline). Sizing signal for session thresholds (t3), state
+      // TTLs, and watermark delays. 100 TB shape: one per-(user, type)
+      // event-time sort feeds the lag; the percentile aggregate rides
+      // the gap relation with a per-type sort, bounded by type count.
+      Some("""WITH g AS (
+             |  SELECT event_type,
+             |         (epoch_us(ts) - lag(epoch_us(ts)) OVER
+             |            (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+             |           // 1000000 AS gap_s
+             |  FROM events
+             |)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+             |       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_s) AS BIGINT) AS p50_s,
+             |       CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_s) AS BIGINT) AS p90_s,
+             |       CAST(max(gap_s) AS BIGINT) AS max_s
+             |FROM g WHERE gap_s IS NOT NULL
+             |GROUP BY event_type
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val us = expr("unix_micros(ts)")
+        val g = t.events.select(col("event_type"),
+          (us - lag(us, 1).over(w)).as("gap_us"))
+          .select(col("event_type"), expr("gap_us DIV 1000000").as("gap_s"))
+        ordered(
+          g.filter(col("gap_s").isNotNull)
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_gaps"),
+              expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_s)")
+                .cast("long").as("p50_s"),
+              expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_s)")
+                .cast("long").as("p90_s"),
+              max(col("gap_s")).as("max_s")))
+      }
+    ),
+    Q(
       "t28_hysteresis",
       // ALERTING STATE MACHINE WITH HYSTERESIS — the monitor that pages:
       // a day turns the alert ON at ≥110% of the mean daily error count

@@ -27,7 +27,7 @@ object TextOps {
       |  FROM documents
       |)""".stripMargin
 
-  val all: Seq[Q] = vocabCoverageQ +: sourceReportQ +: boilerplateQ +: booleanQ +: proximityQ +: charEntropyQ +: bpeQs ++: oovQ +: qlQ +: readabilityQ +: keywordsQ +: stopwordQ +: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
+  val all: Seq[Q] = vocabCoverageQ +: sourceReportQ +: boilerplateQ +: sourceOverlapQ +: booleanQ +: proximityQ +: charEntropyQ +: bpeQs ++: oovQ +: qlQ +: readabilityQ +: keywordsQ +: stopwordQ +: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
     skewProfileQ +: quantileNormQ +: pmiAssocQ +: Seq(
     Q(
       "d7_zipf_fit",
@@ -1394,6 +1394,63 @@ object TextOps {
       s.filter(col("n_sources") >= 5)
         .orderBy(col("n_sources").desc, col("n").desc, col("gram").asc)
         .limit(100)
+    }
+  )
+
+  private lazy val sourceOverlapQ = Q(
+    "d12_source_overlap",
+    // SOURCE-OVERLAP MATRIX — which sources share content? The
+    // contamination/lineage diagnostic between exact dedup (no
+    // cross-source dups here) and per-pair near-dup joins: 3-gram-set
+    // Jaccard between every source pair. 100 TB shape: the corpus
+    // explodes once to distinct (gram, source); the pair join is PER
+    // GRAM and bounded by sources-per-gram (≤ source count, a
+    // constant), never corpus²; per-source set sizes ride the
+    // source-TYPE relation and broadcast back; output is source-pair
+    // bounded. Intersection and union are exact integers; Jaccard is
+    // one rounded division.
+    Some(s"""WITH $toksCte,
+            |g AS (
+            |  SELECT DISTINCT d.source,
+            |         t.tokens[i] || ' ' || t.tokens[i+1] || ' ' || t.tokens[i+2] AS gram
+            |  FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+            |  CROSS JOIN UNNEST(range(1, len(t.tokens) - 1)) AS u(i)
+            |),
+            |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+            |pr AS (
+            |  SELECT g1.source AS s1, g2.source AS s2, CAST(count(*) AS BIGINT) AS inter
+            |  FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.source < g2.source
+            |  GROUP BY 1, 2
+            |)
+            |SELECT pr.s1, pr.s2, pr.inter,
+            |       m1.n_grams AS n1, m2.n_grams AS n2,
+            |       round(pr.inter * 1.0 / (m1.n_grams + m2.n_grams - pr.inter), 4)
+            |         AS jaccard
+            |FROM pr JOIN m m1 ON pr.s1 = m1.source JOIN m m2 ON pr.s2 = m2.source
+            |ORDER BY ALL NULLS FIRST""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val gk = t.documents
+        .select(col("source").as("src"), Text.tokenize(col("text")).as("tk"))
+        .select(col("src"),
+          explode(expr(
+            "transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))"))
+            .as("gram"))
+        .distinct()
+      val m = gk.groupBy(col("src")).agg(count(lit(1)).as("n_grams"))
+      val pr = gk.as("g1")
+        .join(gk.as("g2"),
+          col("g1.gram") === col("g2.gram") && col("g1.src") < col("g2.src"))
+        .groupBy(col("g1.src").as("s1"), col("g2.src").as("s2"))
+        .agg(count(lit(1)).as("inter"))
+      ordered(
+        pr.join(broadcast(m.select(col("src").as("m1s"), col("n_grams").as("n1"))),
+            col("s1") === col("m1s"))
+          .join(broadcast(m.select(col("src").as("m2s"), col("n_grams").as("n2"))),
+            col("s2") === col("m2s"))
+          .select(col("s1"), col("s2"), col("inter"), col("n1"), col("n2"),
+            round(col("inter") * lit(1.0) /
+              (col("n1") + col("n2") - col("inter")), 4).as("jaccard")))
     }
   )
 

@@ -944,6 +944,51 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(spreads.zip(spreads.tail).forall { case (a, b) => a >= b })
   }
 
+  test("d8_merge_cdc: merge conserves rows (base - deletes + inserts)") {
+    val rows = run("d8_merge_cdc").collect()
+      .map(r => r.getAs[String]("action") -> r.getAs[Long]("n")).toMap
+    val base = Tables(spark, sf).orders
+      .select(col("o_orderkey").as("k")).collect().map(_.getLong(0))
+    assert(rows("D") == base.count(_ % 10 == 0))
+    assert(rows("U") == base.count(_ % 10 == 1))
+    assert(rows("I") == base.count(_ % 10 == 3))
+    assert(rows("KEEP") == base.length - rows("D") - rows("U"))
+    assert(rows.values.sum == base.length + rows("I"))
+  }
+
+  test("d12_source_overlap: full pair matrix with bounded symmetric Jaccard") {
+    val rows = run("d12_source_overlap").collect()
+    val nSources = Tables(spark, sf).documents
+      .select(col("source")).distinct().count().toInt
+    assert(rows.length == nSources * (nSources - 1) / 2)
+    rows.foreach { r =>
+      val (inter, n1, n2) = (r.getAs[Long]("inter"),
+        r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+      assert(r.getAs[String]("s1") < r.getAs[String]("s2"))
+      assert(inter >= 0 && inter <= math.min(n1, n2))
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0 && j <= 1)
+      assert(math.abs(j - inter.toDouble / (n1 + n2 - inter)) < 1e-3)
+    }
+  }
+
+  test("t29_interarrival: percentiles ordered; gap count conserves sequences") {
+    val rows = run("t29_interarrival").collect()
+    assert(rows.nonEmpty)
+    val ev = Tables(spark, sf).events
+      .select(col("user_id"), col("event_type")).collect()
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("p50_s") <= r.getAs[Long]("p90_s"))
+      assert(r.getAs[Long]("p90_s") <= r.getAs[Long]("max_s"))
+      // each (user, type) sequence of length n contributes n-1 gaps
+      val seqs = ev.filter(_.getAs[String]("event_type") == et)
+        .groupBy(_.getAs[Long]("user_id")).values.map(_.length - 1)
+        .filter(_ > 0).sum
+      assert(r.getAs[Long]("n_gaps") == seqs)
+    }
+  }
+
   test("sc_benford: digit counts conserve the row count; chi terms non-negative") {
     val rows = run("sc_benford").collect()
     val n = Tables(spark, sf).lineitem.count()
