@@ -1298,6 +1298,150 @@ object EventOps {
       }
     ),
     Q(
+      "t31_binseg",
+      // BINARY SEGMENTATION — t26's CUSUM localization applied
+      // recursively one level down: find the global change point, split
+      // the series there, and report each half's own strongest internal
+      // shift. Each level's excursion is the same all-integer scaled
+      // statistic (local cum·local D − local rank·local T), so no float
+      // enters until nothing needs rounding — the output is pure
+      // BIGINTs and the argmax flags are engine-independent by
+      // construction (abs-max with min-day tiebreak via one more
+      // integer compare). 100 TB shape: one per-day aggregate; the
+      // level-1 peak is a 1-row broadcast back onto the bounded day
+      // relation; every window rides that relation.
+      Some("""WITH c AS (
+             |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+             |         CAST(count(*) AS BIGINT) AS n
+             |  FROM events WHERE event_type = 'error' GROUP BY 1
+             |),
+             |s AS (
+             |  SELECT d, n,
+             |         CAST(sum(n) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+             |                           PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             |         CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k
+             |  FROM c
+             |),
+             |t AS (SELECT CAST(max(cum) AS BIGINT) AS tot,
+             |             CAST(max(k) AS BIGINT) AS nd FROM s),
+             |e1 AS (SELECT s.d, s.k, s.cum, cum * nd - k * tot AS exc
+             |       FROM s CROSS JOIN t),
+             |k1 AS (
+             |  SELECT d AS split_d, k AS split_k, cum AS cum1, exc AS exc1
+             |  FROM e1 ORDER BY abs(exc) DESC, d ASC LIMIT 1
+             |),
+             |e2 AS (
+             |  SELECT e1.d,
+             |         CASE WHEN e1.k <= k1.split_k THEN 'left' ELSE 'right' END AS seg,
+             |         CASE WHEN e1.k <= k1.split_k
+             |              THEN e1.cum * k1.split_k - e1.k * k1.cum1
+             |              ELSE (e1.cum - k1.cum1) * (t.nd - k1.split_k)
+             |                   - (e1.k - k1.split_k) * (t.tot - k1.cum1)
+             |         END AS exc
+             |  FROM e1 CROSS JOIN k1 CROSS JOIN t
+             |),
+             |l2 AS (
+             |  SELECT seg, d, exc,
+             |         row_number() OVER (PARTITION BY seg
+             |                            ORDER BY abs(exc) DESC, d ASC) AS rn
+             |  FROM e2
+             |)
+             |SELECT level, seg, day_idx, excursion FROM (
+             |  SELECT 1 AS level, 'all' AS seg, split_d AS day_idx, exc1 AS excursion
+             |  FROM k1
+             |  UNION ALL
+             |  SELECT 2, seg, d, exc FROM l2 WHERE rn = 1
+             |)
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val c = t.events.filter(col("event_type") === "error")
+          .groupBy(expr("unix_micros(ts) DIV 86400000000").as("d"))
+          .agg(count(lit(1)).as("n"))
+        val wd = Window.orderBy(col("d")) // bounded day relation
+        val s = c.select(col("d"), col("n"),
+          sum(col("n")).over(wd.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("cum"),
+          row_number().over(wd).cast("long").as("k"))
+        val tot = s.agg(max(col("cum")).as("tot"), max(col("k")).as("nd"))
+        val e1 = s.crossJoin(broadcast(tot))
+          .select(col("d"), col("k"), col("cum"), col("tot"), col("nd"),
+            (col("cum") * col("nd") - col("k") * col("tot")).as("exc"))
+        val k1 = e1.orderBy(abs(col("exc")).desc, col("d").asc).limit(1)
+          .select(col("d").as("split_d"), col("k").as("split_k"),
+            col("cum").as("cum1"), col("exc").as("exc1"))
+        val e2 = e1.crossJoin(broadcast(k1))
+          .select(col("d"),
+            when(col("k") <= col("split_k"), "left").otherwise("right").as("seg"),
+            when(col("k") <= col("split_k"),
+              col("cum") * col("split_k") - col("k") * col("cum1"))
+              .otherwise((col("cum") - col("cum1")) * (col("nd") - col("split_k"))
+                - (col("k") - col("split_k")) * (col("tot") - col("cum1")))
+              .as("exc"))
+        val l2 = e2.withColumn("rn",
+          row_number().over(Window.partitionBy(col("seg"))
+            .orderBy(abs(col("exc")).desc, col("d").asc)))
+          .filter(col("rn") === 1)
+        ordered(
+          k1.select(lit(1).as("level"), lit("all").as("seg"),
+            col("split_d").as("day_idx"), col("exc1").as("excursion"))
+            .unionAll(l2.select(lit(2), col("seg"), col("d"), col("exc"))))
+      }
+    ),
+    Q(
+      "t30_autocorrelation",
+      // AUTOCORRELATION FUNCTION over the daily event-count series — the
+      // periodicity detector that finds the weekly cycle (the t21
+      // day-of-week seasonality shows up as a spike at lag 7): r_k =
+      // Σ dev_i·dev_{i+k} / Σ dev_i², with deviations centered EXACTLY
+      // by scaling (dev = D·n − T, so the mean never materializes as a
+      // float). Numerator and denominator are exact BIGINT sums of
+      // bounded products; one rounded division per lag. 100 TB shape:
+      // events collapse to the per-day aggregate; the lag pairing is a
+      // (day+k) equi-join on the bounded day relation fanned out by a
+      // 10-row lag grid; the denominator is a 1-row broadcast.
+      Some("""WITH c AS (
+             |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+             |         CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1
+             |),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+             |             CAST(count(*) AS BIGINT) AS nd FROM c),
+             |x AS (SELECT d, n * nd - tot AS dev FROM c CROSS JOIN t),
+             |den AS (SELECT CAST(sum(dev * dev) AS BIGINT) AS den FROM x),
+             |lags AS (SELECT unnest(range(1, 11)) AS k),
+             |num AS (
+             |  SELECT lags.k, CAST(sum(a.dev * b.dev) AS BIGINT) AS num,
+             |         CAST(count(*) AS BIGINT) AS n_pairs
+             |  FROM lags JOIN x a ON TRUE JOIN x b ON b.d = a.d + lags.k
+             |  GROUP BY lags.k
+             |)
+             |SELECT num.k, num.num, den.den, num.n_pairs,
+             |       round(num.num * 1.0 / den.den, 4) AS r
+             |FROM num CROSS JOIN den
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val c = t.events
+          .groupBy(expr("unix_micros(ts) DIV 86400000000").as("d"))
+          .agg(count(lit(1)).as("n"))
+        val tot = c.agg(sum(col("n")).as("tot"), count(lit(1)).as("nd"))
+        val x = c.crossJoin(broadcast(tot))
+          .select(col("d"), (col("n") * col("nd") - col("tot")).as("dev"))
+        val den = x.agg(sum(col("dev") * col("dev")).as("den"))
+        val lags = spark.range(1, 11).select(col("id").as("k"))
+        val num = broadcast(lags).crossJoin(x.as("a"))
+          .join(x.as("b"), col("b.d") === col("a.d") + col("k"))
+          .groupBy(col("k"))
+          .agg(sum(col("a.dev") * col("b.dev")).as("num"),
+            count(lit(1)).as("n_pairs"))
+        ordered(
+          num.crossJoin(broadcast(den))
+            .select(col("k"), col("num"), col("den"), col("n_pairs"),
+              round(col("num") * lit(1.0) / col("den"), 4).as("r")))
+      }
+    ),
+    Q(
       "t29_interarrival",
       // INTER-ARRIVAL DISTRIBUTION — the arrival-process profile per
       // event type: per-user consecutive gaps in exact integer seconds,

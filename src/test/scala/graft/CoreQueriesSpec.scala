@@ -989,6 +989,57 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("t30_autocorrelation: matches a driver recompute; |r| bounded by 1") {
+    val rows = run("t30_autocorrelation").collect().sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toSeq == (1L to 10L))
+    val days = Tables(spark, sf).events
+      .select(expr("unix_micros(ts) DIV 86400000000").as("d")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+    val nd = days.length.toLong; val tot = days.map(_._2).sum
+    val dev = days.map { case (d, n) => d -> (n * nd - tot) }.toMap
+    val den = dev.values.map(v => v * v).sum
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      val pairs = dev.toSeq.flatMap { case (d, a) => dev.get(d + k).map(a -> _) }
+      assert(r.getAs[Long]("n_pairs") == pairs.length)
+      val num = pairs.map { case (a, b) => a * b }.sum
+      assert(r.getAs[Long]("num") == num && r.getAs[Long]("den") == den)
+      assert(math.abs(r.getAs[Double]("r")) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("t31_binseg: both levels match a sequential driver recompute") {
+    val rows = run("t31_binseg").collect()
+    assert(rows.length == 3)
+    val days = Tables(spark, sf).events
+      .filter(col("event_type") === "error")
+      .select(expr("unix_micros(ts) DIV 86400000000").as("d")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+    def argmax(series: Seq[(Long, Long)]): (Long, Long) = {
+      // (day, excursion) of the scaled CUSUM peak with min-day tiebreak
+      val nd = series.length.toLong; val tot = series.map(_._2).sum
+      var cum = 0L
+      val excs = series.zipWithIndex.map { case ((d, n), i) =>
+        cum += n; (d, cum * nd - (i + 1) * tot)
+      }
+      excs.minBy { case (d, e) => (-math.abs(e), d) }
+    }
+    val (d1, e1) = argmax(days)
+    val level1 = rows.find(_.getAs[Int]("level") == 1).get
+    assert(level1.getAs[Long]("day_idx") == d1 &&
+      level1.getAs[Long]("excursion") == e1)
+    val splitIdx = days.indexWhere(_._1 == d1)
+    val expect = Map(
+      "left" -> argmax(days.take(splitIdx + 1)),
+      "right" -> argmax(days.drop(splitIdx + 1)))
+    rows.filter(_.getAs[Int]("level") == 2).foreach { r =>
+      val (d, e) = expect(r.getAs[String]("seg"))
+      assert(r.getAs[Long]("day_idx") == d && r.getAs[Long]("excursion") == e,
+        s"${r.getAs[String]("seg")}: got (${r.getAs[Long]("day_idx")}, " +
+          s"${r.getAs[Long]("excursion")}), want ($d, $e)")
+    }
+  }
+
   test("sc_benford: digit counts conserve the row count; chi terms non-negative") {
     val rows = run("sc_benford").collect()
     val n = Tables(spark, sf).lineitem.count()

@@ -242,8 +242,13 @@ class ScaleShapeSpec extends AnyFunSuite {
       // scalar cross joins; the orphan scans are left-anti equi-joins
       "t28_hysteresis", // 1-row (total, day-count) scalar broadcast onto
       // the bounded day relation (the t26 shape)
-      "d2_vocab_coverage" // 4-row k-grid and 1-row total broadcasts onto
+      "d2_vocab_coverage", // 4-row k-grid and 1-row total broadcasts onto
       // the vocab-bounded ranked term relation
+      "t30_autocorrelation", // 1-row totals/denominator broadcasts + a
+      // 10-row lag grid onto the bounded day relation (lag pairing is
+      // an equi-join on day+k)
+      "t31_binseg" // 1-row totals + 1-row level-1-peak broadcasts onto
+      // the bounded day relation
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (fenced(name)) None
