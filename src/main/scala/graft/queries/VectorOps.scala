@@ -59,6 +59,85 @@ object VectorOps {
 
   val all: Seq[Q] = Seq(
     Q(
+      "d6_cluster_quality",
+      // CLUSTER-QUALITY REPORT (silhouette-lite) — how separable is the
+      // IVF partitioning? Per vector, the cosine MARGIN between its own
+      // centroid and the best FOREIGN centroid; per cluster, size, the
+      // weakest member's margin, and the mean margin. Margins live
+      // entirely in the quantized integer domain of the assignment
+      // argmax (round((sim+1)·5e14) — the d6_ivf_assign discipline), so
+      // sums are exact and each reported value is one rounded division.
+      // A thin margin flags clusters whose boundary ANN probes will
+      // miss. 100 TB shape: one corpus scan against the k-row broadcast
+      // codebook, two per-vector aggregates, then a k-row rollup.
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+              |  FROM embeddings
+              |),
+              |cents AS (
+              |  SELECT cluster, [CAST(x AS DOUBLE) FOR x IN centroid] AS cv
+              |  FROM '/root/repo/fixtures/ivf_centroids.parquet'
+              |),
+              |scored AS (
+              |  SELECT e.vec_id, cents.cluster,
+              |         CAST(round((${cosSql("e.v", "cents.cv")} + 1.0) * 5e14)
+              |              AS HUGEINT) AS qsim
+              |  FROM e CROSS JOIN cents
+              |),
+              |own AS (
+              |  SELECT vec_id,
+              |         max(qsim * 10000 + (9999 - cluster)) AS p
+              |  FROM scored GROUP BY vec_id
+              |),
+              |o AS (
+              |  SELECT vec_id, (p - p % 10000) // 10000 AS own_q,
+              |         CAST(9999 - (p % 10000) AS INTEGER) AS own_cluster
+              |  FROM own
+              |),
+              |nx AS (
+              |  SELECT s.vec_id, max(s.qsim) AS next_q
+              |  FROM scored s JOIN o ON s.vec_id = o.vec_id
+              |  WHERE s.cluster <> o.own_cluster
+              |  GROUP BY s.vec_id
+              |)
+              |SELECT o.own_cluster AS cluster, CAST(count(*) AS BIGINT) AS n,
+              |       round(CAST(min(o.own_q - nx.next_q) AS DOUBLE) / 5e14, 6)
+              |         AS min_margin,
+              |       round(CAST(sum(o.own_q - nx.next_q) AS DOUBLE)
+              |             / (count(*) * 5e14), 6) AS mean_margin
+              |FROM o JOIN nx ON o.vec_id = nx.vec_id
+              |GROUP BY o.own_cluster
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val cents = spark.read.parquet("/root/repo/fixtures/ivf_centroids.parquet")
+          .select(col("cluster"),
+            col("centroid").cast("array<float>").as("centroid"))
+        val scored = t.embeddings.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cluster"),
+            round((Vectors.cosineFast(col("embedding"), col("centroid")) + 1.0) * 5e14)
+              .cast("decimal(38,0)").as("qsim"))
+        val own = scored
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("qsim"), (lit(9999) - col("cluster")).as("negc")))
+            .as("w"))
+          .select(col("vec_id").as("o_vec"), col("w.qsim").as("own_q"),
+            (lit(9999) - col("w.negc")).cast("int").as("own_cluster"))
+        val nx = scored.join(own, col("vec_id") === col("o_vec"))
+          .filter(col("cluster") =!= col("own_cluster"))
+          .groupBy(col("vec_id").as("n_vec"))
+          .agg(max(col("qsim")).as("next_q"))
+        ordered(
+          own.join(nx, col("o_vec") === col("n_vec"))
+            .select(col("own_cluster"), (col("own_q") - col("next_q")).as("m"))
+            .groupBy(col("own_cluster").as("cluster"))
+            .agg(count(lit(1)).as("n"),
+              round(min(col("m")).cast("double") / lit(5e14), 6).as("min_margin"),
+              round(sum(col("m")).cast("double") /
+                (count(lit(1)) * lit(5e14)), 6).as("mean_margin")))
+      }
+    ),
+    Q(
       "d6_cosine_topk",
       // top-10 nearest candidates (vec_id >= 5) per query vector
       // (vec_id < 5), ranked by rounded cosine then candidate id

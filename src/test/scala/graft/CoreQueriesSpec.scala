@@ -1040,6 +1040,22 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("d6_cluster_quality: margins non-negative; sizes match the assignment") {
+    val rows = run("d6_cluster_quality").collect()
+    assert(rows.nonEmpty)
+    val nVecs = Tables(spark, sf).embeddings.count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nVecs)
+    // cluster sizes must agree with the oracle-checked assignment query
+    val assignSizes = run("d6_ivf_assign").collect()
+      .groupBy(_.getAs[Int]("cluster")).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == assignSizes(r.getAs[Int]("cluster")))
+      // own centroid is the argmax, so every margin is >= 0
+      assert(r.getAs[Double]("min_margin") >= 0)
+      assert(r.getAs[Double]("min_margin") <= r.getAs[Double]("mean_margin") + 1e-9)
+    }
+  }
+
   test("sc_benford: digit counts conserve the row count; chi terms non-negative") {
     val rows = run("sc_benford").collect()
     val n = Tables(spark, sf).lineitem.count()

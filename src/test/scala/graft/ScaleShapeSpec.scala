@@ -247,8 +247,11 @@ class ScaleShapeSpec extends AnyFunSuite {
       "t30_autocorrelation", // 1-row totals/denominator broadcasts + a
       // 10-row lag grid onto the bounded day relation (lag pairing is
       // an equi-join on day+k)
-      "t31_binseg" // 1-row totals + 1-row level-1-peak broadcasts onto
+      "t31_binseg", // 1-row totals + 1-row level-1-peak broadcasts onto
       // the bounded day relation
+      "d6_cluster_quality" // the same k-row centroid broadcast cross join
+      // as d6_ivf_assign; the next-best and rollup joins are equi on
+      // vec_id/cluster
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (fenced(name)) None
