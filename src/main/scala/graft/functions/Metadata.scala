@@ -34,6 +34,42 @@ object Metadata {
       ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
 
   /** Sniff mime + dimensions from the leading bytes of a binary blob. */
+  /** First-IFD walk of a TIFF structure rooted at `base` (offsets inside
+    * the IFD are relative to `base` — that's what makes the same walk
+    * serve both standalone TIFF files and the EXIF blob inside a JPEG
+    * APP1 segment). Entries are 12 bytes (tag, type, count, value);
+    * ImageWidth = 256, ImageLength = 257, Orientation = 274; values
+    * inline for SHORT/LONG count 1, with SHORT values in the FIRST two
+    * bytes of the value field in either endianness. */
+  private def tiffTags(bytes: Array[Byte], base: Int): Map[String, String] = {
+    if (base + 8 > bytes.length) return Map.empty
+    val le = bytes(base) == 'I' && bytes(base + 1) == 'I'
+    val be = bytes(base) == 'M' && bytes(base + 1) == 'M'
+    if (!le && !be) return Map.empty
+    def r16(i: Int): Int =
+      if (le) u16le(bytes, i) else ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+    def r32(i: Int): Long =
+      if (le) u32le(bytes, i)
+      else ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+    var m = Map.empty[String, String]
+    val ifd = base + r32(base + 4)
+    if (ifd >= base + 8 && ifd + 2 <= bytes.length) {
+      val n = r16(ifd.toInt)
+      var e = 0
+      while (e < n && ifd + 2 + (e + 1) * 12 <= bytes.length) {
+        val p = (ifd + 2 + e * 12).toInt
+        val tag = r16(p); val typ = r16(p + 2)
+        val v = if (typ == 3) r16(p + 8).toLong else r32(p + 8)
+        if (tag == 256) m += ("width" -> v.toString)
+        if (tag == 257) m += ("height" -> v.toString)
+        if (tag == 274) m += ("orientation" -> v.toString)
+        e += 1
+      }
+    }
+    m
+  }
+
   def sniff(bytes: Array[Byte]): Map[String, String] = {
     if (bytes == null) return Map.empty
     val base = Map("length" -> bytes.length.toString)
@@ -46,20 +82,30 @@ object Metadata {
           "height" -> u32(bytes, 20).toString)
       } else if (bytes.length >= 4 &&
         (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
-        // JPEG: walk segment markers to the first SOFn frame header
+        // JPEG: walk segment markers to the first SOFn frame header,
+        // collecting EXIF orientation from any APP1 "Exif\0\0" segment
+        // passed on the way (EXIF = a little TIFF embedded at the APP1
+        // payload — the same IFD walk as the standalone TIFF branch)
         var i = 2
         var dims: Option[(Int, Int)] = None
+        var exif = Map.empty[String, String]
         while (dims.isEmpty && i + 9 < bytes.length && (bytes(i) & 0xff) == 0xff) {
           val marker = bytes(i + 1) & 0xff
           if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 &&
             marker != 0xc8 && marker != 0xcc) {
             dims = Some((u16(bytes, i + 7), u16(bytes, i + 5))) // (width, height)
           } else {
+            if (marker == 0xe1 && i + 10 < bytes.length &&
+              bytes(i + 4) == 'E' && bytes(i + 5) == 'x' && bytes(i + 6) == 'i' &&
+              bytes(i + 7) == 'f' && bytes(i + 8) == 0 && bytes(i + 9) == 0) {
+              exif = tiffTags(bytes, i + 10).get("orientation")
+                .map(o => Map("orientation" -> o)).getOrElse(Map.empty)
+            }
             val len = u16(bytes, i + 2)
             i += 2 + len
           }
         }
-        Map("mime" -> "image/jpeg") ++ dims.map { case (w, h) =>
+        Map("mime" -> "image/jpeg") ++ exif ++ dims.map { case (w, h) =>
           Map("width" -> w.toString, "height" -> h.toString)
         }.getOrElse(Map.empty)
       } else if (bytes.length >= 10 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') {
@@ -162,33 +208,9 @@ object Metadata {
       } else if (bytes.length >= 8 &&
         ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 0x2a && bytes(3) == 0) ||
           (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && bytes(3) == 0x2a))) {
-        // TIFF: endian-tagged IFD walk. The first IFD's entries are
-        // 12 bytes each (tag, type, count, value); ImageWidth = 256,
-        // ImageLength = 257, value inline for SHORT/LONG count 1 —
-        // SHORT values sit in the FIRST two bytes of the value field
-        // in either endianness.
-        val le = bytes(0) == 'I'
-        def r16(i: Int): Int =
-          if (le) u16le(bytes, i) else ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
-        def r32(i: Int): Long =
-          if (le) u32le(bytes, i)
-          else ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
-            ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
-        var m = Map("mime" -> "image/tiff")
-        val ifd = r32(4)
-        if (ifd >= 8 && ifd + 2 <= bytes.length) {
-          val n = r16(ifd.toInt)
-          var e = 0
-          while (e < n && ifd + 2 + (e + 1) * 12 <= bytes.length) {
-            val p = (ifd + 2 + e * 12).toInt
-            val tag = r16(p); val typ = r16(p + 2)
-            val v = if (typ == 3) r16(p + 8).toLong else r32(p + 8)
-            if (tag == 256) m += ("width" -> v.toString)
-            if (tag == 257) m += ("height" -> v.toString)
-            e += 1
-          }
-        }
-        m
+        // TIFF: endian-tagged IFD walk ([[tiffTags]], shared with the
+        // EXIF payload inside JPEG APP1)
+        Map("mime" -> "image/tiff") ++ tiffTags(bytes, 0)
       } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x1a &&
         (bytes(1) & 0xff) == 0x45 && (bytes(2) & 0xff) == 0xdf &&
         (bytes(3) & 0xff) == 0xa3) {

@@ -638,6 +638,34 @@ object Scalars {
       }
     ),
     Q(
+      "sc_bitwise_agg",
+      // BITWISE AGGREGATES — the §2.8 family behind bitmap/bloom fold-ins
+      // and permission-mask rollups: per return flag, the OR / AND / XOR
+      // fold of the quantity bits plus the popcount of the OR mask. All
+      // pure integer lattice operations — commutative and associative, so
+      // partial/final aggregation over any partitioning is exact by
+      // construction (no ordering discipline needed at all).
+      Some("""SELECT l_returnflag AS flag,
+             |       CAST(bit_or(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_or,
+             |       CAST(bit_and(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_and,
+             |       CAST(bit_xor(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_xor,
+             |       CAST(bit_count(bit_or(CAST(l_quantity AS BIGINT))) AS BIGINT)
+             |         AS or_bits
+             |FROM lineitem GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.lineitem
+            .select(col("l_returnflag").as("flag"),
+              col("l_quantity").cast("long").as("q"))
+            .groupBy(col("flag"))
+            .agg(expr("bit_or(q)").as("qty_or"),
+              expr("bit_and(q)").as("qty_and"),
+              expr("bit_xor(q)").as("qty_xor"),
+              expr("CAST(bit_count(bit_or(q)) AS BIGINT)").as("or_bits")))
+      }
+    ),
+    Q(
       "sc_benford",
       // BENFORD FIRST-DIGIT AUDIT — the fraud/synthetic-data smell test:
       // does the leading digit of the money column follow log10(1+1/d)?

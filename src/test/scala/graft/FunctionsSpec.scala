@@ -109,6 +109,27 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("D1: EXIF orientation from the TIFF blob inside JPEG APP1") {
+    // SOI + APP1("Exif\0\0" + little TIFF with orientation=6) + SOF0 + EOI
+    val tiff = java.nio.ByteBuffer.allocate(26)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiff.put('I'.toByte).put('I'.toByte).put(0x2a.toByte).put(0.toByte)
+    tiff.putInt(8).putShort(1)
+    tiff.putShort(274).putShort(3).putInt(1).putShort(6).putShort(0)
+    tiff.putInt(0)
+    val t = tiff.array()
+    val b = java.nio.ByteBuffer.allocate(2 + 4 + 6 + t.length + 13 + 2)
+    b.put(Array(0xff, 0xd8).map(_.toByte))
+    b.put(Array(0xff, 0xe1).map(_.toByte)).putShort((2 + 6 + t.length).toShort)
+    b.put("Exif".getBytes).put(0.toByte).put(0.toByte).put(t)
+    b.put(Array(0xff, 0xc0).map(_.toByte)).putShort(11).put(8.toByte)
+      .putShort(480.toShort).putShort(640.toShort)
+    b.put(Array(0xff, 0xd9).map(_.toByte))
+    val m = Metadata.sniff(b.array())
+    assert(m("mime") == "image/jpeg" && m("orientation") == "6")
+    assert(m("width") == "640" && m("height") == "480")
+  }
+
   test("D1: WebP dims across VP8X, VP8L, and lossy VP8 payloads") {
     def riffWebp(chunk: String, payload: Array[Byte]): Array[Byte] = {
       val b = java.nio.ByteBuffer.allocate(20 + payload.length)
