@@ -98,8 +98,11 @@ object Metadata {
             if (marker == 0xe1 && i + 10 < bytes.length &&
               bytes(i + 4) == 'E' && bytes(i + 5) == 'x' && bytes(i + 6) == 'i' &&
               bytes(i + 7) == 'f' && bytes(i + 8) == 0 && bytes(i + 9) == 0) {
+              // first-wins across multiple APP1 segments: a later Exif
+              // block lacking tag 274 must not discard an orientation
+              // already found, so only overwrite on an actual yield
               exif = tiffTags(bytes, i + 10).get("orientation")
-                .map(o => Map("orientation" -> o)).getOrElse(Map.empty)
+                .map(o => Map("orientation" -> o)).getOrElse(exif)
             }
             val len = u16(bytes, i + 2)
             i += 2 + len

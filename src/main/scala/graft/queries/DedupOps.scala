@@ -787,9 +787,11 @@ object DedupOps {
       // — no float boundary for engines to disagree on. 100 TB shape: the
       // pair relation is the post-verification dedup output (already
       // bounded by the LSH/prefix valves — orders of magnitude below the
-      // corpus), and the 7-row threshold grid broadcasts against it; the
-      // corpus itself is scanned exactly once, by the shingle build the
-      // pair relation already rides.
+      // corpus); each pair explodes to its <=7 qualifying grid rows in
+      // ONE narrow pass (t10 <= floor(inter*10/un)), so no join touches
+      // the pair relation at all — the 7-row grid only zero-fills the
+      // aggregate. The corpus itself is scanned exactly once, by the
+      // shingle build the pair relation already rides.
       Some(s"""WITH $shinglesCte,
               |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
               |inter AS (
@@ -818,15 +820,25 @@ object DedupOps {
             minJaccard = 0.0, withCounts = true)
           .select(col("a"), col("b"), col("inter"), col("un"))
         val th = spark.range(3, 10).select(col("id").cast("int").as("t10"))
+        // Join-free threshold sweep: a pair with integer-exact jaccard
+        // inter/un qualifies at threshold t10 iff inter*10 >= t10*un,
+        // i.e. for every t10 in [3, min(9, floor(inter*10/un))] — so one
+        // narrow pass over the pair relation explodes each pair to its
+        // qualifying grid rows (<= 7 each) and aggregates. No theta join,
+        // no BroadcastNestedLoop, no broadcast of an unbounded relation;
+        // the 7-row grid left-joins the aggregate only to zero-fill.
+        val maxT = least(floor(col("inter") * 10 / col("un")).cast("int"), lit(9))
+        val counted = pairs
+          .select(col("b"),
+            explode(when(maxT >= 3, sequence(lit(3), maxT))
+              .otherwise(array().cast("array<int>"))).as("t10"))
+          .groupBy(col("t10"))
+          .agg(count(lit(1)).as("np"), countDistinct(col("b")).as("nd"))
         ordered(
-          // 7-row grid LEFT-joins the (bounded, post-verify) pair
-          // relation so zero-yield thresholds still report 0s; the pair
-          // side broadcasts — the corpus never re-enters
-          th.join(broadcast(pairs),
-              col("inter") * 10 >= col("t10") * col("un"), "left")
-            .groupBy(col("t10"))
-            .agg(count(col("a")).as("n_pairs"),
-              countDistinct(col("b")).as("n_docs_removed")))
+          th.join(counted, Seq("t10"), "left")
+            .select(col("t10"),
+              coalesce(col("np"), lit(0L)).as("n_pairs"),
+              coalesce(col("nd"), lit(0L)).as("n_docs_removed")))
       }
     ),
     Q(

@@ -1385,10 +1385,11 @@ object TextOps {
     (spark, dir) => {
       val t = Tables(spark, dir)
       val toks = t.documents.select(col("source"), Text.tokenize(col("text")).as("tk"))
+      // Text.shingles guards docs shorter than n tokens (sequence(1, 0)
+      // counts DOWN in Spark); the DuckDB oracle's range(1, len-1) already
+      // yields no rows there, so the guard keeps both engines aligned.
       val g = toks.select(col("source"),
-        explode(expr(
-          "transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))"))
-          .as("gram"))
+        explode(Text.shingles(col("tk"), 3)).as("gram"))
       val s = g.groupBy(col("gram"))
         .agg(countDistinct(col("source")).as("n_sources"), count(lit(1)).as("n"))
       s.filter(col("n_sources") >= 5)
@@ -1432,10 +1433,9 @@ object TextOps {
       val t = Tables(spark, dir)
       val gk = t.documents
         .select(col("source").as("src"), Text.tokenize(col("text")).as("tk"))
-        .select(col("src"),
-          explode(expr(
-            "transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))"))
-            .as("gram"))
+        // shingles() guards <3-token docs (empty array, matching the
+        // oracle's empty range) instead of a negative-index sequence.
+        .select(col("src"), explode(Text.shingles(col("tk"), 3)).as("gram"))
         .distinct()
       val m = gk.groupBy(col("src")).agg(count(lit(1)).as("n_grams"))
       val pr = gk.as("g1")

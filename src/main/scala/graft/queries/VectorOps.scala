@@ -113,6 +113,14 @@ object VectorOps {
         val cents = spark.read.parquet("/root/repo/fixtures/ivf_centroids.parquet")
           .select(col("cluster"),
             col("centroid").cast("array<float>").as("centroid"))
+        // The SQL side packs its argmax tiebreak as qsim*10000 + (9999 -
+        // cluster), which silently decodes the wrong winner if a cluster
+        // id ever reaches 10000; the DataFrame struct-max has no such
+        // bound, so the engines would diverge rather than fail loudly.
+        // Fail loudly here instead: the codebook is k-row (fixture k=8),
+        // so this collect is a bounded metadata check, not a data scan.
+        require(cents.agg(max(col("cluster"))).head.getInt(0) < 10000,
+          "d6_cluster_quality packed tiebreak assumes cluster ids < 10000")
         val scored = t.embeddings.crossJoin(broadcast(cents))
           .select(col("vec_id"), col("cluster"),
             round((Vectors.cosineFast(col("embedding"), col("centroid")) + 1.0) * 5e14)

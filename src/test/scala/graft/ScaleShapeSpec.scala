@@ -218,9 +218,6 @@ class ScaleShapeSpec extends AnyFunSuite {
       // per-customer relation — constant-size build side
       "w13_lorenz", // 1-row gini/grand-total scalar broadcast onto the
       // 10-row decile relation — constant-size build side
-      "d5_dedup_yield_curve", // 7-row threshold-grid broadcast onto the
-      // bounded candidate-pair relation (the same shingle self-join as
-      // d5_ngram_jaccard provides the pairs; the grid is a constant)
       "d5_tfidf_cosine_pairs", // 1-row corpus-size scalar broadcast into
       // the idf weight; the pair mining itself is a df-capped posting
       // equi-join
@@ -263,6 +260,17 @@ class ScaleShapeSpec extends AnyFunSuite {
       }
     }
     assert(offenders.isEmpty, s"unfenced nested-loop joins in: $offenders")
+  }
+
+  test("yield curve is explode-based: no nested loop, grid joins only the aggregate") {
+    // the threshold sweep must ride ONE narrow pass over the pair
+    // relation (explode to qualifying t10 rows), never a theta join that
+    // broadcasts the unbounded pair relation into a BroadcastNestedLoop
+    val plan = executedPlan(SparkEntry.queries("d5_dedup_yield_curve")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"yield curve regressed to a nested-loop theta join:\n$plan")
+    assert(plan.contains("Generate"),
+      s"missing the per-pair threshold explode:\n$plan")
   }
 
   test("BandJoinRewrite: naive abs-band join becomes a hash equi-join with fan-out") {

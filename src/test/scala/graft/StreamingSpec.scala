@@ -339,9 +339,11 @@ class StreamingSpec extends AnyFunSuite {
       mem.addData(b: _*); q.processAllAvailable()
     }
     q.stop()
-    // update mode re-emits a day on change; keep the latest count
+    // update mode re-emits a day on change; per-day windowed counts only
+    // grow across emissions, so max() is both deterministic and the
+    // latest value (last() after a shuffle is order-nondeterministic)
     val sink = spark.table("t28_sink")
-      .groupBy(col("d")).agg(last(col("n")).as("n"))
+      .groupBy(col("d")).agg(max(col("n")).as("n"))
     val got = graft.queries.EventOps.hysteresis(sink)
       .collect().map(r => r.getAs[Long]("day_idx") ->
         (r.getAs[Long]("n"), r.getAs[Int]("alert"))).toMap
