@@ -25,27 +25,27 @@ object Ivf {
     * (cluster: int, centroid: array<double>). */
   def train(embeddings: DataFrame, k: Int, iters: Int = 2): DataFrame = {
     val centroidAgg = udaf(Centroid)
-    // deterministic seeding: the k lowest vec_ids. Cluster ids come from
-    // a k-sized literal id→rank map (k rows already live on the driver by
-    // construction) — not a Window.orderBy over the whole relation, which
-    // would spam the misleading "No Partition Defined" scale warning.
-    val seeds = embeddings.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("centroid"))
-      .localCheckpoint()
+    // deterministic seeding: the k lowest vec_ids. The codebook is k rows
+    // of driver state between rounds (Bounded.local — the distributed-
+    // Lloyd discipline: the driver holds k×dim, never the corpus), so
+    // cluster ids come from a k-sized literal id→rank map — not a
+    // Window.orderBy over the whole relation, which would spam the
+    // misleading "No Partition Defined" scale warning.
+    val seeds = Bounded.local(embeddings.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("centroid")))
     val ranks: Map[Long, Int] = seeds.select(col("vec_id")).collect()
       .map(_.getLong(0)).sorted.zipWithIndex.toMap
     var cents = seeds
       .select(element_at(typedlit(ranks), col("vec_id")).as("cluster"),
         col("centroid"))
-      .localCheckpoint()
     (0 until iters).foreach { _ =>
       // one embeddings scan per iteration: the vector rides through the
       // argmax aggregate, so the update step needs no second scan and no
-      // shuffle join back onto embeddings
-      cents = assignKeepVec(embeddings, cents)
+      // shuffle join back onto embeddings; each round's k-row result
+      // lands back in driver state (flat lineage, fault-tolerant)
+      cents = Bounded.local(assignKeepVec(embeddings, cents)
         .groupBy(col("cluster"))
-        .agg(centroidAgg(col("embedding")).as("centroid"))
-        .localCheckpoint() // keep the lineage flat across iterations
+        .agg(centroidAgg(col("embedding")).as("centroid")))
     }
     cents
   }

@@ -70,20 +70,21 @@ object Pq {
       iters: Int = 2, dim: Int = 64): DataFrame = {
     val sv = subvectors(embeddings, m, dim / m).localCheckpoint()
     val centroidAgg = udaf(Centroid)
-    var cents = sv.filter(col("vec_id") < ksub)
+    // the m×ksub codebook is driver state between rounds (Bounded.local):
+    // fault-tolerant, broadcasts naturally, lineage flat — the corpus-
+    // sized sv above is the only executor-side materialization
+    var cents = Bounded.local(sv.filter(col("vec_id") < ksub)
       .select(col("sub"), col("vec_id").cast("int").as("cluster"),
-        col("subvec").cast("array<double>").as("centroid"))
-      .localCheckpoint()
+        col("subvec").cast("array<double>").as("centroid")))
     (0 until iters).foreach { _ =>
-      cents = sv.join(broadcast(centsF32(cents)), "sub")
+      cents = Bounded.local(sv.join(broadcast(centsF32(cents)), "sub")
         .select(col("vec_id"), col("sub"), col("subvec"),
           pack(d2(col("subvec"), col("cf")), col("cluster")).as("p"))
         .groupBy(col("vec_id"), col("sub"))
         .agg(max(col("p")).as("best"), first(col("subvec")).as("subvec"))
         .select(col("sub"), unpack(col("best")).as("cluster"), col("subvec"))
         .groupBy(col("sub"), col("cluster"))
-        .agg(centroidAgg(col("subvec")).as("centroid"))
-        .localCheckpoint()
+        .agg(centroidAgg(col("subvec")).as("centroid")))
     }
     cents
   }

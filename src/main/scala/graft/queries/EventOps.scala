@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Canon._
+import graft.functions.Bounded
 import graft.sources.Tables
 
 /** Event-time operators over the events table — SURVEY.md §2.10.
@@ -656,12 +657,14 @@ object EventOps {
             least(floor((col("value") - col("lo")) / width), lit(9.0))
               .cast("int").as("bucket"),
             when(unix_micros(col("ts")) >= col("mid_us"), 2).otherwise(1).as("half"))
-        val c = spark.range(0, 10).select(col("id").cast("int").as("bucket"))
-          .join(tagged, Seq("bucket"), "left")
-          .groupBy(col("bucket"))
-          .agg(coalesce(sum(when(col("half") === 1, 1L)), lit(0L)).as("c1"),
-            coalesce(sum(when(col("half") === 2, 1L)), lit(0L)).as("c2"))
-          .localCheckpoint() // 10-row relation feeds totals and the terms
+        // 10-row bucket relation feeds totals and the terms: driver-held
+        // (Bounded.local) — constant-sized by design, no executor pinning
+        val c = Bounded.local(
+          spark.range(0, 10).select(col("id").cast("int").as("bucket"))
+            .join(tagged, Seq("bucket"), "left")
+            .groupBy(col("bucket"))
+            .agg(coalesce(sum(when(col("half") === 1, 1L)), lit(0L)).as("c1"),
+              coalesce(sum(when(col("half") === 2, 1L)), lit(0L)).as("c2")))
         val tot = c.agg((sum(col("c1")) + 10).cast("long").as("t1s"),
           (sum(col("c2")) + 10).cast("long").as("t2s"))
         val lr = round(

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Canon._
-import graft.functions.{Centroid, Vectors}
+import graft.functions.{Bounded, Centroid, Vectors}
 import graft.sources.Tables
 
 /** Similarity search + vector aggregation over the embeddings table —
@@ -1359,13 +1359,16 @@ object VectorOps {
           .select(col("vec_id"), col("v"),
             (col("p") % 10000).cast("int").as("cluster"))
         val n1t = a1.groupBy(col("cluster")).agg(count(lit(1)).as("n1"))
-        val m = a1.select(col("cluster"), posexplode(col("v")).as(Seq("i0", "x")))
+        // the (cluster, dim) mean matrix is k×64 rows of driver state
+        // (Bounded.local) feeding cents2 and the c0 report — the Lloyd
+        // codebook discipline, not an executor-pinned checkpoint
+        val m = Bounded.local(
+          a1.select(col("cluster"), posexplode(col("v")).as(Seq("i0", "x")))
           .groupBy(col("cluster"), (col("i0") + 1).as("i"))
           .agg(sum(round(col("x"), 12).cast("decimal(25,15)")).as("s"),
             count(lit(1)).as("cnt"))
           .select(col("cluster"), col("i"),
-            (col("s").cast("double") / col("cnt")).as("m"))
-          .localCheckpoint() // feeds cents2 and the c0 report
+            (col("s").cast("double") / col("cnt")).as("m")))
         val cents2 = m.groupBy(col("cluster"))
           .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
             s => s.getField("m")).as("cv"))
