@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Canon._
@@ -1385,6 +1386,179 @@ object VectorOps {
                 .as("inertia"),
               min(col("c0")).as("c0"))
         )
+      }
+    ),
+    Q(
+      "d6_kmeans_converge",
+      // MULTI-ROUND LLOYD CONVERGENCE — d6_kmeans_lloyd's exact-hash round
+      // run three times, reporting the training curve an operator actually
+      // watches: per round the cluster count, how many vectors changed
+      // cluster, and the quantized inertia. Lloyd's monotonicity makes the
+      // inertia column non-increasing (assignment minimizes against the
+      // means that minimized the previous assignment), and because every
+      // step is engine-exact — packed-BIGINT argmin assignment, DECIMAL
+      // (25,15) centroid sums over round(12)-quantized coordinates — the
+      // whole three-round curve hash-matches, movement counts included.
+      // 100 TB shape: per round ONE corpus scan against the k-row
+      // driver-held codebook (Bounded.local — the distributed-Lloyd state
+      // discipline) + one (cluster, dim) hash aggregate with map-side
+      // partials; the movement join rides the assignment relation on the
+      // same vec_id key; nothing driver-side ever exceeds k×dim.
+      Some("""WITH e AS (
+             |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+             |  FROM embeddings
+             |),
+             |init AS (
+             |  SELECT CAST(vec_id AS INTEGER) AS cluster, v AS cv
+             |  FROM e WHERE vec_id < 8
+             |),
+             |dd1 AS (
+             |  SELECT e.vec_id, c.cluster,
+             |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           [(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+             |            FOR i IN range(1, len(e.v) + 1)]),
+             |           (acc, x) -> acc + x) AS d
+             |  FROM e CROSS JOIN init c
+             |),
+             |a1 AS (
+             |  SELECT vec_id, CAST(p % 10000 AS INTEGER) AS cluster,
+             |         p // 10000 AS dq
+             |  FROM (SELECT vec_id,
+             |               min(CAST(round(d * 1000000000000) AS BIGINT) * 10000
+             |                   + cluster) AS p
+             |        FROM dd1 GROUP BY 1)
+             |),
+             |c1 AS (
+             |  SELECT cluster, list(m ORDER BY i) AS cv
+             |  FROM (SELECT a1.cluster, r.range AS i,
+             |               CAST(sum(CAST(round(e.v[r.range], 12) AS DECIMAL(25,15)))
+             |                    AS DOUBLE) / count(*) AS m
+             |        FROM a1 JOIN e USING (vec_id) CROSS JOIN range(1, 65) r
+             |        GROUP BY 1, 2)
+             |  GROUP BY 1
+             |),
+             |dd2 AS (
+             |  SELECT e.vec_id, c.cluster,
+             |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           [(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+             |            FOR i IN range(1, len(e.v) + 1)]),
+             |           (acc, x) -> acc + x) AS d
+             |  FROM e CROSS JOIN c1 c
+             |),
+             |a2 AS (
+             |  SELECT vec_id, CAST(p % 10000 AS INTEGER) AS cluster,
+             |         p // 10000 AS dq
+             |  FROM (SELECT vec_id,
+             |               min(CAST(round(d * 1000000000000) AS BIGINT) * 10000
+             |                   + cluster) AS p
+             |        FROM dd2 GROUP BY 1)
+             |),
+             |c2 AS (
+             |  SELECT cluster, list(m ORDER BY i) AS cv
+             |  FROM (SELECT a2.cluster, r.range AS i,
+             |               CAST(sum(CAST(round(e.v[r.range], 12) AS DECIMAL(25,15)))
+             |                    AS DOUBLE) / count(*) AS m
+             |        FROM a2 JOIN e USING (vec_id) CROSS JOIN range(1, 65) r
+             |        GROUP BY 1, 2)
+             |  GROUP BY 1
+             |),
+             |dd3 AS (
+             |  SELECT e.vec_id, c.cluster,
+             |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           [(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+             |            FOR i IN range(1, len(e.v) + 1)]),
+             |           (acc, x) -> acc + x) AS d
+             |  FROM e CROSS JOIN c2 c
+             |),
+             |a3 AS (
+             |  SELECT vec_id, CAST(p % 10000 AS INTEGER) AS cluster,
+             |         p // 10000 AS dq
+             |  FROM (SELECT vec_id,
+             |               min(CAST(round(d * 1000000000000) AS BIGINT) * 10000
+             |                   + cluster) AS p
+             |        FROM dd3 GROUP BY 1)
+             |),
+             |mv2 AS (
+             |  SELECT CAST(sum(CASE WHEN x.cluster <> y.cluster THEN 1 ELSE 0 END)
+             |              AS BIGINT) AS n_moved
+             |  FROM a1 x JOIN a2 y USING (vec_id)
+             |),
+             |mv3 AS (
+             |  SELECT CAST(sum(CASE WHEN x.cluster <> y.cluster THEN 1 ELSE 0 END)
+             |              AS BIGINT) AS n_moved
+             |  FROM a2 x JOIN a3 y USING (vec_id)
+             |)
+             |SELECT 1 AS iter, CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+             |       CAST(0 AS BIGINT) AS n_moved,
+             |       round(CAST(CAST(sum(dq) AS BIGINT) AS DOUBLE)
+             |             / 1000000000000, 4) AS inertia
+             |FROM a1
+             |UNION ALL
+             |SELECT 2, CAST(count(DISTINCT cluster) AS BIGINT), min(mv2.n_moved),
+             |       round(CAST(CAST(sum(dq) AS BIGINT) AS DOUBLE) / 1000000000000, 4)
+             |FROM a2 CROSS JOIN mv2
+             |UNION ALL
+             |SELECT 3, CAST(count(DISTINCT cluster) AS BIGINT), min(mv3.n_moved),
+             |       round(CAST(CAST(sum(dq) AS BIGINT) AS DOUBLE) / 1000000000000, 4)
+             |FROM a3 CROSS JOIN mv3
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val e = t.embeddings
+          .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+          .localCheckpoint() // feeds all three assignment scans + mean joins
+        def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x)
+        def argmin(cents: DataFrame): DataFrame =
+          e.crossJoin(broadcast(cents))
+            .select(col("vec_id"),
+              (round(d2(col("v"), col("cv")) * lit(1000000000000d))
+                .cast("long") * 10000 + col("cluster")).as("pk"))
+            .groupBy(col("vec_id")).agg(min(col("pk")).as("p"))
+            .select(col("vec_id"), (col("p") % 10000).cast("int").as("cluster"),
+              expr("p DIV 10000").as("dq"))
+        def means(a: DataFrame): DataFrame = Bounded.local(
+          a.join(e, Seq("vec_id"))
+            .select(col("cluster"), posexplode(col("v")).as(Seq("i0", "x")))
+            .groupBy(col("cluster"), (col("i0") + 1).as("i"))
+            .agg(sum(round(col("x"), 12).cast("decimal(25,15)")).as("s"),
+              count(lit(1)).as("cnt"))
+            .select(col("cluster"), col("i"),
+              (col("s").cast("double") / col("cnt")).as("m"))
+            .groupBy(col("cluster"))
+            .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+              s => s.getField("m")).as("cv")))
+        var cents = Bounded.local(e.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv")))
+        var prev: DataFrame = null
+        val stats = (1 to 3).map { r =>
+          // assignment consumed by the stats row, the movement joins
+          // (this round + next) and the mean update — one scan, reused
+          val a = argmin(cents).localCheckpoint()
+          val base = a.agg(
+            countDistinct(col("cluster")).as("n_clusters"),
+            round(sum(col("dq")).cast("double") / lit(1000000000000d), 4)
+              .as("inertia"))
+          val st =
+            if (r == 1)
+              base.select(lit(r).as("iter"), col("n_clusters"),
+                lit(0L).as("n_moved"), col("inertia"))
+            else {
+              val mv = a.select(col("vec_id"), col("cluster").as("c2"))
+                .join(prev.select(col("vec_id"), col("cluster").as("c1")),
+                  Seq("vec_id"))
+                .agg(coalesce(sum(when(col("c1") =!= col("c2"), 1L)), lit(0L))
+                  .as("n_moved"))
+              base.crossJoin(mv) // two 1-row aggregates
+                .select(lit(r).as("iter"), col("n_clusters"), col("n_moved"),
+                  col("inertia"))
+            }
+          prev = a
+          if (r < 3) cents = means(a)
+          st
+        }
+        ordered(stats.reduce(_.unionByName(_)))
       }
     )
   )

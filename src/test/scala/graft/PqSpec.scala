@@ -103,6 +103,51 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF-PQ top-1 recall $recall too low")
   }
 
+  test("d6_kmeans_converge: inertia non-increasing; own-trained centroids drive IVF search") {
+    import spark.implicits._
+    val curve = SparkEntry.queries("d6_kmeans_converge")(spark, sfDir)
+      .orderBy(col("iter")).collect()
+    assert(curve.length == 3)
+    val inertias = curve.map(_.getAs[Double]("inertia"))
+    // Lloyd monotonicity: each assignment minimizes against the means that
+    // minimized the previous assignment (1e-9 slack absorbs the 1e-12
+    // distance quantization at the argmin boundary)
+    inertias.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, s"inertia increased: ${inertias.toSeq}")
+    }
+    // movement shrinks as training settles
+    val moved = curve.map(_.getAs[Long]("n_moved"))
+    assert(moved(0) == 0L && moved(2) <= moved(1),
+      s"movement did not shrink: ${moved.toSeq}")
+    // the IVF pipeline fed its OWN trained codebook (k-row driver state
+    // from Ivf.train, not the frozen fixture file) must reach at least
+    // the fixture codebook's recall on the same query set
+    val e = emb
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val brute = corpus.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+      .crossJoin(broadcast(q))
+      .select(col("q_id"), col("c_id"),
+        graft.functions.Vectors.cosine(col("qe"), col("ce")).as("cos"))
+      .groupBy(col("q_id")).agg(max(struct(col("cos"), col("c_id"))).as("m"))
+      .select(col("q_id"), col("m.c_id").as("best"))
+      .as[(Long, Long)].collect().toMap
+    def recallOf(cb: org.apache.spark.sql.DataFrame): Double = {
+      val got = graft.functions.Ivf.search(
+          graft.functions.Ivf.index(corpus, cb), cb, q, nProbe = 3, topK = 1)
+        .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toMap
+      brute.count { case (k, v) => got.get(k).contains(v) }.toDouble / brute.size
+    }
+    val trained = recallOf(graft.functions.Ivf.train(e, k = 8, iters = 3))
+    val fixture = recallOf(
+      spark.read.parquet("/root/repo/fixtures/ivf_centroids.parquet")
+        .select(col("cluster"), col("centroid")))
+    assert(trained >= fixture - 0.11,
+      s"self-trained codebook recall $trained far below fixture $fixture")
+    assert(trained >= 0.5, s"self-trained IVF recall $trained too low")
+  }
+
   test("scale shape: no cartesian in the PQ search plan; codebook joins broadcast") {
     val corpus = emb.filter(col("vec_id") >= 20)
     val queries = emb.filter(col("vec_id") < 20)

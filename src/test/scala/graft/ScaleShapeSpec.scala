@@ -223,6 +223,8 @@ class ScaleShapeSpec extends AnyFunSuite {
       // equi-join
       "d6_kmeans_lloyd", // k-row centroid broadcast cross joins (the
       // d6_ivf_assign shape), one per Lloyd iteration
+      "d6_kmeans_converge", // same k-row codebook cross join per round +
+      // two 1-row aggregate cross joins (stats × movement count)
       "t23_rfm_segmentation", // 1-row corpus-max-timestamp scalar
       // broadcast onto the per-user purchase aggregate
       "d11_curriculum", // 1-row corpus-token-total scalar broadcast onto
