@@ -62,6 +62,43 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(spread > 4)
   }
 
+  test("AQE skew-join: a planted hot key triggers the automatic skew split") {
+    // j11_salted_skew_join proves the MANUAL remedy; this proves the
+    // automatic path a 100 TB cluster relies on FIRST — AQE's
+    // OptimizeSkewedJoin splitting the oversized shuffle partition at
+    // runtime. Thresholds are lowered so local[32] data sizes qualify;
+    // the detection logic (partition bytes > max(threshold,
+    // factor × median)) is the same one production sizes hit.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // 90% of fact rows share key 0; the rest spread over 97 keys
+      val fact = spark.range(0, 200000).select(
+        when(pmod(col("id"), lit(10)) < 9, lit(0L))
+          .otherwise(pmod(col("id"), lit(97)) + 1).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(0, 98).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      val j = fact.join(dim, "k")
+      val plan = executedPlan(j) // collect() forces the AQE final plan
+      assert(j.count() == 200000L)
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed sort-merge join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("partition-pruned scan reads only the matching partition") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString

@@ -424,6 +424,65 @@ class StreamingSpec extends AnyFunSuite {
       (us("2024-01-01 02:00:00"), 1L))) // closed by timeout, not by a new event
   }
 
+  test("T5 kill-restart: losing the commit marker replays the batch without duplicate sessions") {
+    import spark.implicits._
+    // The session analogue of the ingest mid-write kill: a crash in the
+    // window between the sink/state commit and the commit-log write
+    // leaves offsets/<N> present but commits/<N> missing. On restart
+    // Structured Streaming replays batch N — the state store rolls back
+    // to version N-1 and the file sink's own manifest dedups any files
+    // the first attempt already committed. Deleting the latest commit
+    // marker simulates that exact crash deterministically.
+    val base = java.nio.file.Files.createTempDirectory("graft_sess_kill").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    def ev(id: Long, t: String) = Ev(id, ts(t), 1, "click", 0, "{}")
+    def drain(): Unit = {
+      val q = Streams.sessionStream(
+          spark.readStream.schema(fixture.toDF().schema).parquet(src))
+        .toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def sessions(): Seq[(Long, Long)] =
+      spark.read.schema("userId BIGINT, startMicros BIGINT, endMicros BIGINT, nEvents BIGINT")
+        .parquet(out).select("startMicros", "nEvents")
+        .as[(Long, Long)].collect().toSeq.sorted
+    def us(t: String) = ts(t).getTime * 1000L
+    // batch 0: open a session (two events 5m apart) — nothing emitted yet
+    Seq(ev(0, "2024-01-01 00:00:00"), ev(1, "2024-01-01 00:05:00"))
+      .toDF().write.mode("append").parquet(src)
+    drain()
+    // batch 1: a 2h-later event closes session 1 (state recovered across
+    // the restart) and opens session 2
+    Seq(ev(2, "2024-01-01 02:00:00")).toDF().write.mode("append").parquet(src)
+    drain()
+    assert(sessions() == Seq((us("2024-01-01 00:00:00"), 2L)))
+    // KILL: drop the latest commit marker — the crash window where the
+    // batch ran but was never acknowledged
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    assert(commits.last.delete(), "could not remove the commit marker")
+    if (crc.exists()) crc.delete() // local-FS checksum sidecar
+    // restart with no new data: batch 1 replays against state version 0;
+    // the emitted session must not duplicate in the sink
+    drain()
+    assert(sessions() == Seq((us("2024-01-01 00:00:00"), 2L)),
+      s"replayed batch duplicated or lost sessions: ${sessions()}")
+    // batch 2 after the replay: far-future event advances the watermark,
+    // the event-time timeout evicts session 2 — state survived the kill
+    Seq(Ev(3, ts("2024-01-01 07:00:00"), 2, "click", 0, "{}"))
+      .toDF().write.mode("append").parquet(src)
+    drain()
+    assert(sessions() == Seq(
+      (us("2024-01-01 00:00:00"), 2L),
+      (us("2024-01-01 02:00:00"), 1L)),
+      s"post-kill state wrong: ${sessions()}")
+  }
+
   test("streaming CDC into DocStore: bulk versioning per batch, replay is a no-op") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("ds_stream").toString
