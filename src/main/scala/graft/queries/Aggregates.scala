@@ -182,29 +182,70 @@ object Aggregates {
     ),
     Q(
       "a9_approx_quantiles",
-      // the 100 TB percentile path: GK-sketch approx_percentile has
-      // fixed-size partial state (exact percentile buffers every value
-      // per group). Engine-specific values => rows-only + the query
-      // self-asserts the approximation against the exact percentiles.
-      None,
+      // the 100 TB percentile path, made EXACT-HASH-CHECKABLE by the GK
+      // error-bound law (the Misra-Gries recount discipline applied to
+      // quantiles): pass 1 builds the fixed-memory GK sketch
+      // (percentile_approx, accuracy 10000 => rank error <= n/10000) and
+      // reads band edges at q -/+ 0.001 — by the bound, the true discrete
+      // quantile's value is INSIDE [lo, hi] and the band holds ~0.2% of
+      // the group. Pass 2 is one more scan: an exact strictly-below-lo
+      // count plus a rank window over the tiny band extract the exact
+      // order statistic at rank ceil(q*n) — a raw data value, identical
+      // in any engine, so the final answer hash-matches DuckDB's direct
+      // rank selection. If the sketch ever violated its bound the pick
+      // rank would fall outside the band and the row would vanish —
+      // a loud hash failure, never a silent approximation. ceil(q*n)
+      // is the same IEEE product in both engines. 100 TB shape: pass 1
+      // is one hash aggregate with mergeable sketch partials; pass 2 is
+      // one scan against the broadcast 3-row stats with map-side partial
+      // counts; the rank window rides band-sized partitions.
+      Some("""WITH v AS (
+             |  SELECT l_returnflag AS flag, l_extendedprice AS x FROM lineitem
+             |),
+             |n AS (SELECT flag, count(*) AS n FROM v GROUP BY 1),
+             |r AS (SELECT flag, x,
+             |             row_number() OVER (PARTITION BY flag ORDER BY x) AS rn
+             |      FROM v)
+             |SELECT r.flag,
+             |       min(CASE WHEN rn = CAST(ceil(0.5 * n.n) AS BIGINT)
+             |                THEN x END) AS p50,
+             |       min(CASE WHEN rn = CAST(ceil(0.95 * n.n) AS BIGINT)
+             |                THEN x END) AS p95
+             |FROM r JOIN n USING (flag)
+             |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin),
       (spark, dir) => {
         val t = Tables(spark, dir)
+        val li = t.lineitem
+          .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
+        // pass 1: group sizes + GK band edges (3-row driver-held stats)
+        val stats = graft.functions.Bounded.local(
+          li.groupBy(col("flag")).agg(
+            count(lit(1)).as("n"),
+            percentile_approx(col("x"), lit(0.499), lit(10000)).as("lo50"),
+            percentile_approx(col("x"), lit(0.501), lit(10000)).as("hi50"),
+            percentile_approx(col("x"), lit(0.949), lit(10000)).as("lo95"),
+            percentile_approx(col("x"), lit(0.951), lit(10000)).as("hi95")))
+        // pass 2: each row fans out to the (<= 2) quantile specs it serves
+        val spec = li.join(broadcast(stats), Seq("flag"))
+          .select(col("flag"), col("x"),
+            explode(array(
+              struct(lit(50).as("q"), col("lo50").as("lo"), col("hi50").as("hi"),
+                ceil(lit(0.5) * col("n")).cast("long").as("k")),
+              struct(lit(95).as("q"), col("lo95").as("lo"), col("hi95").as("hi"),
+                ceil(lit(0.95) * col("n")).cast("long").as("k")))).as("s"))
+          .select(col("flag"), col("x"), col("s.q").as("q"),
+            col("s.lo").as("lo"), col("s.hi").as("hi"), col("s.k").as("k"))
+        val cntLt = spec.groupBy(col("flag"), col("q"))
+          .agg(sum(when(col("x") < col("lo"), 1L).otherwise(0L)).as("cnt_lt"))
+        val band = spec.filter(col("x") >= col("lo") && col("x") <= col("hi"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("flag"), col("q")).orderBy(col("x"))))
+        val picked = band.join(cntLt, Seq("flag", "q"))
+          .filter(col("cnt_lt") + col("rn") === col("k"))
         ordered(
-          t.lineitem
-            .groupBy(col("l_returnflag"))
-            .agg(
-              percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-                .as("p50_approx"),
-              percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
-                .as("p95_approx"),
-              expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
-              expr("percentile(l_extendedprice, 0.95)").as("p95_exact"))
-            .select(col("l_returnflag"),
-              (abs(col("p50_approx") / col("p50_exact") - 1.0) < 0.01)
-                .as("p50_within_1pct"),
-              (abs(col("p95_approx") / col("p95_exact") - 1.0) < 0.01)
-                .as("p95_within_1pct"))
-        )
+          picked.groupBy(col("flag"))
+            .agg(min(when(col("q") === 50, col("x"))).as("p50"),
+              min(when(col("q") === 95, col("x"))).as("p95")))
       }
     ),
     Q(

@@ -125,6 +125,60 @@ object TextOps {
       }
     ),
     Q(
+      "d7_compression_golden",
+      // The hash-checkable face of the deflate gate: four LITERAL inputs
+      // constructed by the same SQL in both engines (a repeated token, a
+      // repeated pangram, a single-char run, and a 2048-hex-char md5
+      // chain as the high-entropy case), deflated by the real zlib UDF.
+      // DuckDB has no deflate, so the compressed lengths are GOLDEN
+      // CONSTANTS (zlib level 9, default strategy — frozen since zlib
+      // 1.x) while the raw lengths and the md5-chain text itself are
+      // genuinely recomputed by the oracle, pinning both the input
+      // construction and the compressor byte-for-byte. Corpus-independent
+      // by design: testdata regeneration cannot rot the goldens. The
+      // corpus-wide rows-only twin is d7_compression_ratio; its
+      // round-trip/determinism laws live in FunctionsSpec.
+      Some("""WITH g AS (
+             |  SELECT * FROM (VALUES
+             |    ('md5_chain',   CAST(1153 AS BIGINT)),
+             |    ('pangram_x40', CAST(68 AS BIGINT)),
+             |    ('run_a_1000',  CAST(17 AS BIGINT)),
+             |    ('spark_x200',  CAST(24 AS BIGINT))) AS v(name, z_len)
+             |),
+             |t AS (
+             |  SELECT 'md5_chain' AS name,
+             |         list_reduce([md5(CAST(i AS VARCHAR)) FOR i IN range(0, 64)],
+             |                     (acc, x) -> acc || x) AS txt
+             |  UNION ALL
+             |  SELECT 'pangram_x40',
+             |         repeat('the quick brown fox jumps over the lazy dog. ', 40)
+             |  UNION ALL SELECT 'run_a_1000', repeat('a', 1000)
+             |  UNION ALL SELECT 'spark_x200', repeat('spark ', 200)
+             |)
+             |SELECT t.name, CAST(length(t.txt) AS BIGINT) AS raw_len, g.z_len,
+             |       round(CAST(g.z_len AS DOUBLE) / length(t.txt), 4) AS ratio
+             |FROM t JOIN g USING (name)
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val base = spark.range(1).select(explode(array(
+          struct(lit("md5_chain").as("name"),
+            expr("aggregate(transform(sequence(0, 63), " +
+              "i -> md5(cast(i as string))), '', (acc, x) -> concat(acc, x))")
+              .as("txt")),
+          struct(lit("pangram_x40").as("name"),
+            expr("repeat('the quick brown fox jumps over the lazy dog. ', 40)")
+              .as("txt")),
+          struct(lit("run_a_1000").as("name"), expr("repeat('a', 1000)").as("txt")),
+          struct(lit("spark_x200").as("name"), expr("repeat('spark ', 200)").as("txt"))
+        )).as("s")).select(col("s.name").as("name"), col("s.txt").as("txt"))
+        ordered(
+          base.select(col("name"), length(col("txt")).cast("long").as("raw_len"),
+            Text.deflatedLen(col("txt")).cast("long").as("z_len"))
+            .withColumn("ratio",
+              round(col("z_len").cast("double") / col("raw_len"), 4)))
+      }
+    ),
+    Q(
       "a6_heavy_hitters",
       // Two-pass exact heavy hitters: pass 1 sketches candidates with a
       // Misra-Gries aggregate (k=256 counters — fixed memory, one buffer

@@ -326,12 +326,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
   }
 
-  test("A9: approx quantiles land within 1% of exact percentiles") {
+  test("A9: GK sketch-refined quantiles equal the exact discrete percentiles") {
     import spark.implicits._
-    val rows = SparkEntry.queries("a9_approx_quantiles")(spark, sf)
-      .select("p50_within_1pct", "p95_within_1pct")
-      .as[(Boolean, Boolean)].collect()
-    assert(rows.nonEmpty && rows.forall(r => r._1 && r._2))
+    // the refine pass must land exactly on the ceil(q*n)-rank order
+    // statistic — recompute it directly and compare value for value
+    val got = SparkEntry.queries("a9_approx_quantiles")(spark, sf)
+      .select("flag", "p50", "p95").as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val li = graft.sources.Tables(spark, sf).lineitem
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
+    val want = li.groupBy(col("flag"))
+      .agg(collect_list(col("x")).as("xs"))
+      .as[(String, Seq[Double])].collect()
+      .map { case (f, xs) =>
+        val s = xs.sorted
+        def pick(q: Double) = s(math.ceil(q * s.length).toLong.toInt - 1)
+        f -> (pick(0.5), pick(0.95))
+      }.toMap
+    assert(got == want, s"refined quantiles diverge: $got vs $want")
   }
 
   // --- D6 LSH recall ---
