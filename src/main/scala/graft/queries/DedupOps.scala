@@ -708,6 +708,120 @@ object DedupOps {
       }
     ),
     Q(
+      "d5_lsh_band_plan",
+      // LSH BAND PLANNER — the tuning artifact behind d5_minhash_pairs'
+      // (bands, rowsPerBand) choice: for every (b, r) split of the
+      // 16-hash signature and a grid of true Jaccard similarities s, the
+      // collision probability p = 1 - (1 - s^r)^b of the S-curve
+      // (Leskovec/Rajaraman/Ullman ch.3). Made EXACT-integer: s has two
+      // decimal digits, so with S = 100s the identity
+      //   p = (10^32 - (10^(2r) - S^r)^b) / 10^32        (r*b = 16)
+      // turns every power into a bounded exact DECIMAL(38,0) integer via
+      // repeated squaring (all intermediates <= 10^32), and p is ONE
+      // double division rounded once — no libm pow, whose last-ulp
+      // behavior differs across engines. Planner output: which split
+      // catches 0.8-similar pairs while rejecting 0.3-similar noise.
+      // 100 TB shape: a 30-row constant relation; zero data touched —
+      // the plan step a dedup pipeline runs before the corpus pass.
+      Some("""WITH cfg AS (
+             |  SELECT * FROM (VALUES (16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+             |    AS v(b, r)
+             |),
+             |sim AS (
+             |  SELECT CAST(s AS INTEGER) AS s100 FROM (VALUES (30), (50), (70),
+             |    (80), (90), (95)) AS w(s)
+             |),
+             |base AS (
+             |  SELECT b, r, s100,
+             |         CAST(s100 AS DECIMAL(38,0)) AS p1,
+             |         CASE r WHEN 1 THEN CAST(100 AS DECIMAL(38,0))
+             |                WHEN 2 THEN CAST(10000 AS DECIMAL(38,0))
+             |                WHEN 4 THEN CAST(100000000 AS DECIMAL(38,0))
+             |                WHEN 8 THEN CAST(10000000000000000 AS DECIMAL(38,0))
+             |                ELSE CAST('100000000000000000000000000000000'
+             |                          AS DECIMAL(38,0)) END AS d
+             |  FROM cfg CROSS JOIN sim
+             |),
+             |pw AS (
+             |  SELECT *, p1 * p1 AS p2 FROM base
+             |), pw2 AS (
+             |  SELECT *, p2 * p2 AS p4 FROM pw
+             |), pw3 AS (
+             |  SELECT *, p4 * p4 AS p8 FROM pw2
+             |), pw4 AS (
+             |  SELECT *, p8 * p8 AS p16 FROM pw3
+             |),
+             |xx AS (
+             |  SELECT b, r, s100, d,
+             |         d - CASE r WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 4 THEN p4
+             |                    WHEN 8 THEN p8 ELSE p16 END AS x
+             |  FROM pw4
+             |),
+             |qw AS (
+             |  SELECT *, CASE WHEN b >= 2 THEN x * x
+             |                 ELSE CAST(0 AS DECIMAL(38,0)) END AS x2 FROM xx
+             |), qw2 AS (
+             |  SELECT *, CASE WHEN b >= 4 THEN x2 * x2
+             |                 ELSE CAST(0 AS DECIMAL(38,0)) END AS x4 FROM qw
+             |), qw3 AS (
+             |  SELECT *, CASE WHEN b >= 8 THEN x4 * x4
+             |                 ELSE CAST(0 AS DECIMAL(38,0)) END AS x8 FROM qw2
+             |), qw4 AS (
+             |  SELECT *, CASE WHEN b >= 16 THEN x8 * x8
+             |                 ELSE CAST(0 AS DECIMAL(38,0)) END AS x16 FROM qw3
+             |)
+             |SELECT b, r, round(s100 / 100.0, 2) AS s,
+             |       round(CAST(CAST('100000000000000000000000000000000'
+             |                       AS DECIMAL(38,0))
+             |                  - CASE b WHEN 1 THEN x WHEN 2 THEN x2
+             |                           WHEN 4 THEN x4 WHEN 8 THEN x8
+             |                           ELSE x16 END AS DOUBLE)
+             |             / 1e32, 6) AS p_collide
+             |FROM qw4
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val cfg = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+        val sims = Seq(30, 50, 70, 80, 90, 95)
+        import spark.implicits._
+        val rows = cfg.flatMap { case (b, r) => sims.map(s => (b, r, s)) }
+          .toDF("b", "r", "s100")
+        val dec38 = "decimal(38,0)"
+        val base = rows
+          .withColumn("p1", col("s100").cast(dec38))
+          .withColumn("d", expr(
+            s"""CASE r WHEN 1 THEN CAST(100 AS $dec38)
+               |       WHEN 2 THEN CAST(10000 AS $dec38)
+               |       WHEN 4 THEN CAST(100000000 AS $dec38)
+               |       WHEN 8 THEN CAST(10000000000000000 AS $dec38)
+               |       ELSE CAST('100000000000000000000000000000000' AS $dec38)
+               |END""".stripMargin))
+          .withColumn("p2", (col("p1") * col("p1")).cast(dec38))
+          .withColumn("p4", (col("p2") * col("p2")).cast(dec38))
+          .withColumn("p8", (col("p4") * col("p4")).cast(dec38))
+          .withColumn("p16", (col("p8") * col("p8")).cast(dec38))
+          .withColumn("x", (col("d") - expr(
+            "CASE r WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 4 THEN p4 " +
+              "WHEN 8 THEN p8 ELSE p16 END")).cast(dec38))
+          // higher squares are guarded: for b >= k the interval arithmetic
+          // bounds x^k <= 10^32, and smaller b never reads them
+          .withColumn("x2", when(col("b") >= 2, col("x") * col("x"))
+            .otherwise(lit(0)).cast(dec38))
+          .withColumn("x4", when(col("b") >= 4, col("x2") * col("x2"))
+            .otherwise(lit(0)).cast(dec38))
+          .withColumn("x8", when(col("b") >= 8, col("x4") * col("x4"))
+            .otherwise(lit(0)).cast(dec38))
+          .withColumn("x16", when(col("b") >= 16, col("x8") * col("x8"))
+            .otherwise(lit(0)).cast(dec38))
+        ordered(
+          base.select(col("b"), col("r"),
+            round(col("s100") / 100.0, 2).as("s"),
+            round((expr(s"CAST('100000000000000000000000000000000' AS $dec38)") -
+              expr("CASE b WHEN 1 THEN x WHEN 2 THEN x2 WHEN 4 THEN x4 " +
+                "WHEN 8 THEN x8 ELSE x16 END")).cast("double") / lit(1e32), 6)
+              .as("p_collide")))
+      }
+    ),
+    Q(
       "d5_minhash_pairs",
       Some(s"""WITH $shinglesCte,
               |sigs AS (

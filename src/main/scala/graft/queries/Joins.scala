@@ -344,6 +344,72 @@ object Joins {
       }
     ),
     Q(
+      "j17_interval_bucket_join",
+      // SCALABLE interval-overlap join — the scale path for J9's theta
+      // join (which plans as a nested loop and is fenced to small sides):
+      // both interval sets explode to fixed-width CELLS (width = the max
+      // interval length, so each side covers <= 2 cells), the join is a
+      // hash EQUI-join on the cell, each overlapping pair is counted
+      // exactly once by keeping only the cell containing the overlap's
+      // start (max of the two starts — provably covered by both sides),
+      // and the original overlap predicate stays as a residual filter so
+      // correctness never depends on the bucket math. Urgent order
+      // windows [d, d+7) of a customer slice vs low-priority windows
+      // [d, d+3): per urgent window, how many low windows overlap.
+      // Hash-matching DuckDB's DIRECT theta-join oracle proves the
+      // bucketing lossless. 100 TB shape: candidates ride cell occupancy
+      // (active intervals per week), never |A|x|B|; the left join back
+      // zero-fills urgent windows with no overlaps.
+      Some("""WITH a AS (
+             |  SELECT o_orderkey AS a_id,
+             |         epoch_us(o_orderdate) // 86400000000 AS a_s,
+             |         epoch_us(o_orderdate) // 86400000000 + 7 AS a_e
+             |  FROM orders
+             |  WHERE o_orderpriority = '1-URGENT' AND o_custkey % 100 = 0
+             |),
+             |b AS (
+             |  SELECT o_orderkey AS b_id,
+             |         epoch_us(o_orderdate) // 86400000000 AS b_s,
+             |         epoch_us(o_orderdate) // 86400000000 + 3 AS b_e
+             |  FROM orders
+             |  WHERE o_orderpriority = '5-LOW'
+             |)
+             |SELECT a.a_id, CAST(count(b.b_id) AS BIGINT) AS n_overlap,
+             |       coalesce(min(b.b_id), CAST(-1 AS BIGINT)) AS first_b
+             |FROM a LEFT JOIN b ON a.a_s < b.b_e AND b.b_s < a.a_e
+             |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val w = 7L // cell width = max interval length => <= 2 cells/side
+        // NTZ -> LTZ cast is a relabel under the pinned UTC session zone
+        val day = expr("unix_micros(cast(o_orderdate as timestamp)) DIV 86400000000")
+        val a = t.orders
+          .filter(col("o_orderpriority") === "1-URGENT" && col("o_custkey") % 100 === 0)
+          .select(col("o_orderkey").as("a_id"), day.as("a_s"), (day + 7).as("a_e"))
+        val b = t.orders
+          .filter(col("o_orderpriority") === "5-LOW")
+          .select(col("o_orderkey").as("b_id"), day.as("b_s"), (day + 3).as("b_e"))
+        def cells(s: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
+          explode(sequence(floor(s / w).cast("long"), floor((e - 1) / w).cast("long")))
+        val ax = a.select(col("a_id"), col("a_s"), col("a_e"),
+          cells(col("a_s"), col("a_e")).as("cell"))
+        val bx = b.select(col("b_id"), col("b_s"), col("b_e"),
+          cells(col("b_s"), col("b_e")).as("cell"))
+        val pairs = ax.join(bx, Seq("cell"))
+          // dedup: only the cell holding the overlap start emits the pair
+          .filter(col("cell") === floor(greatest(col("a_s"), col("b_s")) / w).cast("long"))
+          // residual: the REAL overlap predicate — bucket math is only a prefilter
+          .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+          .groupBy(col("a_id"))
+          .agg(count(col("b_id")).as("n_overlap"), min(col("b_id")).as("mb"))
+        ordered(
+          a.select(col("a_id")).join(pairs, Seq("a_id"), "left")
+            .select(col("a_id"),
+              coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+              coalesce(col("mb"), lit(-1L)).as("first_b")))
+      }
+    ),
+    Q(
       "j10_self_join_pairs",
       // near-dup-pair shape: same-key self-join, a.id < b.id kills mirrors
       Some("""SELECT a.o_custkey AS custkey, a.o_orderkey AS k1, b.o_orderkey AS k2

@@ -537,6 +537,72 @@ object Relational {
       }
     ),
     Q(
+      "s12_equidepth",
+      // Equi-DEPTH histogram over l_extendedprice — the optimizer's
+      // preferred distribution summary (equal row mass per bucket, so
+      // selectivity is rank arithmetic regardless of skew), next to
+      // s12_histogram's equi-width pass. Bucket EDGES are exact discrete
+      // order statistics at ranks ceil(i*n/8) extracted by the GK
+      // sketch->exact-refine discipline (a9_approx_quantiles): one
+      // sketch aggregate reads 7 narrow bands (q = i/8 -/+ 0.003, rank
+      // error <= n/10000), one more scan counts below-band and ranks the
+      // band rows, and the pick at cnt_lt + rn = k is a raw data value
+      // both engines return identically. i*n/8.0 divides an exact
+      // integer product by a power of two — IEEE-exact in both engines,
+      // so ceil() agrees by construction. Bucket row counts are pure
+      // rank arithmetic (ceil(i*n/8) - ceil((i-1)*n/8)) — no second
+      // count pass needed. 100 TB shape: one sketch aggregate with
+      // mergeable partials + one scan vs a 1-row broadcast; the rank
+      // window rides ~0.6%-of-corpus band partitions; 8-row output at
+      // any scale.
+      Some("""WITH v AS (SELECT l_extendedprice AS x FROM lineitem),
+             |n AS (SELECT count(*) AS n FROM v),
+             |r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v),
+             |g AS (SELECT CAST(i AS INTEGER) AS i FROM range(1, 9) t(i)),
+             |k AS (SELECT g.i, CAST(ceil(g.i * n.n / 8.0) AS BIGINT) AS k,
+             |             CAST(ceil((g.i - 1) * n.n / 8.0) AS BIGINT) AS k0
+             |      FROM g CROSS JOIN n)
+             |SELECT k.i AS bucket,
+             |       min(CASE WHEN r.rn = k.k THEN r.x END) AS upper_edge,
+             |       min(k.k - k.k0) AS n_rows
+             |FROM k JOIN r ON r.rn = k.k
+             |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val li = t.lineitem.select(col("l_extendedprice").as("x"))
+        val qs = (1 to 7).flatMap(i => Seq(i / 8.0 - 0.003, i / 8.0 + 0.003))
+        val stats = graft.functions.Bounded.local(
+          li.agg(count(lit(1)).as("n"),
+            percentile_approx(col("x"),
+              typedlit(qs.toArray), lit(10000)).as("band"),
+            max(col("x")).as("xmax")))
+        // each row fans out only to the (<= 7) bands it falls in
+        val spec = li.crossJoin(broadcast(stats))
+          .select(col("x"), col("n"), explode(array((1 to 7).map(i =>
+            struct(lit(i).as("i"),
+              element_at(col("band"), 2 * i - 1).as("lo"),
+              element_at(col("band"), 2 * i).as("hi"),
+              ceil(lit(i) * col("n") / 8.0).cast("long").as("k"))): _*)).as("s"))
+          .select(col("x"), col("s.i").as("i"), col("s.lo").as("lo"),
+            col("s.hi").as("hi"), col("s.k").as("k"))
+        val cntLt = spec.groupBy(col("i"))
+          .agg(sum(when(col("x") < col("lo"), 1L).otherwise(0L)).as("cnt_lt"))
+        val band = spec.filter(col("x") >= col("lo") && col("x") <= col("hi"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("i"))
+              .orderBy(col("x"))))
+        val edges = band.join(cntLt, Seq("i"))
+          .filter(col("cnt_lt") + col("rn") === col("k"))
+          .select(col("i"), col("x").as("upper_edge"))
+          .unionByName(stats.select(lit(8).as("i"), col("xmax").as("upper_edge")))
+        ordered(
+          edges.join(broadcast(stats.select(col("n"))), lit(true))
+            .select(col("i").as("bucket"), col("upper_edge"),
+              (ceil(col("i") * col("n") / 8.0).cast("long") -
+                ceil((col("i") - 1) * col("n") / 8.0).cast("long")).as("n_rows")))
+      }
+    ),
+    Q(
       "s12_histogram",
       // Equi-width HISTOGRAM over l_extendedprice — the data-profiling /
       // optimizer-statistics pass next to s11's scalar stats (selectivity

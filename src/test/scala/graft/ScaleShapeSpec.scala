@@ -235,6 +235,8 @@ class ScaleShapeSpec extends AnyFunSuite {
       "d7_zipf_fit", // two 1-row stats broadcasts (Σx/Σy centering, final
       // slope assembly) onto the vocab-bounded rank relation
       "s12_histogram", // 1-row min/max scalar broadcast into bucket assign
+      "s12_equidepth", // 1-row (n, band-edges) sketch stats broadcast onto
+      // the refine scan and the 8-row edge relation — constant build sides
       "d3_hybrid_rrf", // 1-row BM25 stats + 1-row query vector broadcasts;
       // the fusion itself is a full-outer equi-join of two 50-row sides
       "d3_prf_expand", // the same 1-row BM25 stats broadcast, both passes
@@ -299,6 +301,18 @@ class ScaleShapeSpec extends AnyFunSuite {
       }
     }
     assert(offenders.isEmpty, s"unfenced nested-loop joins in: $offenders")
+  }
+
+  test("bucketed interval join: hash equi-join on cells, no nested loop") {
+    // j9's theta join plans as a nested loop (fenced, small sides); the
+    // j17 scale path must plan the cell fan-out + a hash/merge equi-join
+    val plan = executedPlan(SparkEntry.queries("j17_interval_bucket_join")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval bucket join regressed to a nested loop:\n$plan")
+    assert(plan.contains("Generate"), s"missing the cell fan-out:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"no hash/merge join on the cell key:\n$plan")
   }
 
   test("yield curve is explode-based: no nested loop, grid joins only the aggregate") {
