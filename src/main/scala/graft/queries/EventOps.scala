@@ -1640,6 +1640,81 @@ object EventOps {
       }
     ),
     Q(
+      "t32_holt_forecast",
+      // HOLT'S LINEAR EXPONENTIAL SMOOTHING — the level+trend forecaster
+      // one step up from w6's EWMA (which has no trend term): per event
+      // type, the classic recurrence l' = α·y + (1-α)(l+b),
+      // b' = β(l'-l) + (1-β)b folded over the day-ordered daily counts,
+      // α = β = 1/2. The fold is a sequential struct-accumulator
+      // list_reduce/aggregate in BOTH engines running the IDENTICAL IEEE
+      // expression sequence — halving and adding doubles is deterministic
+      // bit-for-bit, the w6 discipline extended to two-component state.
+      // Output: final level, trend, and the 7-day-ahead forecast
+      // l + 7b. 100 TB shape: events collapse to the per-(type, day)
+      // aggregate; each type's fold rides its bounded day list (the same
+      // per-key sequential-state shape T5 runs incrementally); output is
+      // type-count rows.
+      // (the DuckDB twin runs the recurrence as a recursive CTE — its
+      // list_reduce rebinds struct-accumulator fields mid-struct in 1.0,
+      // so the two-component fold is NOT portable through lambdas)
+      Some("""WITH RECURSIVE c AS (
+             |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             |         CAST(count(*) AS DOUBLE) AS y
+             |  FROM events GROUP BY 1, 2
+             |),
+             |cr AS (
+             |  SELECT event_type, y,
+             |         row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+             |  FROM c
+             |),
+             |st AS (
+             |  SELECT event_type, 1 AS k, y AS l, CAST(0 AS DOUBLE) AS b
+             |  FROM cr WHERE rn = 1
+             |  UNION ALL
+             |  SELECT cr.event_type, st.k + 1,
+             |         0.5 * cr.y + 0.5 * (st.l + st.b),
+             |         0.5 * (0.5 * cr.y + 0.5 * (st.l + st.b) - st.l) + 0.5 * st.b
+             |  FROM st JOIN cr ON cr.event_type = st.event_type
+             |                 AND cr.rn = st.k + 1
+             |),
+             |fin AS (
+             |  SELECT event_type, k, l, b,
+             |         row_number() OVER (PARTITION BY event_type ORDER BY k DESC)
+             |           AS rr
+             |  FROM st
+             |)
+             |SELECT event_type, CAST(k AS BIGINT) AS n_days,
+             |       round(l, 4) AS level, round(b, 4) AS trend,
+             |       round(l + 7 * b, 4) AS forecast_7d
+             |FROM fin WHERE rr = 1 ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val c = t.events
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("d"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        val ser = c.groupBy(col("event_type"))
+          .agg(expr("transform(array_sort(collect_list(struct(d, y))), p -> p.y)")
+            .as("ys"), count(lit(1)).as("n_days"))
+        val st = ser.select(col("event_type"), col("n_days"), expr(
+          """CASE WHEN size(ys) >= 2 THEN aggregate(
+            |  slice(ys, 2, size(ys) - 1),
+            |  named_struct('l', ys[0], 'b', cast(0 as double)),
+            |  (acc, y) -> named_struct(
+            |    'l', 0.5D * y + 0.5D * (acc.l + acc.b),
+            |    'b', 0.5D * (0.5D * y + 0.5D * (acc.l + acc.b) - acc.l)
+            |         + 0.5D * acc.b),
+            |  acc -> acc)
+            |ELSE named_struct('l', ys[0], 'b', cast(0 as double)) END
+            |""".stripMargin).as("s"))
+        ordered(
+          st.select(col("event_type"), col("n_days"),
+            round(col("s.l"), 4).as("level"),
+            round(col("s.b"), 4).as("trend"),
+            round(col("s.l") + lit(7) * col("s.b"), 4).as("forecast_7d")))
+      }
+    ),
+    Q(
       "t26_cusum",
       // CUSUM CHANGE-POINT LOCALIZATION — where did the error-rate level
       // shift? The cumulative sum of deviations from the global mean

@@ -742,6 +742,133 @@ object VectorOps {
       }
     ),
     Q(
+      "d6_recall_curve",
+      // IVF COST/RECALL CURVE, oracle-checked — the dial every ANN
+      // deployment tunes: for nProbe in {1, 2, 4, 8}, the candidate
+      // volume the probes admit (the cost axis) and recall@5 against the
+      // brute-force exact top-5 (the quality axis). Every stage is the
+      // already-hash-proven fixture machinery (packed-decimal argmax
+      // assignment, fold-exact cosine, raw-double rank ties broken by
+      // vec_id), and recall is exact-integer hits over an exact-integer
+      // denominator with ONE rounded division — so the whole curve
+      // hash-matches and the recall claim no longer rests on a spec
+      // alone. 100 TB shape: assignment is the IVF index build (corpus
+      // bucketed by cluster); per-probe candidates ride the probed
+      // lists, never the corpus; the brute leg is the fenced 20-query
+      // oracle baseline every pruned path is judged against.
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+              |  FROM embeddings
+              |),
+              |cents AS (
+              |  SELECT cluster, [CAST(x AS DOUBLE) FOR x IN centroid] AS cv
+              |  FROM '/root/repo/fixtures/ivf_centroids.parquet'
+              |),
+              |corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 20),
+              |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+              |ascore AS (
+              |  SELECT corpus.vec_id, cents.cluster,
+              |         ${cosSql("corpus.v", "cents.cv")} AS sim
+              |  FROM corpus CROSS JOIN cents
+              |),
+              |asg AS (
+              |  SELECT vec_id,
+              |         CAST(9999 - (max(CAST(round((sim + 1.0) * 5e14) AS HUGEINT)
+              |                          * 10000 + (9999 - cluster)) % 10000)
+              |              AS INTEGER) AS cluster
+              |  FROM ascore GROUP BY vec_id
+              |),
+              |pscore AS (
+              |  SELECT q.q_id, q.qv, cents.cluster,
+              |         ${cosSql("q.qv", "cents.cv")} AS sim
+              |  FROM q CROSS JOIN cents
+              |),
+              |prk AS (
+              |  SELECT q_id, qv, cluster,
+              |         row_number() OVER (PARTITION BY q_id
+              |                            ORDER BY sim DESC, cluster ASC) AS pr
+              |  FROM pscore
+              |),
+              |np AS (SELECT CAST(unnest([1, 2, 4, 8]) AS INTEGER) AS n_probe),
+              |probes AS (
+              |  SELECT np.n_probe, prk.q_id, prk.qv, prk.cluster
+              |  FROM np JOIN prk ON prk.pr <= np.n_probe
+              |),
+              |cand AS (
+              |  SELECT p.n_probe, p.q_id, c.vec_id, ${cosSql("p.qv", "c.v")} AS cos
+              |  FROM probes p
+              |  JOIN asg a USING (cluster)
+              |  JOIN corpus c ON c.vec_id = a.vec_id
+              |),
+              |top5 AS (
+              |  SELECT n_probe, q_id, vec_id FROM (
+              |    SELECT n_probe, q_id, vec_id,
+              |           row_number() OVER (PARTITION BY n_probe, q_id
+              |                              ORDER BY cos DESC, vec_id ASC) AS rn
+              |    FROM cand)
+              |  WHERE rn <= 5
+              |),
+              |bscore AS (
+              |  SELECT q.q_id, c.vec_id, ${cosSql("q.qv", "c.v")} AS cos
+              |  FROM q CROSS JOIN corpus c
+              |),
+              |btop AS (
+              |  SELECT q_id, vec_id FROM (
+              |    SELECT q_id, vec_id,
+              |           row_number() OVER (PARTITION BY q_id
+              |                              ORDER BY cos DESC, vec_id ASC) AS rn
+              |    FROM bscore)
+              |  WHERE rn <= 5
+              |),
+              |m AS (
+              |  SELECT n_probe, CAST(count(*) AS BIGINT) AS hits
+              |  FROM top5 JOIN btop USING (q_id, vec_id) GROUP BY 1
+              |),
+              |cc AS (
+              |  SELECT n_probe, CAST(count(*) AS BIGINT) AS n_candidates
+              |  FROM cand GROUP BY 1
+              |),
+              |nq AS (SELECT count(*) AS nq FROM q)
+              |SELECT cc.n_probe, cc.n_candidates,
+              |       round(m.hits * 1.0 / (nq.nq * 5), 4) AS recall5
+              |FROM cc JOIN m USING (n_probe) CROSS JOIN nq
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val cents = spark.read.parquet("/root/repo/fixtures/ivf_centroids.parquet")
+        val e = t.embeddings
+        val corpus = e.filter(col("vec_id") >= 20)
+        // the index is consumed by all four probe settings: one build
+        val ivf = graft.functions.Ivf.index(corpus, cents).localCheckpoint()
+        val queries = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        val btop = corpus.select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(queries))
+          .select(col("q_id"), col("vec_id"),
+            Vectors.cosineFast(col("qe"), col("embedding")).as("cos"))
+          .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 5)
+          .select(col("q_id"), col("vec_id"))
+        val nqueries = 20L
+        val legs = Seq(1, 2, 4, 8).map { np =>
+          val cand = ivf.join(
+              broadcast(graft.functions.Ivf.probes(queries, cents, np)), "cluster")
+            .select(col("q_id"), col("vec_id"),
+              Vectors.cosineFast(col("qe"), col("embedding")).as("cos"))
+          val top5 = cand.withColumn("rn", row_number().over(wTop))
+            .filter(col("rn") <= 5).select(col("q_id"), col("vec_id"))
+          val hits = top5.join(btop, Seq("q_id", "vec_id"), "left_semi")
+            .agg(count(lit(1)).as("hits"))
+          cand.agg(count(lit(1)).as("n_candidates"))
+            .crossJoin(hits) // two 1-row aggregates
+            .select(lit(np).as("n_probe"), col("n_candidates"),
+              round(col("hits") * lit(1.0) / lit(nqueries * 5), 4).as("recall5"))
+        }
+        ordered(legs.reduce(_.unionByName(_)))
+      }
+    ),
+    Q(
       "d6_diverse_topk",
       // Cluster-diversified top-k — the retrieval-diversification shape
       // (the cheap, scale-sane alternative to iterative MMR): candidates

@@ -215,6 +215,9 @@ class ScaleShapeSpec extends AnyFunSuite {
       "d6_cosine_topk", // small query set x corpus, reranked top-k
       "d6_ivf_ann", // k-row centroid relation x vectors (assignment)
       "d6_ivf_assign", "d6_ivf_search", // same k-row centroid cross joins
+      "d6_recall_curve", // the fenced brute-force oracle leg (broadcast
+      // 20-query set x corpus) + the same k-row centroid cross joins +
+      // per-probe 1-row aggregate cross joins
       // over the frozen fixture
       "d6_ivfpq_search", // IVF-PQ composite: the only nested loops are
       // the same k-row centroid cross joins (assignment + probe
