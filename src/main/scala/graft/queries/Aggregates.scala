@@ -129,6 +129,60 @@ object Aggregates {
       }
     ),
     Q(
+      "a13_bitmap_distinct",
+      // EXACT distinct count via BITMAP chunks (the roaring-bitmap /
+      // bitmap-index pattern, SQL-shaped): user ids bucket to 64-wide
+      // words (id DIV 63; 63 bits per word keeps the shift off the sign
+      // bit in both engines), each word ORs the member bits (1 << id % 63),
+      // and the distinct count is the popcount sum — EXACT, fully
+      // mergeable (OR is commutative/associative, so partial/final
+      // aggregation over any partitioning is exact by construction), and
+      // each group's state is its occupied words, never a hash set of
+      // values. The third distinct strategy next to A5's hash-distinct
+      // (exact, value-sized state) and A6's HLL (approximate, constant
+      // state): exact at bounded state when the key domain is dense —
+      // ids, days, positions. The query carries count(DISTINCT) beside
+      // it so the identity is IN the hash-checked result. 100 TB shape:
+      // one (type, word) hash aggregate with map-side partial ORs, then
+      // a per-type popcount rollup; no value-set shuffle.
+      Some("""WITH w AS (
+             |  SELECT event_type, user_id // 63 AS word,
+             |         bit_or(1::BIGINT << CAST(user_id % 63 AS INTEGER)) AS bits
+             |  FROM events GROUP BY 1, 2
+             |),
+             |b AS (
+             |  SELECT event_type, CAST(sum(bit_count(bits)) AS BIGINT)
+             |           AS n_distinct_bitmap,
+             |         CAST(count(*) AS BIGINT) AS n_words
+             |  FROM w GROUP BY 1
+             |),
+             |d AS (
+             |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+             |           AS n_distinct_exact
+             |  FROM events GROUP BY 1
+             |)
+             |SELECT b.event_type, b.n_distinct_bitmap, d.n_distinct_exact,
+             |       b.n_words
+             |FROM b JOIN d USING (event_type)
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val ev = t.events.select(col("event_type"), col("user_id"))
+        val w = ev
+          .groupBy(col("event_type"), expr("user_id DIV 63").as("word"))
+          .agg(expr("bit_or(shiftleft(1L, cast(user_id % 63 as int)))").as("bits"))
+        val b = w.groupBy(col("event_type"))
+          .agg(sum(bit_count(col("bits"))).cast("long").as("n_distinct_bitmap"),
+            count(lit(1)).as("n_words"))
+        val d = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_distinct_exact"))
+        ordered(
+          b.join(d, Seq("event_type"))
+            .select(col("event_type"), col("n_distinct_bitmap"),
+              col("n_distinct_exact"), col("n_words")))
+      }
+    ),
+    Q(
       "a5_distinct_agg",
       Some("""SELECT l_returnflag,
              count(DISTINCT l_suppkey) AS n_supp,

@@ -1269,6 +1269,48 @@ object DedupOps {
       clustersFn(Dedup.connectedComponents(_))
     ),
     Q(
+      "d5_cluster_size_profile",
+      // DUP-FAMILY SIZE PROFILE — the post-dedup report an operator reads
+      // before believing a dedup rate: the cluster-size frequency table
+      // (size -> how many families, docs covered, and docs removable
+      // under keep-one-per-family = (size-1) * n_clusters). A heavy tail
+      // here means template farms; a spike at 2 means pairwise
+      // near-copies; mass at 1 is the unique corpus. Rides the SAME
+      // minhash->CC backbone as d5_dedup_clusters, then collapses to the
+      // size-TYPE relation — all exact integers. 100 TB shape: the
+      // per-cluster count is one hash aggregate over the assignment, the
+      // profile a second over cluster sizes; output rows are bounded by
+      // the largest family size, not the corpus.
+      Some(s"""WITH RECURSIVE $shinglesCte,
+              |$clustersCtes,
+              |sizes AS (
+              |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+              |  FROM comp GROUP BY 1
+              |)
+              |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+              |       CAST(sz * count(*) AS BIGINT) AS n_docs,
+              |       CAST((sz - 1) * count(*) AS BIGINT) AS n_removable
+              |FROM sizes GROUP BY 1
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val docs = t.documents.select(col("doc_id"), col("text"))
+        val pairs = Dedup.minhashPairs(docs, shingleWidth = 3, numHashes = 8,
+          rowsPerBand = 2, minEstJaccard = 0.5).select(col("a"), col("b"))
+        val assign = docs.select(col("doc_id"))
+          .join(Dedup.connectedComponents(pairs),
+            col("doc_id") === col("id"), "left")
+          .select(coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+        val sizes = assign.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        ordered(
+          sizes.groupBy(col("sz").as("cluster_size"))
+            .agg(count(lit(1)).as("n_clusters"))
+            .select(col("cluster_size"), col("n_clusters"),
+              (col("cluster_size") * col("n_clusters")).as("n_docs"),
+              ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable")))
+      }
+    ),
+    Q(
       "d12_decontaminate",
       // Benchmark DECONTAMINATION — the eval-overlap gate every serious
       // training-data pipeline runs before a corpus ships: any training doc

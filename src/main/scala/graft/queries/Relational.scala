@@ -537,6 +537,48 @@ object Relational {
       }
     ),
     Q(
+      "s17_zonemap_skip",
+      // ZONE-MAP / DATA-SKIPPING PLANNER — the min/max file-statistics
+      // pass behind every lakehouse's "files scanned: 3 of 80": the fact
+      // table's rows group into synthetic 30-day files (the natural
+      // ingest partitioning), each file carries its zone map (min/max
+      // ship day, row count), and a literal date-range predicate is
+      // planned against the maps — a file is skippable iff its max < lo
+      // or its min >= hi. Output: every file's zone map, its skip
+      // verdict, and the rows that verdict avoids reading. All integer
+      // day arithmetic. This is the PLAN-side twin of the S3p partition-
+      // pruning evidence spec: there Spark's scan prunes; here the
+      // planner logic itself is data, auditable and hash-checked. 100 TB
+      // shape: one (file, min, max, count) hash aggregate — the stats a
+      // real table format persists in its manifest — then an O(files)
+      // verdict; the fact table is scanned once to BUILD the manifest
+      // and never again to plan.
+      Some("""WITH f AS (
+             |  SELECT epoch_us(l_shipdate) // 86400000000 // 30 AS file_id,
+             |         min(epoch_us(l_shipdate) // 86400000000) AS min_day,
+             |         max(epoch_us(l_shipdate) // 86400000000) AS max_day,
+             |         CAST(count(*) AS BIGINT) AS n_rows
+             |  FROM lineitem GROUP BY 1
+             |)
+             |SELECT file_id, min_day, max_day, n_rows,
+             |       CASE WHEN max_day < 9496 OR min_day >= 9861
+             |            THEN 1 ELSE 0 END AS skippable
+             |FROM f ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val day = expr("unix_micros(cast(l_shipdate as timestamp)) DIV 86400000000")
+        val f = t.lineitem
+          .groupBy((day / 30).cast("long").as("file_id"))
+          .agg(min(day).as("min_day"), max(day).as("max_day"),
+            count(lit(1)).as("n_rows"))
+        // probe window: epoch days [9496, 9861) = calendar year 1996
+        ordered(
+          f.select(col("file_id"), col("min_day"), col("max_day"), col("n_rows"),
+            when(col("max_day") < 9496 || col("min_day") >= 9861, 1)
+              .otherwise(0).as("skippable")))
+      }
+    ),
+    Q(
       "s12_equidepth",
       // Equi-DEPTH histogram over l_extendedprice — the optimizer's
       // preferred distribution summary (equal row mass per bucket, so

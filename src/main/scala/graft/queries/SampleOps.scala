@@ -248,6 +248,69 @@ object SampleOps {
       }
     ),
     Q(
+      "d11_mixture_planner",
+      // MIXTURE / EPOCH PLANNER — the budgeting pass a training run does
+      // BEFORE touching data (the DoReMi-style reweighting's bookkeeping
+      // half): given per-source token inventories and target mixture
+      // weights, how many tokens does each source owe (quota), how many
+      // epochs of its inventory is that (x100, integer), does it exceed
+      // the 4-epoch repetition cap (the data-constrained-LM rule of
+      // thumb), and how many tokens are actually achievable under the
+      // cap. Target weights derive deterministically from the source id
+      // (idx % 5 + 1) so the plan is reproducible; every quantity is
+      // integer arithmetic (quota = T*w div W, epochs_x100 = quota*100
+      // div n) — no float planning boundary. 100 TB shape: one token
+      // aggregate per source (map-side partials), then everything rides
+      // the source-TYPE relation with the 1-row grand totals broadcast;
+      // output is source-count rows.
+      Some("""WITH toks AS (
+             |  SELECT source,
+             |         CAST(sum(len(list_filter(
+             |           string_split_regex(lower(trim(text)), '\s+'),
+             |           x -> x <> ''))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1
+             |),
+             |w AS (
+             |  SELECT source, n_tokens,
+             |         CAST(CAST(substring(source, 4) AS BIGINT) % 5 + 1
+             |              AS BIGINT) AS wt
+             |  FROM toks
+             |),
+             |tot AS (
+             |  SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+             |         CAST(sum(wt) AS BIGINT) AS tw
+             |  FROM w
+             |)
+             |SELECT w.source, w.n_tokens, w.wt,
+             |       (tot.t * w.wt) // tot.tw AS quota_tokens,
+             |       ((tot.t * w.wt) // tot.tw) * 100 // w.n_tokens AS epochs_x100,
+             |       CASE WHEN ((tot.t * w.wt) // tot.tw) * 100 // w.n_tokens > 400
+             |            THEN 1 ELSE 0 END AS capped,
+             |       least((tot.t * w.wt) // tot.tw, 4 * w.n_tokens)
+             |         AS achievable_tokens
+             |FROM w CROSS JOIN tot
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val toks = t.documents
+          .groupBy(col("source"))
+          .agg(sum(size(graft.functions.Text.tokenize(col("text"))))
+            .cast("long").as("n_tokens"))
+        val w = toks.select(col("source"), col("n_tokens"),
+          (expr("cast(substring(source, 4) as bigint)") % 5 + 1).as("wt"))
+        val tot = w.agg(sum(col("n_tokens")).as("t"), sum(col("wt")).as("tw"))
+        val quota = expr("(t * wt) div tw")
+        val epochs = expr("((t * wt) div tw) * 100 div n_tokens")
+        ordered(
+          w.crossJoin(broadcast(tot)) // 1-row grand totals
+            .select(col("source"), col("n_tokens"), col("wt"),
+              quota.as("quota_tokens"),
+              epochs.as("epochs_x100"),
+              when(epochs > 400, 1).otherwise(0).as("capped"),
+              least(quota, col("n_tokens") * 4).as("achievable_tokens")))
+      }
+    ),
+    Q(
       "d11_weighted_sample",
       // WEIGHTED sampling without replacement (Efraimidis–Spirakis A-ES):
       // doc i gets priority -ln(u_i)/w_i — an Exp(w_i) draw — and the k

@@ -225,6 +225,8 @@ class ScaleShapeSpec extends AnyFunSuite {
       // (cluster) and (q_id, sub, code)
       "d6_sq_rerank", // stage-1 shortlist: broadcast query set x corpus
       // over int8 vectors (4x lighter than the float equivalent above)
+      "d11_mixture_planner", // 1-row grand-totals scalar broadcast onto
+      // the source-TYPE relation — constant-size build side
       "d11_temperature_mix", // 1-row total-weight scalar broadcast onto
       // the 8-row per-source quota relation — constant-size build side
       "tpch_q22", // 1-row positive-balance (sum, count) scalar broadcast
