@@ -431,6 +431,79 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("A13 bitmap-distinct law: popcount sum equals exact distinct on random ids") {
+    import spark.implicits._
+    draws(Gen.listOfN(300, Gen.choose(0L, 5000L)), 4).foreach { ids =>
+      val df = ids.toDF("user_id")
+      val bitmap = df
+        .groupBy(expr("user_id DIV 63").as("word"))
+        .agg(expr("bit_or(shiftleft(1L, cast(user_id % 63 as int)))").as("bits"))
+        .agg(sum(bit_count(col("bits")))).as[Long].head()
+      assert(bitmap == ids.distinct.size.toLong,
+        s"bitmap $bitmap != exact ${ids.distinct.size}")
+    }
+  }
+
+  test("J17 bucketed interval join law: equals the direct theta join on random intervals") {
+    import spark.implicits._
+    // random interval sets; the cell-bucketed plan must reproduce the
+    // nested-loop overlap pairs exactly (each pair once)
+    val gen = Gen.listOfN(40, for {
+      s <- Gen.choose(0L, 200L); len <- Gen.choose(1L, 7L)
+    } yield (s, s + len))
+    draws(gen, 4).foreach { iv =>
+      val a = iv.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+        .toDF("a_id", "a_s", "a_e")
+      val b = iv.reverse.zipWithIndex.map { case ((s, e), i) =>
+        (1000L + i, s + 1, s + 1 + (e - s)) }.toDF("b_id", "b_s", "b_e")
+      val w = 7L
+      def cells(s: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
+        explode(sequence(floor(s / w).cast("long"), floor((e - 1) / w).cast("long")))
+      val ax = a.select(col("a_id"), col("a_s"), col("a_e"),
+        cells(col("a_s"), col("a_e")).as("cell"))
+      val bx = b.select(col("b_id"), col("b_s"), col("b_e"),
+        cells(col("b_s"), col("b_e")).as("cell"))
+      val bucketed = ax.join(bx, Seq("cell"))
+        .filter(col("cell") === floor(greatest(col("a_s"), col("b_s")) / w).cast("long"))
+        .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      val direct = a.join(b, col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+        .select("a_id", "b_id").as[(Long, Long)].collect()
+      assert(direct.length == direct.toSet.size) // sanity: theta join emits once
+      assert(bucketed == direct.toSet,
+        s"bucketed/direct diverge: ${(bucketed -- direct.toSet).take(3)} / ${(direct.toSet -- bucketed).take(3)}")
+    }
+  }
+
+  test("D5y yield-curve law: pair and removal counts are non-increasing in the threshold") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("d5_dedup_yield_curve")(spark, sf)
+      .orderBy(col("t10")).select("n_pairs", "n_docs_removed")
+      .as[(Long, Long)].collect()
+    assert(rows.length == 7)
+    rows.sliding(2).foreach { case Array((p1, d1), (p2, d2)) =>
+      assert(p2 <= p1 && d2 <= d1, s"yield curve not monotone: ${rows.toSeq}")
+    }
+  }
+
+  test("D11 mixture-planner laws: quotas conserve the budget; caps bind exactly") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("d11_mixture_planner")(spark, sf)
+      .select("n_tokens", "wt", "quota_tokens", "epochs_x100", "capped",
+        "achievable_tokens")
+      .as[(Long, Long, Long, Long, Int, Long)].collect()
+    val t = rows.map(_._1).sum
+    val tw = rows.map(_._2).sum
+    rows.foreach { case (n, w, q, e, cap, ach) =>
+      assert(q == t * w / tw) // integer quota definition
+      assert(e == q * 100 / n)
+      assert((cap == 1) == (e > 400), "cap flag must bind exactly at 4 epochs")
+      assert(ach == math.min(q, 4 * n))
+    }
+    // floor quotas never exceed the budget
+    assert(rows.map(_._3).sum <= t)
+  }
+
   test("T10 funnel law: out-of-order stages never convert") {
     import spark.implicits._
     def ts(m: Long) = new java.sql.Timestamp(m * 60000L)
