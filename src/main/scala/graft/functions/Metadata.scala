@@ -214,6 +214,27 @@ object Metadata {
         // TIFF: endian-tagged IFD walk ([[tiffTags]], shared with the
         // EXIF payload inside JPEG APP1)
         Map("mime" -> "image/tiff") ++ tiffTags(bytes, 0)
+      } else if (bytes.length >= 42 && bytes(0) == 'f' && bytes(1) == 'L' &&
+        bytes(2) == 'a' && bytes(3) == 'C' && (bytes(4) & 0x7f) == 0) {
+        // FLAC: "fLaC" magic, then the mandatory STREAMINFO metadata
+        // block (type 0, 34 bytes). Big-endian bit-packed fields at the
+        // 8-byte payload offset: sample rate 20 bits, channels-1 3 bits,
+        // bits-per-sample-1 5 bits, total samples 36 bits.
+        val p = 8
+        val rate = ((bytes(p + 10) & 0xff) << 12) | ((bytes(p + 11) & 0xff) << 4) |
+          ((bytes(p + 12) & 0xff) >> 4)
+        val channels = ((bytes(p + 12) >> 1) & 0x07) + 1
+        val bits = (((bytes(p + 12) & 0x01) << 4) | ((bytes(p + 13) & 0xff) >> 4)) + 1
+        val totalSamples = ((bytes(p + 13) & 0x0fL) << 32) |
+          ((bytes(p + 14) & 0xffL) << 24) | ((bytes(p + 15) & 0xffL) << 16) |
+          ((bytes(p + 16) & 0xffL) << 8) | (bytes(p + 17) & 0xffL)
+        val m = Map("mime" -> "audio/flac",
+          "sample_rate" -> rate.toString,
+          "channels" -> channels.toString,
+          "bits" -> bits.toString,
+          "total_samples" -> totalSamples.toString)
+        if (rate > 0) m + ("duration_ms" -> (totalSamples * 1000L / rate).toString)
+        else m
       } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x1a &&
         (bytes(1) & 0xff) == 0x45 && (bytes(2) & 0xff) == 0xdf &&
         (bytes(3) & 0xff) == 0xa3) {

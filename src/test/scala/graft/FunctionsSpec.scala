@@ -109,6 +109,38 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("D1: FLAC STREAMINFO bit-unpacking (rate, channels, bits, duration)") {
+    // "fLaC" + STREAMINFO block (type 0, 34 bytes): big-endian packed
+    // sample rate (20 bits), channels-1 (3), bits-per-sample-1 (5),
+    // total samples (36) — 44.1 kHz stereo 16-bit, 441000 samples = 10 s
+    def flacBytes(rate: Int, channels: Int, bits: Int, total: Long): Array[Byte] = {
+      val b = new Array[Byte](4 + 4 + 34)
+      b(0) = 'f'; b(1) = 'L'; b(2) = 'a'; b(3) = 'C'
+      b(4) = 0x80.toByte // last-block flag + type 0 (STREAMINFO)
+      b(5) = 0; b(6) = 0; b(7) = 34
+      val p = 8
+      b(p + 10) = (rate >> 12).toByte
+      b(p + 11) = ((rate >> 4) & 0xff).toByte
+      b(p + 12) = (((rate & 0xf) << 4) | ((channels - 1) << 1) |
+        ((bits - 1) >> 4)).toByte
+      b(p + 13) = ((((bits - 1) & 0xf) << 4) | ((total >> 32) & 0xf).toInt).toByte
+      b(p + 14) = ((total >> 24) & 0xff).toByte
+      b(p + 15) = ((total >> 16) & 0xff).toByte
+      b(p + 16) = ((total >> 8) & 0xff).toByte
+      b(p + 17) = (total & 0xff).toByte
+      b
+    }
+    val m = Metadata.sniff(flacBytes(44100, 2, 16, 441000L))
+    assert(m("mime") == "audio/flac" && m("sample_rate") == "44100" &&
+      m("channels") == "2" && m("bits") == "16" &&
+      m("total_samples") == "441000" && m("duration_ms") == "10000", m.toString)
+    // mono 8-bit at 8 kHz, 36-bit total-sample overflow path
+    val m2 = Metadata.sniff(flacBytes(8000, 1, 8, 0xF00000000L))
+    assert(m2("channels") == "1" && m2("bits") == "8" &&
+      m2("sample_rate") == "8000" &&
+      m2("total_samples") == 0xF00000000L.toString, m2.toString)
+  }
+
   test("D1: EXIF orientation from the TIFF blob inside JPEG APP1") {
     // SOI + APP1("Exif\0\0" + little TIFF with orientation=6) + SOF0 + EOI
     val tiff = java.nio.ByteBuffer.allocate(26)
