@@ -1148,6 +1148,37 @@ object Aggregates {
               round(sum(col("price")).cast("double") / count(lit(1)), 4)
                 .as("trimmed_mean")))
       }
+    ),
+    Q(
+      "a7_unpivot",
+      // UNPIVOT / melt — the inverse of a7_pivot and the wide-to-long
+      // reshape every feature table goes through before a generic
+      // per-(entity, measure) aggregation. Spark plans it as a single
+      // Expand node: one pass, rows x measures output, NO shuffle and no
+      // per-measure scan — at 100 TB that beats the UNION-ALL spelling
+      // (which would scan the table once per measure). The oracle IS the
+      // UNION-ALL spelling, proving the Expand path equivalent.
+      Some("""SELECT p_partkey, 'size' AS measure, CAST(p_size AS BIGINT) AS value
+             |FROM part
+             |UNION ALL
+             |SELECT p_partkey, 'name_len', CAST(length(p_name) AS BIGINT) FROM part
+             |UNION ALL
+             |SELECT p_partkey, 'type_len', CAST(length(p_type) AS BIGINT) FROM part
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.part
+            .select(col("p_partkey"),
+              col("p_size").cast("long").as("size"),
+              length(col("p_name")).cast("long").as("name_len"),
+              length(col("p_type")).cast("long").as("type_len"))
+            .unpivot(
+              Array(col("p_partkey")),
+              Array(col("size"), col("name_len"), col("type_len")),
+              "measure", "value")
+        )
+      }
     )
   )
 }

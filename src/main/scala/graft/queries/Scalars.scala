@@ -708,6 +708,49 @@ object Scalars {
               round(e, 4).as("expected"),
               round((col("obs") - e) * (col("obs") - e) / e, 4).as("chi_term")))
       }
+    ),
+    Q(
+      "sc_url",
+      // URL parsing (§2.8) — the first structural pass of every web-corpus
+      // pipeline (domain-level quality lists, per-host dedup keys, query
+      // stripping). URLs are synthesized deterministically from document
+      // columns, then decomposed with Spark's codegen'd ParseUrl built-in;
+      // the oracle predicts every component closed-form from the same
+      // columns, so a parser bug (wrong fragment split, query-param
+      // extraction, host boundary) breaks the hash. The registered-domain
+      // fold (substring_index on the host) is the per-domain grouping key
+      // a crawl pipeline aggregates on. Per-row compute, no shuffle.
+      Some("""SELECT doc_id,
+             |       'https' AS protocol,
+             |       source || '.example.com' AS host,
+             |       'example.com' AS domain,
+             |       '/' || lang || '/doc-' || doc_id || '.html' AS path,
+             |       'lang=' || lang || '&p=' || (doc_id % 7) AS query,
+             |       CAST(doc_id % 7 AS VARCHAR) AS page_param,
+             |       's-' || (doc_id % 3) AS fragment
+             |FROM documents WHERE doc_id < 400
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val urlCol = concat(
+          lit("https://"), col("source"), lit(".example.com/"), col("lang"),
+          lit("/doc-"), col("doc_id"), lit(".html?lang="), col("lang"),
+          lit("&p="), col("doc_id") % 7, lit("#s-"), col("doc_id") % 3)
+        ordered(
+          t.documents
+            .filter(col("doc_id") < 400L)
+            .select(col("doc_id"), urlCol.as("url"))
+            .select(col("doc_id"),
+              parse_url(col("url"), lit("PROTOCOL")).as("protocol"),
+              parse_url(col("url"), lit("HOST")).as("host"),
+              substring_index(parse_url(col("url"), lit("HOST")), ".", -2)
+                .as("domain"),
+              parse_url(col("url"), lit("PATH")).as("path"),
+              parse_url(col("url"), lit("QUERY")).as("query"),
+              parse_url(col("url"), lit("QUERY"), lit("p")).as("page_param"),
+              parse_url(col("url"), lit("REF")).as("fragment"))
+        )
+      }
     )
   )
 }
