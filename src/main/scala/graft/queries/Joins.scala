@@ -625,6 +625,47 @@ object Joins {
             .select(col("probe_id"), col("match_id"),
               r4(abs(col("pv") - col("tv"))).as("dv")))
       }
+    ),
+    Q(
+      "j14_bucketed_colocated",
+      // Bucketed co-located join — the shuffle-ELISION path for the
+      // repeated fact-to-fact join a warehouse runs daily. Both sides are
+      // written once as bucketed+sorted external tables (8 buckets on the
+      // join key); Spark's bucketing metadata then satisfies the join's
+      // distribution requirement outright, so the SortMergeJoin plans with
+      // ZERO Exchange on either side (asserted in ScaleShapeSpec) — at
+      // 100 TB that turns the dominant nightly shuffle into a bucket-wise
+      // local merge, and the bucket count (picked per cluster: ~2-3x
+      // cores) caps task count independent of file count. The merge hint
+      // pins SMJ so the evidence doesn't silently degrade to a broadcast.
+      // Hash-matching the plain-join oracle proves the bucketed write +
+      // bucket-pruned read path loses nothing.
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |         AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val base = java.nio.file.Paths
+          .get(System.getProperty("java.io.tmpdir"), "graft_bucketed")
+          .toString
+        t.orders.select(col("o_custkey"), col("o_totalprice"))
+          .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", s"$base/orders_b").saveAsTable("graft_orders_b")
+        t.customer.select(col("c_custkey"), col("c_mktsegment"))
+          .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", s"$base/customer_b").saveAsTable("graft_customer_b")
+        val j = spark.table("graft_orders_b").hint("merge")
+          .join(spark.table("graft_customer_b"),
+            col("o_custkey") === col("c_custkey"))
+        ordered(
+          j.groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                .as("revenue")))
+      }
     )
   )
 }

@@ -320,6 +320,17 @@ class ScaleShapeSpec extends AnyFunSuite {
       s"no hash/merge join on the cell key:\n$plan")
   }
 
+  test("j14 bucketed co-located join: SMJ with no exchange on either join side") {
+    // the registry query writes both sides bucketed on the join key; the
+    // join itself must be satisfied by bucket metadata — the only
+    // hash exchange allowed in the plan is the post-join segment aggregate
+    val plan = executedPlan(SparkEntry.queries("j14_bucketed_colocated")(spark, sf))
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(o_custkey") &&
+      !plan.contains("Exchange hashpartitioning(c_custkey"),
+      s"bucketed join sides must not shuffle:\n$plan")
+  }
+
   test("yield curve is explode-based: no nested loop, grid joins only the aggregate") {
     // the threshold sweep must ride ONE narrow pass over the pair
     // relation (explode to qualifying t10 rows), never a theta join that
