@@ -1713,7 +1713,108 @@ object EventOps {
             round(col("s.b"), 4).as("trend"),
             round(col("s.l") + lit(7) * col("s.b"), 4).as("forecast_7d")))
       }
-    ),
+    ), {
+      // T33: HOLT-WINTERS ADDITIVE SEASONAL — t32's level+trend recurrence
+      // plus a 7-slot weekly seasonal state (α = β = γ = 1/2):
+      //   l' = (y − s[t%7])/2 + (l + b)/2
+      //   b' = (l' − l)/2 + b/2
+      //   s[t%7]' = (y − l')/2 + s[t%7]/2
+      // Halving/adding doubles is IEEE-deterministic, so Spark's
+      // struct-accumulator aggregate() and DuckDB's recursive CTE run the
+      // IDENTICAL bit sequence — the seasonal state is spelled as seven
+      // scalar slots (not a list) because element-wise list update is the
+      // one construct the two engines don't share; both expression texts
+      // are generated below from the same templates so they cannot drift.
+      // 100 TB shape: identical to t32 — per-(type, day) aggregate, then a
+      // per-type fold over the bounded day list; output is type-count rows.
+      val ks = 0 to 6
+      // Spark-side fold fragments
+      val sAt = ks.map(k => s"WHEN $k THEN acc.s$k")
+        .mkString("CASE acc.t % 7 ", " ", " END")
+      val lp = s"(0.5D * (y - $sAt) + 0.5D * (acc.l + acc.b))"
+      val sUpd = ks.map(k =>
+        s"'s$k', IF(acc.t % 7 = $k, 0.5D * (y - $lp) + 0.5D * acc.s$k, acc.s$k)")
+        .mkString(",\n")
+      val init = s"named_struct('t', 1, 'l', ys[0], 'b', cast(0 as double), " +
+        ks.map(k => s"'s$k', cast(0 as double)").mkString(", ") + ")"
+      val foldExpr =
+        s"""CASE WHEN size(ys) >= 2 THEN aggregate(
+           |  slice(ys, 2, size(ys) - 1), $init,
+           |  (acc, y) -> named_struct(
+           |    't', acc.t + 1,
+           |    'l', $lp,
+           |    'b', 0.5D * ($lp - acc.l) + 0.5D * acc.b,
+           |    $sUpd),
+           |  acc -> acc)
+           |ELSE $init END""".stripMargin
+      val fSlot = ks.map(k => s"WHEN $k THEN s.s$k")
+        .mkString("CASE (s.t + 6) % 7 ", " ", " END")
+      val peak = "greatest(" + ks.map(k => s"s.s$k").mkString(", ") + ")"
+      // DuckDB-side fragments (same templates over the CTE column names)
+      val dAt = ks.map(k => s"WHEN $k THEN st.s$k")
+        .mkString("CASE st.k % 7 ", " ", " END")
+      val dLp = s"(0.5 * (cr.y - $dAt) + 0.5 * (st.l + st.b))"
+      val dUpd = ks.map(k =>
+        s"CASE WHEN st.k % 7 = $k THEN 0.5 * (cr.y - $dLp) + 0.5 * st.s$k " +
+          s"ELSE st.s$k END").mkString(",\n")
+      val dInit = ks.map(k => s"CAST(0 AS DOUBLE) AS s$k").mkString(", ")
+      val dSlot = ks.map(k => s"WHEN $k THEN s$k")
+        .mkString("CASE (k + 6) % 7 ", " ", " END")
+      val dPeak = "greatest(" + ks.map(k => s"s$k").mkString(", ") + ")"
+      Q(
+        "t33_holt_winters",
+        Some(s"""WITH RECURSIVE c AS (
+               |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+               |         CAST(count(*) AS DOUBLE) AS y
+               |  FROM events GROUP BY 1, 2
+               |),
+               |cr AS (
+               |  SELECT event_type, y,
+               |         row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+               |  FROM c
+               |),
+               |st AS (
+               |  SELECT event_type, 1 AS k, y AS l, CAST(0 AS DOUBLE) AS b, $dInit
+               |  FROM cr WHERE rn = 1
+               |  UNION ALL
+               |  SELECT cr.event_type, st.k + 1,
+               |         $dLp,
+               |         0.5 * ($dLp - st.l) + 0.5 * st.b,
+               |         $dUpd
+               |  FROM st JOIN cr ON cr.event_type = st.event_type
+               |                 AND cr.rn = st.k + 1
+               |),
+               |fin AS (
+               |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY k DESC)
+               |           AS rr
+               |  FROM st
+               |)
+               |SELECT event_type, CAST(k AS BIGINT) AS n_days,
+               |       round(l, 4) AS level, round(b, 4) AS trend,
+               |       round(l + 7 * b + $dSlot, 4) AS forecast_7d,
+               |       round($dPeak, 4) AS season_peak
+               |FROM fin WHERE rr = 1 ORDER BY ALL NULLS FIRST""".stripMargin),
+        (spark, dir) => {
+          val t = Tables(spark, dir)
+          val c = t.events
+            .groupBy(col("event_type"),
+              expr("unix_micros(ts) DIV 86400000000").as("d"))
+            .agg(count(lit(1)).cast("double").as("y"))
+          val ser = c.groupBy(col("event_type"))
+            .agg(expr("transform(array_sort(collect_list(struct(d, y))), p -> p.y)")
+              .as("ys"), count(lit(1)).as("n_days"))
+          val st = ser.select(col("event_type"), col("n_days"),
+            expr(foldExpr).as("s"))
+          ordered(
+            st.select(col("event_type"), col("n_days"),
+              round(col("s.l"), 4).as("level"),
+              round(col("s.b"), 4).as("trend"),
+              round(col("s.l") + lit(7) * col("s.b") + expr(fSlot), 4)
+                .as("forecast_7d"),
+              round(expr(peak), 4).as("season_peak")))
+        }
+      )
+    },
     Q(
       "t26_cusum",
       // CUSUM CHANGE-POINT LOCALIZATION — where did the error-rate level
