@@ -714,6 +714,36 @@ object Multimodal {
   val synthWavSquareUdf = udf((period: Int, n: Int) => synthWavSquare(period, n))
   val dominantBinUdf = udf((b: Array[Byte], nFft: Int) => dominantBin(b, nFft))
 
+  /** Deterministic burst-gated mono 16-bit PCM WAV for voice-activity
+    * tests: 32-sample blocks; block j is voiced iff (seed + j) % 3 != 0.
+    * Voiced sample i: ((seed*7 + 13i) % 8000) + 8000 (abs-sum ≥ 32·8000);
+    * silence sample i: (seed + i) % 5 − 2 (abs-sum ≤ 32·2) — so any
+    * energy threshold between the bands segments exactly, and the oracle
+    * predicts activity closed-form from (seed, j) alone. */
+  def synthWavBursts(seed: Long, nBlocks: Int, rate: Int = 8000): Array[Byte] = {
+    val n = 32 * nBlocks
+    val dataLen = 2 * n
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    b.put("data".getBytes).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      val j = i / 32
+      val v =
+        if ((seed + j) % 3 != 0) (seed * 7 + 13L * i) % 8000 + 8000
+        else (seed + i) % 5 - 2
+      b.putShort(v.toShort)
+      i += 1
+    }
+    b.array()
+  }
+
+  val synthWavBurstsUdf = udf((seed: Long, nb: Int) => synthWavBursts(seed, nb))
+  val wavSamplesUdf = udf((b: Array[Byte], n: Int) => wavSamples(b, n))
+
   /** Real decoder for the formats this JVM can decode without any codec
     * library — BMP pixel arrays, PNG (zlib + scanline filters), GIF
     * (variable-width LZW, real per-frame decode), WAV PCM. Features are

@@ -1066,6 +1066,64 @@ object DmsOps {
       }
     ),
     Q(
+      "mm_wav_vad",
+      // VOICE-ACTIVITY SEGMENTATION over REAL decoded PCM — the audio
+      // twin of mm_scene_cuts: deterministic burst-gated WAVs (32-sample
+      // voiced/silence blocks, amplitude bands separated 4000x) are
+      // synthesized per doc, the engine decodes the actual little-endian
+      // samples (RIFF walk), computes windowed absolute energy with
+      // higher-order functions, thresholds to an activity mask, and
+      // counts voiced windows / contiguous voiced segments / voiced
+      // milliseconds. The oracle predicts all three closed-form from the
+      // synthesis rule, so a decode offset, window misalignment, or
+      // run-boundary bug breaks the hash. 100 TB shape: pure per-row
+      // ingest-time compute (decode + fixed-size HOF fold), no shuffle
+      // before the final ordering; state per row is one window mask.
+      Some("""WITH j AS (SELECT unnest(range(0, 11)) AS j),
+             |b AS (
+             |  SELECT doc_id, 6 + doc_id % 5 AS nb
+             |  FROM documents WHERE doc_id < 300
+             |),
+             |w AS (
+             |  SELECT doc_id, nb, j.j AS j,
+             |         CASE WHEN (doc_id + j.j) % 3 <> 0 THEN 1 ELSE 0 END AS act,
+             |         CASE WHEN (doc_id + j.j) % 3 <> 0
+             |              AND (j.j = 0 OR (doc_id + j.j - 1) % 3 = 0)
+             |              THEN 1 ELSE 0 END AS seg_start
+             |  FROM b JOIN j ON j.j < b.nb
+             |)
+             |SELECT doc_id, CAST(nb AS BIGINT) AS n_blocks,
+             |       CAST(sum(act) AS BIGINT) AS n_active,
+             |       CAST(sum(seg_start) AS BIGINT) AS n_segments,
+             |       CAST(sum(act) * 4 AS BIGINT) AS voiced_ms
+             |FROM w GROUP BY doc_id, nb
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val mm = graft.multimodal.Multimodal
+        val nb = (lit(6) + col("doc_id") % 5).cast("int")
+        val df = t.documents
+          .filter(col("doc_id") < 300L)
+          .select(col("doc_id"), nb.as("nb"),
+            mm.synthWavBurstsUdf(col("doc_id"), nb).as("content"))
+          .withColumn("samples", mm.wavSamplesUdf(col("content"), lit(352)))
+          // 32-sample windowed absolute energy from the DECODED samples,
+          // thresholded mid-band (silence ≤ 64, voiced ≥ 256000)
+          .withColumn("act", expr(
+            """transform(sequence(0, nb - 1), j ->
+              |  aggregate(slice(samples, j * 32 + 1, 32), 0D,
+              |            (a, x) -> a + abs(x)) > 128000D)""".stripMargin))
+        val nActive = expr("size(filter(act, a -> a))")
+        ordered(
+          df.select(col("doc_id"), col("nb").cast("long").as("n_blocks"),
+            nActive.cast("long").as("n_active"),
+            expr("""size(filter(sequence(0, nb - 1),
+                   |  j -> act[j] AND (j = 0 OR NOT act[j - 1])))""".stripMargin)
+              .cast("long").as("n_segments"),
+            (nActive * 4).cast("long").as("voiced_ms")))
+      }
+    ),
+    Q(
       "d1_metadata_sniff",
       // D1 over the corpus: text bytes sniff as text/plain with exact byte
       // length; image-header parsing is covered by MetadataSpec goldens
