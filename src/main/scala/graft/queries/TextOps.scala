@@ -27,7 +27,7 @@ object TextOps {
       |  FROM documents
       |)""".stripMargin
 
-  val all: Seq[Q] = vocabCoverageQ +: sourceReportQ +: boilerplateQ +: sourceOverlapQ +: booleanQ +: proximityQ +: charEntropyQ +: bpeQs ++: oovQ +: qlQ +: readabilityQ +: keywordsQ +: stopwordQ +: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
+  val all: Seq[Q] = snippetQ +: vocabCoverageQ +: sourceReportQ +: boilerplateQ +: sourceOverlapQ +: booleanQ +: proximityQ +: charEntropyQ +: bpeQs ++: oovQ +: qlQ +: readabilityQ +: keywordsQ +: stopwordQ +: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
     skewProfileQ +: quantileNormQ +: pmiAssocQ +: Seq(
     Q(
       "d7_zipf_fit",
@@ -2360,6 +2360,64 @@ object TextOps {
     * backbone) already partitioned by term, and the doc_id equi-join
     * touches only docs containing BOTH terms.
     */
+  /** D3s: SNIPPET EXTRACTION — the "best passage" step a search result
+    * page runs after ranking: per matching doc, the 10-token window
+    * holding the most query-term hits (earliest window on ties), plus the
+    * actual snippet text. Window starts only need evaluating at hit
+    * positions (a window not starting on a hit is dominated by one that
+    * does), so the candidate set is the per-doc hit list, never the token
+    * stream — per-row HOF compute over the bound token array, no shuffle.
+    * The oracle packs the (hits, −start) argmax as hits·10⁶ − start; the
+    * Spark side uses the native struct max — hash equality proves both
+    * the window count and the tiebreak agree. */
+  private def snippetQ: Q =
+    Q(
+      "d3_snippet",
+      Some(s"""WITH $toksCte,
+              |h AS (
+              |  SELECT doc_id, tokens,
+              |         [i - 1 FOR i IN range(1, len(tokens) + 1)
+              |          IF tokens[i] IN ('spark', 'window', 'shuffle')] AS ps
+              |  FROM toks
+              |),
+              |c AS (
+              |  SELECT doc_id, tokens, ps, len(ps) AS nh,
+              |         list_max([len(list_filter(ps, q -> q >= p AND q < p + 10))
+              |                   * 1000000 - p FOR p IN ps]) AS packed
+              |  FROM h WHERE len(ps) > 0
+              |)
+              |SELECT doc_id, CAST(nh AS BIGINT) AS n_hits_doc,
+              |       CAST((packed + 999999) // 1000000 AS BIGINT) AS best_hits,
+              |       CAST((packed + 999999) // 1000000 * 1000000 - packed AS BIGINT)
+              |         AS best_start,
+              |       array_to_string(tokens[CAST((packed + 999999) // 1000000 * 1000000
+              |                                   - packed + 1 AS BIGINT) :
+              |                              CAST((packed + 999999) // 1000000 * 1000000
+              |                                   - packed + 10 AS BIGINT)], ' ')
+              |         AS snippet
+              |FROM c ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.documents
+            .select(col("doc_id"), Text.tokenize(col("text")).as("tk"))
+            .withColumn("ps", expr(
+              """filter(transform(tk, (x, i) ->
+                |  IF(x IN ('spark', 'window', 'shuffle'), i, -1)), p -> p >= 0)"""
+                .stripMargin))
+            .filter(size(col("ps")) > 0)
+            .withColumn("w", expr(
+              """array_max(transform(ps, p -> struct(
+                |  size(filter(ps, q -> q >= p AND q < p + 10)) AS cnt,
+                |  -p AS negp)))""".stripMargin))
+            .select(col("doc_id"),
+              size(col("ps")).cast("long").as("n_hits_doc"),
+              col("w.cnt").cast("long").as("best_hits"),
+              (-col("w.negp")).cast("long").as("best_start"),
+              expr("array_join(slice(tk, -w.negp + 1, 10), ' ')").as("snippet")))
+      }
+    )
+
   private def proximityQ: Q =
     Q(
       "d3_search_proximity",
