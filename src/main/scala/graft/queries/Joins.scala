@@ -666,6 +666,60 @@ object Joins {
               sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
                 .as("revenue")))
       }
+    ),
+    Q(
+      "j19_grid_spatial_join",
+      // SPATIAL GRID JOIN — all point pairs within euclidean radius r,
+      // the geo twin of the band/interval joins: bucket the plane into
+      // r-sized cells, explode ONE side to its 3x3 cell neighborhood
+      // (any pair within r sits in adjacent cells), hash equi-join on the
+      // cell, keep the EXACT integer squared-distance predicate as a
+      // residual. Candidates ride cell occupancy, never |A|x|B|; each
+      // qualifying pair is found exactly once because the probe side
+      // keys by its OWN cell, which is unique. Coordinates are synthesized
+      // integers, so dist² is exact in both engines; the oracle runs the
+      // direct theta join — hash equality proves the 3x3 bucketing
+      // lossless. 100 TB shape: two scans + one equi-join shuffle on the
+      // cell key; skewed cells (urban hotspots) split by AQE like any
+      // hash join.
+      Some("""WITH p AS (
+             |  SELECT event_id AS id, (event_id * 37) % 1200 AS x,
+             |         (event_id * 91 + 13) % 1200 AS y
+             |  FROM events WHERE event_id % 73 = 0
+             |)
+             |SELECT a.id AS id1, b.id AS id2,
+             |       CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT)
+             |         AS dist_sq
+             |FROM p a JOIN p b
+             |  ON a.id < b.id
+             | AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 40000
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val pts = t.events
+          .filter(col("event_id") % 73 === 0)
+          .select(col("event_id").as("id"),
+            (col("event_id") * 37 % 1200).as("x"),
+            ((col("event_id") * 91 + 13) % 1200).as("y"))
+        // cell size = r = 200: a pair within r spans adjacent cells only
+        val probe = pts.select(col("id").as("id2"), col("x").as("x2"),
+          col("y").as("y2"), expr("x DIV 200").as("cx"), expr("y DIV 200").as("cy"))
+        val build = pts
+          .select(col("id").as("id1"), col("x").as("x1"), col("y").as("y1"),
+            explode(expr(
+              """flatten(transform(sequence(-1, 1), dx ->
+                |  transform(sequence(-1, 1), dy ->
+                |    struct(x DIV 200 + dx AS cx, y DIV 200 + dy AS cy))))"""
+                .stripMargin)).as("cell"))
+          .select(col("id1"), col("x1"), col("y1"),
+            col("cell.cx").as("cx"), col("cell.cy").as("cy"))
+        val d2 = (col("x1") - col("x2")) * (col("x1") - col("x2")) +
+          (col("y1") - col("y2")) * (col("y1") - col("y2"))
+        ordered(
+          build.join(probe, Seq("cx", "cy"))
+            .filter(col("id1") < col("id2") && d2 <= 40000)
+            .select(col("id1"), col("id2"), d2.cast("long").as("dist_sq")))
+      }
     )
   )
 }

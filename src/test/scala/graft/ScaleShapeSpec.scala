@@ -258,6 +258,9 @@ class ScaleShapeSpec extends AnyFunSuite {
       // oracle; the scale path reranks an IVF/PQ shortlist instead
       "d3_search_ql", // 3-row query-term relation + 1-row collection-total
       // scalar broadcasts (the d7_lm_score smoothing shape)
+      "s18_join_size_estimate", // 4-row seed relation broadcast onto the
+      // per-key count relation (sketch build) — constant build side; the
+      // sketch dot products and the exact pass are equi-joins
       "w12_ratio_to_report", // 1-row grand-total scalar broadcast onto the
       // per-customer relation — constant-size build side
       "w13_lorenz", // 1-row gini/grand-total scalar broadcast onto the
@@ -329,6 +332,19 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning(o_custkey") &&
       !plan.contains("Exchange hashpartitioning(c_custkey"),
       s"bucketed join sides must not shuffle:\n$plan")
+  }
+
+  test("j19 spatial grid join: cell fan-out + hash equi-join, never a cartesian") {
+    // the 3x3 neighborhood explode must turn the radius predicate into a
+    // residual on a cell equi-join; a regression to the theta join would
+    // plan a nested loop over |A|x|B|
+    val plan = executedPlan(SparkEntry.queries("j19_grid_spatial_join")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"spatial join regressed to a nested loop:\n$plan")
+    assert(plan.contains("Generate"), s"missing the 3x3 cell fan-out:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"no hash/merge join on the cell key:\n$plan")
   }
 
   test("yield curve is explode-based: no nested loop, grid joins only the aggregate") {
