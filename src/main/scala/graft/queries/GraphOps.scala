@@ -409,6 +409,110 @@ object GraphOps {
         }
         ordered(labels.select(col("node").as("doc_id"), col("lbl").as("community")))
       }
+    ),
+    Q(
+      "g7_modularity",
+      // MODULARITY SCORING of the g6 label-propagation communities — the
+      // quality metric every community pipeline reports (Newman-Girvan Q):
+      // Q = Σ_c [in_c/2m − (d_c/2m)²] over the symmetrized directed edge
+      // list (2m = 8n rows by construction). Kept EXACT by cross-
+      // multiplication: q_scaled = in_c·2m − d_c² is pure BIGINT — the
+      // single rounded double division happens once per output row,
+      // identically in both engines. 100 TB shape: the 3 LPA rounds (one
+      // co-partitioned edges⋈labels shuffle each), then TWO hash
+      // aggregates over the labeled edge list (internal-edge count and
+      // out-degree sum, both keyed by the src community) and one over the
+      // label relation; output rides the community count.
+      Some("""WITH nn AS (SELECT count(*) AS n FROM documents),
+             |e0 AS (
+             |  SELECT doc_id AS src,
+             |         (doc_id*31 + k*17 + 7) % (SELECT n FROM nn) AS dst
+             |  FROM documents CROSS JOIN (SELECT unnest(range(0,4)) AS k) ks
+             |),
+             |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+             |l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+             |c1 AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+             |       FROM e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+             |l1 AS (SELECT node, lbl FROM
+             |        (SELECT node, lbl, row_number() OVER (PARTITION BY node
+             |                 ORDER BY c DESC, lbl ASC) AS rn FROM c1)
+             |       WHERE rn = 1),
+             |c2 AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+             |       FROM e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+             |l2 AS (SELECT node, lbl FROM
+             |        (SELECT node, lbl, row_number() OVER (PARTITION BY node
+             |                 ORDER BY c DESC, lbl ASC) AS rn FROM c2)
+             |       WHERE rn = 1),
+             |c3 AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+             |       FROM e JOIN l2 l ON l.node = e.src GROUP BY 1, 2),
+             |l3 AS (SELECT node, lbl FROM
+             |        (SELECT node, lbl, row_number() OVER (PARTITION BY node
+             |                 ORDER BY c DESC, lbl ASC) AS rn FROM c3)
+             |       WHERE rn = 1),
+             |m AS (SELECT count(*) AS two_m FROM e),
+             |wc AS (SELECT ls.lbl AS cs, ld.lbl AS cd
+             |       FROM e JOIN l3 ls ON ls.node = e.src
+             |              JOIN l3 ld ON ld.node = e.dst),
+             |inc AS (SELECT cs AS community, count(*) AS in_edges
+             |        FROM wc WHERE cs = cd GROUP BY 1),
+             |deg AS (SELECT cs AS community, count(*) AS deg_sum
+             |        FROM wc GROUP BY 1),
+             |sz AS (SELECT lbl AS community, count(*) AS n_nodes
+             |       FROM l3 GROUP BY 1)
+             |SELECT sz.community, CAST(n_nodes AS BIGINT) AS n_nodes,
+             |       CAST(coalesce(in_edges, 0) AS BIGINT) AS in_edges,
+             |       CAST(deg_sum AS BIGINT) AS deg_sum,
+             |       CAST(coalesce(in_edges, 0) * two_m - deg_sum * deg_sum
+             |            AS BIGINT) AS q_scaled,
+             |       round(CAST(coalesce(in_edges, 0) * two_m - deg_sum * deg_sum
+             |                  AS DOUBLE) / (two_m * two_m), 8) AS q_contrib
+             |FROM sz LEFT JOIN inc USING (community)
+             |        JOIN deg USING (community) CROSS JOIN m
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val docs = t.documents.select(col("doc_id"))
+        val n = docs.count()
+        val e0 = docs.select(col("doc_id").as("src"),
+          explode(array((0 until 4).map(k =>
+            (col("doc_id") * 31 + k * 17 + 7) % n): _*)).as("dst"))
+        val edges = e0.unionByName(
+            e0.select(col("dst").as("src"), col("src").as("dst")))
+          .localCheckpoint() // feeds 3 LPA rounds + the 2 scoring passes
+        var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
+        for (_ <- 1 to 3) {
+          labels = edges.join(labels, edges("src") === labels("node"))
+            .groupBy(edges("dst").as("node"), col("lbl"))
+            .agg(count(lit(1)).as("c"))
+            .groupBy(col("node"))
+            .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("win"))
+            .select(col("node"), (-col("win.neg")).as("lbl"))
+        }
+        val lab = labels.localCheckpoint() // consumed by 3 scoring passes
+        val twoM = lit(8L * n) // symmetrized list is exactly 8n rows
+        val wc = edges
+          .join(lab.select(col("node").as("sn"), col("lbl").as("cs")),
+            col("src") === col("sn"))
+          .join(lab.select(col("node").as("dn"), col("lbl").as("cd")),
+            col("dst") === col("dn"))
+          .select(col("cs"), col("cd"))
+        val inc = wc.filter(col("cs") === col("cd"))
+          .groupBy(col("cs").as("community")).agg(count(lit(1)).as("in_edges"))
+        val deg = wc.groupBy(col("cs").as("community"))
+          .agg(count(lit(1)).as("deg_sum"))
+        val sz = lab.groupBy(col("lbl").as("community"))
+          .agg(count(lit(1)).as("n_nodes"))
+        val qs = (coalesce(col("in_edges"), lit(0L)) * twoM -
+          col("deg_sum") * col("deg_sum"))
+        ordered(
+          sz.join(inc, Seq("community"), "left")
+            .join(deg, Seq("community"))
+            .select(col("community"), col("n_nodes"),
+              coalesce(col("in_edges"), lit(0L)).as("in_edges"),
+              col("deg_sum"),
+              qs.cast("long").as("q_scaled"),
+              round(qs.cast("double") / (twoM * twoM), 8).as("q_contrib")))
+      }
     )
   )
 }
