@@ -1179,6 +1179,87 @@ object Aggregates {
               "measure", "value")
         )
       }
+    ),
+    Q(
+      "s18_join_size_estimate",
+      // JOIN-SIZE ESTIMATION via count-min inner products (the AMS/CMS
+      // sketch technique a cost-based planner uses to size a join before
+      // running it): exact |A ⋈_u B| = Σ_u cntA(u)·cntB(u); the estimate
+      // is min over d=4 hash rows of the 64-bucket sketch dot product —
+      // one-sided (est ≥ exact, colliding keys only ADD mass), mergeable,
+      // and O(d·w) state per relation regardless of key cardinality. The
+      // same portable md5 bucketing as a6_cms_estimate makes the sketch
+      // bit-identical in DuckDB, so estimate AND exact are both in the
+      // hash-checked result. 100 TB shape: sketches are 256-cell
+      // aggregates with map-side partials — the planner pass touches each
+      // relation once and joins k-row sketches, never the data.
+      Some("""WITH cnt AS (
+             |  SELECT event_type, user_id, count(*) AS c
+             |  FROM events GROUP BY 1, 2
+             |),
+             |ex AS (
+             |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |         CAST(sum(a.c * b.c) AS BIGINT) AS exact_size
+             |  FROM cnt a JOIN cnt b
+             |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+             |  GROUP BY 1, 2
+             |),
+             |seeds AS (SELECT unnest(range(0, 4)) AS seed),
+             |sk AS (
+             |  SELECT event_type, seed,
+             |         ('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' ||
+             |                                CAST(user_id AS VARCHAR)), 1, 15))
+             |           ::BIGINT % 64 AS bucket,
+             |         CAST(sum(c) AS BIGINT) AS tot
+             |  FROM cnt CROSS JOIN seeds GROUP BY 1, 2, 3
+             |),
+             |ip AS (
+             |  SELECT x.event_type AS type_a, y.event_type AS type_b, x.seed,
+             |         sum(x.tot * y.tot) AS dot
+             |  FROM sk x JOIN sk y
+             |    ON x.seed = y.seed AND x.bucket = y.bucket
+             |   AND x.event_type < y.event_type
+             |  GROUP BY 1, 2, 3
+             |)
+             |SELECT type_a, type_b, exact_size,
+             |       CAST(min(dot) AS BIGINT) AS cms_est
+             |FROM ex JOIN ip USING (type_a, type_b)
+             |GROUP BY 1, 2, 3
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        def bucket(seed: org.apache.spark.sql.Column,
+            key: org.apache.spark.sql.Column) =
+          pmod(conv(substring(md5(concat(seed.cast("string"), lit(":"),
+            key.cast("string"))), 1, 15), 16, 10).cast("long"), lit(64L))
+        val cnt = t.events
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("c"))
+        val ex = cnt.select(col("event_type").as("type_a"),
+            col("user_id").as("ua"), col("c").as("ca"))
+          .join(cnt.select(col("event_type").as("type_b"),
+            col("user_id").as("ub"), col("c").as("cb")),
+            col("ua") === col("ub") && col("type_a") < col("type_b"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(sum(col("ca") * col("cb")).as("exact_size"))
+        val seeds = spark.range(0, 4).select(col("id").cast("int").as("seed"))
+        val sk = cnt.crossJoin(broadcast(seeds))
+          .groupBy(col("event_type"), col("seed"),
+            bucket(col("seed"), col("user_id")).as("bucket"))
+          .agg(sum(col("c")).as("tot"))
+        val ip = sk.select(col("event_type").as("type_a"), col("seed"),
+            col("bucket"), col("tot").as("ta"))
+          .join(sk.select(col("event_type").as("type_b"),
+            col("seed").as("s2"), col("bucket").as("b2"), col("tot").as("tb")),
+            col("seed") === col("s2") && col("bucket") === col("b2") &&
+              col("type_a") < col("type_b"))
+          .groupBy(col("type_a"), col("type_b"), col("seed"))
+          .agg(sum(col("ta") * col("tb")).as("dot"))
+        ordered(
+          ex.join(ip, Seq("type_a", "type_b"))
+            .groupBy(col("type_a"), col("type_b"), col("exact_size"))
+            .agg(min(col("dot")).as("cms_est")))
+      }
     )
   )
 }
