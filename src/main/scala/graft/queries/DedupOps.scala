@@ -622,6 +622,56 @@ object DedupOps {
 
   private def baseQueries: Seq[Q] = Seq(
     Q(
+      "d4_url_canonical_dedup",
+      // URL CANONICALIZATION DEDUP — the crawl-pipeline step BEFORE any
+      // content hash: the same page arrives as http/https, mixed-case
+      // host, and tracking-param variants; canonicalize (force https,
+      // lowercase host, strip utm_* query params, keep the rest) and
+      // group. Three deterministic variants are synthesized per doc
+      // family (doc_id DIV 3); the Spark side REALLY parses — ParseUrl
+      // components, query split + utm filter, reassembly — while the
+      // oracle states the intended canonical closed-form, so a parsing or
+      // filtering bug breaks the hash. Note the ?id=7 variant stays a
+      // SEPARATE group: canonicalization must not merge genuinely
+      // different resources. 100 TB shape: per-row string compute + one
+      // hash aggregate on the canonical key.
+      Some("""WITH c AS (
+             |  SELECT doc_id,
+             |         'https://www.example.com/d/' || (doc_id // 3) || '.html' ||
+             |         CASE WHEN doc_id % 3 = 1 THEN '?id=7' ELSE '' END AS canonical
+             |  FROM documents
+             |)
+             |SELECT canonical, CAST(count(*) AS BIGINT) AS n_variants,
+             |       min(doc_id) AS keeper_id
+             |FROM c GROUP BY 1
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val fam = expr("doc_id DIV 3")
+        val url = when(col("doc_id") % 3 === 0,
+            concat(lit("https://www.Example.COM/d/"), fam, lit(".html")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("https://www.example.com/d/"), fam,
+              lit(".html?id=7&utm_source=feed")))
+          .otherwise(
+            concat(lit("http://www.example.com/d/"), fam,
+              lit(".html?utm_medium=em&utm_campaign=x")))
+        val kept = expr(
+          """array_join(filter(split(coalesce(parse_url(url, 'QUERY'), ''), '&'),
+            |  p -> p != '' AND NOT startswith(p, 'utm_')), '&')""".stripMargin)
+        val canonical = concat(lit("https://"),
+          lower(parse_url(col("url"), lit("HOST"))),
+          parse_url(col("url"), lit("PATH")),
+          when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+        ordered(
+          t.documents
+            .select(col("doc_id"), url.as("url"))
+            .select(col("doc_id"), canonical.as("canonical"))
+            .groupBy(col("canonical"))
+            .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("keeper_id")))
+      }
+    ),
+    Q(
       "d4_exact_dedup",
       // sf0.01 documents are all distinct, so dedup over the corpus alone
       // is vacuous; union a shifted copy so every text has exactly two
