@@ -27,7 +27,7 @@ object TextOps {
       |  FROM documents
       |)""".stripMargin
 
-  val all: Seq[Q] = snippetQ +: vocabCoverageQ +: sourceReportQ +: boilerplateQ +: sourceOverlapQ +: booleanQ +: proximityQ +: charEntropyQ +: bpeQs ++: oovQ +: qlQ +: readabilityQ +: keywordsQ +: stopwordQ +: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
+  val all: Seq[Q] = snippetQ +: kAnonymityQ +: vocabCoverageQ +: sourceReportQ +: boilerplateQ +: sourceOverlapQ +: booleanQ +: proximityQ +: charEntropyQ +: bpeQs ++: oovQ +: qlQ +: readabilityQ +: keywordsQ +: stopwordQ +: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
     skewProfileQ +: quantileNormQ +: pmiAssocQ +: Seq(
     Q(
       "d7_zipf_fit",
@@ -2472,6 +2472,39 @@ object TextOps {
     * hash aggregate with map-side partials; nothing downstream scales
     * with text length.
     */
+  /** D7k: K-ANONYMITY AUDIT — the governance pass a training-data release
+    * runs over quasi-identifiers (here: lang × source × size bucket):
+    * every group's size k is its re-identification resistance; rows in
+    * groups with k below the policy threshold are the disclosure risk.
+    * Output is the k-distribution (groups and rows per k, violation flag)
+    * — all integer, one hash aggregate over the QI tuple then one over k.
+    * At 100 TB both aggregates take map-side partials; the QI relation is
+    * bounded by the QI domain, never the corpus. */
+  private def kAnonymityQ: Q =
+    Q(
+      "d7_k_anonymity",
+      Some("""WITH g AS (
+             |  SELECT lang, source, n_chars // 500 AS size_b, count(*) AS k
+             |  FROM documents GROUP BY 1, 2, 3
+             |)
+             |SELECT k, CAST(count(*) AS BIGINT) AS n_groups,
+             |       CAST(sum(k) AS BIGINT) AS n_rows,
+             |       (k < 5) AS violates_k5
+             |FROM g GROUP BY k
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val g = t.documents
+          .groupBy(col("lang"), col("source"), expr("n_chars DIV 500").as("size_b"))
+          .agg(count(lit(1)).as("k"))
+        ordered(
+          g.groupBy(col("k"))
+            .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"))
+            .select(col("k"), col("n_groups"), col("n_rows"),
+              (col("k") < 5).as("violates_k5")))
+      }
+    )
+
   private def charEntropyQ: Q =
     Q(
       "d7_char_entropy",
