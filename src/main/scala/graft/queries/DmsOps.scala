@@ -1066,6 +1066,38 @@ object DmsOps {
       }
     ),
     Q(
+      "d8_incremental_join_view",
+      // INCREMENTAL JOIN-VIEW MAINTENANCE — d8_incremental_agg's sibling
+      // for ENRICHMENT views (V = A ⋈ dims): yesterday's view is a STORED
+      // parquet relation (written and read back here, exactly as a
+      // nightly ETL would keep it), and the refresh appends only
+      // ΔA ⋈ dims. The oracle joins the full fact table directly, so the
+      // hash match proves stored-base ∪ delta-join == full recompute —
+      // the algebraic identity incremental ETL rests on. 100 TB shape:
+      // refresh cost rides the DELTA (today's partition) against
+      // broadcastable dims; the historical fact table is never rescanned,
+      // and the stored view is append-only.
+      Some("""SELECT o_orderkey, c_mktsegment,
+             |       CAST(o_totalprice AS DOUBLE) AS price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val basePath = java.nio.file.Paths
+          .get(System.getProperty("java.io.tmpdir"), "graft_join_view").toString
+        val cust = t.customer.select(col("c_custkey"), col("c_mktsegment"))
+        def enrich(o: org.apache.spark.sql.DataFrame) =
+          o.join(cust, col("o_custkey") === col("c_custkey"))
+            .select(col("o_orderkey"), col("c_mktsegment"),
+              col("o_totalprice").cast("double").as("price"))
+        // yesterday's stored view: all history except today's batch
+        enrich(t.orders.filter(col("o_orderkey") % 7 =!= 0))
+          .write.mode("overwrite").parquet(basePath)
+        val delta = enrich(t.orders.filter(col("o_orderkey") % 7 === 0))
+        ordered(spark.read.parquet(basePath).unionByName(delta))
+      }
+    ),
+    Q(
       "mm_wav_vad",
       // VOICE-ACTIVITY SEGMENTATION over REAL decoded PCM — the audio
       // twin of mm_scene_cuts: deterministic burst-gated WAVs (32-sample
