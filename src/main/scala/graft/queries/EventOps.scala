@@ -1230,6 +1230,88 @@ object EventOps {
       }
     ),
     Q(
+      "j20_lerp_resample",
+      // LINEAR-INTERPOLATION RESAMPLING — the step past t25's zero-fill /
+      // forward-fill: each user's daily purchase-count series is
+      // densified onto its own [min_day, max_day] grid, and absent days
+      // take the LINEAR interpolation between the bracketing
+      // observations: est = ((t1−t)·v0 + (t−t0)·v1)/(t1−t0). Bracketing
+      // days come from two window passes (running max of the observed day
+      // forward, running min backward — the engine-exact forward-fill
+      // idiom from t25), the values from two equi-joins back to the
+      // observation relation. One multiply-add sequence + one rounded
+      // division keeps the float path identical in both engines. 100 TB
+      // shape: one (user, day) hash aggregate, a per-user grid explode
+      // (the OUTPUT of any resample, not a blowup), two windows and two
+      // joins all sharing the user_id partitioning — a single shuffle
+      // key end to end.
+      Some("""WITH o AS (
+             |  SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+             |         CAST(count(*) AS DOUBLE) AS v
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+             |),
+             |b AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM o GROUP BY 1),
+             |grid AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS d FROM b),
+             |g AS (
+             |  SELECT grid.user_id, grid.d, o.v
+             |  FROM grid LEFT JOIN o ON o.user_id = grid.user_id AND o.d = grid.d
+             |),
+             |f AS (
+             |  SELECT user_id, d, v,
+             |         max(CASE WHEN v IS NOT NULL THEN d END)
+             |           OVER (PARTITION BY user_id ORDER BY d
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |           AS pd,
+             |         min(CASE WHEN v IS NOT NULL THEN d END)
+             |           OVER (PARTITION BY user_id ORDER BY d
+             |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |           AS nd
+             |  FROM g
+             |)
+             |SELECT f.user_id, f.d AS day, (f.v IS NOT NULL) AS observed,
+             |       round(CASE WHEN f.nd = f.pd THEN po.v
+             |             ELSE ((f.nd - f.d) * po.v + (f.d - f.pd) * no.v)
+             |                  / (f.nd - f.pd) END, 4) AS est
+             |FROM f
+             |JOIN o po ON po.user_id = f.user_id AND po.d = f.pd
+             |JOIN o no ON no.user_id = f.user_id AND no.d = f.nd
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val o = t.events.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"),
+            expr("unix_micros(ts) DIV 86400000000").as("d"))
+          .agg(count(lit(1)).cast("double").as("v"))
+        val grid = o.groupBy(col("user_id"))
+          .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+          .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("d"))
+        val g = grid.join(
+          o.select(col("user_id").as("ou"), col("d").as("od"), col("v")),
+          col("user_id") === col("ou") && col("d") === col("od"), "left")
+          .select(col("user_id"), col("d"), col("v"))
+        val wp = Window.partitionBy(col("user_id")).orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wn = Window.partitionBy(col("user_id")).orderBy(col("d"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val f = g.select(col("user_id"), col("d"), col("v"),
+          max(when(col("v").isNotNull, col("d"))).over(wp).as("pd"),
+          min(when(col("v").isNotNull, col("d"))).over(wn).as("nd"))
+        val po = o.select(col("user_id").as("pu"), col("d").as("pdd"),
+          col("v").as("pv"))
+        val no = o.select(col("user_id").as("nu"), col("d").as("ndd"),
+          col("v").as("nv"))
+        ordered(
+          f.join(po, col("user_id") === col("pu") && col("pd") === col("pdd"))
+            .join(no, col("user_id") === col("nu") && col("nd") === col("ndd"))
+            .select(col("user_id"), col("d").as("day"),
+              col("v").isNotNull.as("observed"),
+              round(when(col("nd") === col("pd"), col("pv"))
+                .otherwise(((col("nd") - col("d")) * col("pv") +
+                  (col("d") - col("pd")) * col("nv")) / (col("nd") - col("pd"))),
+                4).as("est")))
+      }
+    ),
+    Q(
       "t25_gap_fill",
       // GAP-FILL / RESAMPLE TO A REGULAR GRID — the time-series
       // regularization step before any per-entity model: per-user daily
