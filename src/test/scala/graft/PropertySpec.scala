@@ -521,4 +521,131 @@ class PropertySpec extends AnyFunSuite {
       .select("user_id", "depth").as[(Long, Int)].collect().toMap
     assert(out == Map(1L -> 1, 2L -> 3, 3L -> 2))
   }
+
+  test("J19 spatial grid law: 3x3 cell join equals the direct theta join on random points") {
+    import spark.implicits._
+    val gen = Gen.listOfN(60, for {
+      x <- Gen.choose(0L, 500L); y <- Gen.choose(0L, 500L)
+    } yield (x, y))
+    draws(gen, 4).foreach { pts =>
+      val p = pts.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("id", "x", "y")
+      val r = 60L // cell size == radius: adjacency capture is exact
+      val probe = p.select(col("id").as("id2"), col("x").as("x2"),
+        col("y").as("y2"), (col("x") / r).cast("long").as("cx"),
+        (col("y") / r).cast("long").as("cy"))
+      val build = p.select(col("id").as("id1"), col("x").as("x1"),
+          col("y").as("y1"),
+          explode(expr(
+            s"""flatten(transform(sequence(-1, 1), dx ->
+               |  transform(sequence(-1, 1), dy ->
+               |    struct(x DIV $r + dx AS cx, y DIV $r + dy AS cy))))"""
+              .stripMargin)).as("cell"))
+        .select(col("id1"), col("x1"), col("y1"),
+          col("cell.cx").as("cx"), col("cell.cy").as("cy"))
+      val d2 = (col("x1") - col("x2")) * (col("x1") - col("x2")) +
+        (col("y1") - col("y2")) * (col("y1") - col("y2"))
+      val grid = build.join(probe, Seq("cx", "cy"))
+        .filter(col("id1") < col("id2") && d2 <= r * r)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val direct = p.select(col("id").as("id1"), col("x").as("x1"),
+          col("y").as("y1"))
+        .join(p.select(col("id").as("id2"), col("x").as("x2"),
+          col("y").as("y2")), col("id1") < col("id2") && d2 <= r * r)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(grid == direct, s"grid join lost/duplicated pairs: " +
+        s"missing=${direct -- grid} extra=${grid -- direct}")
+    }
+  }
+
+  test("S18 CMS join-size law: the sketch estimate never undershoots the exact size") {
+    import spark.implicits._
+    val gen = for {
+      a <- Gen.listOfN(200, Gen.choose(0L, 80L))
+      b <- Gen.listOfN(200, Gen.choose(0L, 80L))
+    } yield (a, b)
+    def bucket(seed: Int, key: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"$seed:$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 15), 16) % 64
+    }
+    draws(gen, 4).foreach { case (as, bs) =>
+      val ca = as.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cb = bs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val exact = ca.map { case (k, n) => n * cb.getOrElse(k, 0L) }.sum
+      val est = (0 until 4).map { seed =>
+        val ska = ca.groupMapReduce { case (k, _) => bucket(seed, k) }(_._2)(_ + _)
+        val skb = cb.groupMapReduce { case (k, _) => bucket(seed, k) }(_._2)(_ + _)
+        ska.map { case (w, n) => n * skb.getOrElse(w, 0L) }.sum
+      }.min
+      assert(est >= exact, s"CMS inner product $est < exact $exact")
+    }
+  }
+
+  test("J20 lerp laws: observed days are exact; interpolations stay inside the bracket") {
+    import spark.implicits._
+    // random sparse series -> the registry shape on a tiny synthetic frame
+    val gen = Gen.listOfN(8, for {
+      d <- Gen.choose(0L, 30L); v <- Gen.choose(1, 9)
+    } yield (d, v.toDouble))
+    draws(gen, 4).foreach { obsRaw =>
+      val obs = obsRaw.toMap.toSeq // unique days
+      val o = obs.map { case (d, v) => (1L, d, v) }.toDF("user_id", "d", "v")
+      val grid = o.groupBy(col("user_id"))
+        .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("d"))
+      val g = grid.join(o.select(col("user_id").as("ou"), col("d").as("od"),
+          col("v")), col("user_id") === col("ou") && col("d") === col("od"),
+          "left")
+        .select(col("user_id"), col("d"), col("v"))
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("d"))
+        .rowsBetween(Long.MinValue, 0)
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("d"))
+        .rowsBetween(0, Long.MaxValue)
+      val f = g.select(col("user_id"), col("d"), col("v"),
+        max(when(col("v").isNotNull, col("d"))).over(wp).as("pd"),
+        min(when(col("v").isNotNull, col("d"))).over(wn).as("nd"))
+      val po = o.select(col("user_id").as("pu"), col("d").as("pdd"),
+        col("v").as("pv"))
+      val no = o.select(col("user_id").as("nu"), col("d").as("ndd"),
+        col("v").as("nv"))
+      val out = f
+        .join(po, col("user_id") === col("pu") && col("pd") === col("pdd"))
+        .join(no, col("user_id") === col("nu") && col("nd") === col("ndd"))
+        .select(col("d"), col("v"),
+          when(col("nd") === col("pd"), col("pv"))
+            .otherwise(((col("nd") - col("d")) * col("pv") +
+              (col("d") - col("pd")) * col("nv")) / (col("nd") - col("pd")))
+            .as("est"),
+          least(col("pv"), col("nv")).as("lo"),
+          greatest(col("pv"), col("nv")).as("hi"))
+        .collect()
+      out.foreach { row =>
+        val (v, est) = (Option(row.get(1)).map(_.toString.toDouble),
+          row.getDouble(2))
+        v.foreach(x => assert(math.abs(est - x) < 1e-12,
+          s"observed day must be exact: $x vs $est"))
+        assert(est >= row.getDouble(3) - 1e-12 && est <= row.getDouble(4) + 1e-12,
+          s"lerp left the bracket: $row")
+      }
+    }
+  }
+
+  test("MM VAD law: decoded burst activity matches the (seed + block) % 3 gate") {
+    val mm = graft.multimodal.Multimodal
+    draws(Gen.choose(0L, 100000L), 6).foreach { seed =>
+      val nb = 8
+      val bytes = mm.synthWavBursts(seed, nb)
+      val samples = mm.wavSamples(bytes, 32 * nb).get
+      (0 until nb).foreach { j =>
+        val energy = samples.slice(j * 32, j * 32 + 32).map(math.abs).sum
+        val voiced = energy > 128000d
+        assert(voiced == ((seed + j) % 3 != 0),
+          s"seed=$seed block=$j energy=$energy")
+      }
+    }
+  }
 }
