@@ -751,6 +751,66 @@ object Scalars {
               parse_url(col("url"), lit("REF")).as("fragment"))
         )
       }
-    )
+    ), {
+      // SC-GEO: GEOHASH CELL ENCODING — the geospatial grouping key that
+      // pairs with j19's grid join: quantize (lat, lon) to 5+5 bits,
+      // interleave lon-first into the 10-bit Morton word (the sc_zorder
+      // primitive), and render precision-2 base32 geohash strings — the
+      // per-cell key a geo pipeline partitions, joins and skips files on.
+      // All-integer quantization ((scaled + offset)·2^k DIV span) keeps
+      // both engines bit-identical; the bit-interleave and char
+      // extraction expressions are GENERATED from one template per engine
+      // dialect so they cannot drift. 100 TB shape: per-row compute + one
+      // hash aggregate on the cell id (1024 cells max at this precision).
+      val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+      def zText(shr: (String, Int) => String): String = {
+        val lon = (0 to 4).map(i => s"(${shr("lonq", i)} % 2) * ${1L << (2 * i + 1)}")
+        val lat = (0 to 4).map(i => s"(${shr("latq", i)} % 2) * ${1L << (2 * i)}")
+        (lon ++ lat).mkString(" + ")
+      }
+      def ghText(shr: (String, Int) => String): Seq[String] =
+        (0 to 1).map(k => s"substring('$alphabet', CAST(${shr("z", 5 - 5 * k)} % 32 AS INT) + 1, 1)")
+      val sparkShr = (c: String, i: Int) => s"shiftright($c, $i)"
+      val duckShr = (c: String, i: Int) => s"($c >> $i)"
+      Q(
+        "sc_geohash",
+        Some(s"""WITH p AS (
+                |  SELECT event_id,
+                |         (event_id * 7919) % 1800000 - 900000 AS lat_s,
+                |         (event_id * 104729) % 3600000 - 1800000 AS lon_s
+                |  FROM events
+                |),
+                |q AS (
+                |  SELECT event_id,
+                |         ((lat_s + 900000) * 32) // 1800000 AS latq,
+                |         ((lon_s + 1800000) * 32) // 3600000 AS lonq
+                |  FROM p
+                |),
+                |z AS (SELECT event_id, ${zText(duckShr)} AS z FROM q)
+                |SELECT CAST(z AS BIGINT) AS cell,
+                |       ${ghText(duckShr).mkString(" || ")} AS geohash2,
+                |       CAST(count(*) AS BIGINT) AS n_points
+                |FROM z GROUP BY z
+                |ORDER BY ALL NULLS FIRST""".stripMargin),
+        (spark, dir) => {
+          val t = Tables(spark, dir)
+          ordered(
+            t.events
+              .select(col("event_id"),
+                ((col("event_id") * 7919) % 1800000 - 900000).as("lat_s"),
+                ((col("event_id") * 104729) % 3600000 - 1800000).as("lon_s"))
+              .select(col("event_id"),
+                expr("((lat_s + 900000) * 32) DIV 1800000").as("latq"),
+                expr("((lon_s + 1800000) * 32) DIV 3600000").as("lonq"))
+              .select(col("event_id"), expr(zText(sparkShr)).as("z"))
+              .groupBy(col("z"))
+              .agg(count(lit(1)).as("n_points"))
+              .select(col("z").cast("long").as("cell"),
+                expr(ghText(sparkShr).mkString("concat(", ", ", ")"))
+                  .as("geohash2"),
+                col("n_points")))
+        }
+      )
+    }
   )
 }
