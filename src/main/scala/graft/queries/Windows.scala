@@ -203,8 +203,35 @@ object Windows {
             .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
         )
       }
-    )
-    ,
+    ),
+    Q(
+      "o3_topk_ties",
+      // TOP-K WITH TIES (O3's rank() twin): row_number() caps each group
+      // at exactly k rows, silently dropping tied peers — for "top 3
+      // priorities by quantity INCLUDING ties" the cutoff must be rank(),
+      // which admits every row equal to the k-th. l_quantity is coarse
+      // (50 distinct values), so ties are dense and the two semantics
+      // genuinely diverge — the hash check would catch a row_number
+      // regression immediately. Same WindowGroupLimit pushdown shape as
+      // o3_topk_per_key: per-partition candidates are pre-pruned to the
+      // top slice before the shuffle.
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity
+             |FROM (SELECT *, rank() OVER (PARTITION BY l_returnflag
+             |        ORDER BY l_quantity DESC) AS rk FROM lineitem)
+             |WHERE rk <= 3 ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_quantity").desc)
+        ordered(
+          t.lineitem
+            .withColumn("rk", rank().over(w))
+            .filter(col("rk") <= 3)
+            .select(col("l_returnflag"), col("l_orderkey"),
+              col("l_linenumber"), col("l_quantity"))
+        )
+      }
+    ),
     Q(
       "w2_pct_rank",
       // percent_rank + cume_dist over a deterministic total order (W2)
