@@ -720,6 +720,66 @@ object Joins {
             .filter(col("id1") < col("id2") && d2 <= 40000)
             .select(col("id1"), col("id2"), d2.cast("long").as("dist_sq")))
       }
+    ),
+    Q(
+      "j21_nearest_within_r",
+      // NEAREST-NEIGHBOR JOIN (k=1, radius-bounded) on the j19 grid
+      // backbone: for every point, its closest other point within r —
+      // the spatial argmin a record-linkage or sensor-fusion pipeline
+      // runs after blocking. Same 3x3 cell equi-join; the per-point
+      // winner is ONE hash aggregate via min(struct(dist², id)) — minimum
+      // distance, smallest id on ties — never a per-point sort. The
+      // oracle packs the same argmin as dist²·10⁶ + id over the direct
+      // theta join, so hash equality pins both the candidate set and the
+      // tiebreak. Points with no neighbor within r drop out (radius-
+      // bounded semantics). 100 TB shape: identical to j19 plus one
+      // map-side-partial aggregate on the point id.
+      Some("""WITH p AS (
+             |  SELECT event_id AS id, (event_id * 37) % 1200 AS x,
+             |         (event_id * 91 + 13) % 1200 AS y
+             |  FROM events WHERE event_id % 73 = 0
+             |),
+             |pairs AS (
+             |  SELECT a.id AS id1, b.id AS id2,
+             |         (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+             |  FROM p a JOIN p b
+             |    ON a.id <> b.id
+             |   AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 40000
+             |),
+             |best AS (SELECT id1, min(d2 * 1000000 + id2) AS pk
+             |         FROM pairs GROUP BY 1)
+             |SELECT id1 AS id, CAST(pk % 1000000 AS BIGINT) AS nearest_id,
+             |       CAST(pk // 1000000 AS BIGINT) AS dist_sq
+             |FROM best ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val pts = t.events
+          .filter(col("event_id") % 73 === 0)
+          .select(col("event_id").as("id"),
+            (col("event_id") * 37 % 1200).as("x"),
+            ((col("event_id") * 91 + 13) % 1200).as("y"))
+        val probe = pts.select(col("id").as("id2"), col("x").as("x2"),
+          col("y").as("y2"), expr("x DIV 200").as("cx"), expr("y DIV 200").as("cy"))
+        val build = pts
+          .select(col("id").as("id1"), col("x").as("x1"), col("y").as("y1"),
+            explode(expr(
+              """flatten(transform(sequence(-1, 1), dx ->
+                |  transform(sequence(-1, 1), dy ->
+                |    struct(x DIV 200 + dx AS cx, y DIV 200 + dy AS cy))))"""
+                .stripMargin)).as("cell"))
+          .select(col("id1"), col("x1"), col("y1"),
+            col("cell.cx").as("cx"), col("cell.cy").as("cy"))
+        val d2 = (col("x1") - col("x2")) * (col("x1") - col("x2")) +
+          (col("y1") - col("y2")) * (col("y1") - col("y2"))
+        ordered(
+          build.join(probe, Seq("cx", "cy"))
+            .filter(col("id1") =!= col("id2") && d2 <= 40000)
+            .select(col("id1"), col("id2"), d2.as("d2"))
+            .groupBy(col("id1").as("id"))
+            .agg(min(struct(col("d2"), col("id2"))).as("w"))
+            .select(col("id"), col("w.id2").cast("long").as("nearest_id"),
+              col("w.d2").cast("long").as("dist_sq")))
+      }
     )
   )
 }
