@@ -579,6 +579,103 @@ object Relational {
       }
     ),
     Q(
+      "s19_bloom_file_skip",
+      // BLOOM-FILTER FILE SKIPPING — s17's EQUALITY twin (zone maps skip
+      // range predicates; point lookups on a non-clustered key need a
+      // per-file Bloom, the parquet bloom_filter / lakehouse manifest
+      // pattern): each synthetic 30-day file folds its l_orderkey set
+      // into a 64-word (3968-bit, k=3) filter via ONE hash aggregate;
+      // five probe keys then plan against the manifest — a file must be
+      // read iff all 3 probe bits are set. The portable md5 hash family
+      // makes every verdict — false positives included — deterministic
+      // and hash-checked; truly_present rides beside it, proving no
+      // false negative (present ⇒ maybe_present) IN the result. 100 TB
+      // shape: the manifest build is one map-side-partial aggregate
+      // (files × 64 words); planning touches only the manifest — the
+      // probe relation × file grid, never the data.
+      Some("""WITH s AS (SELECT unnest(range(0, 3)) AS seed),
+             |li AS (
+             |  SELECT DISTINCT epoch_us(l_shipdate) // 86400000000 // 30 AS file_id,
+             |         l_orderkey AS key
+             |  FROM lineitem
+             |),
+             |bloom AS (
+             |  SELECT file_id,
+             |         (('0x' || substring(md5(seed || ':' || key), 1, 15))::BIGINT
+             |          % 3968) // 62 AS word,
+             |         bit_or(1::BIGINT << CAST(
+             |           (('0x' || substring(md5(seed || ':' || key), 1, 15))::BIGINT
+             |            % 3968) % 62 AS INT)) AS bits
+             |  FROM li CROSS JOIN s GROUP BY 1, 2
+             |),
+             |probes AS (SELECT unnest(range(0, 5)) * 2999 + 7 AS pkey),
+             |grid AS (
+             |  SELECT DISTINCT li.file_id, p.pkey FROM li CROSS JOIN probes p
+             |),
+             |hits AS (
+             |  SELECT g.file_id, g.pkey,
+             |         CASE WHEN coalesce(b.bits, 0) &
+             |              (1::BIGINT << CAST(
+             |                (('0x' || substring(md5(s.seed || ':' || g.pkey), 1, 15))
+             |                 ::BIGINT % 3968) % 62 AS INT)) <> 0
+             |              THEN 1 ELSE 0 END AS hit
+             |  FROM grid g CROSS JOIN s
+             |  LEFT JOIN bloom b
+             |    ON b.file_id = g.file_id
+             |   AND b.word = (('0x' || substring(md5(s.seed || ':' || g.pkey), 1, 15))
+             |                 ::BIGINT % 3968) // 62
+             |),
+             |verdict AS (
+             |  SELECT file_id, pkey, min(hit) = 1 AS maybe_present
+             |  FROM hits GROUP BY 1, 2
+             |)
+             |SELECT v.file_id, v.pkey, v.maybe_present,
+             |       (li.key IS NOT NULL) AS truly_present
+             |FROM verdict v
+             |LEFT JOIN li ON li.file_id = v.file_id AND li.key = v.pkey
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        def pos(seed: Int, key: org.apache.spark.sql.Column) =
+          pmod(conv(substring(md5(concat(lit(seed.toString), lit(":"),
+            key.cast("string"))), 1, 15), 16, 10).cast("long"), lit(3968L))
+        val day = expr("unix_micros(cast(l_shipdate as timestamp)) DIV 86400000000")
+        val li = t.lineitem
+          .select((day / 30).cast("long").as("file_id"),
+            col("l_orderkey").as("key"))
+          .distinct()
+        val bloom = li
+          .select(col("file_id"), explode(array((0 until 3).map(s =>
+            pos(s, col("key"))): _*)).as("p"))
+          .select(col("file_id"), expr("p DIV 62").as("word"),
+            (col("p") % 62).cast("int").as("bit"))
+          .groupBy(col("file_id"), col("word"))
+          .agg(expr("bit_or(shiftleft(cast(1 as bigint), bit))").as("bits"))
+        val probes = spark.range(0, 5)
+          .select((col("id") * 2999 + 7).as("pkey"))
+        val grid = li.select(col("file_id")).distinct()
+          .crossJoin(broadcast(probes)) // files × 5 probe keys — the plan grid
+        val hits = grid
+          .select(col("file_id"), col("pkey"), explode(array((0 until 3).map(s =>
+            pos(s, col("pkey"))): _*)).as("p"))
+          .select(col("file_id"), col("pkey"), expr("p DIV 62").as("word"),
+            (col("p") % 62).cast("int").as("bit"))
+          .join(broadcast(bloom), Seq("file_id", "word"), "left")
+          .select(col("file_id"), col("pkey"),
+            (coalesce(col("bits"), lit(0L))
+              .bitwiseAND(expr("shiftleft(cast(1 as bigint), bit)")) =!= 0L)
+              .cast("int").as("hit"))
+        val verdict = hits.groupBy(col("file_id"), col("pkey"))
+          .agg((min(col("hit")) === 1).as("maybe_present"))
+        ordered(
+          verdict.join(li,
+              verdict("file_id") === li("file_id") && col("pkey") === col("key"),
+              "left")
+            .select(verdict("file_id"), col("pkey"), col("maybe_present"),
+              col("key").isNotNull.as("truly_present")))
+      }
+    ),
+    Q(
       "s12_equidepth",
       // Equi-DEPTH histogram over l_extendedprice — the optimizer's
       // preferred distribution summary (equal row mass per bucket, so

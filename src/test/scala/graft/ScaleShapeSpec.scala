@@ -261,6 +261,9 @@ class ScaleShapeSpec extends AnyFunSuite {
       "s18_join_size_estimate", // 4-row seed relation broadcast onto the
       // per-key count relation (sketch build) — constant build side; the
       // sketch dot products and the exact pass are equi-joins
+      "s19_bloom_file_skip", // 5-row probe relation broadcast onto the
+      // file manifest (the plan grid); manifest build + truth join are
+      // equi on (file_id, word)/(file_id, key)
       "w12_ratio_to_report", // 1-row grand-total scalar broadcast onto the
       // per-customer relation — constant-size build side
       "w13_lorenz", // 1-row gini/grand-total scalar broadcast onto the
