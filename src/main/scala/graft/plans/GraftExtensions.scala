@@ -35,5 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // epsilon-band joins: abs(l - r) <= eps rewritten to a quantized
     // equi-join so the naive formulation never plans a nested loop
     ext.injectOptimizerRule(_ => BandJoinRewrite)
+    // planar radius joins: (x1-x2)² + (y1-y2)² <= r² rewritten to the
+    // 3x3 grid-cell equi-join — BandJoinRewrite's 2D sibling
+    ext.injectOptimizerRule(_ => SpatialJoinRewrite)
   }
 }

@@ -780,6 +780,45 @@ object Joins {
             .select(col("id"), col("w.id2").cast("long").as("nearest_id"),
               col("w.d2").cast("long").as("dist_sq")))
       }
+    ),
+    Q(
+      "j19_grid_auto",
+      // The NAIVE spelling of j19: a plain theta join on the squared
+      // radius — written the way a user would write it, relying on
+      // [[graft.plans.SpatialJoinRewrite]] (injected via GraftExtensions)
+      // to derive the 3x3 grid-cell equi-join automatically. Hash-matching
+      // the identical DuckDB oracle as the hand-written j19 proves the
+      // optimizer rule semantics-preserving end-to-end; ScaleShapeSpec
+      // asserts the nested loop is actually gone from the executed plan.
+      Some("""WITH p AS (
+             |  SELECT event_id AS id, (event_id * 37) % 1200 AS x,
+             |         (event_id * 91 + 13) % 1200 AS y
+             |  FROM events WHERE event_id % 73 = 0
+             |)
+             |SELECT a.id AS id1, b.id AS id2,
+             |       CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT)
+             |         AS dist_sq
+             |FROM p a JOIN p b
+             |  ON a.id < b.id
+             | AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 40000
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val pts = t.events
+          .filter(col("event_id") % 73 === 0)
+          .select(col("event_id").as("id"),
+            (col("event_id") * 37 % 1200).as("x"),
+            ((col("event_id") * 91 + 13) % 1200).as("y"))
+        val a = pts.select(col("id").as("id1"), col("x").as("x1"),
+          col("y").as("y1"))
+        val b = pts.select(col("id").as("id2"), col("x").as("x2"),
+          col("y").as("y2"))
+        val d2 = (col("x1") - col("x2")) * (col("x1") - col("x2")) +
+          (col("y1") - col("y2")) * (col("y1") - col("y2"))
+        ordered(
+          a.join(b, col("id1") < col("id2") && d2 <= 40000)
+            .select(col("id1"), col("id2"), d2.cast("long").as("dist_sq")))
+      }
     )
   )
 }

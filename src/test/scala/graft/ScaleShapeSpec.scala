@@ -350,6 +350,18 @@ class ScaleShapeSpec extends AnyFunSuite {
       s"no hash/merge join on the cell key:\n$plan")
   }
 
+  test("SpatialJoinRewrite: naive radius theta join becomes a grid equi-join") {
+    // the naive (x1-x2)²+(y1-y2)² <= r² formulation must be rewritten by
+    // the injected optimizer rule into the 3x3 cell fan-out + hash join
+    val plan = executedPlan(SparkEntry.queries("j19_grid_auto")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"SpatialJoinRewrite did not fire — nested loop survives:\n$plan")
+    assert(plan.contains("Generate"), s"missing the 3x3 cell fan-out:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"no hash/merge join on the cell key:\n$plan")
+  }
+
   test("yield curve is explode-based: no nested loop, grid joins only the aggregate") {
     // the threshold sweep must ride ONE narrow pass over the pair
     // relation (explode to qualifying t10 rows), never a theta join that
