@@ -742,6 +742,111 @@ object VectorOps {
       }
     ),
     Q(
+      "d6_ann_filtered",
+      // FILTERED VECTOR SEARCH — the vector-db feature every RAG stack
+      // leans on ("nearest neighbors WHERE label = X"): the IVF probe
+      // path (frozen centroids, packed-decimal argmax assignment,
+      // nProbe=2) with the metadata predicate applied to the CANDIDATE
+      // set (post-filter — the standard IVF strategy; pre-filtering
+      // would invalidate the cluster geometry). Each query targets label
+      // q_id % 10; outputs the filtered top-3 plus n_cand, the filtered
+      // candidate volume — the column that exposes the selectivity/recall
+      // tradeoff a production system monitors (sparse filters starve the
+      // probe set). Every stage is the hash-proven fixture machinery, so
+      // the whole filtered path exact-hash-matches. 100 TB shape: the
+      // label filter rides the candidate join (cluster-bucketed), never
+      // a corpus scan; topping up sparse filters = raising nProbe, the
+      // d6_recall_curve dial.
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+              |  FROM embeddings
+              |),
+              |cents AS (
+              |  SELECT cluster, [CAST(x AS DOUBLE) FOR x IN centroid] AS cv
+              |  FROM '/root/repo/fixtures/ivf_centroids.parquet'
+              |),
+              |corpus AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 20),
+              |q AS (SELECT vec_id AS q_id, v AS qv,
+              |             CAST(vec_id % 10 AS INTEGER) AS target
+              |      FROM e WHERE vec_id < 20),
+              |ascore AS (
+              |  SELECT corpus.vec_id, cents.cluster,
+              |         ${cosSql("corpus.v", "cents.cv")} AS sim
+              |  FROM corpus CROSS JOIN cents
+              |),
+              |asg AS (
+              |  SELECT vec_id,
+              |         CAST(9999 - (max(CAST(round((sim + 1.0) * 5e14) AS HUGEINT)
+              |                          * 10000 + (9999 - cluster)) % 10000)
+              |              AS INTEGER) AS cluster
+              |  FROM ascore GROUP BY vec_id
+              |),
+              |pscore AS (
+              |  SELECT q.q_id, q.qv, q.target, cents.cluster,
+              |         ${cosSql("q.qv", "cents.cv")} AS sim
+              |  FROM q CROSS JOIN cents
+              |),
+              |probes AS (
+              |  SELECT q_id, qv, target, cluster FROM (
+              |    SELECT q_id, qv, target, cluster,
+              |           row_number() OVER (PARTITION BY q_id
+              |                              ORDER BY sim DESC, cluster ASC) AS pr
+              |    FROM pscore)
+              |  WHERE pr <= 2
+              |),
+              |cand AS (
+              |  SELECT p.q_id, p.target, c.vec_id, c.label,
+              |         ${cosSql("p.qv", "c.v")} AS cos
+              |  FROM probes p
+              |  JOIN asg a USING (cluster)
+              |  JOIN corpus c ON c.vec_id = a.vec_id
+              |  WHERE c.label = p.target
+              |),
+              |ranked AS (
+              |  SELECT q_id, target, vec_id, cos,
+              |         row_number() OVER (PARTITION BY q_id
+              |                            ORDER BY cos DESC, vec_id ASC) AS rn,
+              |         count(*) OVER (PARTITION BY q_id) AS n_cand
+              |  FROM cand
+              |)
+              |SELECT q_id, target, rn, vec_id, round(cos, 4) AS cos,
+              |       CAST(n_cand AS BIGINT) AS n_cand
+              |FROM ranked WHERE rn <= 3
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val cents = spark.read.parquet("/root/repo/fixtures/ivf_centroids.parquet")
+        val e = t.embeddings
+        val ivf = graft.functions.Ivf.index(e.filter(col("vec_id") >= 20), cents)
+        val lab = e.filter(col("vec_id") >= 20)
+          .select(col("vec_id"), col("label"))
+        val queries = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val targets = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"),
+            (col("vec_id") % 10).cast("int").as("target"))
+        val cand = ivf
+          .join(broadcast(graft.functions.Ivf.probes(queries, cents, nProbe = 2)),
+            "cluster")
+          .join(lab, "vec_id")
+          .join(broadcast(targets), "q_id")
+          .filter(col("label") === col("target"))
+          .select(col("q_id"), col("target"), col("vec_id"),
+            graft.functions.Vectors.cosineFast(col("qe"), col("embedding"))
+              .as("cos"))
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        val wCnt = Window.partitionBy(col("q_id"))
+        ordered(
+          cand
+            .withColumn("rn", row_number().over(wTop))
+            .withColumn("n_cand", count(lit(1)).over(wCnt))
+            .filter(col("rn") <= 3)
+            .select(col("q_id"), col("target"), col("rn"), col("vec_id"),
+              r4(col("cos")).as("cos"), col("n_cand")))
+      }
+    ),
+    Q(
       "d6_recall_curve",
       // IVF COST/RECALL CURVE, oracle-checked — the dial every ANN
       // deployment tunes: for nProbe in {1, 2, 4, 8}, the candidate

@@ -215,6 +215,8 @@ class ScaleShapeSpec extends AnyFunSuite {
       "d6_cosine_topk", // small query set x corpus, reranked top-k
       "d6_ivf_ann", // k-row centroid relation x vectors (assignment)
       "d6_ivf_assign", "d6_ivf_search", // same k-row centroid cross joins
+      "d6_ann_filtered", // the same k-row centroid cross joins (assignment
+      // + probe selection); the label filter rides the candidate equi-join
       "d6_recall_curve", // the fenced brute-force oracle leg (broadcast
       // 20-query set x corpus) + the same k-row centroid cross joins +
       // per-probe 1-row aggregate cross joins
