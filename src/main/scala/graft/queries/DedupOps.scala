@@ -872,6 +872,147 @@ object DedupOps {
       }
     ),
     Q(
+      "d5_lsh_recall_measured",
+      // MEASURED LSH S-CURVE — closes the loop on d5_lsh_band_plan: the
+      // planner PREDICTS collision probability p = 1−(1−s^r)^b from the
+      // (b=4, r=2) config; this query MEASURES it. Planted pairs (each
+      // doc + a copy with 2/8/14 novel tokens appended by doc_id % 3)
+      // span a range of true Jaccards; per exact-Jaccard decile the query
+      // reports how many pairs the banding actually caught next to the
+      // planner's prediction at the decile midpoint — the prediction made
+      // exact-integer the d5_lsh_band_plan way (s = (2d+1)/20 ⇒ p as a
+      // ratio of BIGINT fourth powers over 400⁴, one rounded division).
+      // Both engines rebuild the identical signatures/bands, so measured
+      // AND predicted hash-match; the curve tracking is the evidence that
+      // the tuning artifact a 100 TB dedup run plans with corresponds to
+      // what the banding actually does. Scale shape: the exact-Jaccard
+      // leg is the d5_ngram_jaccard posting join confined to planted
+      // partners; the banding leg is the standard band equi-join.
+      Some(s"""WITH u AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 10000,
+              |         text || CASE CAST(doc_id % 3 AS INT)
+              |           WHEN 0 THEN ' zqa0 zqa1'
+              |           WHEN 1 THEN ' zqa0 zqa1 zqa2 zqa3 zqa4 zqa5 zqa6 zqa7'
+              |           ELSE ' zqa0 zqa1 zqa2 zqa3 zqa4 zqa5 zqa6 zqa7 zqa8 zqa9 zqb0 zqb1 zqb2 zqb3'
+              |         END
+              |  FROM documents
+              |),
+              |toksu AS (
+              |  SELECT doc_id,
+              |         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              |                     x -> x <> '') AS tokens
+              |  FROM u
+              |),
+              |shu AS (
+              |  SELECT DISTINCT doc_id,
+              |         unnest([array_to_string(tokens[i:i+2], ' ')
+              |                 FOR i IN range(1, len(tokens) - 1)]) AS shingle
+              |  FROM toksu WHERE len(tokens) >= 3
+              |),
+              |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shu GROUP BY 1),
+              |inter AS (
+              |  SELECT x.doc_id AS a, count(*) AS inter
+              |  FROM shu x JOIN shu y
+              |    ON x.shingle = y.shingle AND y.doc_id = x.doc_id + 10000
+              |  GROUP BY 1
+              |),
+              |jx AS (
+              |  SELECT i.a,
+              |         i.inter * 1.0 / (na.n_sh + nb.n_sh - i.inter) AS j
+              |  FROM inter i
+              |  JOIN sizes na ON na.doc_id = i.a
+              |  JOIN sizes nb ON nb.doc_id = i.a + 10000
+              |),
+              |sigs AS (
+              |  SELECT doc_id, seed,
+              |         min(((('0x' || substring(md5(shingle), 1, 15))::BIGINT
+              |                % 2147483647)
+              |              * (((2 * seed + 1) * 1103515245) % 2147483647)
+              |              + ((seed * 40503 + 12345) % 2147483647))
+              |             % 2147483647) AS sig
+              |  FROM shu CROSS JOIN (SELECT unnest(range(8)) AS seed)
+              |  GROUP BY doc_id, seed
+              |),
+              |bands AS (
+              |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+              |         string_agg(sig::VARCHAR, ',' ORDER BY sig) AS band_key
+              |  FROM sigs GROUP BY doc_id, band
+              |),
+              |caught AS (
+              |  SELECT DISTINCT x.doc_id AS a
+              |  FROM bands x JOIN bands y
+              |    ON y.doc_id = x.doc_id + 10000 AND x.band = y.band
+              |   AND x.band_key = y.band_key
+              |),
+              |dec AS (
+              |  SELECT jx.a, least(CAST(floor(jx.j * 10) AS INT), 9) AS decile,
+              |         CASE WHEN caught.a IS NOT NULL THEN 1 ELSE 0 END AS hit
+              |  FROM jx LEFT JOIN caught ON caught.a = jx.a
+              |)
+              |SELECT decile, CAST(count(*) AS BIGINT) AS n_pairs,
+              |       CAST(sum(hit) AS BIGINT) AS n_caught,
+              |       round(sum(hit) * 1.0 / count(*), 4) AS measured,
+              |       round(CAST(25600000000 -
+              |         (400 - (2*decile+1)*(2*decile+1))
+              |         * (400 - (2*decile+1)*(2*decile+1))
+              |         * (400 - (2*decile+1)*(2*decile+1))
+              |         * (400 - (2*decile+1)*(2*decile+1)) AS DOUBLE)
+              |         / 25600000000, 4) AS predicted_mid
+              |FROM dec GROUP BY decile
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val suffix = when(col("doc_id") % 3 === 0, lit(" zqa0 zqa1"))
+          .when(col("doc_id") % 3 === 1,
+            lit(" zqa0 zqa1 zqa2 zqa3 zqa4 zqa5 zqa6 zqa7"))
+          .otherwise(lit(" zqa0 zqa1 zqa2 zqa3 zqa4 zqa5 zqa6 zqa7 zqa8 zqa9" +
+            " zqb0 zqb1 zqb2 zqb3"))
+        val docs = t.documents.select(col("doc_id"), col("text"))
+        val u = docs.unionByName(
+          docs.select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), suffix).as("text")))
+        val sh = u
+          .select(col("doc_id"),
+            explode(graft.functions.Text.shingles(
+              graft.functions.Text.tokenize(col("text")), 3)).as("shingle"))
+          .distinct()
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val inter = sh.select(col("doc_id").as("a"), col("shingle"))
+          .join(sh.select(col("doc_id").as("b"), col("shingle")),
+            Seq("shingle"))
+          .filter(col("b") === col("a") + 10000)
+          .groupBy(col("a")).agg(count(lit(1)).as("inter"))
+        val jx = inter
+          .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+          .join(sizes.select((col("doc_id") - 10000).as("a"),
+            col("n_sh").as("nb")), "a")
+          .select(col("a"),
+            (col("inter") * 1.0 / (col("na") + col("nb") - col("inter"))).as("j"))
+        val sig = Dedup.minhashSignatures(u, shingleWidth = 3, numHashes = 8)
+        val bands = sig.select(col("doc_id"),
+          explode(Dedup.bandKeys(col("sig"), 8, 2)).as("key"))
+        val caught = bands.select(col("doc_id").as("a"), col("key"))
+          .join(bands.select((col("doc_id") - 10000).as("a"), col("key")),
+            Seq("a", "key"))
+          .select(col("a")).distinct()
+          .withColumn("hit", lit(1))
+        val p2 = (lit(400) - (lit(2) * col("decile") + 1) *
+          (lit(2) * col("decile") + 1)).cast("long")
+        ordered(
+          jx.join(caught, Seq("a"), "left")
+            .select(least(floor(col("j") * 10).cast("int"), lit(9)).as("decile"),
+              coalesce(col("hit"), lit(0)).as("hit"))
+            .groupBy(col("decile"))
+            .agg(count(lit(1)).as("n_pairs"), sum(col("hit")).as("n_caught"))
+            .select(col("decile"), col("n_pairs"), col("n_caught"),
+              round(col("n_caught") * 1.0 / col("n_pairs"), 4).as("measured"),
+              round((lit(25600000000L) - p2 * p2 * p2 * p2).cast("double")
+                / 25600000000L, 4).as("predicted_mid")))
+      }
+    ),
+    Q(
       "d5_minhash_pairs",
       Some(s"""WITH $shinglesCte,
               |sigs AS (
