@@ -1179,6 +1179,102 @@ object DmsOps {
       }
     ),
     Q(
+      "j22_scd2_temporal_join",
+      // TEMPORAL (AS-OF) JOIN TO AN SCD2 DIMENSION — the warehouse
+      // classic d8_scd2_history exists to serve: each shipment line finds
+      // the customer-status version that was valid AT ITS SHIP DATE.
+      // Spelled as the j8 as-of shape — equi-join on custkey restricted
+      // to valid_from <= ship_ts, then one per-fact argmax (latest
+      // valid_from, version tiebreak) via a row_number window — instead
+      // of a valid_to range residual: no interval bookkeeping, and the
+      // candidate volume rides facts × per-customer version count (the
+      // dimension churn, bounded), never the fact square. Both engines
+      // run the identical island build + window, so the whole path
+      // hash-matches. 100 TB shape: the SCD2 build is one custkey
+      // shuffle (d8_scd2_history); the join + argmax share the fact's
+      // order-line partitioning.
+      Some("""WITH h AS (
+             |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+             |         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+             |                                  ORDER BY o_orderdate, o_orderkey)
+             |           AS prev
+             |  FROM orders
+             |),
+             |seg AS (
+             |  SELECT *,
+             |         count(*) FILTER (WHERE prev IS NULL OR prev <> o_orderstatus)
+             |           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |                 ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM h
+             |),
+             |islands AS (
+             |  SELECT o_custkey AS custkey, island AS version,
+             |         min(o_orderstatus) AS status,
+             |         min(o_orderdate) AS valid_from
+             |  FROM seg GROUP BY 1, 2
+             |),
+             |f AS (
+             |  -- (orderkey, linenumber) is NOT unique in the synthetic
+             |  -- lineitem; distinct pins one fact row per (line, ship ts)
+             |  SELECT DISTINCT l.l_orderkey, l.l_linenumber,
+             |         o.o_custkey AS custkey, l.l_shipdate AS ts
+             |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |  WHERE l.l_orderkey < 2000
+             |),
+             |cand AS (
+             |  SELECT f.l_orderkey, f.l_linenumber, f.custkey, f.ts,
+             |         i.status, i.valid_from,
+             |         row_number() OVER (PARTITION BY f.l_orderkey, f.l_linenumber,
+             |                                         f.ts
+             |                            ORDER BY i.valid_from DESC, i.version DESC)
+             |           AS rn
+             |  FROM f JOIN islands i
+             |    ON i.custkey = f.custkey AND i.valid_from <= f.ts
+             |)
+             |SELECT l_orderkey, l_linenumber, custkey,
+             |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ship_ts,
+             |       status AS status_at_ship,
+             |       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS status_since
+             |FROM cand WHERE rn = 1
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val byCust = Window.partitionBy(col("custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val h = t.orders
+          .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_orderstatus"))
+          .withColumn("prev", lag(col("o_orderstatus"), 1).over(byCust))
+        val islands = h
+          .withColumn("island",
+            count(when(col("prev").isNull ||
+              col("prev") =!= col("o_orderstatus"), lit(1)))
+              .over(byCust.rowsBetween(Window.unboundedPreceding,
+                Window.currentRow)))
+          .groupBy(col("custkey"), col("island").as("version"))
+          .agg(min(col("o_orderstatus")).as("status"),
+            min(col("o_orderdate")).as("valid_from"))
+        val f = t.lineitem.filter(col("l_orderkey") < 2000L)
+          .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("o_custkey").as("fcust"), col("l_shipdate").as("ts"))
+          .distinct() // (orderkey, linenumber) not unique in the testdata
+        val wAsof = Window
+          .partitionBy(col("l_orderkey"), col("l_linenumber"), col("ts"))
+          .orderBy(col("valid_from").desc, col("version").desc)
+        ordered(
+          f.join(islands,
+              col("custkey") === col("fcust") && col("valid_from") <= col("ts"))
+            .withColumn("rn", row_number().over(wAsof))
+            .filter(col("rn") === 1)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("custkey"), tstr(col("ts")).as("ship_ts"),
+              col("status").as("status_at_ship"),
+              tstr(col("valid_from")).as("status_since")))
+      }
+    ),
+    Q(
       "d8_scd2_history",
       // Slowly-Changing-Dimension Type-2 build — the warehouse twin of the
       // doc store's version chain: collapse each customer's order-status
