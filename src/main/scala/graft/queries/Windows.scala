@@ -205,6 +205,69 @@ object Windows {
       }
     ),
     Q(
+      "w17_rolling_corr",
+      // ROLLING CORRELATION — the co-movement monitor between two metric
+      // series (here click vs purchase daily counts) over a trailing
+      // 7-day window. Made engine-exact the w15/a9 way: every moment
+      // (Σx, Σy, Σxy, Σx², Σy²) is an exact INTEGER window sum, the
+      // Pearson numerator/denominator are exact integer-valued doubles
+      // (< 2^53), and the only inexact steps are one sqrt of an exact
+      // value (correctly rounded IEEE — identical in both engines) and
+      // one final rounded division. Zero-variance windows yield NULL via
+      // a guard on the exact integer denominators. 100 TB shape: events
+      // collapse to one (day) aggregate; the day grid is output-sized;
+      // five window sums share ONE day ordering.
+      Some("""WITH c AS (
+             |  SELECT epoch_us(ts) // 86400000000 AS d,
+             |         CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS x,
+             |         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y
+             |  FROM events GROUP BY 1
+             |),
+             |w AS (
+             |  SELECT d, x, y,
+             |         sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+             |         sum(x*y) OVER win AS sxy,
+             |         sum(x*x) OVER win AS sxx, sum(y*y) OVER win AS syy,
+             |         row_number() OVER (ORDER BY d) AS rn
+             |  FROM c
+             |  WINDOW win AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             |)
+             |SELECT d AS day, x AS clicks, y AS purchases,
+             |       CASE WHEN (7*sxx - sx*sx) > 0 AND (7*syy - sy*sy) > 0
+             |            THEN round((7*sxy - sx*sy) /
+             |                       sqrt(CAST((7*sxx - sx*sx) * (7*syy - sy*sy)
+             |                                 AS DOUBLE)), 4)
+             |            END AS corr7
+             |FROM w WHERE rn >= 7
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val c = t.events
+          .groupBy(expr("unix_micros(ts) DIV 86400000000").as("d"))
+          .agg(count(when(col("event_type") === "click", 1)).as("x"),
+            count(when(col("event_type") === "purchase", 1)).as("y"))
+        val win = Window.orderBy(col("d")).rowsBetween(-6, Window.currentRow)
+        val seq = Window.orderBy(col("d"))
+        val den = (lit(7) * col("sxx") - col("sx") * col("sx")) *
+          (lit(7) * col("syy") - col("sy") * col("sy"))
+        ordered(
+          c.select(col("d"), col("x"), col("y"),
+              sum(col("x")).over(win).as("sx"),
+              sum(col("y")).over(win).as("sy"),
+              sum(col("x") * col("y")).over(win).as("sxy"),
+              sum(col("x") * col("x")).over(win).as("sxx"),
+              sum(col("y") * col("y")).over(win).as("syy"),
+              row_number().over(seq).as("rn"))
+            .filter(col("rn") >= 7)
+            .select(col("d").as("day"), col("x").as("clicks"),
+              col("y").as("purchases"),
+              when((lit(7) * col("sxx") - col("sx") * col("sx")) > 0 &&
+                (lit(7) * col("syy") - col("sy") * col("sy")) > 0,
+                round((lit(7) * col("sxy") - col("sx") * col("sy")) /
+                  sqrt(den.cast("double")), 4)).as("corr7")))
+      }
+    ),
+    Q(
       "o3_topk_ties",
       // TOP-K WITH TIES (O3's rank() twin): row_number() caps each group
       // at exactly k rows, silently dropping tied peers — for "top 3
