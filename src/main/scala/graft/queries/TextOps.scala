@@ -27,7 +27,7 @@ object TextOps {
       |  FROM documents
       |)""".stripMargin
 
-  val all: Seq[Q] = snippetQ +: kAnonymityQ +: vocabCoverageQ +: sourceReportQ +: boilerplateQ +: sourceOverlapQ +: booleanQ +: proximityQ +: charEntropyQ +: bpeQs ++: oovQ +: qlQ +: readabilityQ +: keywordsQ +: stopwordQ +: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
+  val all: Seq[Q] = snippetQ +: kAnonymityQ +: fertilityQ +: vocabCoverageQ +: sourceReportQ +: boilerplateQ +: sourceOverlapQ +: booleanQ +: proximityQ +: charEntropyQ +: bpeQs ++: oovQ +: qlQ +: readabilityQ +: keywordsQ +: stopwordQ +: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
     skewProfileQ +: quantileNormQ +: pmiAssocQ +: Seq(
     Q(
       "d7_zipf_fit",
@@ -2480,6 +2480,41 @@ object TextOps {
     * — all integer, one hash aggregate over the QI tuple then one over k.
     * At 100 TB both aggregates take map-side partials; the QI relation is
     * bounded by the QI domain, never the corpus. */
+  /** D2f: TOKENIZER FERTILITY — tokens-per-character by language, the
+    * first number an LLM team checks about its tokenizer (high fertility
+    * = the language pays more sequence length per content). Exact integer
+    * sums, one rounded division per language; one hash aggregate over
+    * the lang key. */
+  private def fertilityQ: Q =
+    Q(
+      "d2_fertility",
+      Some(s"""WITH $toksCte
+              |SELECT d.lang,
+              |       CAST(sum(len(t.tokens)) AS BIGINT) AS n_tokens,
+              |       CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+              |       round(sum(len(t.tokens)) * 1.0 / sum(d.n_chars), 6)
+              |         AS tokens_per_char,
+              |       round(sum(d.n_chars) * 1.0 / sum(len(t.tokens)), 4)
+              |         AS chars_per_token
+              |FROM documents d JOIN toks t USING (doc_id)
+              |GROUP BY d.lang
+              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        ordered(
+          t.documents
+            .select(col("lang"), col("n_chars"),
+              size(Text.tokenize(col("text"))).as("nt"))
+            .groupBy(col("lang"))
+            .agg(sum(col("nt")).as("n_tokens"), sum(col("n_chars")).as("n_chars"))
+            .select(col("lang"), col("n_tokens"), col("n_chars"),
+              round(col("n_tokens") * 1.0 / col("n_chars"), 6)
+                .as("tokens_per_char"),
+              round(col("n_chars") * 1.0 / col("n_tokens"), 4)
+                .as("chars_per_token")))
+      }
+    )
+
   private def kAnonymityQ: Q =
     Q(
       "d7_k_anonymity",
