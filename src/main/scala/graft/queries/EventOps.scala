@@ -1230,6 +1230,79 @@ object EventOps {
       }
     ),
     Q(
+      "t34_stl_decompose",
+      // STL-LITE SEASONAL DECOMPOSITION — y = trend + seasonal + residual
+      // for the daily event-count series: trend = centered 7-day moving
+      // average, seasonal = per-weekday mean of the detrended series,
+      // residual = the rest. Kept ENGINE-EXACT by working in scaled
+      // integers end to end: trend7 = Σy over the centered window (= 7·
+      // trend, integer), detr7 = 7·y − trend7 (integer), the seasonal
+      // mean is the exact rational snum/sden (Σdetr7 over 7·n_days), and
+      // every output is ONE rounded division of an exact-integer
+      // numerator — residual spelled as (7·sden·y − sden·trend7 −
+      // 7·snum)/(7·sden), so no intermediate float ever differs between
+      // engines. Interior days only (full centered window). 100 TB
+      // shape: events collapse to one day aggregate; one centered
+      // window, one 7-row dow aggregate, one broadcast-size join back.
+      Some("""WITH c AS (
+             |  SELECT epoch_us(ts) // 86400000000 AS d,
+             |         CAST(count(*) AS BIGINT) AS y
+             |  FROM events GROUP BY 1
+             |),
+             |w AS (
+             |  SELECT d, y,
+             |         sum(y) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+             |                      AND 3 FOLLOWING) AS trend7,
+             |         row_number() OVER (ORDER BY d) AS rn,
+             |         count(*) OVER () AS n
+             |  FROM c
+             |),
+             |interior AS (
+             |  SELECT d, y, trend7, 7*y - trend7 AS detr7, d % 7 AS dow
+             |  FROM w WHERE rn >= 4 AND rn <= n - 3
+             |),
+             |season AS (
+             |  SELECT dow, CAST(sum(detr7) AS BIGINT) AS snum,
+             |         CAST(7 * count(*) AS BIGINT) AS sden
+             |  FROM interior GROUP BY 1
+             |)
+             |SELECT i.d AS day, i.y, CAST(i.dow AS BIGINT) AS dow,
+             |       round(i.trend7 / 7.0, 4) AS trend,
+             |       round(s.snum * 1.0 / s.sden, 4) AS seasonal,
+             |       round(CAST(7*s.sden*i.y - s.sden*i.trend7 - 7*s.snum
+             |                  AS DOUBLE) / (7.0 * s.sden), 4) AS residual
+             |FROM interior i JOIN season s USING (dow)
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val c = t.events
+          .groupBy(expr("unix_micros(ts) DIV 86400000000").as("d"))
+          .agg(count(lit(1)).as("y"))
+        val cw = Window.orderBy(col("d")).rowsBetween(-3, 3)
+        val seqW = Window.orderBy(col("d"))
+        val interior = c
+          .select(col("d"), col("y"),
+            sum(col("y")).over(cw).as("trend7"),
+            row_number().over(seqW).as("rn"),
+            count(lit(1)).over(Window.partitionBy()).as("n"))
+          .filter(col("rn") >= 4 && col("rn") <= col("n") - 3)
+          .select(col("d"), col("y"), col("trend7"),
+            (lit(7) * col("y") - col("trend7")).as("detr7"),
+            (col("d") % 7).as("dow"))
+        val season = interior.groupBy(col("dow"))
+          .agg(sum(col("detr7")).as("snum"),
+            (lit(7) * count(lit(1))).as("sden"))
+        ordered(
+          interior.join(broadcast(season), Seq("dow"))
+            .select(col("d").as("day"), col("y"), col("dow").cast("long").as("dow"),
+              round(col("trend7") / 7.0, 4).as("trend"),
+              round(col("snum") * 1.0 / col("sden"), 4).as("seasonal"),
+              round((lit(7) * col("sden") * col("y") -
+                col("sden") * col("trend7") - lit(7) * col("snum"))
+                .cast("double") / (lit(7.0) * col("sden")), 4).as("residual")))
+      }
+    ),
+    Q(
       "j20_lerp_resample",
       // LINEAR-INTERPOLATION RESAMPLING — the step past t25's zero-fill /
       // forward-fill: each user's daily purchase-count series is
