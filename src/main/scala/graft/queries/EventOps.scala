@@ -1230,6 +1230,41 @@ object EventOps {
       }
     ),
     Q(
+      "t35_fano_burstiness",
+      // FANO FACTOR / DISPERSION INDEX per event type — the burstiness
+      // diagnostic behind alerting thresholds: variance/mean of the
+      // daily counts, 1 for a Poisson arrival process, >1 for bursty
+      // traffic. Exact-integer inside (Fano = (n·Σy² − (Σy)²)/(n·Σy)),
+      // one rounded division. Two hash aggregates ((type, day) then
+      // type) with map-side partials — vocabulary-bounded output.
+      Some("""WITH c AS (
+             |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             |         CAST(count(*) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2
+             |)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             |       CAST(sum(y) AS BIGINT) AS n_events,
+             |       round((count(*) * sum(y*y) - sum(y) * sum(y)) * 1.0
+             |             / (count(*) * sum(y)), 4) AS fano
+             |FROM c GROUP BY event_type
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val c = t.events
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("d"))
+          .agg(count(lit(1)).as("y"))
+        ordered(
+          c.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_days"), sum(col("y")).as("n_events"),
+              sum(col("y") * col("y")).as("syy"))
+            .select(col("event_type"), col("n_days"), col("n_events"),
+              round((col("n_days") * col("syy") -
+                col("n_events") * col("n_events")) * 1.0 /
+                (col("n_days") * col("n_events")), 4).as("fano")))
+      }
+    ),
+    Q(
       "t34_stl_decompose",
       // STL-LITE SEASONAL DECOMPOSITION — y = trend + seasonal + residual
       // for the daily event-count series: trend = centered 7-day moving

@@ -27,7 +27,7 @@ object TextOps {
       |  FROM documents
       |)""".stripMargin
 
-  val all: Seq[Q] = snippetQ +: kAnonymityQ +: fertilityQ +: vocabCoverageQ +: sourceReportQ +: boilerplateQ +: sourceOverlapQ +: booleanQ +: proximityQ +: charEntropyQ +: bpeQs ++: oovQ +: qlQ +: readabilityQ +: keywordsQ +: stopwordQ +: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
+  val all: Seq[Q] = snippetQ +: kAnonymityQ +: fertilityQ +: dataCardQ +: vocabCoverageQ +: sourceReportQ +: boilerplateQ +: sourceOverlapQ +: booleanQ +: proximityQ +: charEntropyQ +: bpeQs ++: oovQ +: qlQ +: readabilityQ +: keywordsQ +: stopwordQ +: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
     skewProfileQ +: quantileNormQ +: pmiAssocQ +: Seq(
     Q(
       "d7_zipf_fit",
@@ -1354,6 +1354,96 @@ object TextOps {
             .as("covered"))
           .select(col("k"), col("covered"), col("total"),
             round(col("covered") * lit(1.0) / col("total"), 4).as("coverage")))
+    }
+  )
+
+  /** D9dc: DATA CARD — the one-row "datasheet for the dataset" a corpus
+    * release ships (Gebru et al.'s datasheets, the model-card sibling):
+    * volumes, language/source diversity, the language-share entropy
+    * (diversity in nats — the d7_source_kl DECIMAL(20,12) ln-rounding
+    * discipline keeps libm's last ulp out of the hash), the dominant
+    * language and its share, and exact mean/median document length.
+    * Everything is one corpus scan into a handful of 1-row aggregates;
+    * the median is an exact order statistic at rank ceil(n/2). */
+  private lazy val dataCardQ = Q(
+    "d9_data_card",
+    Some("""WITH d AS (
+           |  SELECT doc_id, lang, source, n_chars,
+           |         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+           |                              x -> x <> '')) AS BIGINT) AS nt
+           |  FROM documents
+           |),
+           |tot AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |         CAST(sum(nt) AS BIGINT) AS n_tokens,
+           |         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+           |  FROM d
+           |),
+           |lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1),
+           |ent AS (
+           |  SELECT sum(c * CAST(round(ln(c * 1.0 / tot.n_docs), 12)
+           |                      AS DECIMAL(20,12))) AS s
+           |  FROM lc CROSS JOIN tot
+           |),
+           |top AS (
+           |  SELECT lang AS top_lang, c AS top_c FROM (
+           |    SELECT lang, c, row_number() OVER (ORDER BY c DESC, lang ASC) AS rn
+           |    FROM lc
+           |  ) WHERE rn = 1
+           |),
+           |med AS (
+           |  SELECT nt AS median_tokens FROM (
+           |    SELECT nt, row_number() OVER (ORDER BY nt, doc_id) AS rn FROM d
+           |  ), tot
+           |  WHERE rn = (tot.n_docs + 1) // 2
+           |)
+           |SELECT tot.n_docs, tot.n_tokens, tot.n_chars, tot.n_langs,
+           |       tot.n_sources,
+           |       top.top_lang,
+           |       round(top.top_c * 1.0 / tot.n_docs, 4) AS top_lang_share,
+           |       round(-CAST(ent.s AS DOUBLE) / tot.n_docs, 4)
+           |         AS lang_entropy_nats,
+           |       round(tot.n_tokens * 1.0 / tot.n_docs, 4) AS mean_doc_tokens,
+           |       med.median_tokens
+           |FROM tot CROSS JOIN ent CROSS JOIN top CROSS JOIN med
+           |ORDER BY ALL NULLS FIRST""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val d = t.documents.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), size(Text.tokenize(col("text"))).cast("long").as("nt"))
+      val tot = d.agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"))
+      val lc = d.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      val ent = lc.crossJoin(broadcast(tot)) // 1-row totals scalar
+        .agg(sum(col("c") *
+          expr("cast(round(ln(c * 1.0 / n_docs), 12) as decimal(20,12))"))
+          .as("s"))
+      val top = lc
+        .select(col("lang"), col("c"), row_number().over(
+          Window.orderBy(col("c").desc, col("lang").asc)).as("rn"))
+        .filter(col("rn") === 1)
+        .select(col("lang").as("top_lang"), col("c").as("top_c"))
+      val med = d.select(col("nt"),
+          row_number().over(Window.orderBy(col("nt"), col("doc_id"))).as("rn"))
+        .crossJoin(broadcast(tot.select(col("n_docs"))))
+        .filter(col("rn") === expr("(n_docs + 1) DIV 2"))
+        .select(col("nt").as("median_tokens"))
+      ordered(
+        tot.crossJoin(broadcast(ent)).crossJoin(broadcast(top))
+          .crossJoin(broadcast(med))
+          .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+            col("n_langs"), col("n_sources"),
+            col("top_lang"),
+            round(col("top_c") * 1.0 / col("n_docs"), 4).as("top_lang_share"),
+            round((-col("s")).cast("double") / col("n_docs"), 4)
+              .as("lang_entropy_nats"),
+            round(col("n_tokens") * 1.0 / col("n_docs"), 4)
+              .as("mean_doc_tokens"),
+            col("median_tokens")))
     }
   )
 

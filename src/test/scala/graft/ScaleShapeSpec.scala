@@ -266,6 +266,8 @@ class ScaleShapeSpec extends AnyFunSuite {
       "s19_bloom_file_skip", // 5-row probe relation broadcast onto the
       // file manifest (the plan grid); manifest build + truth join are
       // equi on (file_id, word)/(file_id, key)
+      "d9_data_card", // 1-row totals/entropy/top/median scalars cross-
+      // joined into the single datasheet row — all constant build sides
       "w12_ratio_to_report", // 1-row grand-total scalar broadcast onto the
       // per-customer relation — constant-size build side
       "w13_lorenz", // 1-row gini/grand-total scalar broadcast onto the
