@@ -1260,6 +1260,63 @@ object Aggregates {
             .groupBy(col("type_a"), col("type_b"), col("exact_size"))
             .agg(min(col("dot")).as("cms_est")))
       }
+    ),
+    Q(
+      "a14_chi2_independence",
+      // PEARSON CHI-SQUARE INDEPENDENCE TEST on the lang × source
+      // contingency table — the categorical-drift sibling of t16's PSI
+      // and t17's KS: "is language distribution independent of source?"
+      // is the first question asked when a crawl source goes stale.
+      // Uses the algebraic identity chi2 = n·Σ o²/(r·c) − n, which
+      // needs only the OBSERVED cells (empty cells contribute zero to
+      // the sum), so the R×C grid is never materialized — at web scale
+      // the cell relation rides the observed (lang, source) pairs, not
+      // the cross product. Each per-cell rational o²/(r·c) is rounded
+      // to 12 decimals and summed as DECIMAL (the d7_source_kl
+      // discipline: order-independent exact decimal addition keeps the
+      // float-sum's order sensitivity out of the hash); margins are
+      // broadcast k-row relations. One corpus scan feeds all three
+      // aggregates.
+      Some("""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+             |o AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+             |      FROM documents GROUP BY 1, 2),
+             |r AS (SELECT lang, CAST(count(*) AS BIGINT) AS r
+             |      FROM documents GROUP BY 1),
+             |c AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+             |      FROM documents GROUP BY 1),
+             |s AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             |         sum(CAST(round(o.o * o.o * 1.0 / (r.r * c.c), 12)
+             |                  AS DECIMAL(28,12))) AS s
+             |  FROM o JOIN r USING (lang) JOIN c USING (source)
+             |)
+             |SELECT (SELECT count(*) FROM r) - 1 AS dof_rows,
+             |       (SELECT count(*) FROM c) - 1 AS dof_cols,
+             |       s.n_cells,
+             |       round(CAST(s.s AS DOUBLE) * nn.n - nn.n, 4) AS chi2
+             |FROM s CROSS JOIN nn
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val d = t.documents.select(col("lang"), col("source"))
+        val o = d.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+        val r = d.groupBy(col("lang")).agg(count(lit(1)).as("r"))
+        val c = d.groupBy(col("source")).agg(count(lit(1)).as("c"))
+        val nn = d.agg(count(lit(1)).as("n"))
+        val s = o.join(broadcast(r), Seq("lang"))
+          .join(broadcast(c), Seq("source"))
+          .agg(count(lit(1)).as("n_cells"),
+            sum(expr("cast(round(o * o * 1.0 / (r * c), 12) as decimal(28,12))"))
+              .as("s"))
+        val dofR = r.agg((count(lit(1)) - 1).as("dof_rows"))
+        val dofC = c.agg((count(lit(1)) - 1).as("dof_cols"))
+        ordered(
+          dofR.crossJoin(broadcast(dofC)).crossJoin(broadcast(s))
+            .crossJoin(broadcast(nn))
+            .select(col("dof_rows"), col("dof_cols"), col("n_cells"),
+              round(col("s").cast("double") * col("n") - col("n"), 4)
+                .as("chi2")))
+      }
     )
   )
 }

@@ -513,6 +513,62 @@ object GraphOps {
               qs.cast("long").as("q_scaled"),
               round(qs.cast("double") / (twoM * twoM), 8).as("q_contrib")))
       }
+    ),
+    Q(
+      "g8_hits",
+      // HITS HUB/AUTHORITY SCORES (Kleinberg) over the same
+      // deterministic link graph as g1 — the link-topic dual of
+      // PageRank: authorities are pointed to by good hubs, hubs point
+      // to good authorities. Two full mutual-reinforcement rounds,
+      // UNNORMALIZED so every score stays an exact BIGINT (h0 = 1;
+      // a1 = in-degree; h1 = Σ_out a1; a2 = Σ_in h1; h2 = Σ_out a2) —
+      // normalization is a per-query scalar divide the consumer can do,
+      // and skipping it keeps the hash check exact with zero float ops.
+      // Out-degree is 4 by construction, so scores grow ~16× per round:
+      // bounded, overflow-free. 100 TB shape: same as PageRank —
+      // alternating edges⋈scores equi-join + hash aggregate rounds, the
+      // join key flipping between src and dst (each round one shuffle
+      // with map-side partials); the driver holds only the scalar N.
+      Some("""WITH nn AS (SELECT count(*) AS n FROM documents),
+             |e AS (
+             |  SELECT doc_id AS src,
+             |         (doc_id*31 + k*17 + 7) % (SELECT n FROM nn) AS dst
+             |  FROM documents CROSS JOIN (SELECT unnest(range(0,4)) AS k) ks
+             |),
+             |a1 AS (SELECT dst AS v, CAST(count(*) AS BIGINT) AS a FROM e GROUP BY 1),
+             |h1 AS (SELECT e.src AS v, CAST(sum(a1.a) AS BIGINT) AS h
+             |       FROM e JOIN a1 ON a1.v = e.dst GROUP BY 1),
+             |a2 AS (SELECT e.dst AS v, CAST(sum(h1.h) AS BIGINT) AS a
+             |       FROM e JOIN h1 ON h1.v = e.src GROUP BY 1),
+             |h2 AS (SELECT e.src AS v, CAST(sum(a2.a) AS BIGINT) AS h
+             |       FROM e JOIN a2 ON a2.v = e.dst GROUP BY 1)
+             |SELECT d.doc_id, coalesce(a2.a, 0) AS authority,
+             |       coalesce(h2.h, 0) AS hub
+             |FROM documents d
+             |LEFT JOIN a2 ON a2.v = d.doc_id
+             |LEFT JOIN h2 ON h2.v = d.doc_id
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val docs = t.documents.select(col("doc_id"))
+        val n = docs.count()
+        val edges = docs.select(col("doc_id").as("src"),
+          explode(array((0 until 4).map(k =>
+            (col("doc_id") * 31 + k * 17 + 7) % n): _*)).as("dst"))
+        val a1 = edges.groupBy(col("dst").as("v")).agg(count(lit(1)).as("a"))
+        val h1 = edges.join(a1, col("dst") === col("v"))
+          .groupBy(col("src").as("u")).agg(sum(col("a")).as("h"))
+        val a2 = edges.join(h1, col("src") === col("u"))
+          .groupBy(col("dst").as("v2")).agg(sum(col("h")).as("a2"))
+        val h2 = edges.join(a2, col("dst") === col("v2"))
+          .groupBy(col("src").as("u2")).agg(sum(col("a2")).as("h2"))
+        ordered(
+          docs.join(a2, col("doc_id") === col("v2"), "left")
+            .join(h2, col("doc_id") === col("u2"), "left")
+            .select(col("doc_id"),
+              coalesce(col("a2"), lit(0L)).as("authority"),
+              coalesce(col("h2"), lit(0L)).as("hub")))
+      }
     )
   )
 }

@@ -268,6 +268,84 @@ object Windows {
       }
     ),
     Q(
+      "w18_rolling_moments",
+      // ROLLING SKEWNESS + KURTOSIS — the higher-moment shape monitor
+      // over each event type's trailing-7-day daily counts (heavy-tail
+      // onset shows in kurtosis long before the mean moves; burst
+      // asymmetry shows in skew). w17's exactness discipline lifted to
+      // moments 3 and 4: all four power sums S1..S4 are exact BIGINT
+      // window sums sharing one per-type day ordering; the centered
+      // numerators are cross-multiplied into pure integers
+      // (C = 343·S3 − 147·S2·S1 + 14·S1³ = n³·Σ(y−μ)³ and
+      // A = 2401·S4 − 1372·S3·S1 + 294·S2·S1² − 21·S1⁴ = n⁴·Σ(y−μ)⁴
+      // with B = 7·S2 − S1² = n·Σ(y−μ)²), so skew g1 = C/(7B·√B) and
+      // kurtosis m4/m2² = A/(7B²) each cost exactly one sqrt of an
+      // exact value plus one rounded division — bit-identical across
+      // engines. Zero-variance guard on the integer B. 100 TB shape:
+      // events collapse to one (type, day) aggregate; four window sums
+      // ride one sort; output is day-grid-sized.
+      Some("""WITH c AS (
+             |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             |         CAST(count(*) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2
+             |),
+             |w AS (
+             |  SELECT event_type, d, y,
+             |         sum(y) OVER win AS s1, sum(y*y) OVER win AS s2,
+             |         sum(y*y*y) OVER win AS s3,
+             |         sum(y*y*y*y) OVER win AS s4,
+             |         row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+             |  FROM c
+             |  WINDOW win AS (PARTITION BY event_type ORDER BY d
+             |                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             |)
+             |SELECT event_type, d AS day, y,
+             |       CASE WHEN (7*s2 - s1*s1) > 0 THEN
+             |         round(CAST(343*s3 - 147*s2*s1 + 14*s1*s1*s1 AS DOUBLE) /
+             |               (CAST(7*(7*s2 - s1*s1) AS DOUBLE) *
+             |                sqrt(CAST(7*s2 - s1*s1 AS DOUBLE))), 4)
+             |       END AS skew7,
+             |       CASE WHEN (7*s2 - s1*s1) > 0 THEN
+             |         round(CAST(2401*s4 - 1372*s3*s1 + 294*s2*s1*s1
+             |                    - 21*s1*s1*s1*s1 AS DOUBLE) /
+             |               CAST(7*(7*s2 - s1*s1)*(7*s2 - s1*s1) AS DOUBLE), 4)
+             |       END AS kurt7
+             |FROM w WHERE rn >= 7
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val c = t.events
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("d"))
+          .agg(count(lit(1)).as("y"))
+        val win = Window.partitionBy(col("event_type")).orderBy(col("d"))
+          .rowsBetween(-6, Window.currentRow)
+        val seq = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        val b = lit(7) * col("s2") - col("s1") * col("s1")
+        val cNum = lit(343) * col("s3") - lit(147) * col("s2") * col("s1") +
+          lit(14) * col("s1") * col("s1") * col("s1")
+        val aNum = lit(2401) * col("s4") - lit(1372) * col("s3") * col("s1") +
+          lit(294) * col("s2") * col("s1") * col("s1") -
+          lit(21) * col("s1") * col("s1") * col("s1") * col("s1")
+        ordered(
+          c.select(col("event_type"), col("d"), col("y"),
+              sum(col("y")).over(win).as("s1"),
+              sum(col("y") * col("y")).over(win).as("s2"),
+              sum(col("y") * col("y") * col("y")).over(win).as("s3"),
+              sum(col("y") * col("y") * col("y") * col("y")).over(win).as("s4"),
+              row_number().over(seq).as("rn"))
+            .filter(col("rn") >= 7)
+            .select(col("event_type"), col("d").as("day"), col("y"),
+              when(b > 0,
+                round(cNum.cast("double") /
+                  ((lit(7) * b).cast("double") * sqrt(b.cast("double"))), 4))
+                .as("skew7"),
+              when(b > 0,
+                round(aNum.cast("double") /
+                  (lit(7) * b * b).cast("double"), 4)).as("kurt7")))
+      }
+    ),
+    Q(
       "o3_topk_ties",
       // TOP-K WITH TIES (O3's rank() twin): row_number() caps each group
       // at exactly k rows, silently dropping tied peers — for "top 3

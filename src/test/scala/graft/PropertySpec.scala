@@ -648,4 +648,79 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("G8 HITS law: distributed scores match a driver-side recompute") {
+    import spark.implicits._
+    val out = SparkEntry.queries("g8_hits")(spark, sf)
+      .select("doc_id", "authority", "hub").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val n = out.size
+    val edges = out.keys.toSeq.flatMap(d =>
+      (0 until 4).map(k => d -> ((d * 31 + k * 17 + 7) % n)))
+    val a1 = edges.groupBy(_._2).map { case (v, es) => v -> es.size.toLong }
+    val h1 = edges.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(e => a1.getOrElse(e._2, 0L)).sum }
+    val a2 = edges.groupBy(_._2).map { case (v, es) =>
+      v -> es.map(e => h1.getOrElse(e._1, 0L)).sum }
+    val h2 = edges.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(e => a2.getOrElse(e._2, 0L)).sum }
+    out.foreach { case (d, (a, h)) =>
+      assert(a == a2.getOrElse(d, 0L) && h == h2.getOrElse(d, 0L),
+        s"doc $d: got ($a,$h) want (${a2.getOrElse(d, 0L)},${h2.getOrElse(d, 0L)})")
+    }
+  }
+
+  test("W18 rolling-moments law: windowed skew/kurtosis match a driver fold") {
+    import spark.implicits._
+    val got = SparkEntry.queries("w18_rolling_moments")(spark, sf)
+      .select("event_type", "day", "skew7", "kurt7")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (Option(r.get(2)).map(_.toString.toDouble),
+          Option(r.get(3)).map(_.toString.toDouble))).toMap
+    val daily = graft.sources.Tables(spark, sf).events
+      .groupBy(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (t, rs) => t -> rs.sortBy(_._2).map(r => (r._2, r._3)) }
+    assert(got.nonEmpty)
+    daily.foreach { case (typ, series) =>
+      series.sliding(7).foreach { w7 =>
+        if (w7.length == 7) {
+          val ys = w7.map(_._2.toDouble)
+          val mu = ys.sum / 7
+          val m2 = ys.map(y => math.pow(y - mu, 2)).sum / 7
+          val m3 = ys.map(y => math.pow(y - mu, 3)).sum / 7
+          val m4 = ys.map(y => math.pow(y - mu, 4)).sum / 7
+          val (gs, gk) = got((typ, w7.last._1))
+          if (m2 > 0) {
+            assert(math.abs(gs.get - m3 / math.pow(m2, 1.5)) < 2e-4,
+              s"skew $typ day=${w7.last._1}")
+            assert(math.abs(gk.get - m4 / (m2 * m2)) < 2e-4,
+              s"kurt $typ day=${w7.last._1}")
+          } else assert(gs.isEmpty && gk.isEmpty)
+        }
+      }
+    }
+  }
+
+  test("A14 chi2 law: identity form equals the direct (o-e)^2/e sum") {
+    import spark.implicits._
+    val row = SparkEntry.queries("a14_chi2_independence")(spark, sf).collect().head
+    val chi2 = row.getAs[Any]("chi2").toString.toDouble
+    val cells = graft.sources.Tables(spark, sf).documents
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      .as[(String, String, Long)].collect()
+    val n = cells.map(_._3).sum.toDouble
+    val r = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val c = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    // direct definition over the FULL R x C grid including empty cells
+    val direct = (for { (lk, rv) <- r; (ck, cv) <- c } yield {
+      val o = cells.find(x => x._1 == lk && x._2 == ck).map(_._3).getOrElse(0L)
+      val e = rv * cv / n
+      (o - e) * (o - e) / e
+    }).sum
+    assert(math.abs(chi2 - direct) < 1e-3, s"chi2 $chi2 vs direct $direct")
+    assert(row.getAs[Long]("dof_rows") == r.size - 1)
+    assert(row.getAs[Long]("dof_cols") == c.size - 1)
+  }
 }
