@@ -569,6 +569,85 @@ object GraphOps {
               coalesce(col("a2"), lit(0L)).as("authority"),
               coalesce(col("h2"), lit(0L)).as("hub")))
       }
+    ),
+    Q(
+      "g9_assortativity",
+      // DEGREE ASSORTATIVITY (Newman's r) over the g2 canonical
+      // undirected edge set — do high-degree nodes link to high-degree
+      // nodes? The one-number mixing diagnostic run before sampling by
+      // degree (crawl graphs are disassortative; template farms are
+      // assortative). Exact WITHOUT any sqrt: symmetrizing each edge to
+      // (x,y) and (y,x) makes the two variance legs identical, so
+      // r = (nΣxy − (Σx)²)/(nΣx² − (Σx)²) is a ratio of exact BIGINTs
+      // with one rounded division. The g1 graph is near-regular (degree
+      // variance 0 ⇒ r undefined), so this query uses a degree-skewed
+      // variant: out-degree 1 + doc_id % 7 — same hash-mix rule, now
+      // with real degree spread. 100 TB shape: degrees are one hash
+      // aggregate over edge endpoints; two equi-joins plant d(a), d(b)
+      // on the edge relation; the global sums are a map-side-combined
+      // 1-row fold. Nothing ever leaves the edge relation's size.
+      Some("""WITH nn AS (SELECT count(*) AS n FROM documents),
+             |raw AS (
+             |  SELECT doc_id AS src,
+             |         (doc_id*31 + k*17 + 7) % (SELECT n FROM nn) AS dst
+             |  FROM documents CROSS JOIN (SELECT unnest(range(0,7)) AS k) ks
+             |  WHERE k < 1 + doc_id % 7
+             |),
+             |e AS (
+             |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             |  FROM raw WHERE src <> dst
+             |),
+             |deg AS (
+             |  SELECT v, CAST(count(*) AS BIGINT) AS d
+             |  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v
+             |),
+             |p AS (
+             |  SELECT da.d AS x, db.d AS y FROM e
+             |  JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+             |),
+             |s AS (
+             |  SELECT CAST(2*count(*) AS BIGINT) AS n,
+             |         CAST(sum(x + y) AS BIGINT) AS sx,
+             |         CAST(sum(2*x*y) AS BIGINT) AS sxy,
+             |         CAST(sum(x*x + y*y) AS BIGINT) AS sxx
+             |  FROM p
+             |)
+             |SELECT n AS n_endpoints,
+             |       CASE WHEN n*sxx - sx*sx > 0
+             |            THEN round((n*sxy - sx*sx) * 1.0 / (n*sxx - sx*sx), 6)
+             |       END AS assortativity
+             |FROM s ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val docs = t.documents.select(col("doc_id"))
+        val n = docs.count()
+        val raw = docs.select(col("doc_id").as("src"),
+          posexplode(array((0 until 7).map(k =>
+            (col("doc_id") * 31 + k * 17 + 7) % n): _*)).as(Seq("k", "dst")))
+          .filter(col("k") < lit(1) + col("src") % 7)
+        val e = raw.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val deg = e.select(col("a").as("v"))
+          .union(e.select(col("b").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        val p = e
+          .join(deg.select(col("v").as("va"), col("d").as("x")),
+            col("a") === col("va"))
+          .join(deg.select(col("v").as("vb"), col("d").as("y")),
+            col("b") === col("vb"))
+        val s = p.agg((lit(2) * count(lit(1))).as("n"),
+          sum(col("x") + col("y")).as("sx"),
+          sum(lit(2) * col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x") + col("y") * col("y")).as("sxx"))
+        ordered(
+          s.select(col("n").as("n_endpoints"),
+            when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
+              round((col("n") * col("sxy") - col("sx") * col("sx")) * 1.0 /
+                (col("n") * col("sxx") - col("sx") * col("sx")), 6))
+              .as("assortativity")))
+      }
     )
   )
 }

@@ -842,6 +842,64 @@ object Relational {
               col("grp_bytes"), col("first_doc"), col("last_doc"),
               (col("grp_bytes") >= target).as("reaches_target")))
       }
+    ),
+    Q(
+      "s20_ndv_estimate",
+      // SAMPLE-BASED NDV ESTIMATION (Chao1) — the CBO statistic a 100 TB
+      // table can't afford exactly: distinct-count of l_partkey
+      // estimated from a DETERMINISTIC ~1% row sample
+      // (l_orderkey % 100 = 0 — reproducible across engines, unlike
+      // TABLESAMPLE), via Chao1 = d + f1²/(2·f2) where f1/f2 are the
+      // sample's singleton/doubleton value counts — the abundance-based
+      // richness estimator (Chao 1984) that powers every "estimate NDV
+      // without a full scan" stats collector. Everything is exact
+      // integers from two nested hash aggregates over the sample; the
+      // estimator is one rounded division; the TRUE NDV rides beside it
+      // so the estimation error is itself hash-checked. 100 TB shape:
+      // the sample predicate prunes at the scan (at real scale you'd
+      // sample whole row groups instead — same relation shape); the
+      // frequency-of-frequencies table is at most sample-sized; the
+      // full-scan truth column is the one-off calibration leg a
+      // production collector would drop.
+      Some("""WITH sm AS (
+             |  SELECT l_partkey AS v, CAST(count(*) AS BIGINT) AS c
+             |  FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY 1
+             |),
+             |ff AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS d,
+             |         CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS f1,
+             |         CAST(count(*) FILTER (WHERE c = 2) AS BIGINT) AS f2,
+             |         CAST(sum(c) AS BIGINT) AS sample_rows
+             |  FROM sm
+             |),
+             |tr AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv_true
+             |       FROM lineitem)
+             |SELECT sample_rows, d AS d_sample, f1, f2,
+             |       CASE WHEN f2 > 0
+             |            THEN round(d + f1 * f1 * 1.0 / (2 * f2), 2)
+             |       END AS ndv_chao1,
+             |       ndv_true
+             |FROM ff CROSS JOIN tr
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val sm = t.lineitem.filter(col("l_orderkey") % 100 === 0)
+          .groupBy(col("l_partkey").as("v")).agg(count(lit(1)).as("c"))
+        val ff = sm.agg(count(lit(1)).as("d"),
+          count(when(col("c") === 1, 1)).as("f1"),
+          count(when(col("c") === 2, 1)).as("f2"),
+          sum(col("c")).as("sample_rows"))
+        val tr = t.lineitem
+          .agg(countDistinct(col("l_partkey")).as("ndv_true"))
+        ordered(
+          ff.crossJoin(broadcast(tr))
+            .select(col("sample_rows"), col("d").as("d_sample"),
+              col("f1"), col("f2"),
+              when(col("f2") > 0,
+                round(col("d") + col("f1") * col("f1") * 1.0 /
+                  (lit(2) * col("f2")), 2)).as("ndv_chao1"),
+              col("ndv_true")))
+      }
     )
   )
 }

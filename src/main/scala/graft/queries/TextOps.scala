@@ -500,6 +500,91 @@ object TextOps {
       }
     ),
     Q(
+      "d3_bm25f",
+      // BM25F — MULTI-FIELD ranking (Robertson/Zaragoza), the
+      // Solr/Elasticsearch qf-boost capability d3_search_bm25 can't
+      // express: a hit in the title outweighs the same hit in the body.
+      // Fields are carved deterministically (title = text before the
+      // first '.', body = the rest); the simple-BM25F form folds field
+      // boosts INTO the term frequencies (wtf = 2·tf_title + 1·tf_body,
+      // dlen = the same weighting of the lengths) and then saturates
+      // ONCE — which is exactly why BM25F beats per-field BM25 summed:
+      // saturation happens on the combined evidence. Same engine-exact
+      // discipline as d3_search_bm25 (idf ln + one saturation ratio per
+      // (doc, term), ≤3 term doubles summed per doc). 100 TB shape: the
+      // weighted postings build is one union + hash aggregate (field
+      // tag rides the token stream — no second corpus scan); df/dl
+      // derive from the postings; query terms prune BEFORE the joins,
+      // so the scored relation is hit-list-sized; top-20 is a
+      // TakeOrderedAndProject, never a global sort.
+      Some("""WITH f AS (
+             |  SELECT doc_id, split_part(text, '.', 1) AS title,
+             |         CASE WHEN position('.' IN text) > 0
+             |              THEN substr(text, position('.' IN text) + 1)
+             |              ELSE '' END AS body
+             |  FROM documents
+             |),
+             |wtok AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |           string_split_regex(lower(trim(title)), '\s+'),
+             |           x -> x <> '')) AS term, 2 AS w FROM f
+             |  UNION ALL
+             |  SELECT doc_id, unnest(list_filter(
+             |           string_split_regex(lower(trim(body)), '\s+'),
+             |           x -> x <> '')) AS term, 1 AS w FROM f
+             |),
+             |wp AS (SELECT doc_id, term, CAST(sum(w) AS BIGINT) AS wtf
+             |       FROM wtok GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(sum(wtf) AS BIGINT) AS dlen
+             |       FROM wp GROUP BY 1),
+             |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM wp GROUP BY 1),
+             |stats AS (SELECT avg(dlen) AS avgdl,
+             |                 (SELECT count(*) FROM documents) AS n FROM dl)
+             |SELECT wp.doc_id,
+             |  round(sum(
+             |    ln((stats.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             |    * (wp.wtf * 2.2)
+             |    / (wp.wtf + 1.2 * (1 - 0.75 + 0.75 * dl.dlen / stats.avgdl))
+             |  ), 4) AS bm25f
+             |FROM wp JOIN d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+             |WHERE wp.term IN ('spark', 'window', 'shuffle')
+             |GROUP BY wp.doc_id
+             |ORDER BY bm25f DESC, doc_id ASC
+             |LIMIT 20""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val queryTerms = Seq("spark", "window", "shuffle")
+        val f = t.documents.select(col("doc_id"),
+          substring_index(col("text"), ".", 1).as("title"),
+          when(locate(".", col("text")) > 0,
+            expr("substr(text, locate('.', text) + 1)"))
+            .otherwise(lit("")).as("body"))
+        val wtok = f.select(col("doc_id"),
+            explode(Text.tokenize(col("title"))).as("term"), lit(2L).as("w"))
+          .union(f.select(col("doc_id"),
+            explode(Text.tokenize(col("body"))).as("term"), lit(1L).as("w")))
+        val wp = wtok.groupBy(col("doc_id"), col("term"))
+          .agg(sum(col("w")).as("wtf"))
+          .localCheckpoint() // postings backbone: feeds df, dl, and scores
+        val dfreq = wp.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val dl = wp.groupBy(col("doc_id")).agg(sum(col("wtf")).as("dlen"))
+        val nDocs = t.documents.agg(count(lit(1)).as("n"))
+        val stats = dl.agg(avg(col("dlen")).as("avgdl")).crossJoin(nDocs)
+        val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+        val score = idf * (col("wtf") * 2.2) /
+          (col("wtf") + lit(1.2) *
+            (lit(1) - lit(0.75) + lit(0.75) * col("dlen") / col("avgdl")))
+        wp.filter(col("term").isin(queryTerms: _*))
+          .join(broadcast(dfreq), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .groupBy(col("doc_id"))
+          .agg(r4(sum(score)).as("bm25f"))
+          .orderBy(col("bm25f").desc, col("doc_id").asc)
+          .limit(20)
+      }
+    ),
+    Q(
       "d7_text_stats",
       Some(s"""WITH $toksCte
               |SELECT d.lang, d.source, count(*) AS n_docs,

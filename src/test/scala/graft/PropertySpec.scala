@@ -723,4 +723,82 @@ class PropertySpec extends AnyFunSuite {
     assert(row.getAs[Long]("dof_rows") == r.size - 1)
     assert(row.getAs[Long]("dof_cols") == c.size - 1)
   }
+
+  test("G9 assortativity law: distributed r matches a driver-side recompute") {
+    val row = SparkEntry.queries("g9_assortativity")(spark, sf).collect().head
+    val got = row.getAs[Any]("assortativity").toString.toDouble
+    val n = graft.sources.Tables(spark, sf).documents.count()
+    val edges = (0L until n).flatMap(d => (0 until (1 + d % 7).toInt).map(k =>
+        d -> ((d * 31 + k * 17 + 7) % n)))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).map { case (v, vs) => v -> vs.size.toLong }
+    val pairs = edges.flatMap(e =>
+      Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+    val m = pairs.size.toLong
+    val sx = pairs.map(_._1).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val want = (m * sxy - sx * sx).toDouble / (m * sxx - sx * sx)
+    assert(row.getAs[Long]("n_endpoints") == m)
+    assert(math.abs(got - want) < 1e-6, s"r $got vs $want")
+  }
+
+  test("S20 Chao1 law: sample stats match a driver recount; estimator bounds hold") {
+    import spark.implicits._
+    val row = SparkEntry.queries("s20_ndv_estimate")(spark, sf).collect().head
+    val counts = graft.sources.Tables(spark, sf).lineitem
+      .filter(col("l_orderkey") % 100 === 0)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().map(_._2)
+    val (d, f1, f2) = (counts.length.toLong, counts.count(_ == 1).toLong,
+      counts.count(_ == 2).toLong)
+    assert(row.getAs[Long]("d_sample") == d)
+    assert(row.getAs[Long]("f1") == f1 && row.getAs[Long]("f2") == f2)
+    assert(row.getAs[Long]("sample_rows") == counts.sum)
+    if (f2 > 0) {
+      val est = row.getAs[Any]("ndv_chao1").toString.toDouble
+      // Chao1 only ever corrects UPWARD from the observed richness
+      assert(est >= d, s"Chao1 $est below observed $d")
+      assert(math.abs(est - (d + f1 * f1 / (2.0 * f2))) < 0.01)
+    }
+  }
+
+  test("D3 BM25F law: top-20 scores match a full driver-side recompute") {
+    import spark.implicits._
+    val got = SparkEntry.queries("d3_bm25f")(spark, sf)
+      .as[(Long, Double)].collect()
+    val docs = graft.sources.Tables(spark, sf).documents
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def tok(s: String): Seq[String] =
+      s.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val wp: Map[Long, Map[String, Long]] = docs.map { case (id, text) =>
+      val i = text.indexOf('.')
+      val title = if (i < 0) text else text.substring(0, i)
+      val body = if (i < 0) "" else text.substring(i + 1)
+      val w = (tok(title).map(_ -> 2L) ++ tok(body).map(_ -> 1L))
+        .groupBy(_._1).map { case (t, ws) => t -> ws.map(_._2).sum }
+      id -> w
+    }.toMap
+    val df = wp.values.flatMap(_.keys).groupBy(identity)
+      .map { case (t, ts) => t -> ts.size.toLong }
+    val dlen = wp.map { case (id, w) => id -> w.values.sum }
+    val avgdl = dlen.values.sum.toDouble / dlen.size
+    val nD = docs.length.toDouble
+    val scores = wp.flatMap { case (id, w) =>
+      val s = Seq("spark", "window", "shuffle").flatMap(t => w.get(t).map { wtf =>
+        math.log((nD - df(t) + 0.5) / (df(t) + 0.5) + 1.0) * (wtf * 2.2) /
+          (wtf + 1.2 * (1 - 0.75 + 0.75 * dlen(id) / avgdl))
+      })
+      if (s.isEmpty) None else Some(id -> s.sum)
+    }
+    val want = scores.toSeq
+      .map { case (id, s) => id -> math.rint(s * 1e4) / 1e4 }
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+    got.zip(want).foreach { case ((gi, gs), (wi, ws)) =>
+      assert(gi == wi, s"rank order: got doc $gi want $wi")
+      assert(math.abs(gs - ws) < 1e-3, s"doc $gi score $gs vs $ws")
+    }
+  }
 }

@@ -302,9 +302,15 @@ class ScaleShapeSpec extends AnyFunSuite {
       // an equi-join on day+k)
       "t31_binseg", // 1-row totals + 1-row level-1-peak broadcasts onto
       // the bounded day relation
-      "d6_cluster_quality" // the same k-row centroid broadcast cross join
+      "d6_cluster_quality", // the same k-row centroid broadcast cross join
       // as d6_ivf_assign; the next-best and rollup joins are equi on
       // vec_id/cluster
+      "a14_chi2_independence", // 1-row dof/total scalar cross joins; the
+      // cell-margin joins are equi on lang/source
+      "s20_ndv_estimate", // 1-row true-NDV calibration scalar broadcast
+      // onto the 1-row sample-stats fold
+      "d3_bm25f" // the d3_search_bm25 1-row (n_docs, avgdl) stats
+      // broadcast; postings/df/dl joins are equi on term/doc_id
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (fenced(name)) None
