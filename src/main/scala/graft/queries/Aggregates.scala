@@ -1306,7 +1306,10 @@ object Aggregates {
         val s = o.join(broadcast(r), Seq("lang"))
           .join(broadcast(c), Seq("source"))
           .agg(count(lit(1)).as("n_cells"),
-            sum(expr("cast(round(o * o * 1.0 / (r * c), 12) as decimal(28,12))"))
+            // cast(... as double): expr-parsed 1.0 is DECIMAL and Spark's
+            // decimal division truncates at scale 6; DuckDB divides as
+            // DOUBLE — both engines must round the SAME double quotient
+            sum(expr("cast(round(cast(o * o as double) / (r * c), 12) as decimal(28,12))"))
               .as("s"))
         val dofR = r.agg((count(lit(1)) - 1).as("dof_rows"))
         val dofC = c.agg((count(lit(1)) - 1).as("dof_cols"))
@@ -1316,6 +1319,69 @@ object Aggregates {
             .select(col("dof_rows"), col("dof_cols"), col("n_cells"),
               round(col("s").cast("double") * col("n") - col("n"), 4)
                 .as("chi2")))
+      }
+    ),
+    Q(
+      "a15_theil_decomposition",
+      // THEIL T INEQUALITY DECOMPOSITION of document length by source —
+      // w13's Lorenz/Gini tells you HOW unequal the corpus is; Theil
+      // tells you WHERE: T_total = Σ_g share_g·T_within_g + T_between
+      // holds exactly (the property Gini lacks), so a corpus team can
+      // attribute length inequality to "one source is internally wild"
+      // vs "sources differ from each other". Per-row ln(x·n_g/S_g)
+      // terms are rounded to 12 decimals and summed as DECIMAL (the
+      // d7_source_kl discipline) weighted by the exact integer x;
+      // between-group terms are one ln per source — k rows, no
+      // summation-order hazard. 100 TB shape: one corpus scan feeds the
+      // per-source (count, sum) margins and the weighted ln fold (both
+      // map-side-partial hash aggregates keyed by source); the 1-row
+      // grand totals broadcast onto the k-row source relation.
+      Some("""WITH x AS (SELECT source, n_chars AS x FROM documents WHERE n_chars > 0),
+             |g AS (SELECT source, CAST(count(*) AS BIGINT) AS ng,
+             |             CAST(sum(x) AS BIGINT) AS sg
+             |      FROM x GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |               CAST(sum(x) AS BIGINT) AS s FROM x),
+             |w AS (
+             |  SELECT x.source,
+             |         sum(x.x * CAST(round(ln(x.x * 1.0 * g.ng / g.sg), 12)
+             |                        AS DECIMAL(28,12))) AS num
+             |  FROM x JOIN g USING (source) GROUP BY 1
+             |)
+             |SELECT g.source, g.ng AS n_docs, g.sg AS sum_chars,
+             |       round(g.sg * 1.0 / tot.s, 6) AS share_chars,
+             |       round(CAST(w.num AS DOUBLE) / g.sg, 6) AS theil_within,
+             |       round((g.sg * 1.0 / tot.s) *
+             |             ln(g.sg * 1.0 * tot.n / (g.ng * 1.0 * tot.s)), 6)
+             |         AS between_term
+             |FROM g JOIN w USING (source) CROSS JOIN tot
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val x = t.documents.filter(col("n_chars") > 0)
+          .select(col("source"), col("n_chars").as("x"))
+        val g = x.groupBy(col("source"))
+          .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"))
+        val tot = x.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+        val w = x.join(broadcast(g), Seq("source"))
+          .groupBy(col("source"))
+          .agg(sum(col("x") *
+            // cast(x as double): expr-parsed 1.0 is DECIMAL and Spark's
+            // decimal division truncates at scale 6 (observed: the ln
+            // argument planned as DecimalType(38,6)); DuckDB divides as
+            // DOUBLE, so the double path is the shared semantics
+            expr("cast(round(ln(cast(x as double) * ng / sg), 12) as decimal(28,12))"))
+            .as("num"))
+        ordered(
+          g.join(broadcast(w), Seq("source")).crossJoin(broadcast(tot))
+            .select(col("source"), col("ng").as("n_docs"),
+              col("sg").as("sum_chars"),
+              round(col("sg") * 1.0 / col("s"), 6).as("share_chars"),
+              round(col("num").cast("double") / col("sg"), 6)
+                .as("theil_within"),
+              round((col("sg") * 1.0 / col("s")) *
+                log(col("sg") * 1.0 * col("n") / (col("ng") * 1.0 * col("s"))),
+                6).as("between_term")))
       }
     )
   )

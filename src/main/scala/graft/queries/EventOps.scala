@@ -472,6 +472,96 @@ object EventOps {
       }
     ),
     Q(
+      "t36_retention_fit",
+      // EXPONENTIAL RETENTION-DECAY FIT — the model layer above t14's
+      // raw matrix: per cohort, fit ln(retention_k) = a − λ·k over week
+      // offsets 0..3 by least squares and report the decay rate and
+      // half-life (the "how fast do we lose users" number growth teams
+      // actually track). Engine-exact via the d7_source_kl discipline
+      // lifted to regression: each ln(retention) is rounded to 12
+      // decimals FIRST and summed as DECIMAL, and because the
+      // regressor k = 0..3 is fixed, the least-squares slope collapses
+      // to (2·Σk·y − 3·Σy)/10 — pure exact-decimal arithmetic with one
+      // final double division (and one for ln2/λ, with the ln 2
+      // constant pinned as a literal so no second libm call exists).
+      // Cohorts missing any of the four points are excluded by an
+      // exact-integer HAVING. 100 TB shape: rides t14's relations —
+      // per-user first-day aggregate, one equi-join, the (user, week)
+      // distinct relation — then everything is weeks²-bounded.
+      Some("""WITH ev AS (
+             |  SELECT user_id,
+             |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+             |  FROM events
+             |),
+             |firstday AS (SELECT user_id, min(day) AS first_day FROM ev GROUP BY user_id),
+             |uw AS (
+             |  SELECT DISTINCT ev.user_id, f.first_day // 7 AS cohort_week,
+             |         ev.day // 7 - f.first_day // 7 AS week_offset
+             |  FROM ev JOIN firstday f ON ev.user_id = f.user_id
+             |),
+             |cells AS (
+             |  SELECT cohort_week, week_offset, count(*) AS n_active
+             |  FROM uw GROUP BY cohort_week, week_offset
+             |),
+             |sizes AS (
+             |  SELECT first_day // 7 AS cohort_week, count(*) AS cohort_size
+             |  FROM firstday GROUP BY 1
+             |),
+             |r AS (
+             |  SELECT c.cohort_week, c.week_offset AS k,
+             |         CAST(round(ln(c.n_active * 1.0 / s.cohort_size), 12)
+             |              AS DECIMAL(28,12)) AS y
+             |  FROM cells c JOIN sizes s USING (cohort_week)
+             |  WHERE c.week_offset BETWEEN 0 AND 3 AND c.n_active > 0
+             |),
+             |f AS (
+             |  SELECT cohort_week, sum(k * y) AS sky, sum(y) AS sy
+             |  FROM r GROUP BY 1 HAVING count(*) = 4
+             |)
+             |SELECT f.cohort_week, s.cohort_size,
+             |       round(CAST(2*f.sky - 3*f.sy AS DOUBLE) / 10, 6) AS slope,
+             |       CASE WHEN 2*f.sky - 3*f.sy < 0
+             |            THEN round(0.6931471805599453 /
+             |                       (-(CAST(2*f.sky - 3*f.sy AS DOUBLE) / 10)), 4)
+             |       END AS half_life_weeks
+             |FROM f JOIN sizes s USING (cohort_week)
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val ev = t.events.select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("day"))
+        val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+        val uw = ev.join(firstDay, Seq("user_id"))
+          .select(col("user_id"), expr("first_day div 7").as("cohort_week"),
+            expr("day div 7 - first_day div 7").as("week_offset"))
+          .distinct()
+        val cells = uw.groupBy(col("cohort_week"), col("week_offset"))
+          .agg(count(lit(1)).as("n_active"))
+        val sizes = firstDay.groupBy(expr("first_day div 7").as("cohort_week"))
+          .agg(count(lit(1)).as("cohort_size"))
+        val r = cells.join(broadcast(sizes), Seq("cohort_week"))
+          .filter(col("week_offset").between(0, 3) && col("n_active") > 0)
+          .select(col("cohort_week"), col("week_offset").as("k"),
+            // cast(... as double): expr-parsed 1.0 is DECIMAL and Spark's
+            // decimal division truncates at scale 6; DuckDB divides as
+            // DOUBLE — the ln arguments must share the double path
+            expr("cast(round(ln(cast(n_active as double) / cohort_size), 12) as decimal(28,12))")
+              .as("y"))
+        val fit = r.groupBy(col("cohort_week"))
+          .agg(sum(col("k") * col("y")).as("sky"), sum(col("y")).as("sy"),
+            count(lit(1)).as("npts"))
+          .filter(col("npts") === 4)
+        val num = lit(2) * col("sky") - lit(3) * col("sy")
+        ordered(
+          fit.join(broadcast(sizes), Seq("cohort_week"))
+            .select(col("cohort_week"), col("cohort_size"),
+              round(num.cast("double") / 10, 6).as("slope"),
+              when(num < 0,
+                round(lit(0.6931471805599453) /
+                  (-(num.cast("double") / 10)), 4)).as("half_life_weeks")))
+      }
+    ),
+    Q(
       "t11_mad_robust",
       // Robust anomaly gate — t11's z-score breaks when the outliers
       // you hunt contaminate the mean/std themselves; median/MAD has a

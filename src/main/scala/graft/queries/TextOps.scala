@@ -1505,7 +1505,11 @@ object TextOps {
       val lc = d.groupBy(col("lang")).agg(count(lit(1)).as("c"))
       val ent = lc.crossJoin(broadcast(tot)) // 1-row totals scalar
         .agg(sum(col("c") *
-          expr("cast(round(ln(c * 1.0 / n_docs), 12) as decimal(20,12))"))
+          // cast(... as double): a bare `c * 1.0 / n_docs` inside expr()
+          // parses 1.0 as DECIMAL and Spark's decimal division truncates
+          // the quotient at scale 6 — DuckDB divides as DOUBLE, so the
+          // ln arguments would diverge at 1e-6
+          expr("cast(round(ln(cast(c as double) / n_docs), 12) as decimal(20,12))"))
           .as("s"))
       val top = lc
         .select(col("lang"), col("c"), row_number().over(

@@ -801,4 +801,49 @@ class PropertySpec extends AnyFunSuite {
       assert(math.abs(gs - ws) < 1e-3, s"doc $gi score $gs vs $ws")
     }
   }
+
+  test("A15 Theil law: within + between decomposition reassembles the total") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("a15_theil_decomposition")(spark, sf)
+      .select("source", "share_chars", "theil_within", "between_term")
+      .collect().map(r => (r.getString(0),
+        r.getAs[Any](1).toString.toDouble, r.getAs[Any](2).toString.toDouble,
+        r.getAs[Any](3).toString.toDouble))
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4, "shares must sum to 1")
+    val decomposed = rows.map(r => r._2 * r._3).sum + rows.map(_._4).sum
+    // driver-side total Theil from the raw lengths
+    val xs = graft.sources.Tables(spark, sf).documents
+      .filter(col("n_chars") > 0).select("n_chars").as[Long].collect()
+    val mu = xs.sum.toDouble / xs.length
+    val total = xs.map(x => (x / mu) * math.log(x / mu)).sum / xs.length
+    assert(math.abs(decomposed - total) < 1e-4,
+      s"decomposition $decomposed vs total $total")
+    rows.foreach(r => assert(r._3 >= -1e-9, s"within-Theil negative: $r"))
+  }
+
+  test("T36 retention-fit law: slope and half-life match a driver regression") {
+    val rows = SparkEntry.queries("t36_retention_fit")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // rebuild the retention points from the t14 matrix and refit
+    val cells = SparkEntry.queries("t14_cohort_retention")(spark, sf)
+      .select("cohort_week", "week_offset", "n_active", "cohort_size")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { r =>
+      val cw = r.getLong(0)
+      val slope = r.getAs[Any]("slope").toString.toDouble
+      val pts = cells.filter(c => c._1 == cw && c._2 >= 0 && c._2 <= 3 && c._3 > 0)
+        .map(c => (c._2.toDouble,
+          math.rint(math.log(c._3.toDouble / c._4) * 1e12) / 1e12))
+      assert(pts.length == 4, s"cohort $cw must have 4 points to be fitted")
+      val sy = pts.map(_._2).sum
+      val sky = pts.map(p => p._1 * p._2).sum
+      val want = (2 * sky - 3 * sy) / 10
+      assert(math.abs(slope - want) < 1e-5, s"cohort $cw slope $slope vs $want")
+      if (want < 0) {
+        val hl = r.getAs[Any]("half_life_weeks").toString.toDouble
+        assert(math.abs(hl - 0.6931471805599453 / -want) < 1e-2,
+          s"cohort $cw half-life $hl")
+      }
+    }
+  }
 }

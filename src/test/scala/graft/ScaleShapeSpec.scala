@@ -309,8 +309,10 @@ class ScaleShapeSpec extends AnyFunSuite {
       // cell-margin joins are equi on lang/source
       "s20_ndv_estimate", // 1-row true-NDV calibration scalar broadcast
       // onto the 1-row sample-stats fold
-      "d3_bm25f" // the d3_search_bm25 1-row (n_docs, avgdl) stats
+      "d3_bm25f", // the d3_search_bm25 1-row (n_docs, avgdl) stats
       // broadcast; postings/df/dl joins are equi on term/doc_id
+      "a15_theil_decomposition" // 1-row grand-totals scalar broadcast
+      // onto the k-row source relation; the ln fold joins equi on source
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (fenced(name)) None
