@@ -1428,6 +1428,101 @@ object EventOps {
       }
     ),
     Q(
+      "t37_stl_anomaly",
+      // SEASONAL-AWARE ANOMALY DETECTION — the composition t34 exists
+      // for: z-score the STL residuals WITHIN each weekday group, so a
+      // busy-Monday spike is judged against other Mondays, not the
+      // weekly average (the deseasonalized monitor plain t11 z-scores
+      // can't express). Stays engine-exact end to end: the scaled
+      // residual r = 7·sden·y − sden·trend7 − 7·snum is t34's integer
+      // numerator, the group moments (m, Σr, Σr²) are integer hash
+      // aggregates (Σr = 0 exactly — residuals are deviations from the
+      // per-dow mean, a property the spec asserts), z = (m·r − Σr)/
+      // √(m·Σr² − (Σr)²) costs one sqrt of an exact value + one rounded
+      // division, and the |z| > 2 breach flag never touches a float:
+      // (m·r − Σr)² > 4·(m·Σr² − (Σr)²) is pure BIGINT comparison.
+      // 100 TB shape: t34's day aggregate + centered window, then two
+      // 7-row dow aggregates broadcast back — output is day-grid-sized.
+      Some("""WITH c AS (
+             |  SELECT epoch_us(ts) // 86400000000 AS d,
+             |         CAST(count(*) AS BIGINT) AS y
+             |  FROM events GROUP BY 1
+             |),
+             |w AS (
+             |  SELECT d, y,
+             |         sum(y) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+             |                      AND 3 FOLLOWING) AS trend7,
+             |         row_number() OVER (ORDER BY d) AS rn,
+             |         count(*) OVER () AS n
+             |  FROM c
+             |),
+             |interior AS (
+             |  SELECT d, y, trend7, 7*y - trend7 AS detr7, d % 7 AS dow
+             |  FROM w WHERE rn >= 4 AND rn <= n - 3
+             |),
+             |season AS (
+             |  SELECT dow, CAST(sum(detr7) AS BIGINT) AS snum,
+             |         CAST(7 * count(*) AS BIGINT) AS sden
+             |  FROM interior GROUP BY 1
+             |),
+             |res AS (
+             |  SELECT i.d, i.y, i.dow,
+             |         CAST(7*s.sden*i.y - s.sden*i.trend7 - 7*s.snum AS BIGINT) AS r
+             |  FROM interior i JOIN season s USING (dow)
+             |),
+             |g AS (
+             |  SELECT dow, CAST(count(*) AS BIGINT) AS m,
+             |         CAST(sum(r) AS BIGINT) AS sr,
+             |         CAST(sum(r*r) AS BIGINT) AS srr
+             |  FROM res GROUP BY 1
+             |)
+             |SELECT res.d AS day, res.y, CAST(res.dow AS BIGINT) AS dow,
+             |       CASE WHEN g.m*g.srr - g.sr*g.sr > 0
+             |            THEN round((g.m*res.r - g.sr) /
+             |                 sqrt(CAST(g.m*g.srr - g.sr*g.sr AS DOUBLE)), 4)
+             |       END AS z,
+             |       CASE WHEN (g.m*res.r - g.sr)*(g.m*res.r - g.sr)
+             |                 > 4*(g.m*g.srr - g.sr*g.sr)
+             |            THEN 1 ELSE 0 END AS flagged
+             |FROM res JOIN g USING (dow)
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val c = t.events
+          .groupBy(expr("unix_micros(ts) DIV 86400000000").as("d"))
+          .agg(count(lit(1)).as("y"))
+        val cw = Window.orderBy(col("d")).rowsBetween(-3, 3)
+        val seqW = Window.orderBy(col("d"))
+        val interior = c
+          .select(col("d"), col("y"),
+            sum(col("y")).over(cw).as("trend7"),
+            row_number().over(seqW).as("rn"),
+            count(lit(1)).over(Window.partitionBy()).as("n"))
+          .filter(col("rn") >= 4 && col("rn") <= col("n") - 3)
+          .select(col("d"), col("y"), col("trend7"),
+            (lit(7) * col("y") - col("trend7")).as("detr7"),
+            (col("d") % 7).as("dow"))
+        val season = interior.groupBy(col("dow"))
+          .agg(sum(col("detr7")).as("snum"),
+            (lit(7) * count(lit(1))).as("sden"))
+        val res = interior.join(broadcast(season), Seq("dow"))
+          .select(col("d"), col("y"), col("dow"),
+            (lit(7) * col("sden") * col("y") - col("sden") * col("trend7") -
+              lit(7) * col("snum")).as("r"))
+        val g = res.groupBy(col("dow"))
+          .agg(count(lit(1)).as("m"), sum(col("r")).as("sr"),
+            sum(col("r") * col("r")).as("srr"))
+        val b = col("m") * col("srr") - col("sr") * col("sr")
+        val num = col("m") * col("r") - col("sr")
+        ordered(
+          res.join(broadcast(g), Seq("dow"))
+            .select(col("d").as("day"), col("y"),
+              col("dow").cast("long").as("dow"),
+              when(b > 0, round(num / sqrt(b.cast("double")), 4)).as("z"),
+              when(num * num > lit(4) * b, 1).otherwise(0).as("flagged")))
+      }
+    ),
+    Q(
       "j20_lerp_resample",
       // LINEAR-INTERPOLATION RESAMPLING — the step past t25's zero-fill /
       // forward-fill: each user's daily purchase-count series is

@@ -346,6 +346,83 @@ object Windows {
       }
     ),
     Q(
+      "w19_bollinger",
+      // BOLLINGER BANDS + %B — the volatility envelope monitor (mean ±
+      // 2σ over the trailing week) on each event type's daily counts,
+      // with the band-breach flag every alerting pipeline derives from
+      // it. w17's exactness discipline again: S1/S2 are exact BIGINT
+      // window sums, σ√(n... is carried as √B with B = 7·S2 − S1²
+      // (= 49·variance, integer), the band edges and %B each cost one
+      // sqrt of an exact value + one rounded division — and the breach
+      // flags NEVER touch a float: 7y > S1 + 2√B ⟺ (7y − S1)² > 4B
+      // (given 7y > S1) is pure BIGINT comparison, so the flag column
+      // is immune to last-ulp drift by construction. 100 TB shape: one
+      // (type, day) aggregate, two window sums on one per-type day
+      // ordering, output day-grid-sized.
+      Some("""WITH c AS (
+             |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             |         CAST(count(*) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2
+             |),
+             |w AS (
+             |  SELECT event_type, d, y,
+             |         sum(y) OVER win AS s1, sum(y*y) OVER win AS s2,
+             |         row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+             |  FROM c
+             |  WINDOW win AS (PARTITION BY event_type ORDER BY d
+             |                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             |)
+             |SELECT event_type, d AS day, y,
+             |       round(s1 / 7.0, 4) AS ma7,
+             |       CASE WHEN 7*s2 - s1*s1 > 0 THEN
+             |         round((s1 + 2*sqrt(CAST(7*s2 - s1*s1 AS DOUBLE))) / 7, 4)
+             |       END AS upper_band,
+             |       CASE WHEN 7*s2 - s1*s1 > 0 THEN
+             |         round((s1 - 2*sqrt(CAST(7*s2 - s1*s1 AS DOUBLE))) / 7, 4)
+             |       END AS lower_band,
+             |       CASE WHEN 7*s2 - s1*s1 > 0 THEN
+             |         round((7*y - s1 + 2*sqrt(CAST(7*s2 - s1*s1 AS DOUBLE)))
+             |               / (4*sqrt(CAST(7*s2 - s1*s1 AS DOUBLE))), 4)
+             |       END AS pct_b,
+             |       CASE WHEN 7*y > s1 AND (7*y - s1)*(7*y - s1) > 4*(7*s2 - s1*s1)
+             |            THEN 1 ELSE 0 END AS breach_up,
+             |       CASE WHEN 7*y < s1 AND (7*y - s1)*(7*y - s1) > 4*(7*s2 - s1*s1)
+             |            THEN 1 ELSE 0 END AS breach_down
+             |FROM w WHERE rn >= 7
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val c = t.events
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("d"))
+          .agg(count(lit(1)).as("y"))
+        val win = Window.partitionBy(col("event_type")).orderBy(col("d"))
+          .rowsBetween(-6, Window.currentRow)
+        val seq = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        val b = lit(7) * col("s2") - col("s1") * col("s1")
+        val dev = lit(7) * col("y") - col("s1")
+        val sq = sqrt(b.cast("double"))
+        ordered(
+          c.select(col("event_type"), col("d"), col("y"),
+              sum(col("y")).over(win).as("s1"),
+              sum(col("y") * col("y")).over(win).as("s2"),
+              row_number().over(seq).as("rn"))
+            .filter(col("rn") >= 7)
+            .select(col("event_type"), col("d").as("day"), col("y"),
+              round(col("s1") / 7.0, 4).as("ma7"),
+              when(b > 0, round((col("s1") + lit(2) * sq) / lit(7), 4))
+                .as("upper_band"),
+              when(b > 0, round((col("s1") - lit(2) * sq) / lit(7), 4))
+                .as("lower_band"),
+              when(b > 0, round((dev + lit(2) * sq) / (lit(4) * sq), 4))
+                .as("pct_b"),
+              when(dev > 0 && dev * dev > lit(4) * b, 1).otherwise(0)
+                .as("breach_up"),
+              when(dev < 0 && dev * dev > lit(4) * b, 1).otherwise(0)
+                .as("breach_down")))
+      }
+    ),
+    Q(
       "o3_topk_ties",
       // TOP-K WITH TIES (O3's rank() twin): row_number() caps each group
       // at exactly k rows, silently dropping tied peers — for "top 3

@@ -846,4 +846,49 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("T37 STL-anomaly laws: per-dow residuals close to zero-sum; flag equals |z|>2") {
+    val rows = SparkEntry.queries("t37_stl_anomaly")(spark, sf)
+      .collect().map(r => (r.getLong(2),
+        Option(r.get(3)).map(_.toString.toDouble), r.getInt(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, z, flagged) =>
+      z.foreach { zv =>
+        // the exact-integer flag must agree with the rounded z everywhere
+        // except within rounding distance of the threshold itself
+        if (math.abs(math.abs(zv) - 2.0) > 1e-3)
+          assert((flagged == 1) == (math.abs(zv) > 2.0), s"flag vs z=$zv")
+      }
+    }
+    // zero-sum: z-scores within a dow group sum to ~0 (scaled residuals
+    // are deviations from the per-dow mean by construction)
+    rows.groupBy(_._1).foreach { case (dow, rs) =>
+      val zs = rs.flatMap(_._2)
+      if (zs.nonEmpty)
+        assert(math.abs(zs.sum) < 1e-2 * zs.length, s"dow $dow z-sum ${zs.sum}")
+    }
+  }
+
+  test("W19 Bollinger laws: bands bracket the mean; %B agrees with the breach flags") {
+    val rows = SparkEntry.queries("w19_bollinger")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ma = r.getAs[Any]("ma7").toString.toDouble
+      val up = Option(r.get(4)).map(_.toString.toDouble)
+      val lo = Option(r.get(5)).map(_.toString.toDouble)
+      val pb = Option(r.get(6)).map(_.toString.toDouble)
+      val (bu, bd) = (r.getAs[Int]("breach_up"), r.getAs[Int]("breach_down"))
+      for (u <- up; l <- lo) {
+        assert(l <= ma + 1e-9 && ma <= u + 1e-9, s"band order: $l $ma $u")
+        // %B > 1 above the upper band, < 0 below the lower band
+        pb.foreach { p =>
+          if (math.abs(p - 1.0) > 1e-3 && math.abs(p) > 1e-3) {
+            assert((bu == 1) == (p > 1.0), s"breach_up vs pct_b=$p")
+            assert((bd == 1) == (p < 0.0), s"breach_down vs pct_b=$p")
+          }
+        }
+      }
+      assert(bu + bd <= 1, "cannot breach both bands")
+    }
+  }
 }
