@@ -1383,6 +1383,47 @@ object Aggregates {
                 log(col("sg") * 1.0 * col("n") / (col("ng") * 1.0 * col("s"))),
                 6).as("between_term")))
       }
+    ),
+    Q(
+      "a16_hhi",
+      // HERFINDAHL-HIRSCHMAN CONCENTRATION INDEX of corpus sources —
+      // the one-number "is this corpus dominated by a few sources?"
+      // governance metric (a15's Theil measures inequality of lengths;
+      // HHI measures concentration of volume), with the effective
+      // source count 1/HHI beside it — "20 sources behaving like 12".
+      // Completely transcendental-free: HHI = Σ c_g² / n² is a ratio of
+      // exact BIGINTs (token-weighted by characters), so unlike the
+      // ln/sqrt family there is NOT ONE libm call — two rounded
+      // divisions of exact integers end to end. 100 TB shape: one
+      // corpus scan to the k-row per-source volume aggregate
+      // (map-side partials), one k-row fold, a 1-row output.
+      Some("""WITH g AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS c
+             |           FROM documents GROUP BY 1),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             |               CAST(count(*) AS BIGINT) AS n_sources,
+             |               CAST(sum(c*c) AS BIGINT) AS scc,
+             |               CAST(max(c) AS BIGINT) AS cmax
+             |        FROM g)
+             |SELECT n_sources, n AS total_chars,
+             |       round(scc * 1.0 / n / n, 6) AS hhi,
+             |       round(n * 1.0 * n / scc, 4) AS effective_sources,
+             |       round(cmax * 1.0 / n, 6) AS top_share
+             |FROM tot ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val g = t.documents.groupBy(col("source"))
+          .agg(sum(col("n_chars")).as("c"))
+        val tot = g.agg(sum(col("c")).as("n"), count(lit(1)).as("n_sources"),
+          sum(col("c") * col("c")).as("scc"), max(col("c")).as("cmax"))
+        ordered(
+          tot.select(col("n_sources"), col("n").as("total_chars"),
+            // two sequential divisions, never an n² BIGINT — n² overflows
+            // int64 at real corpus scale while scc/n/n stays finite
+            round(col("scc") * 1.0 / col("n") / col("n"), 6).as("hhi"),
+            round(col("n") * 1.0 * col("n") / col("scc"), 4)
+              .as("effective_sources"),
+            round(col("cmax") * 1.0 / col("n"), 6).as("top_share")))
+      }
     )
   )
 }

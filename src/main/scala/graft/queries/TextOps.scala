@@ -27,7 +27,7 @@ object TextOps {
       |  FROM documents
       |)""".stripMargin
 
-  val all: Seq[Q] = snippetQ +: kAnonymityQ +: fertilityQ +: dataCardQ +: vocabCoverageQ +: sourceReportQ +: boilerplateQ +: sourceOverlapQ +: booleanQ +: proximityQ +: charEntropyQ +: bpeQs ++: oovQ +: qlQ +: readabilityQ +: keywordsQ +: stopwordQ +: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
+  val all: Seq[Q] = snippetQ +: kAnonymityQ +: lDiversityQ +: fertilityQ +: dataCardQ +: vocabCoverageQ +: sourceReportQ +: boilerplateQ +: sourceOverlapQ +: booleanQ +: proximityQ +: charEntropyQ +: bpeQs ++: oovQ +: qlQ +: readabilityQ +: keywordsQ +: stopwordQ +: prfExpandQ +: hybridRrfQ +: cmsEstimateQ +:
     skewProfileQ +: quantileNormQ +: pmiAssocQ +: Seq(
     Q(
       "d7_zipf_fit",
@@ -2718,6 +2718,42 @@ object TextOps {
               (col("k") < 5).as("violates_k5")))
       }
     )
+
+  /** D7ld: L-DIVERSITY — k-anonymity's stronger sibling (Machanavajjhala
+    * et al.): a quasi-identifier group can be large (k-safe) yet still
+    * leak if every member shares the SAME sensitive value, so each group
+    * must also contain at least l distinct sensitive values. Quasi-
+    * identifiers here are (source, size bucket) and the sensitive
+    * attribute is lang — "given where a doc came from and roughly how
+    * long it is, how many languages could it be?". Pure integer: one
+    * hash aggregate builds the groups (count + count-distinct), a second
+    * histograms them by l. 100 TB shape: two map-side-partial
+    * aggregates; output rides the distinct-l values. */
+  private lazy val lDiversityQ = Q(
+    "d7_l_diversity",
+    Some("""WITH g AS (
+           |  SELECT source, n_chars // 500 AS size_b,
+           |         CAST(count(*) AS BIGINT) AS k,
+           |         CAST(count(DISTINCT lang) AS BIGINT) AS l
+           |  FROM documents GROUP BY 1, 2
+           |)
+           |SELECT l, CAST(count(*) AS BIGINT) AS n_groups,
+           |       CAST(sum(k) AS BIGINT) AS n_rows,
+           |       (l < 3) AS violates_l3
+           |FROM g GROUP BY l
+           |ORDER BY ALL NULLS FIRST""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val g = t.documents
+        .groupBy(col("source"), expr("n_chars DIV 500").as("size_b"))
+        .agg(count(lit(1)).as("k"), countDistinct(col("lang")).as("l"))
+      ordered(
+        g.groupBy(col("l"))
+          .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"))
+          .select(col("l"), col("n_groups"), col("n_rows"),
+            (col("l") < 3).as("violates_l3")))
+    }
+  )
 
   private def charEntropyQ: Q =
     Q(

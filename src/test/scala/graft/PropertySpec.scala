@@ -891,4 +891,35 @@ class PropertySpec extends AnyFunSuite {
       assert(bu + bd <= 1, "cannot breach both bands")
     }
   }
+
+  test("D7ld l-diversity laws: l never exceeds k; histogram conserves the corpus") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("d7_l_diversity")(spark, sf)
+      .select("l", "n_groups", "n_rows").as[(Long, Long, Long)].collect()
+    val total = graft.sources.Tables(spark, sf).documents.count()
+    assert(rows.map(_._3).sum == total, "row histogram must conserve the corpus")
+    // driver recount of the quasi-identifier groups
+    val groups = graft.sources.Tables(spark, sf).documents
+      .select(col("source"), expr("n_chars DIV 500").as("b"), col("lang"))
+      .as[(String, Long, String)].collect()
+      .groupBy(g => (g._1, g._2)).values
+      .map(g => (g.length.toLong, g.map(_._3).distinct.length.toLong))
+    groups.foreach { case (k, l) => assert(l <= k, s"l=$l exceeds k=$k") }
+    val want = groups.groupBy(_._2).map { case (l, gs) =>
+      (l, gs.size.toLong, gs.map(_._1).sum) }.toSet
+    assert(rows.toSet == want, s"histogram ${rows.toSet} vs $want")
+  }
+
+  test("A16 HHI laws: bounds vs top share and effective-count inversion") {
+    val r = SparkEntry.queries("a16_hhi")(spark, sf).collect().head
+    val ns = r.getAs[Long]("n_sources")
+    val hhi = r.getAs[Any]("hhi").toString.toDouble
+    val eff = r.getAs[Any]("effective_sources").toString.toDouble
+    val top = r.getAs[Any]("top_share").toString.toDouble
+    assert(hhi >= 1.0 / ns - 1e-6 && hhi <= 1.0 + 1e-9, s"HHI out of range: $hhi")
+    assert(top * top <= hhi + 1e-6 && hhi <= top + 1e-6,
+      s"HHI $hhi must sit between top² and top ($top)")
+    assert(math.abs(hhi * eff - 1.0) < 1e-3, s"1/HHI inversion: $hhi * $eff")
+    assert(eff <= ns + 1e-9, "effective sources cannot exceed actual sources")
+  }
 }
