@@ -1424,6 +1424,65 @@ object Aggregates {
               .as("effective_sources"),
             round(col("cmax") * 1.0 / col("n"), 6).as("top_share")))
       }
+    ),
+    Q(
+      "a17_mann_whitney",
+      // MANN-WHITNEY U RANK-SUM TEST — the nonparametric two-sample
+      // test completing the battery (t24 z-test assumes proportions,
+      // t17 KS needs the full CDF; U asks only "does one group
+      // stochastically dominate?"), here click vs purchase event
+      // values. Engine-exact through ties without any float ranks: the
+      // tie-averaged rank is rmin + (c−1)/2, so DOUBLED rank sums
+      // 2·R_A = Σ(2·rmin + c − 1) stay pure BIGINT, 2·U follows as
+      // 2R_A − n1(n1+1), and z = (2U − n1·n2)/√(n1·n2·(n+1)/3) costs
+      // one sqrt + one rounded division (plain normal approximation,
+      // no tie-variance correction — values are continuous doubles, so
+      // ties are measure-zero; the exact 2U beside z keeps the check
+      // honest either way). 100 TB shape: one global rank — the same
+      // single range-partitioned sort o1 pays — then one 1-row fold
+      // with map-side partials; nothing else shuffles.
+      Some("""WITH u AS (
+             |  SELECT event_type, value FROM events
+             |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+             |),
+             |rk AS (
+             |  SELECT event_type,
+             |         rank() OVER (ORDER BY value) AS rmin,
+             |         count(*) OVER (PARTITION BY value) AS c
+             |  FROM u
+             |),
+             |s AS (
+             |  SELECT CAST(sum(CASE WHEN event_type = 'click'
+             |                       THEN 2*rmin + c - 1 ELSE 0 END) AS BIGINT) AS r2a,
+             |         CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n1,
+             |         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n2
+             |  FROM rk
+             |)
+             |SELECT n1, n2, r2a - n1*(n1+1) AS u_times_2,
+             |       round((r2a - n1*(n1+1) - n1*n2) /
+             |             sqrt(CAST(n1*n2*(n1+n2+1) AS DOUBLE) / 3), 4) AS z
+             |FROM s ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val u = t.events
+          .filter(col("event_type").isin("click", "purchase") &&
+            col("value").isNotNull)
+          .select(col("event_type"), col("value"))
+        val rk = u.select(col("event_type"),
+          rank().over(Window.orderBy(col("value"))).as("rmin"),
+          count(lit(1)).over(Window.partitionBy(col("value"))).as("c"))
+        val s = rk.agg(
+          sum(when(col("event_type") === "click",
+            lit(2) * col("rmin") + col("c") - 1).otherwise(0L)).as("r2a"),
+          count(when(col("event_type") === "click", 1)).as("n1"),
+          count(when(col("event_type") === "purchase", 1)).as("n2"))
+        val u2 = col("r2a") - col("n1") * (col("n1") + 1)
+        ordered(
+          s.select(col("n1"), col("n2"), u2.as("u_times_2"),
+            round((u2 - col("n1") * col("n2")) /
+              sqrt((col("n1") * col("n2") * (col("n1") + col("n2") + 1))
+                .cast("double") / 3), 4).as("z")))
+      }
     )
   )
 }

@@ -648,6 +648,80 @@ object GraphOps {
                 (col("n") * col("sxx") - col("sx") * col("sx")), 6))
               .as("assortativity")))
       }
+    ),
+    Q(
+      "g10_local_clustering",
+      // PER-NODE LOCAL CLUSTERING COEFFICIENT — g2's global coefficient
+      // says the graph is clustered; the per-node version says WHICH
+      // nodes sit inside dense pockets (the link-spam / template-farm
+      // feature next to g9's mixing diagnostic): lcc(v) = 2·T(v) /
+      // (d(v)·(d(v)−1)). Triangles come from the same oriented a<b<c
+      // triple join as g2 — each found once, then exploded to its three
+      // corners and counted per vertex; the coefficient is one rounded
+      // division of exact BIGINTs. 100 TB shape: the g2 edge-iterator
+      // joins, then one Generate (3 rows per triangle) + a vertex-keyed
+      // hash aggregate with map-side partials; degrees left-join the
+      // triangle counts so triangle-free nodes report exact 0.
+      Some("""WITH nn AS (SELECT count(*) AS n FROM documents),
+             |raw AS (
+             |  SELECT doc_id AS src,
+             |         (doc_id*31 + k*17 + 7) % (SELECT n FROM nn) AS dst
+             |  FROM documents CROSS JOIN (SELECT unnest(range(0,4)) AS k) ks
+             |),
+             |e AS (
+             |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             |  FROM raw WHERE src <> dst
+             |),
+             |deg AS (
+             |  SELECT v, CAST(count(*) AS BIGINT) AS d
+             |  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v
+             |),
+             |tr AS (
+             |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+             |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+             |),
+             |tv AS (
+             |  SELECT v, CAST(count(*) AS BIGINT) AS t
+             |  FROM (SELECT unnest([x, y, z]) AS v FROM tr) GROUP BY 1
+             |)
+             |SELECT deg.v AS doc_id, deg.d AS degree,
+             |       coalesce(tv.t, 0) AS n_triangles,
+             |       CASE WHEN deg.d >= 2
+             |            THEN round(2.0 * coalesce(tv.t, 0) /
+             |                       (deg.d * (deg.d - 1)), 6) END AS lcc
+             |FROM deg LEFT JOIN tv ON tv.v = deg.v
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val docs = t.documents.select(col("doc_id"))
+        val n = docs.count()
+        val raw = docs.select(col("doc_id").as("src"),
+          explode(array((0 until 4).map(k =>
+            (col("doc_id") * 31 + k * 17 + 7) % n): _*)).as("dst"))
+        val e = raw.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+          .localCheckpoint() // feeds degrees and the triple join
+        val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        val tr = e.as("e1")
+          .join(e.as("e2"), col("e1.b") === col("e2.a"))
+          .join(e.as("e3"),
+            col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+          .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+        val tv = tr.select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("t"))
+        ordered(
+          deg.join(tv.withColumnRenamed("v", "tvv"),
+              col("v") === col("tvv"), "left")
+            .select(col("v").as("doc_id"), col("d").as("degree"),
+              coalesce(col("t"), lit(0L)).as("n_triangles"),
+              when(col("d") >= 2,
+                round(lit(2.0) * coalesce(col("t"), lit(0L)) /
+                  (col("d") * (col("d") - 1)), 6)).as("lcc")))
+      }
     )
   )
 }

@@ -922,4 +922,42 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(hhi * eff - 1.0) < 1e-3, s"1/HHI inversion: $hhi * $eff")
     assert(eff <= ns + 1e-9, "effective sources cannot exceed actual sources")
   }
+
+  test("G10 local-clustering laws: corner counts triple the g2 global total; lcc in [0,1]") {
+    val rows = SparkEntry.queries("g10_local_clustering")(spark, sf).collect()
+    val globalTri = SparkEntry.queries("g2_triangles")(spark, sf)
+      .collect().head.getAs[Long]("n_triangles")
+    // every triangle has exactly three corners
+    assert(rows.map(_.getAs[Long]("n_triangles")).sum == 3 * globalTri,
+      "per-vertex triangle corners must sum to 3x the global count")
+    rows.foreach { r =>
+      Option(r.get(3)).map(_.toString.toDouble).foreach(l =>
+        assert(l >= 0.0 && l <= 1.0 + 1e-9, s"lcc out of range: $r"))
+      if (r.getAs[Long]("degree") < 2) assert(r.get(3) == null)
+    }
+  }
+
+  test("A17 Mann-Whitney law: doubled U matches a driver-side tie-averaged ranking") {
+    import spark.implicits._
+    val r = SparkEntry.queries("a17_mann_whitney")(spark, sf).collect().head
+    val vals = graft.sources.Tables(spark, sf).events
+      .filter(col("event_type").isin("click", "purchase") && col("value").isNotNull)
+      .select("event_type", "value").as[(String, Double)].collect()
+    val sorted = vals.map(_._2).sorted
+    // tie-averaged rank of v: (count(< v) + 1 + count(<= v)) / 2, doubled
+    def rank2(v: Double): Long = {
+      val lt = sorted.count(_ < v).toLong
+      val le = sorted.count(_ <= v).toLong
+      lt + 1 + le
+    }
+    val r2a = vals.filter(_._1 == "click").map(p => rank2(p._2)).sum
+    val n1 = vals.count(_._1 == "click").toLong
+    val n2 = vals.count(_._1 == "purchase").toLong
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
+    assert(r.getAs[Long]("u_times_2") == r2a - n1 * (n1 + 1),
+      s"2U mismatch: ${r.getAs[Long]("u_times_2")} vs ${r2a - n1 * (n1 + 1)}")
+    // 2U is bounded by [0, 2*n1*n2]
+    val u2 = r.getAs[Long]("u_times_2")
+    assert(u2 >= 0 && u2 <= 2 * n1 * n2)
+  }
 }
