@@ -473,6 +473,53 @@ object Streams {
       }
   }
 
+  /** Trailing 7-day window per type for [[bollingerStream]] — fixed size. */
+  case class BollState(days: Array[Long], ys: Array[Long])
+  case class BollOut(eventType: String, day: Long, y: Long, s1: Long,
+      s2: Long, breachUp: Int, breachDown: Int)
+
+  /** W19, incremental: the Bollinger band-breach monitor as a per-type
+    * state machine over a stream of (event_type, day, daily_count) rows —
+    * the alerting deployment of the batch query. State is the trailing
+    * SEVEN (day, y) pairs per event type (fixed-size — 14 longs no
+    * matter how long the stream runs); each arriving day slides the
+    * window and, once full, emits the exact-integer sums plus the
+    * float-free breach verdicts ((7y − S1)² > 4·(7S2 − S1²) on BIGINTs,
+    * exactly the batch w19 flags). Contract: per-type day-ordered
+    * arrival across micro-batches (the daily-rollup CDC case);
+    * StreamingSpec replays a multi-batch stream and matches the batch
+    * query's flag rows exactly.
+    */
+  def bollingerStream(
+      daily: Dataset[(String, Long, Long)] // (event_type, day, y)
+  ): Dataset[BollOut] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BollState, BollOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (typ, rows, state: GroupState[BollState]) =>
+          var window = state.getOption
+            .map(s => s.days.zip(s.ys).toVector).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[BollOut]
+          rows.toSeq.sortBy(_._2).foreach { case (_, d, y) =>
+            window = (window :+ (d, y)).takeRight(7)
+            if (window.length == 7) {
+              val s1 = window.map(_._2).sum
+              val s2 = window.map(v => v._2 * v._2).sum
+              val dev = 7 * y - s1
+              val b = 7 * s2 - s1 * s1
+              out += BollOut(typ, d, y, s1, s2,
+                if (dev > 0 && dev * dev > 4 * b) 1 else 0,
+                if (dev < 0 && dev * dev > 4 * b) 1 else 0)
+            }
+          }
+          state.update(BollState(window.map(_._1).toArray,
+            window.map(_._2).toArray))
+          out.result().iterator
+      }
+  }
+
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): Unit = {
     val q = df.writeStream
       .format("memory")

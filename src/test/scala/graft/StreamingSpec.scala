@@ -640,6 +640,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("W19 streaming Bollinger monitor matches the batch flags across micro-batches") {
+    import spark.implicits._
+    // real sf daily counts, split into three day-ordered micro-batches —
+    // the stateful monitor must emit exactly the batch query's rows
+    val daily = graft.sources.Tables(spark, sf).events
+      .groupBy(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .as[(String, Long, Long)].collect().sortBy(r => (r._2, r._1)).toSeq
+    val days = daily.map(_._2).distinct.sorted
+    val (cut1, cut2) = (days(days.length / 3), days(2 * days.length / 3))
+    val mem = MemoryStream[(String, Long, Long)](19, spark, None)
+    mem.addData(daily.filter(_._2 <= cut1): _*)
+    mem.addData(daily.filter(r => r._2 > cut1 && r._2 <= cut2): _*)
+    mem.addData(daily.filter(_._2 > cut2): _*)
+    Streams.runToMemory(Streams.bollingerStream(mem.toDS()).toDF(), "w19_sink")
+    val got = spark.table("w19_sink")
+      .select(col("eventType"), col("day"), col("y"),
+        col("breachUp"), col("breachDown"))
+      .as[(String, Long, Long, Int, Int)].collect().toSet
+    val want = SparkEntry.queries("w19_bollinger")(spark, sf)
+      .select(col("event_type"), col("day"), col("y"),
+        col("breach_up"), col("breach_down"))
+      .as[(String, Long, Long, Int, Int)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("T8/S10 file streaming source: AvailableNow drains the directory") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
