@@ -1483,6 +1483,82 @@ object Aggregates {
               sqrt((col("n1") * col("n2") * (col("n1") + col("n2") + 1))
                 .cast("double") / 3), 4).as("z")))
       }
+    ),
+    Q(
+      "a18_poisson_bootstrap",
+      // POISSON BOOTSTRAP CONFIDENCE INTERVAL — the distributed
+      // bootstrap (the only one that works at 100 TB): classic
+      // resampling needs n draws WITH replacement per replicate — a
+      // shuffle per replicate — but giving each row an independent
+      // ~Poisson(1) weight per replicate is equivalent as n→∞ and needs
+      // ONE scan: 50 weighted sums with map-side partials, no resample
+      // shuffle ever. Weights are a DETERMINISTIC mean-exactly-1
+      // quantized Poisson from the portable md5 family (buckets 0-15 →
+      // {0:6, 1:5, 2:4, 3:1}/16), so both engines draw the identical
+      // "random" weights; money values ride DECIMAL(18,2) so each
+      // replicate's weighted sum is order-independent and exact, with
+      // ONE double division per replicate. The CI is the exact order
+      // statistic [3rd, 48th] of the 50 replicate means — no percentile
+      // interpolation to disagree on. 100 TB shape: the explode is a
+      // per-row ×50 Generate feeding one hash aggregate keyed by
+      // replicate id; everything after is 50-row arithmetic.
+      Some("""WITH v AS (
+             |  SELECT event_id, CAST(value AS DECIMAL(18,2)) AS x
+             |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+             |),
+             |r AS (
+             |  SELECT b, x,
+             |         CASE WHEN h < 6 THEN 0 WHEN h < 11 THEN 1
+             |              WHEN h < 15 THEN 2 ELSE 3 END AS w
+             |  FROM (
+             |    SELECT v.x, bs.b,
+             |           (('0x' || substring(md5(v.event_id || ':' || bs.b), 1, 15))
+             |             ::BIGINT % 16) AS h
+             |    FROM v CROSS JOIN (SELECT unnest(range(0, 50)) AS b) bs
+             |  )
+             |),
+             |m AS (SELECT b, sum(w * x) AS sx, CAST(sum(w) AS BIGINT) AS sw
+             |      FROM r GROUP BY b),
+             |means AS (SELECT b, CAST(sx AS DOUBLE) / sw AS mb FROM m WHERE sw > 0),
+             |rk AS (SELECT mb, row_number() OVER (ORDER BY mb, b) AS rn FROM means),
+             |ci AS (SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+             |              round(min(CASE WHEN rn = 3 THEN mb END), 4) AS ci_lo,
+             |              round(min(CASE WHEN rn = 48 THEN mb END), 4) AS ci_hi
+             |       FROM rk),
+             |f AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |             round(CAST(sum(x) AS DOUBLE) / count(*), 4) AS mean_full
+             |      FROM v)
+             |SELECT f.n_rows, f.mean_full, ci.n_resamples, ci.ci_lo, ci.ci_hi
+             |FROM f CROSS JOIN ci
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val v = t.events
+          .filter(col("event_type") === "purchase" && col("value").isNotNull)
+          .select(col("event_id"), col("value").cast("decimal(18,2)").as("x"))
+        val h = pmod(conv(substring(md5(concat(col("event_id").cast("string"),
+          lit(":"), col("b").cast("string"))), 1, 15), 16, 10).cast("long"),
+          lit(16))
+        val r = v.select(col("event_id"), col("x"),
+            explode(sequence(lit(0), lit(49))).as("b"))
+          .select(col("b"), col("x"),
+            when(h < 6, 0).when(h < 11, 1).when(h < 15, 2).otherwise(3).as("w"))
+        val m = r.groupBy(col("b"))
+          .agg(sum(col("w") * col("x")).as("sx"), sum(col("w")).as("sw"))
+        val means = m.filter(col("sw") > 0)
+          .select(col("b"), (col("sx").cast("double") / col("sw")).as("mb"))
+        val rk = means.select(col("mb"),
+          row_number().over(Window.orderBy(col("mb"), col("b"))).as("rn"))
+        val ci = rk.agg(count(lit(1)).as("n_resamples"),
+          round(min(when(col("rn") === 3, col("mb"))), 4).as("ci_lo"),
+          round(min(when(col("rn") === 48, col("mb"))), 4).as("ci_hi"))
+        val f = v.agg(count(lit(1)).as("n_rows"),
+          round(sum(col("x")).cast("double") / count(lit(1)), 4).as("mean_full"))
+        ordered(
+          f.crossJoin(broadcast(ci))
+            .select(col("n_rows"), col("mean_full"), col("n_resamples"),
+              col("ci_lo"), col("ci_hi")))
+      }
     )
   )
 }

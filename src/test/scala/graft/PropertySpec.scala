@@ -960,4 +960,41 @@ class PropertySpec extends AnyFunSuite {
     val u2 = r.getAs[Long]("u_times_2")
     assert(u2 >= 0 && u2 <= 2 * n1 * n2)
   }
+
+  test("A18 bootstrap law: CI matches a full driver-side replicate recompute") {
+    import spark.implicits._
+    val r = SparkEntry.queries("a18_poisson_bootstrap")(spark, sf).collect().head
+    val vals = graft.sources.Tables(spark, sf).events
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("event_id"), col("value").cast("decimal(18,2)"))
+      .as[(Long, java.math.BigDecimal)].collect()
+    def md5mod16(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 16
+    }
+    def weight(h: Long): Long =
+      if (h < 6) 0L else if (h < 11) 1L else if (h < 15) 2L else 3L
+    val means = (0 until 50).flatMap { b =>
+      var sx = java.math.BigDecimal.ZERO
+      var sw = 0L
+      vals.foreach { case (id, x) =>
+        val w = weight(md5mod16(s"$id:$b"))
+        sx = sx.add(x.multiply(java.math.BigDecimal.valueOf(w)))
+        sw += w
+      }
+      if (sw > 0) Some((b, sx.doubleValue() / sw)) else None
+    }.sortBy { case (b, m) => (m, b) }
+    val wantLo = math.rint(means(2)._2 * 1e4) / 1e4
+    val wantHi = math.rint(means(47)._2 * 1e4) / 1e4
+    assert(r.getAs[Long]("n_resamples") == means.length)
+    val (lo, hi) = (r.getAs[Any]("ci_lo").toString.toDouble,
+      r.getAs[Any]("ci_hi").toString.toDouble)
+    assert(math.abs(lo - wantLo) < 1e-9 && math.abs(hi - wantHi) < 1e-9,
+      s"CI [$lo, $hi] vs driver [$wantLo, $wantHi]")
+    // the interval must contain the full-sample mean
+    val mean = r.getAs[Any]("mean_full").toString.toDouble
+    assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] excludes mean $mean")
+  }
 }

@@ -311,8 +311,10 @@ class ScaleShapeSpec extends AnyFunSuite {
       // onto the 1-row sample-stats fold
       "d3_bm25f", // the d3_search_bm25 1-row (n_docs, avgdl) stats
       // broadcast; postings/df/dl joins are equi on term/doc_id
-      "a15_theil_decomposition" // 1-row grand-totals scalar broadcast
+      "a15_theil_decomposition", // 1-row grand-totals scalar broadcast
       // onto the k-row source relation; the ln fold joins equi on source
+      "a18_poisson_bootstrap" // 1-row full-sample stats x 1-row CI fold;
+      // the replicate build is a per-row Generate, never a join
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (fenced(name)) None
