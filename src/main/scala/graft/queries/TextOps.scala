@@ -504,11 +504,13 @@ object TextOps {
       // BM25F — MULTI-FIELD ranking (Robertson/Zaragoza), the
       // Solr/Elasticsearch qf-boost capability d3_search_bm25 can't
       // express: a hit in the title outweighs the same hit in the body.
-      // Fields are carved deterministically (title = text before the
-      // first '.', body = the rest); the simple-BM25F form folds field
-      // boosts INTO the term frequencies (wtf = 2·tf_title + 1·tf_body,
-      // dlen = the same weighting of the lengths) and then saturates
-      // ONCE — which is exactly why BM25F beats per-field BM25 summed:
+      // Fields are carved POSITIONALLY (title = the first 5 tokens, body
+      // = the rest — the synthetic corpus has no sentence punctuation,
+      // so a '.'-split would leave the body empty and the field
+      // mechanism untested); the simple-BM25F form folds field boosts
+      // INTO the term frequencies (wtf = 2·tf_title + 1·tf_body, dlen =
+      // the same weighting of the lengths) and then saturates ONCE —
+      // which is exactly why BM25F beats per-field BM25 summed:
       // saturation happens on the combined evidence. Same engine-exact
       // discipline as d3_search_bm25 (idf ln + one saturation ratio per
       // (doc, term), ≤3 term doubles summed per doc). 100 TB shape: the
@@ -517,21 +519,11 @@ object TextOps {
       // derive from the postings; query terms prune BEFORE the joins,
       // so the scored relation is hit-list-sized; top-20 is a
       // TakeOrderedAndProject, never a global sort.
-      Some("""WITH f AS (
-             |  SELECT doc_id, split_part(text, '.', 1) AS title,
-             |         CASE WHEN position('.' IN text) > 0
-             |              THEN substr(text, position('.' IN text) + 1)
-             |              ELSE '' END AS body
-             |  FROM documents
-             |),
+      Some(s"""WITH $toksCte,
              |wtok AS (
-             |  SELECT doc_id, unnest(list_filter(
-             |           string_split_regex(lower(trim(title)), '\s+'),
-             |           x -> x <> '')) AS term, 2 AS w FROM f
+             |  SELECT doc_id, unnest(tokens[1:5]) AS term, 2 AS w FROM toks
              |  UNION ALL
-             |  SELECT doc_id, unnest(list_filter(
-             |           string_split_regex(lower(trim(body)), '\s+'),
-             |           x -> x <> '')) AS term, 1 AS w FROM f
+             |  SELECT doc_id, unnest(tokens[6:]) AS term, 1 AS w FROM toks
              |),
              |wp AS (SELECT doc_id, term, CAST(sum(w) AS BIGINT) AS wtf
              |       FROM wtok GROUP BY 1, 2),
@@ -555,14 +547,12 @@ object TextOps {
         val t = Tables(spark, dir)
         val queryTerms = Seq("spark", "window", "shuffle")
         val f = t.documents.select(col("doc_id"),
-          substring_index(col("text"), ".", 1).as("title"),
-          when(locate(".", col("text")) > 0,
-            expr("substr(text, locate('.', text) + 1)"))
-            .otherwise(lit("")).as("body"))
+          Text.tokenize(col("text")).as("tokens"))
         val wtok = f.select(col("doc_id"),
-            explode(Text.tokenize(col("title"))).as("term"), lit(2L).as("w"))
+            explode(slice(col("tokens"), 1, 5)).as("term"), lit(2L).as("w"))
           .union(f.select(col("doc_id"),
-            explode(Text.tokenize(col("body"))).as("term"), lit(1L).as("w")))
+            explode(expr("slice(tokens, 6, greatest(size(tokens) - 5, 0))"))
+              .as("term"), lit(1L).as("w")))
         val wp = wtok.groupBy(col("doc_id"), col("term"))
           .agg(sum(col("w")).as("wtf"))
           .localCheckpoint() // postings backbone: feeds df, dl, and scores

@@ -774,10 +774,9 @@ class PropertySpec extends AnyFunSuite {
     def tok(s: String): Seq[String] =
       s.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
     val wp: Map[Long, Map[String, Long]] = docs.map { case (id, text) =>
-      val i = text.indexOf('.')
-      val title = if (i < 0) text else text.substring(0, i)
-      val body = if (i < 0) "" else text.substring(i + 1)
-      val w = (tok(title).map(_ -> 2L) ++ tok(body).map(_ -> 1L))
+      val ts = tok(text)
+      val (title, body) = ts.splitAt(5)
+      val w = (title.map(_ -> 2L) ++ body.map(_ -> 1L))
         .groupBy(_._1).map { case (t, ws) => t -> ws.map(_._2).sum }
       id -> w
     }.toMap
