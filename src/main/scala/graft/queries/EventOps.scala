@@ -1523,6 +1523,86 @@ object EventOps {
       }
     ),
     Q(
+      "t38_did",
+      // DIFFERENCE-IN-DIFFERENCES — the causal-inference workhorse for
+      // "did the launch move the metric?" when a randomized test isn't
+      // available: treatment (click) vs control (view) daily counts,
+      // intervention pinned at the integer day midpoint; the DiD
+      // estimate subtracts the control group's pre/post drift from the
+      // treatment's, cancelling shared seasonality. All four cell sums
+      // and day counts are exact BIGINTs; each mean is ONE double
+      // division and the estimate is three double subtractions in a
+      // pinned order — mirrored token-for-token in both engines.
+      // 100 TB shape: one (type, day) aggregate, a 1-row bounds scalar
+      // broadcast for the midpoint, a 4-row cell aggregate, a 1-row
+      // pivot. Nothing after the first aggregate exceeds 4 rows.
+      Some("""WITH c AS (
+             |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             |         CAST(count(*) AS BIGINT) AS y
+             |  FROM events WHERE event_type IN ('click', 'view')
+             |  GROUP BY 1, 2
+             |),
+             |b AS (SELECT min(d) AS d0, max(d) AS d1 FROM c),
+             |g AS (
+             |  SELECT event_type,
+             |         (d >= b.d0 + (b.d1 - b.d0 + 1) // 2) AS post,
+             |         CAST(sum(y) AS BIGINT) AS s,
+             |         CAST(count(*) AS BIGINT) AS nd
+             |  FROM c CROSS JOIN b GROUP BY 1, 2
+             |),
+             |m AS (
+             |  SELECT
+             |    max(CASE WHEN event_type = 'click' AND NOT post THEN nd END) AS nd_pre,
+             |    max(CASE WHEN event_type = 'click' AND post THEN nd END) AS nd_post,
+             |    max(CASE WHEN event_type = 'click' AND NOT post
+             |             THEN CAST(s AS DOUBLE) / nd END) AS tpre,
+             |    max(CASE WHEN event_type = 'click' AND post
+             |             THEN CAST(s AS DOUBLE) / nd END) AS tpost,
+             |    max(CASE WHEN event_type = 'view' AND NOT post
+             |             THEN CAST(s AS DOUBLE) / nd END) AS cpre,
+             |    max(CASE WHEN event_type = 'view' AND post
+             |             THEN CAST(s AS DOUBLE) / nd END) AS cpost
+             |  FROM g
+             |)
+             |SELECT nd_pre, nd_post,
+             |       round(tpre, 4) AS mean_t_pre, round(tpost, 4) AS mean_t_post,
+             |       round(cpre, 4) AS mean_c_pre, round(cpost, 4) AS mean_c_post,
+             |       round((tpost - tpre) - (cpost - cpre), 4) AS did
+             |FROM m ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val c = t.events
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("d"))
+          .agg(count(lit(1)).as("y"))
+        val b = c.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        val g = c.crossJoin(broadcast(b))
+          .groupBy(col("event_type"),
+            (col("d") >= expr("d0 + (d1 - d0 + 1) DIV 2")).as("post"))
+          .agg(sum(col("y")).as("s"), count(lit(1)).as("nd"))
+        def cell(typ: String, post: Boolean, e: org.apache.spark.sql.Column) =
+          max(when(col("event_type") === typ &&
+            (if (post) col("post") else !col("post")), e))
+        val mean = col("s").cast("double") / col("nd")
+        val m = g.agg(
+          cell("click", post = false, col("nd")).as("nd_pre"),
+          cell("click", post = true, col("nd")).as("nd_post"),
+          cell("click", post = false, mean).as("tpre"),
+          cell("click", post = true, mean).as("tpost"),
+          cell("view", post = false, mean).as("cpre"),
+          cell("view", post = true, mean).as("cpost"))
+        ordered(
+          m.select(col("nd_pre"), col("nd_post"),
+            round(col("tpre"), 4).as("mean_t_pre"),
+            round(col("tpost"), 4).as("mean_t_post"),
+            round(col("cpre"), 4).as("mean_c_pre"),
+            round(col("cpost"), 4).as("mean_c_post"),
+            round((col("tpost") - col("tpre")) - (col("cpost") - col("cpre")), 4)
+              .as("did")))
+      }
+    ),
+    Q(
       "j20_lerp_resample",
       // LINEAR-INTERPOLATION RESAMPLING — the step past t25's zero-fill /
       // forward-fill: each user's daily purchase-count series is

@@ -996,4 +996,25 @@ class PropertySpec extends AnyFunSuite {
     val mean = r.getAs[Any]("mean_full").toString.toDouble
     assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] excludes mean $mean")
   }
+
+  test("T38 DiD law: estimate equals the four driver-side cell means") {
+    import spark.implicits._
+    val r = SparkEntry.queries("t38_did")(spark, sf).collect().head
+    val daily = graft.sources.Tables(spark, sf).events
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("d"))
+      .agg(count(lit(1)).as("y")).as[(String, Long, Long)].collect()
+    val (d0, d1) = (daily.map(_._2).min, daily.map(_._2).max)
+    val mid = d0 + (d1 - d0 + 1) / 2
+    def m(typ: String, post: Boolean): Double = {
+      val cell = daily.filter(e => e._1 == typ && ((e._2 >= mid) == post))
+      cell.map(_._3).sum.toDouble / cell.length
+    }
+    val want = (m("click", post = true) - m("click", post = false)) -
+      (m("view", post = true) - m("view", post = false))
+    val did = r.getAs[Any]("did").toString.toDouble
+    assert(math.abs(did - want) < 1e-3, s"DiD $did vs driver $want")
+    assert(r.getAs[Long]("nd_pre") ==
+      daily.filter(e => e._1 == "click" && e._2 < mid).length)
+  }
 }

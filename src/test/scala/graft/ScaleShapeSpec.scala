@@ -313,8 +313,10 @@ class ScaleShapeSpec extends AnyFunSuite {
       // broadcast; postings/df/dl joins are equi on term/doc_id
       "a15_theil_decomposition", // 1-row grand-totals scalar broadcast
       // onto the k-row source relation; the ln fold joins equi on source
-      "a18_poisson_bootstrap" // 1-row full-sample stats x 1-row CI fold;
+      "a18_poisson_bootstrap", // 1-row full-sample stats x 1-row CI fold;
       // the replicate build is a per-row Generate, never a join
+      "t38_did" // 1-row day-bounds scalar broadcast onto the bounded
+      // (type, day) relation — the t26/t28 midpoint shape
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (fenced(name)) None
