@@ -1196,10 +1196,18 @@ object EventOps {
       // (a 1-row broadcast scalar); monetary is an exact DECIMAL sum;
       // quintiles are ntile(5) with a user_id tie-break so bucket edges
       // are engine-independent. 100 TB shape: the fact collapses to ONE
-      // per-user purchase aggregate (map-side partials); every window
-      // after that rides the users relation — at true scale the ntiles
-      // become approx-quantile cut points broadcast back, same result
-      // contract.
+      // per-user purchase aggregate (map-side partials); the quintiles
+      // are NOT a global window — they are the a9_approx_quantiles
+      // discipline applied to ntile: a GK sketch reads a +-0.001 band
+      // around each of the 12 cut fractions, one exact pass counts
+      // strictly-below-band rows, a band-partitioned rank window (band
+      // rows only, ~0.2% of users each) extracts the exact order-
+      // statistic KEY (sort value, user_id) at each cut rank, and bucket
+      // assignment is a pure per-row scalar against those 12 driver-held
+      // boundary keys. Rank > cut ⟺ key > boundary key (keys are unique
+      // under the user_id tie-break), so the result is bit-identical to
+      // ntile. If the sketch bound ever failed, a boundary would vanish
+      // and the require() below fails loudly — never a silent mis-bucket.
       Some("""WITH pur AS (
              |  SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
              |         sum(CAST(value AS DECIMAL(18,4))) AS mon
@@ -1235,15 +1243,84 @@ object EventOps {
           .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("freq"),
             sum(money(col("value"))).as("mon"))
         val mx = ev.agg(max(col("ts")).as("now"))
+        // corpus-derived per-user relation consumed by four passes below
+        // (count, sketch, below-band counts, band refine) + the final
+        // select → checkpoint (class-a multi-consumed corpus relation)
         val base = pur.crossJoin(broadcast(mx)) // 1-row corpus-max scalar
           .select(col("user_id"),
             datediff(col("now").cast("date"), col("last_ts").cast("date"))
               .as("recency_days"),
             col("freq"), round(col("mon").cast("double"), 2).as("monetary"))
-        val r = ntile(5).over(Window.orderBy(col("recency_days").desc, col("user_id")))
-        val f = ntile(5).over(Window.orderBy(col("freq").asc, col("user_id")))
-        val m = ntile(5).over(Window.orderBy(col("monetary").asc, col("user_id")))
-        val scored = base.withColumn("r", r).withColumn("f", f).withColumn("m", m)
+          // uniform ASC double sort keys; recency ranks DESC, so negate
+          .withColumn("sr", -col("recency_days").cast("double"))
+          .withColumn("sf", col("freq").cast("double"))
+          .withColumn("sm", col("monetary"))
+          .localCheckpoint()
+        val n = base.count()
+        // ntile(5) cut ranks: first (n mod 5) buckets hold ceil(n/5) rows
+        val cuts = (1 to 4).map(i => i * (n / 5) + math.min(i.toLong, n % 5))
+        val qs = cuts.map(k => k.toDouble / n)
+        def clamp(d: Double) = math.min(1.0, math.max(0.0, d))
+        val measures = Seq("sr", "sf", "sm")
+        // pass 1: one GK sketch per measure (accuracy 10000 ⇒ rank error
+        // ≤ n/10000), read at each cut fraction ∓ 0.001 — the true order
+        // statistic's value is inside [lo, hi] by the GK bound
+        val skCols = measures.flatMap(c => Seq(
+          percentile_approx(col(c),
+            array(qs.map(q => lit(clamp(q - 0.001))): _*), lit(10000))
+            .as(s"lo_$c"),
+          percentile_approx(col(c),
+            array(qs.map(q => lit(clamp(q + 0.001))): _*), lit(10000))
+            .as(s"hi_$c")))
+        val sk = base.agg(skCols.head, skCols.tail: _*).collect()(0)
+        def bands(c: String): Seq[(Double, Double)] = {
+          val lo = sk.getAs[scala.collection.Seq[Double]](s"lo_$c")
+          val hi = sk.getAs[scala.collection.Seq[Double]](s"hi_$c")
+          lo.zip(hi).toSeq
+        }
+        // pass 2: exact strictly-below-band counts, one job for all 12
+        val cltCols = measures.flatMap(c =>
+          bands(c).zipWithIndex.map { case ((lo, _), i) =>
+            sum(when(col(c) < lo, 1L).otherwise(0L)).as(s"clt_${c}_$i")
+          })
+        val clt = base.agg(cltCols.head, cltCols.tail: _*).collect()(0)
+        // pass 3: rank inside each tiny band (band-partitioned window),
+        // pick the exact order-statistic key at each cut rank
+        val bandSpecs = measures.flatMap { c =>
+          bands(c).zipWithIndex.map { case ((lo, hi), i) =>
+            (c, i, lo, hi, cuts(i) - clt.getAs[Long](s"clt_${c}_$i"))
+          }
+        }
+        val picked = base.select(col("user_id"), explode(array(
+            bandSpecs.map { case (c, i, lo, hi, pick) =>
+              struct(lit(c).as("mm"), lit(i).as("b"), col(c).as("s"),
+                lit(lo).as("lo"), lit(hi).as("hi"), lit(pick).as("pick"))
+            }: _*)).as("e"))
+          .select(col("user_id"), col("e.*"))
+          .filter(col("s") >= col("lo") && col("s") <= col("hi"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("mm"), col("b"))
+              .orderBy(col("s"), col("user_id"))).cast("long"))
+          .filter(col("rn") === col("pick"))
+          .select(col("mm"), col("b"), col("s"), col("user_id")).collect()
+        require(picked.length == 12,
+          s"t23: expected 12 quintile boundary keys, got ${picked.length}")
+        val bnd: Map[String, Seq[(Double, Long)]] = picked
+          .groupBy(_.getString(0))
+          .map { case (c, rows) =>
+            c -> rows.sortBy(_.getInt(1))
+              .map(r => (r.getDouble(2), r.getLong(3))).toSeq
+          }
+        // bucket = 1 + #{cut boundaries strictly before this key} — a
+        // pure per-row scalar: no window, no join in the final plan
+        def score(c: String) = bnd(c).foldLeft(lit(1)) { case (acc, (bs, bu)) =>
+          acc + when(col(c) > bs ||
+            (col(c) === bs && col("user_id") > bu), 1).otherwise(0)
+        }
+        val scored = base
+          .withColumn("r", score("sr").cast("int"))
+          .withColumn("f", score("sf").cast("int"))
+          .withColumn("m", score("sm").cast("int"))
         ordered(
           scored.select(col("user_id"), col("recency_days"), col("freq"),
             col("monetary"), col("r"), col("f"), col("m"),

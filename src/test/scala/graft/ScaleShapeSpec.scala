@@ -499,4 +499,28 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
       plan.contains("BroadcastHashJoin"), s"no equi-join:\n$plan")
   }
+
+  test("t23 RFM: no window exec in the final plan, buckets == ntile(5)") {
+    // the quintile scores come from GK-band boundary keys applied as a
+    // per-row scalar — the FINAL plan (what runs over the billion-user
+    // relation at scale) must contain no WindowExec at all and no join
+    // beyond the checkpointed base; the single-task global-sort ntile
+    // windows this replaced would show up as "Window [ntile..." here
+    val df = SparkEntry.queries("t23_rfm_segmentation")(spark, sf)
+    val plan = executedPlan(df)
+    assert(!plan.contains("Window"), s"window exec in the t23 final plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested loop in the t23 final plan:\n$plan")
+    // bit-parity with the ntile spelling (fine on test-sized data)
+    import org.apache.spark.sql.expressions.Window
+    val got = df.select("user_id", "r", "f", "m")
+    val base = df.select("user_id", "recency_days", "freq", "monetary")
+    val want = base
+      .withColumn("r", ntile(5).over(Window.orderBy(col("recency_days").desc, col("user_id"))))
+      .withColumn("f", ntile(5).over(Window.orderBy(col("freq").asc, col("user_id"))))
+      .withColumn("m", ntile(5).over(Window.orderBy(col("monetary").asc, col("user_id"))))
+      .select("user_id", "r", "f", "m")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "GK-boundary buckets diverge from ntile(5)")
+  }
 }
