@@ -1,0 +1,136 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.SkewJoin
+
+/** Sketch-driven join strategy: the `s18_join_size_estimate` CMS machinery
+  * promoted from a diagnostic query to an actual plan decision — the same
+  * plan↔reality loop `d5_lsh_recall_measured` closes for LSH banding.
+  *
+  * One scan per side builds a depth×width count-min sketch of the join-key
+  * frequencies (map-side combine into ≤ depth·width cells, so the shuffle
+  * carries ≤ 256 rows per task regardless of input size) and the exact row
+  * count rides the same pass for free. From the two sketches the driver
+  * derives:
+  *
+  *   - per-side row counts (the seed-0 marginal),
+  *   - the join OUTPUT estimate: min over seeds of the cell dot product
+  *     (AMS/CMS inner product — one-sided, est ≥ exact, collisions only
+  *     add mass).
+  *
+  * `plan()` then picks the physical strategy the way a cost-based
+  * optimizer would, and expresses it through Spark's own hint surface so
+  * Catalyst/AQE still own the execution:
+  *
+  *   - `broadcast`: the smaller side fits the row budget → `broadcast()`
+  *     hint (row count is the sketch-visible proxy for bytes; the byte
+  *     budget is a deployment dial).
+  *   - `salt`: output estimate ≫ input volume means hot keys would pile
+  *     onto single reducers → salted equi-join (SkewJoin), the manual
+  *     valve for when AQE's skew split can't see the skew up front.
+  *   - `shuffle`: honest big⋈big → plain equi-join (SMJ under AQE).
+  *
+  * All three strategies are row-identical by construction — the decision
+  * picks a PLAN, never a result — and `SqlParity`/oracle checks pin that.
+  * 100 TB shape: the sketch pass touches each relation once (or never:
+  * a production deployment persists per-table sketches at ingest and the
+  * planner joins 256-cell tables); the decision itself is driver-side
+  * arithmetic on ≤ 2·depth·width longs.
+  */
+object SketchCbo {
+
+  val Depth = 4
+  // wider than the s18 diagnostic's 64: the decision below subtracts the
+  // expected collision mass rowsL·rowsR/Width, and the residual noise
+  // shrinks as 1/Width — 4×256 longs is still nothing to collect
+  val Width = 256
+
+  /** Portable md5 bucketing — same discipline as `a6_cms_estimate` /
+    * `s18_join_size_estimate`, so a DuckDB oracle can replay the sketch.
+    */
+  private def bucket(seed: Column, key: Column): Column =
+    pmod(conv(substring(md5(concat(seed.cast("string"), lit(":"),
+      key.cast("string"))), 1, 15), 16, 10).cast("long"), lit(Width.toLong))
+
+  /** One scan: the depth×width frequency sketch of `key`. */
+  private def cells(df: DataFrame, key: Column): Array[Array[Long]] = {
+    val out = Array.fill(Depth, Width)(0L)
+    df.select(explode(array((0 until Depth).map { s =>
+        struct(lit(s).as("seed"), bucket(lit(s), key).as("bucket"))
+      }: _*)).as("sb"))
+      .groupBy(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("tot"))
+      .collect()
+      .foreach(r => out(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
+    out
+  }
+
+  final case class JoinEstimate(
+      rowsLeft: Long,
+      rowsRight: Long,
+      estOutput: BigInt,
+      estCorrected: BigInt,
+      strategy: String)
+
+  /** Sketch both sides and estimate |left ⋈ right| on the key. */
+  def estimate(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column): (Array[Array[Long]], Array[Array[Long]], BigInt) = {
+    val l = cells(left, leftKey)
+    val r = cells(right, rightKey)
+    // BigInt: two hot cells of ~2^31 each already overflow a Long product sum
+    val est = (0 until Depth).map { s =>
+      (0 until Width).map(b => BigInt(l(s)(b)) * BigInt(r(s)(b))).sum
+    }.min
+    (l, r, est)
+  }
+
+  final case class Planned(df: DataFrame, est: JoinEstimate)
+
+  /** Inner equi-join with the physical strategy chosen from the sketches.
+    *
+    * @param broadcastRowLimit a side at or under this many rows gets the
+    *   `broadcast()` hint (the row-count stand-in for the byte budget —
+    *   on a cluster this is executor-memory / avg-row-size).
+    * @param saltFanout when estOutput exceeds `saltFanout × max(rows)`,
+    *   hot keys dominate and the join is salted `saltBuckets` ways.
+    * @param leftSaltSource deterministic per-row column for the salt
+    *   (SkewJoin's discipline: retries and speculative tasks must agree).
+    */
+  def plan(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      broadcastRowLimit: Long = 500000,
+      saltFanout: Double = 4.0,
+      saltBuckets: Int = 8,
+      leftSaltSource: Option[Column] = None): Planned = {
+    val (l, r, est) = estimate(left, right, col(key), col(key))
+    val rowsL = l(0).sum
+    val rowsR = r(0).sum
+    // the raw min-dot is one-sided (est >= exact) but carries an expected
+    // collision mass of rowsL·rowsR/Width under the hash family; subtract
+    // it for the DECISION (an F2-style bias correction) while reporting
+    // the honest one-sided figure in estOutput
+    val corrected = (est - BigInt(rowsL) * BigInt(rowsR) / Width).max(BigInt(0))
+    val strategy =
+      if (math.min(rowsL, rowsR) <= broadcastRowLimit) "broadcast"
+      else if (corrected > BigInt((saltFanout * math.max(rowsL, rowsR)).toLong)) "salt"
+      else "shuffle"
+    val joined = strategy match {
+      case "broadcast" =>
+        if (rowsR <= rowsL) left.join(broadcast(right), key)
+        else broadcast(left).join(right, key)
+      case "salt" =>
+        // replicate the smaller side saltBuckets ways, salt the bigger
+        val src = leftSaltSource.getOrElse(
+          xxhash64(left.columns.map(col).toIndexedSeq: _*))
+        if (rowsR <= rowsL) SkewJoin.saltedInnerJoin(left, right, key, src, saltBuckets)
+        else SkewJoin.saltedInnerJoin(right, left, key,
+          leftSaltSource.getOrElse(xxhash64(right.columns.map(col).toIndexedSeq: _*)),
+          saltBuckets)
+      case _ => left.join(right, key)
+    }
+    Planned(joined, JoinEstimate(rowsL, rowsR, est, corrected, strategy))
+  }
+}

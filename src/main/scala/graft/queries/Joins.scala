@@ -819,6 +819,67 @@ object Joins {
           a.join(b, col("id1") < col("id2") && d2 <= 40000)
             .select(col("id1"), col("id2"), d2.cast("long").as("dist_sq")))
       }
+    ),
+    Q(
+      "s18_cbo_broadcast",
+      // SKETCH-DRIVEN JOIN STRATEGY, broadcast leg — the s18 CMS join-size
+      // estimate promoted to an actual plan decision ([[SketchCbo.plan]]):
+      // one sketch pass per side, then the driver picks
+      // broadcast/salt/shuffle from the cell arithmetic. Here the sketch
+      // sees supplier's tiny row count and must choose `broadcast`; the
+      // require() pins the decision inside the hash-checked query, and
+      // ScaleShapeSpec proves the hint (not Spark's size estimate) plants
+      // the BroadcastHashJoin by re-planning with autoBroadcast disabled.
+      // The oracle is the PLAIN join — the strategy may never change rows.
+      Some("""SELECT s.s_nationkey, count(*) AS n_items,
+             |CAST(round(sum(CAST(l.l_quantity AS DECIMAL(18,2))), 4) AS DOUBLE) AS total_qty
+             |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |GROUP BY s.s_nationkey ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val planned = graft.plans.SketchCbo.plan(
+          t.lineitem.withColumnRenamed("l_suppkey", "suppkey"),
+          t.supplier.withColumnRenamed("s_suppkey", "suppkey"),
+          "suppkey")
+        require(planned.est.strategy == "broadcast",
+          s"CBO mis-planned the dim join: ${planned.est}")
+        ordered(
+          planned.df
+            .groupBy(col("s_nationkey"))
+            .agg(count(lit(1)).as("n_items"),
+              round(sum(col("l_quantity").cast("decimal(18,2)")), 4)
+                .cast("double").as("total_qty")))
+      }
+    ),
+    Q(
+      "s18_cbo_shuffle",
+      // SKETCH-DRIVEN JOIN STRATEGY, shuffle leg: with the broadcast row
+      // budget turned down (the deployment dial a real cluster sets from
+      // executor memory), neither lineitem nor orders qualifies and the
+      // CMS output estimate (~|lineitem|, each item matches exactly one
+      // order) stays under the salt fan-out — the sketch must pick the
+      // honest big⋈big shuffle (SMJ under AQE). Same result contract:
+      // the oracle is the plain join, so all three strategies hash alike.
+      Some("""SELECT o.o_orderpriority, count(*) AS n_items,
+             |CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS total_price
+             |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |GROUP BY o.o_orderpriority ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val planned = graft.plans.SketchCbo.plan(
+          t.lineitem.withColumnRenamed("l_orderkey", "orderkey"),
+          t.orders.withColumnRenamed("o_orderkey", "orderkey"),
+          "orderkey",
+          broadcastRowLimit = 1000)
+        require(planned.est.strategy == "shuffle",
+          s"CBO mis-planned the fact-fact join: ${planned.est}")
+        ordered(
+          planned.df
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n_items"),
+              round(sum(col("l_extendedprice").cast("decimal(18,2)")), 4)
+                .cast("double").as("total_price")))
+      }
     )
   )
 }

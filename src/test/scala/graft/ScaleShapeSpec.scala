@@ -500,6 +500,53 @@ class ScaleShapeSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), s"no equi-join:\n$plan")
   }
 
+  test("SketchCbo: the sketch decision, not Spark's size estimate, plants the broadcast") {
+    // with autoBroadcast off, a plain join would SMJ; the BroadcastHashJoin
+    // in the executed plan can only come from SketchCbo's hint
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bcast = SparkEntry.queries("s18_cbo_broadcast")(spark, sf)
+      val bplan = executedPlan(bcast)
+      assert(bplan.contains("BroadcastHashJoin"),
+        s"sketch-decided broadcast hint did not fire:\n$bplan")
+      val shuf = SparkEntry.queries("s18_cbo_shuffle")(spark, sf)
+      val splan = executedPlan(shuf)
+      assert(!splan.contains("BroadcastHashJoin"),
+        s"shuffle leg should not broadcast:\n$splan")
+      assert(splan.contains("SortMergeJoin") || splan.contains("ShuffledHashJoin"),
+        s"shuffle leg lost its equi-join:\n$splan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("SketchCbo: planted hot key flips the decision to salt, rows identical") {
+    import spark.implicits._
+    // 95% of fact rows share key 7; dims too big for the row budget
+    val fact = (1L to 4000L).map(i => (if (i % 20 == 0) i % 7 else 7L, i))
+      .toDF("k", "payload")
+    val dim = (0L until 40L).flatMap(k => (0 until 50).map(r => (k, s"d${k}_$r")))
+      .toDF("k", "d")
+    val planned = graft.plans.SketchCbo.plan(fact, dim, "k",
+      broadcastRowLimit = 10, saltFanout = 4.0, saltBuckets = 8,
+      leftSaltSource = Some(col("payload")))
+    assert(planned.est.strategy == "salt", s"expected salt: ${planned.est}")
+    // CMS estimate is one-sided: est >= exact output
+    val plain = fact.join(dim, "k")
+    val exact = plain.count()
+    assert(planned.est.estOutput >= BigInt(exact),
+      s"CMS lost one-sidedness: est ${planned.est.estOutput} < exact $exact")
+    // the strategy may never change rows
+    assert(planned.df.count() == exact)
+    assert(planned.df.select("k", "payload", "d")
+      .except(plain.select("k", "payload", "d")).isEmpty)
+    assert(plain.select("k", "payload", "d")
+      .except(planned.df.select("k", "payload", "d")).isEmpty)
+    // and the hot key genuinely spreads over several salt buckets
+    val spread = fact.filter($"k" === 7L)
+      .select(pmod(xxhash64($"payload"), lit(8)).as("s"))
+      .distinct().count()
+    assert(spread >= 6, s"hot key landed in only $spread salt buckets")
+  }
+
   test("t23 RFM: no window exec in the final plan, buckets == ntile(5)") {
     // the quintile scores come from GK-band boundary keys applied as a
     // per-row scalar — the FINAL plan (what runs over the billion-user
