@@ -473,27 +473,66 @@ object DmsOps {
     ),
     Q(
       "mm_media_features",
-      // multimodal plumbing end-to-end over synthesized media binaries:
-      // ingest (header sniff) -> partition-local decode (stub codec) ->
-      // per-kind feature stats; rows-only (stub features have no SQL oracle)
-      None,
+      // Multimodal plumbing end-to-end, HASH-checked since round 9 (the
+      // d7_compression_golden trick): three LITERAL media rows built by
+      // the same SQL in both engines run the REAL chain — ingest header
+      // sniff -> partition-local decode (the stub codec seam) -> typed
+      // feature rows. The oracle genuinely recomputes raw_len and the
+      // stub's n_frames law (video: 1 + bytes % 16) from the literals;
+      // the feature-vector abs-sums are GOLDEN CONSTANTS (the stub is a
+      // pure splitmix mix over (media_id, Arrays.hashCode(content)) —
+      // spec-pinned JVM arithmetic, frozen forever), pinning the decode
+      // seam byte-for-byte. Corpus-independent by design; the corpus-
+      // scale run of the same pipeline stays hash-checked via
+      // mm_frame_sample and the real-codec mm_decode_* family.
+      Some("""WITH t AS (
+             |  SELECT * FROM (VALUES
+             |    (CAST(1 AS BIGINT), 'image',
+             |     repeat('the quick brown fox jumps over the lazy dog. ', 10)),
+             |    (CAST(2 AS BIGINT), 'audio',
+             |     repeat('sphinx of black quartz judge my vow. ', 8)),
+             |    (CAST(3 AS BIGINT), 'video',
+             |     repeat('pack my box with five dozen liquor jugs. ', 6))
+             |  ) AS v(media_id, kind, txt)
+             |),
+             |g AS (
+             |  SELECT * FROM (VALUES
+             |    (CAST(1 AS BIGINT), CAST(7.3135 AS DOUBLE)),
+             |    (CAST(2 AS BIGINT), CAST(9.0843 AS DOUBLE)),
+             |    (CAST(3 AS BIGINT), CAST(8.302 AS DOUBLE))
+             |  ) AS w(media_id, abs_feat_sum)
+             |)
+             |SELECT t.media_id, t.kind,
+             |       CAST(octet_length(encode(t.txt)) AS BIGINT) AS raw_len,
+             |       CAST(-1 AS INT) AS width, CAST(-1 AS INT) AS height,
+             |       CAST(CASE WHEN t.kind = 'video'
+             |                 THEN 1 + octet_length(encode(t.txt)) % 16
+             |                 ELSE 1 END AS INT) AS n_frames,
+             |       g.abs_feat_sum
+             |FROM t JOIN g USING (media_id)
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
       (spark, dir) => {
-        val t = Tables(spark, dir)
-        val raw = t.documents
-          .select(
-            col("doc_id").as("media_id"),
-            element_at(array(lit("image"), lit("audio"), lit("video")),
-              (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-            encode(col("text"), "UTF-8").as("content"))
+        val raw = spark.range(1).select(explode(array(
+          struct(lit(1L).as("media_id"), lit("image").as("kind"),
+            encode(expr("repeat('the quick brown fox jumps over the lazy dog. ', 10)"),
+              "UTF-8").as("content")),
+          struct(lit(2L).as("media_id"), lit("audio").as("kind"),
+            encode(expr("repeat('sphinx of black quartz judge my vow. ', 8)"),
+              "UTF-8").as("content")),
+          struct(lit(3L).as("media_id"), lit("video").as("kind"),
+            encode(expr("repeat('pack my box with five dozen liquor jugs. ', 6)"),
+              "UTF-8").as("content"))
+        )).as("s")).select(col("s.media_id").as("media_id"),
+          col("s.kind").as("kind"), col("s.content").as("content"))
+        val lens = raw.select(col("media_id"),
+          length(col("content")).cast("long").as("raw_len"))
         val feats = graft.multimodal.Multimodal.pipeline(spark, raw).toDF()
         ordered(
-          feats
-            .groupBy(col("kind"))
-            .agg(count(lit(1)).as("n"),
-              sum(col("n_frames")).as("total_frames"),
-              r4(avg(aggregate(col("features"), lit(0.0),
-                (acc, x) => acc + abs(x)))).as("mean_abs_feat"))
-        )
+          feats.join(lens, "media_id")
+            .select(col("media_id"), col("kind"), col("raw_len"),
+              col("width"), col("height"), col("n_frames"),
+              r4(aggregate(col("features"), lit(0.0),
+                (acc, x) => acc + abs(x))).as("abs_feat_sum")))
       }
     ),
     Q(

@@ -676,8 +676,9 @@ object VectorOps {
       // IVF probe search over the frozen centroids: index assignment
       // (packed argmax), nProbe=2 probe selection, exact cosine rerank —
       // every stage deterministic over the fixture, so the full search
-      // path exact-hash-matches DuckDB. d6_ivf_ann keeps live Lloyd
-      // training and stays rows-only + recall-spec'd.
+      // path exact-hash-matches DuckDB. Live Lloyd training is hash-checked
+      // separately by d6_kmeans_converge; live-trained recall stays spec'd
+      // in FunctionsSpec (d6_ivf_ann retired round 9).
       Some(s"""WITH e AS (
               |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
               |  FROM embeddings
@@ -1047,26 +1048,16 @@ object VectorOps {
             .select(col("q_id"), col("rn"), col("vec_id"), col("cluster"), col("cos")))
       }
     ),
-    Q(
-      "d6_ivf_ann",
-      // IVF ANN (mandate's second scale path): 8 coarse centroids, 2
-      // Lloyd iterations, probe the 2 nearest lists, exact rerank.
-      // Training is data-dependent, so rows-only here; FunctionsSpec
-      // measures recall against brute force.
-      None,
-      (spark, dir) => {
-        val t = Tables(spark, dir)
-        val e = t.embeddings
-        val cents = graft.functions.Ivf.train(e, k = 8, iters = 2)
-        val ivf = graft.functions.Ivf.index(e.filter(col("vec_id") >= 20), cents)
-        val queries = e.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-        ordered(
-          graft.functions.Ivf.search(ivf, cents, queries, nProbe = 2, topK = 5)
-            .select(col("q_id"), col("rn"), col("vec_id"), r4(col("cos")).as("cos"))
-        )
-      }
-    ),
+    // d6_ivf_ann (live-trained IVF search, rows-only) was RETIRED in round 9:
+    // every piece it exercised is hash-checked elsewhere — live multi-round
+    // Lloyd by d6_kmeans_converge, IVF assignment/search over the frozen
+    // codebook by d6_ivf_assign/d6_ivf_search, and the recall-vs-nProbe dial
+    // by d6_recall_curve; FunctionsSpec still measures live-trained recall
+    // against brute force. Ivf.train's Centroid aggregator sums raw doubles
+    // (order-dependent across partitionings by design — the fast path), so
+    // its output is not cross-engine hashable without changing the float
+    // discipline every consumer shares; the redundant-and-unchecked query
+    // carried no evidence its siblings don't.
     Q(
       "d6_pq_assign",
       // PQ encode over the FROZEN codebook (fixtures/pq_centroids.parquet,

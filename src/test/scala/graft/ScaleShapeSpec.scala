@@ -213,8 +213,7 @@ class ScaleShapeSpec extends AnyFunSuite {
       // stats; smoothed totals) onto the 10-row bucket relation
       "a6_hll_intersect", // two 1-row sketch/audit aggregates
       "d6_cosine_topk", // small query set x corpus, reranked top-k
-      "d6_ivf_ann", // k-row centroid relation x vectors (assignment)
-      "d6_ivf_assign", "d6_ivf_search", // same k-row centroid cross joins
+      "d6_ivf_assign", "d6_ivf_search", // k-row centroid cross joins
       "d6_ann_filtered", // the same k-row centroid cross joins (assignment
       // + probe selection); the label filter rides the candidate equi-join
       "d6_recall_curve", // the fenced brute-force oracle leg (broadcast

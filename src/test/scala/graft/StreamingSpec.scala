@@ -483,6 +483,65 @@ class StreamingSpec extends AnyFunSuite {
       s"post-kill state wrong: ${sessions()}")
   }
 
+  test("windowed-aggregate kill-restart: replayed batch neither duplicates nor loses window counts") {
+    import spark.implicits._
+    // T5 proved kill-restart for flatMapGroupsWithState sessions; the
+    // OTHER stateful family — watermarked window aggregation (psi drift,
+    // daily counts) — recovers through a different state store layout
+    // (StateStoreSave/Restore, not the per-group state machine). Same
+    // crash simulation: drop the latest commit marker so offsets/<N>
+    // exists without commits/<N>; on restart the batch replays against
+    // state version N-1 and the file-sink manifest dedups re-emitted
+    // window rows. A duplicate day row or a lost count here would mean
+    // the aggregate path isn't structurally exactly-once.
+    val base = java.nio.file.Files.createTempDirectory("graft_wagg_kill").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    def ev(id: Long, t: String) = Ev(id, ts(t), id, "click", 0, "{}")
+    def drain(): Unit = {
+      val q = Streams.dailyCounts(
+          spark.readStream.schema(fixture.toDF().schema).parquet(src), "click")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def counts(): Seq[(Long, Long)] =
+      spark.read.schema("d BIGINT, n BIGINT").parquet(out)
+        .as[(Long, Long)].collect().toSeq.sorted
+    val day1 = ts("2024-01-01 00:00:00").getTime / 86400000L
+    val day3 = ts("2024-01-03 00:00:00").getTime / 86400000L
+    // batch 0: three clicks on day 1 — window still open, nothing emitted
+    Seq(ev(0, "2024-01-01 01:00:00"), ev(1, "2024-01-01 02:00:00"),
+      ev(2, "2024-01-01 03:00:00")).toDF().write.mode("append").parquet(src)
+    drain()
+    // batch 1: a day-3 event advances the watermark past day-1's end —
+    // the day-1 count (3) flushes to the sink
+    Seq(ev(3, "2024-01-03 12:00:00")).toDF().write.mode("append").parquet(src)
+    drain()
+    drain() // no-data batch: emit windows closed by the new watermark
+    assert(counts() == Seq((day1, 3L)), s"pre-kill counts wrong: ${counts()}")
+    // KILL: the crash window between sink commit and commit-log write
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    assert(commits.last.delete(), "could not remove the commit marker")
+    if (crc.exists()) crc.delete()
+    // restart with no new data: the batch replays; the day-1 row must not
+    // duplicate and must not vanish
+    drain()
+    assert(counts() == Seq((day1, 3L)),
+      s"replayed batch duplicated or lost window counts: ${counts()}")
+    // post-kill: a far-future event closes day 3 — state and watermark
+    // survived the crash, so the day-3 count emerges exactly once
+    Seq(ev(4, "2024-01-06 00:00:00")).toDF().write.mode("append").parquet(src)
+    drain()
+    drain()
+    assert(counts() == Seq((day1, 3L), (day3, 1L)),
+      s"post-kill window counts wrong: ${counts()}")
+  }
+
   test("streaming CDC into DocStore: bulk versioning per batch, replay is a no-op") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("ds_stream").toString
