@@ -6,8 +6,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = Graft.defaultCpus
-    val spark = Graft.session(master = s"local[$cpus]", shufflePartitions = cpus.toInt,
-      appName = "graft-bench")
+    val spark = Graft.session(master = s"local[$cpus]",
+      appName = "graft-bench") // shuffle partitions: Graft.defaultShuffle
     // force FULL materialization of every column — under count() Catalyst
     // prunes sorts and projections, understating the verified query
     def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
