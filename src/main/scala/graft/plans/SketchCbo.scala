@@ -46,12 +46,14 @@ object SketchCbo {
   // shrinks as 1/Width — 4×256 longs is still nothing to collect
   val Width = 256
 
-  /** Portable md5 bucketing — same discipline as `a6_cms_estimate` /
-    * `s18_join_size_estimate`, so a DuckDB oracle can replay the sketch.
-    */
+  /** xxhash64 bucketing, NOT the portable-md5 discipline of
+    * `s18_join_size_estimate`: nothing replays these cells in an oracle
+    * (correctness is pinned on the JOIN RESULT, which is
+    * strategy-invariant), so the sketch pass gets the codegen'd
+    * integer hash — an order of magnitude cheaper per row than md5
+    * string hashing, which matters when the pass scans the full fact. */
   private def bucket(seed: Column, key: Column): Column =
-    pmod(conv(substring(md5(concat(seed.cast("string"), lit(":"),
-      key.cast("string"))), 1, 15), 16, 10).cast("long"), lit(Width.toLong))
+    pmod(xxhash64(seed, key), lit(Width.toLong))
 
   /** One scan: the depth×width frequency sketch of `key`. */
   private def cells(df: DataFrame, key: Column): Array[Array[Long]] = {
