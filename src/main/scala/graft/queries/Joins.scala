@@ -880,6 +880,52 @@ object Joins {
               round(sum(col("l_extendedprice").cast("decimal(18,2)")), 4)
                 .cast("double").as("total_price")))
       }
+    ),
+    Q(
+      "s18_cbo_salt",
+      // SKETCH-DRIVEN JOIN STRATEGY, salt leg — the third decision pinned
+      // in the hash-checked surface (ScaleShapeSpec proves it on planted
+      // synthetic skew; this proves it through the oracle on derived
+      // skew): 90% of events collapse onto key 777 and the dim fans out
+      // 10 rows per key, so the CMS output estimate (collision-corrected
+      // ~10x the fact) exceeds the fan-out threshold and the sketch must
+      // pick the salted equi-join — the hot key spreads over 8 reducers
+      // instead of one straggler. The oracle is the plain join: salting
+      // may never change rows, and the hash proves it on real inputs.
+      Some("""WITH f AS (
+             |  SELECT CASE WHEN event_id % 10 <> 0 THEN CAST(777 AS BIGINT)
+             |              ELSE event_id % 50 END AS k
+             |  FROM events
+             |),
+             |d AS (
+             |  SELECT CASE WHEN i // 10 = 50 THEN CAST(777 AS BIGINT)
+             |              ELSE i // 10 END AS k,
+             |         i % 10 AS v
+             |  FROM (SELECT unnest(range(0, 510)) AS i)
+             |)
+             |SELECT f.k, count(*) AS n_rows, CAST(sum(d.v) AS BIGINT) AS v_sum
+             |FROM f JOIN d USING (k)
+             |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val fact = t.events.select(
+          when(col("event_id") % 10 =!= 0, lit(777L))
+            .otherwise(col("event_id") % 50).as("k"),
+          col("event_id"))
+        val dim = spark.range(0, 510).select(
+          when(expr("id DIV 10") === 50, lit(777L))
+            .otherwise(expr("id DIV 10")).as("k"),
+          (col("id") % 10).as("v"))
+        val planned = graft.plans.SketchCbo.plan(fact, dim, "k",
+          broadcastRowLimit = 100, saltFanout = 4.0, saltBuckets = 8,
+          leftSaltSource = Some(col("event_id")))
+        require(planned.est.strategy == "salt",
+          s"CBO missed the planted fan-out skew: ${planned.est}")
+        ordered(
+          planned.df
+            .groupBy(col("k"))
+            .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("v_sum")))
+      }
     )
   )
 }
