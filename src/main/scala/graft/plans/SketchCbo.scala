@@ -55,10 +55,17 @@ object SketchCbo {
   private def bucket(seed: Column, key: Column): Column =
     pmod(xxhash64(seed, key), lit(Width.toLong))
 
-  /** One scan: the depth×width frequency sketch of `key`. */
+  /** One scan: the depth×width frequency sketch of `key`. Null keys are
+    * excluded: xxhash64 skips null arguments, so without the filter every
+    * null-key row would collapse into one bucket per seed, inflating both
+    * the row counts and the output estimate with rows an inner join drops
+    * — on null-heavy keys that mis-steers the decision (spurious salt,
+    * missed broadcast). With the filter, `rowsL`/`rowsR` (the seed-0
+    * marginal) count exactly the joinable rows. */
   private def cells(df: DataFrame, key: Column): Array[Array[Long]] = {
     val out = Array.fill(Depth, Width)(0L)
-    df.select(explode(array((0 until Depth).map { s =>
+    df.filter(key.isNotNull)
+      .select(explode(array((0 until Depth).map { s =>
         struct(lit(s).as("seed"), bucket(lit(s), key).as("bucket"))
       }: _*)).as("sb"))
       .groupBy(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
@@ -124,13 +131,21 @@ object SketchCbo {
         if (rowsR <= rowsL) left.join(broadcast(right), key)
         else broadcast(left).join(right, key)
       case "salt" =>
-        // replicate the smaller side saltBuckets ways, salt the bigger
-        val src = leftSaltSource.getOrElse(
-          xxhash64(left.columns.map(col).toIndexedSeq: _*))
-        if (rowsR <= rowsL) SkewJoin.saltedInnerJoin(left, right, key, src, saltBuckets)
-        else SkewJoin.saltedInnerJoin(right, left, key,
-          leftSaltSource.getOrElse(xxhash64(right.columns.map(col).toIndexedSeq: _*)),
-          saltBuckets)
+        // replicate the smaller side saltBuckets ways, salt the bigger.
+        // `leftSaltSource` is a column OF `left`, so it is honored only
+        // when `left` is the salted (bigger) side; when the sides swap,
+        // fall back to the xxhash64-of-all-columns default — resolving a
+        // left-rooted column against `right` would throw at plan time,
+        // or worse, a same-named right column would silently salt by an
+        // unrelated value
+        if (rowsR <= rowsL)
+          SkewJoin.saltedInnerJoin(left, right, key,
+            leftSaltSource.getOrElse(
+              xxhash64(left.columns.map(col).toIndexedSeq: _*)),
+            saltBuckets)
+        else
+          SkewJoin.saltedInnerJoin(right, left, key,
+            xxhash64(right.columns.map(col).toIndexedSeq: _*), saltBuckets)
       case _ => left.join(right, key)
     }
     Planned(joined, JoinEstimate(rowsL, rowsR, est, corrected, strategy))

@@ -1203,6 +1203,13 @@ object EventOps {
       // strictly-below-band rows, a band-partitioned rank window (band
       // rows only, ~0.2% of users each) extracts the exact order-
       // statistic KEY (sort value, user_id) at each cut rank, and bucket
+      // (tie caveat: the ~0.2% band sizing assumes distinct sort values;
+      // under heavy ties at a cut — e.g. most users sharing freq=1 —
+      // lo==hi captures every tied row and one (mm,b) rank partition can
+      // hold a large user fraction. Correctness holds (the require()
+      // stays sound), but a tie-dominated deployment should special-case
+      // lo==hi: count duplicates of the single tied value exactly and
+      // pick the boundary arithmetically instead of windowing the band)
       // assignment is a pure per-row scalar against those 12 driver-held
       // boundary keys. Rank > cut ⟺ key > boundary key (keys are unique
       // under the user_id tie-break), so the result is bit-identical to

@@ -35,7 +35,9 @@ class AuditSpec extends AnyFunSuite {
       val n = Files.readAllLines(p).asScala.iterator
         .map(_.trim)
         .filterNot(s => s.startsWith("//") || s.startsWith("*") || s.startsWith("/*"))
-        .map(s => "localCheckpoint\\(\\)".r.findAllIn(s).length)
+        // match `.localCheckpoint(` — any arg list, so the eager-flag
+        // overload `localCheckpoint(true/false)` cannot escape the audit
+        .map(s => "\\.localCheckpoint\\(".r.findAllIn(s).length)
         .sum
       if (n > 0) Some(root.relativize(p).toString -> n) else None
     }.toMap

@@ -546,6 +546,30 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(spread >= 6, s"hot key landed in only $spread salt buckets")
   }
 
+  test("SketchCbo: swapped salt side (right bigger) ignores leftSaltSource, rows identical") {
+    import spark.implicits._
+    // the SAME planted skew as above but with the sides flipped: now the
+    // BIGGER side is `right`, so SkewJoin salts `right` — and the caller's
+    // `leftSaltSource` (a column of `left` that does NOT exist on the
+    // right) must be ignored, not resolved against the wrong relation.
+    // Before the round-10 fix this path threw AnalysisException at plan
+    // time (or worse: silently salted by an unrelated same-named column).
+    val fact = (1L to 4000L).map(i => (if (i % 20 == 0) i % 7 else 7L, i))
+      .toDF("k", "payload")
+    val dim = (0L until 40L).flatMap(k => (0 until 50).map(r => (k, s"d${k}_$r")))
+      .toDF("k", "d")
+    val planned = graft.plans.SketchCbo.plan(dim, fact, "k",
+      broadcastRowLimit = 10, saltFanout = 4.0, saltBuckets = 8,
+      leftSaltSource = Some(col("d"))) // a dim column; fact has no "d"
+    assert(planned.est.strategy == "salt", s"expected salt: ${planned.est}")
+    val plain = dim.join(fact, "k")
+    assert(planned.df.count() == plain.count())
+    assert(planned.df.select("k", "payload", "d")
+      .except(plain.select("k", "payload", "d")).isEmpty)
+    assert(plain.select("k", "payload", "d")
+      .except(planned.df.select("k", "payload", "d")).isEmpty)
+  }
+
   test("t23 RFM: no window exec in the final plan, buckets == ntile(5)") {
     // the quintile scores come from GK-band boundary keys applied as a
     // per-row scalar — the FINAL plan (what runs over the billion-user

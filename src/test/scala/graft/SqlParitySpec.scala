@@ -55,7 +55,9 @@ class SqlParitySpec extends AnyFunSuite {
       }
     }
     df.select(sel: _*).collect()
-      .map(_.toSeq.map(String.valueOf).mkString("")).sorted.toIndexedSeq
+      // \u0001 separator: an empty delimiter would let distinct rows
+      // render identically (("ab","c") vs ("a","bc")) and mask a mismatch
+      .map(_.toSeq.map(String.valueOf).mkString("\u0001")).sorted.toIndexedSeq
   }
 
   test("every Spark-parseable oracle text matches its DataFrame program (>=20 required)") {
