@@ -1,0 +1,658 @@
+package graft.plans
+
+/** DuckDB→Spark SQL dialect rewrite — the mechanical spelling deltas
+  * between the oracle corpus (authored in DuckDB's dialect) and Spark's
+  * ANSI parser, so `SqlParitySpec` can push the DuckDB-only tranche of
+  * oracle texts through `spark.sql` and close the three-way
+  * DataFrame/Spark-SQL/DuckDB triangle on far more of the surface.
+  *
+  * Strictly textual and conservative: every rule either preserves
+  * semantics on the construct it rewrites or leaves the text unchanged
+  * (an unparseable remainder simply stays skipped — the parity test
+  * fails loudly on any rewrite that parses but diverges, so a wrong
+  * rule cannot hide). The rules, in application order:
+  *
+  *   1. `range(a, b)` → `sequence((a), (b) - 1)` (DuckDB's end-exclusive
+  *      list vs Spark's inclusive; 1-arg `range(n)` → `sequence(0, n-1)`;
+  *      3-arg stepped ranges are left alone)
+  *   2. `string_split(s, 'sep')` → `split(s, '<regex-escaped sep>')`
+  *      (DuckDB splits on a literal, Spark on a regex — metacharacters
+  *      in a literal separator are escaped; non-literal separators are
+  *      left alone)
+  *   3. `strftime(x, '%…')` → `date_format(x, 'y…')` and
+  *      `strptime(s, '%…')` → `to_timestamp(s, 'y…')` via the %-code
+  *      table below (texts using an unmapped code are left alone)
+  *   4. `list_slice(x, a, b)` → `slice(x, (a), (b) - (a) + 1)` (both
+  *      1-based, DuckDB takes an inclusive end index, Spark a length)
+  *   5. word renames outside string literals: `list_transform` →
+  *      `transform`, `list_filter` → `filter`, `list_distinct` →
+  *      `array_distinct`, `list_contains` → `array_contains`,
+  *      `list_value` → `array`, `list_concat` → `concat`, `list_sort` →
+  *      `array_sort`, `unnest` → `explode`, `epoch` → `unix_timestamp`
+  *      (lambda syntax `x -> …` is shared by both dialects and passes
+  *      through untouched)
+  *   6. `//` → ` DIV ` (integer division; DuckDB's float `//` would
+  *      surface as a parity diff, not silent corruption)
+  *   7. list literals `[a, b, …]` → `array(a, b, …)` — only in literal
+  *      position (start of expression), never after an identifier/`)`
+  *      where `[` is subscripting: DuckDB and Spark disagree on
+  *      subscript base (1 vs 0), so subscripts are left for the parser
+  *      to reject rather than silently shifted
+  *
+  * Not attempted (left to fail parse): `QUALIFY`, `time_bucket`,
+  * `quantile_disc`, stepped `range`, struct/list subscripting — the
+  * genuinely-DuckDB remainder.
+  */
+object DuckDialect {
+
+  /** Rewrite `sql`; None if no rule applied (text already ANSI or
+    * untranslatable without one of the rules firing). */
+  def toSpark(sql: String): Option[String] = {
+    // DuckDB single-quoted literals are verbatim (backslash is a plain
+    // character); Spark's default parser treats backslash as an escape.
+    // Double every in-literal backslash FIRST so '\s+' still means the
+    // regex \s+ after Spark's un-escaping — every later rule then
+    // operates on (and generates) Spark-escaped text.
+    var s = mapInString(sql, _.replace("\\", "\\\\"))
+    // `FROM range(a, b)` is a Spark table-valued function with DuckDB's
+    // exact end-exclusive semantics — only rewrite range() in expression
+    // position, where DuckDB yields a LIST and Spark needs sequence()
+    s = rewriteCalls(s, "range", rangeToSequence,
+      allow = (txt, at) => {
+        val w = lastWordBefore(txt, at)
+        !w.equalsIgnoreCase("FROM") && !w.equalsIgnoreCase("JOIN")
+      })
+    s = rewriteCalls(s, "string_split", stringSplit)
+    s = rewriteCalls(s, "str_split", stringSplit)
+    s = rewriteCalls(s, "strftime", timeFormat("date_format"))
+    s = rewriteCalls(s, "strptime", timeFormat("to_timestamp"))
+    s = rewriteCalls(s, "list_slice", listSlice)
+    s = rewriteCalls(s, "datediff", dateDiffDay)
+    s = rewriteCalls(s, "date_diff", dateDiffDay)
+    s = rewriteCalls(s, "time_bucket", timeBucket)
+    s = rewriteCalls(s, "string_agg", orderedStringAgg)
+    s = rewriteCalls(s, "sha256",
+      { case a :: Nil => Some(s"sha2($a, 256)"); case _ => None })
+    s = rewriteCalls(s, "xor",
+      { case a :: b :: Nil => Some(s"(($a) ^ ($b))"); case _ => None })
+    s = rewriteCalls(s, "regexp_matches", // partial match on both engines
+      { case a :: b :: Nil => Some(s"(($a) RLIKE ($b))"); case _ => None })
+    s = rewriteCalls(s, "encode", // DuckDB's 1-arg utf8 string→blob
+      { case a :: Nil => Some(s"encode($a, 'UTF-8')"); case _ => None })
+    s = rewriteCalls(s, "epoch_us", // CAST lifts DATE args like DuckDB does
+      { case a :: Nil => Some(s"unix_micros(CAST($a AS TIMESTAMP))"); case _ => None })
+    s = rewriteCalls(s, "regexp_replace", // DuckDB 'g' flag = Spark default
+      { case a :: b :: c :: g :: Nil if g.trim.equalsIgnoreCase("'g'") =>
+          Some(s"regexp_replace($a,$b,$c)")
+        case _ => None })
+    s = rewriteCalls(s, "median", // exact interpolated median on both
+      { case a :: Nil => Some(s"percentile(($a), 0.5)"); case _ => None })
+    // `FROM range(a,b)` is a Spark TVF already, but its column is `id`
+    // where DuckDB's is `range` — re-alias so bare-`range` references bind
+    s = rewriteCalls(s, "range",
+      { case a :: b :: Nil =>
+          Some(s"(SELECT id AS range FROM range(($a), ($b)))")
+        case _ => None },
+      allow = (txt, at) => {
+        val w = lastWordBefore(txt, at)
+        w.equalsIgnoreCase("FROM") || w.equalsIgnoreCase("JOIN")
+      })
+    s = rewriteCalls(s, "decode", // DuckDB's 1-arg utf8 blob→string
+      { case a :: Nil => Some(s"decode($a, 'UTF-8')"); case _ => None })
+    s = rewriteCalls(s, "list_prepend",
+      { case e :: l :: Nil => Some(s"concat(array($e), $l)"); case _ => None })
+    s = rewriteCalls(s, "list_reduce", // DuckDB seeds with the first element
+      { case l :: f :: Nil =>
+          Some(s"reduce(slice(($l), 2, size($l)), element_at(($l), 1), $f)")
+        case _ => None })
+    s = lateralUnnest(s)
+    s = rewriteCalls(s, "len", // DuckDB len() covers strings AND lists;
+      // Spark splits size/length. String-typed shapes the corpus uses —
+      // an array_to_string() result or the documents.text column — go to
+      // length(); everything else falls through to the size() rename.
+      { case a :: Nil
+          if a.trim.toLowerCase.startsWith("array_to_string(") ||
+             a.trim.toLowerCase.startsWith("regexp_replace(") ||
+             a.trim.equalsIgnoreCase("text") || a.trim.equalsIgnoreCase("trim(text)") =>
+          Some(s"length($a)")
+        case _ => None })
+    s = rewriteCalls(s, "dayofweek", // DuckDB: Sunday=0; Spark: Sunday=1
+      { case a :: Nil => Some(s"(dayofweek($a) - 1)"); case _ => None })
+    s = rewriteCalls(s, "log", // DuckDB 1-arg log() is log10; Spark's is ln
+      { case a :: Nil => Some(s"log10($a)"); case _ => None })
+    s = rewriteCalls(s, "list_sum", // parity catches any int-vs-double skew
+      { case l :: Nil =>
+          Some(s"aggregate(($l), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+        case _ => None })
+    s = rewriteCalls(s, "generate_subscripts",
+      { case a :: d :: Nil if d.trim == "1" => Some(s"sequence(1, size($a))")
+        case _ => None })
+    s = mapNonString(s, _.replaceAll("(?i)\\bHUGEINT\\b", "BIGINT"))
+    s = rewriteCalls(s, "list", orderedList)
+    s = qualifyTopN(s)
+    // DuckDB reads parquet straight from a quoted path; Spark spells it
+    // with the format-qualified backtick identifier
+    s = s.replaceAll("(?i)\\b(FROM|JOIN)\\s+'([^']+[.]parquet)'", "$1 parquet.`$2`")
+    // the promote-to-fraction idiom `x * 1.0 / y`: DuckDB's `/` is true
+    // (double) division, Spark's DECIMAL literal 1.0 forces decimal
+    // division whose bounded scale truncates — keep it double
+    s = mapNonString(s, _.replaceAll("\\*\\s*1\\.0\\s*/", "* CAST(1.0 AS DOUBLE) /"))
+    // DuckDB puts IGNORE NULLS inside the call parens; Spark after them
+    s = mapNonString(s, _.replaceAll("(?i)\\s+IGNORE\\s+NULLS\\s*\\)", ") IGNORE NULLS"))
+    s = mapNonString(s, renamesAndDiv)
+    s = rewriteBrackets(s)
+    if (s == sql) None else Some(s)
+  }
+
+  /** The last identifier/keyword ending directly before offset `at`
+    * (skipping whitespace); empty if none. */
+  private def lastWordBefore(txt: String, at: Int): String = {
+    var j = at - 1
+    while (j >= 0 && txt(j).isWhitespace) j -= 1
+    val end = j + 1
+    while (j >= 0 && (txt(j).isLetterOrDigit || txt(j) == '_')) j -= 1
+    txt.substring(j + 1, end)
+  }
+
+  // ---- rule bodies -------------------------------------------------------
+
+  private val PosIntLit = """^\s*(\d+)\s*$""".r
+
+  private def rangeToSequence(args: List[String]): Option[String] = args match {
+    case a :: Nil      => Some(s"sequence(0, ($a) - 1)")
+    case a :: b :: Nil => Some(s"sequence(($a), ($b) - 1)")
+    case a :: b :: PosIntLit(st) :: Nil =>
+      // positive literal step: largest element ≤ b-1 in steps of st from a
+      // — identical to DuckDB's end-exclusive stepped range
+      Some(s"sequence(($a), ($b) - 1, $st)")
+    case _ => None // negative/non-literal step: bound direction unknown
+  }
+
+  private val RegexMeta = "\\^$.|?*+()[]{}".toSet
+
+  private def stringSplit(args: List[String]): Option[String] = args match {
+    case s :: sep :: Nil =>
+      val t = sep.trim
+      if (t.length >= 2 && t.head == '\'' && t.last == '\'' && !t.drop(1).dropRight(1).contains('\'')) {
+        val lit = t.drop(1).dropRight(1)
+        // regex-escape the literal separator; backslash is doubled again
+        // for Spark's string-literal escaping ('\\.' parses to \.)
+        val esc = lit.flatMap(c => if (RegexMeta(c)) s"\\\\$c" else c.toString)
+        Some(s"split($s, '$esc')")
+      } else None // non-literal separator: can't regex-escape textually
+    case _ => None
+  }
+
+  /** strftime %-codes → java.time pattern letters (the subset the corpus
+    * uses; an unmapped % code vetoes the rewrite). */
+  private val PctCodes = Map(
+    'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd", 'H' -> "HH",
+    'I' -> "hh", 'M' -> "mm", 'S' -> "ss", 'j' -> "DDD", 'a' -> "EEE",
+    'A' -> "EEEE", 'b' -> "MMM", 'B' -> "MMMM", 'p' -> "a", '%' -> "%",
+    'f' -> "SSSSSS") // DuckDB %f = 6-digit microseconds, zero-padded
+
+  private def timeFormat(target: String)(args: List[String]): Option[String] =
+    args match {
+      case x :: fmt :: Nil =>
+        val t = fmt.trim
+        if (t.length >= 2 && t.head == '\'' && t.last == '\'') {
+          val lit = t.drop(1).dropRight(1)
+          val out = new StringBuilder
+          var i = 0
+          var ok = true
+          while (i < lit.length && ok) {
+            if (lit(i) == '%' && i + 1 < lit.length) {
+              PctCodes.get(lit(i + 1)) match {
+                case Some(p) => out ++= p; i += 2
+                case None    => ok = false
+              }
+            } else if (lit(i).isLetter) {
+              // bare letters are literals in strftime but pattern letters
+              // in java.time — quote them
+              out ++= s"'${lit(i)}'"; i += 1
+            } else { out += lit(i); i += 1 }
+          }
+          if (ok) Some(s"$target($x, '${out.result()}')") else None
+        } else None
+      case _ => None
+    }
+
+  private def listSlice(args: List[String]): Option[String] = args match {
+    case x :: a :: b :: Nil => Some(s"slice($x, ($a), ($b) - ($a) + 1)")
+    case _                  => None
+  }
+
+  /** DuckDB datediff/date_diff('day', start, end) → Spark's 2-arg
+    * datediff(end, start) — both count day-boundary crossings on DATE
+    * inputs. Only the 'day' unit appears in the corpus; other units
+    * (where boundary-count vs complete-period semantics diverge
+    * between the engines) veto the rewrite. */
+  private def dateDiffDay(args: List[String]): Option[String] = args match {
+    case u :: a :: b :: Nil if u.trim.equalsIgnoreCase("'day'") =>
+      Some(s"datediff(($b), ($a))")
+    case _ => None
+  }
+
+  private val IntervalLit = """(?i)^\s*INTERVAL\s+'?(\d+)'?\s+(\w+?)S?\s*$""".r
+
+  /** DuckDB time_bucket(INTERVAL n unit, ts) → epoch-floor arithmetic:
+    * timestamp_micros((unix_micros(ts) DIV P) * P). DuckDB's bucket
+    * origin is 2000-01-01, which sits on an exact hour/minute/second/day
+    * boundary of the unix epoch, so for these units the two origins
+    * yield identical buckets (month-based intervals don't, and veto). */
+  private def timeBucket(args: List[String]): Option[String] = args match {
+    case iv :: ts :: Nil =>
+      iv.trim match {
+        case IntervalLit(n, unit) =>
+          val perUnit: Option[Long] = unit.toLowerCase match {
+            case "second" => Some(1000000L)
+            case "minute" => Some(60L * 1000000L)
+            case "hour"   => Some(3600L * 1000000L)
+            case "day"    => Some(86400L * 1000000L)
+            case _        => None
+          }
+          perUnit.map { u =>
+            val p = n.toLong * u
+            s"timestamp_micros((unix_micros($ts) DIV ${p}L) * ${p}L)"
+          }
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private val OrderBy = "(?i)\\bORDER\\s+BY\\b".r
+
+  /** DuckDB's in-call ordered aggregate `string_agg(x, sep ORDER BY o)`
+    * → Spark 4's `string_agg(x, sep) WITHIN GROUP (ORDER BY o)`.
+    * Unordered string_agg is left alone: it parses on both engines but
+    * the concatenation order is nondeterministic, so parity would be
+    * noise, not signal. */
+  private def orderedStringAgg(args: List[String]): Option[String] = {
+    val joined = args.mkString(",")
+    OrderBy.findFirstMatchIn(joined).map { m =>
+      val before = joined.substring(0, m.start).trim
+      val order = joined.substring(m.end).trim
+      s"string_agg($before) WITHIN GROUP (ORDER BY $order)"
+    }
+  }
+
+  /** DuckDB's ordered list aggregate `list(x ORDER BY k1, k2)` → sort an
+    * array of (keys…, value) structs and project the value back out:
+    * `transform(array_sort(array_agg(named_struct('k0', k1, …, 'v', x))),
+    * s -> s.v)` — array_sort on structs compares fields in declaration
+    * order, which IS the ORDER BY. DESC keys and unordered `list()`
+    * (nondeterministic concat order — parity would be noise) veto. */
+  private def orderedList(args: List[String]): Option[String] = {
+    val joined = args.mkString(",")
+    OrderBy.findFirstMatchIn(joined).flatMap { m =>
+      val value = joined.substring(0, m.start).trim
+      val keys = joined.substring(m.end).split(",").map(_.trim).toList
+      if (keys.exists(_.toUpperCase.endsWith(" DESC")) ||
+          value.toUpperCase.contains(" ORDER ")) None
+      else {
+        val kvs = keys.zipWithIndex
+          .map { case (k, i) => s"'k$i', ($k)" }.mkString(", ")
+        Some(s"transform(array_sort(array_agg(named_struct($kvs, 'v', ($value)))), s -> s.v)")
+      }
+    }
+  }
+
+  private val QualifyRn =
+    """(?is)FROM\s+(\w+)\s+QUALIFY\s+(row_number\(\)\s+OVER\s*\([^)]*\))\s*<=\s*(\d+)""".r
+
+  /** The one QUALIFY shape the corpus uses — `FROM t QUALIFY
+    * row_number() OVER (…) <= n` — becomes the standard subquery
+    * spelling (Spark has no QUALIFY clause). */
+  private def qualifyTopN(sql: String): String =
+    QualifyRn.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"FROM (SELECT *, ${m.group(2)} AS __qrn FROM ${m.group(1)}) WHERE __qrn <= ${m.group(3)}"))
+
+  /** Function renames, applied only in call position (`name(`) so a
+    * column that happens to share a short name (`len`, `epoch`) is never
+    * touched. */
+  private val CallRenames = List(
+    "list_transform" -> "transform",
+    "list_filter" -> "filter",
+    "list_distinct" -> "array_distinct",
+    "list_contains" -> "array_contains",
+    "list_value" -> "array",
+    "list_concat" -> "concat",
+    "list_sort" -> "array_sort",
+    "unnest" -> "explode",
+    "epoch" -> "unix_timestamp",
+    "json_extract_string" -> "get_json_object",
+    "string_split_regex" -> "split", // both take a regex separator
+    "strpos" -> "instr",             // 1-based, 0 when absent, on both
+    "to_base64" -> "base64",
+    "from_base64" -> "unbase64",
+    "round_even" -> "bround",        // half-even rounding on both
+    "array_to_string" -> "array_join",
+    "list_intersect" -> "array_intersect",
+    "list_position" -> "array_position", // 1-based on both when found
+    "list_max" -> "array_max",
+    "list_min" -> "array_min",
+    "list_reverse" -> "reverse",
+    "jaro_winkler_similarity" -> "jaro_winkler", // the injected Graft fn
+    "len" -> "size")
+
+  private def renamesAndDiv(seg: String): String = {
+    var s = seg.replace("//", " DIV ")
+    CallRenames.foreach { case (from, to) =>
+      s = s.replaceAll(s"(?i)\\b$from(\\s*\\()", s"$to$$1")
+    }
+    // sized-type-only in Spark: CAST(x AS VARCHAR) — DuckDB's unsized
+    // spelling — becomes STRING (same type, no length cap)
+    s.replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
+  }
+
+  /** `[a, b]` → `array(a, b)` in literal position only. A `[` directly
+    * after an identifier, `)`, `]` or a string literal is a subscript
+    * (1-based in DuckDB, 0-based in Spark) and is left untouched so the
+    * parser rejects it instead of silently shifting indices. Works on a
+    * non-string segment, so quote states don't occur here. */
+  private val CrossJoinUnnest = "(?i)\\bCROSS\\s+JOIN\\s+UNNEST\\s*\\(".r
+  private val AsAlias = "(?i)^\\s*AS\\s+(\\w+)\\s*\\(\\s*(\\w+)\\s*\\)".r
+
+  /** DuckDB's lateral `CROSS JOIN UNNEST(expr) AS t(c)` → Spark's
+    * `LATERAL VIEW explode(expr) t AS c` (same row-multiplying lateral
+    * semantics; Spark's parser only accepts the LATERAL VIEW spelling
+    * and binds the preceding relations' columns in `expr` either way). */
+  private def lateralUnnest(sql: String): String = {
+    val ms = CrossJoinUnnest.findAllMatchIn(sql).toList
+    ms.reverse.foldLeft(sql) { (s, m) =>
+      splitArgs(s, s.indexOf('(', m.start)) match {
+        case Some((argEnd, expr :: Nil)) =>
+          AsAlias.findFirstMatchIn(s.substring(argEnd)) match {
+            case Some(a) =>
+              s.substring(0, m.start) +
+                s"LATERAL VIEW explode($expr) ${a.group(1)} AS ${a.group(2)}" +
+                s.substring(argEnd + a.end)
+            case None => s
+          }
+        case _ => s
+      }
+    }
+  }
+
+  /** Index of the single top-level `:` in a bracket body, if any
+    * (outside quotes/parens/brackets); two or more colons veto. */
+  private def topLevelColon(inner: String): Option[Int] = {
+    var i = 0; var depth = 0; var inStr = false
+    var found = List.empty[Int]
+    while (i < inner.length) {
+      val c = inner(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\''             => inStr = true
+        case '(' | '['        => depth += 1
+        case ')' | ']'        => depth -= 1
+        case ':' if depth == 0 => found ::= i
+        case _                =>
+      }
+      i += 1
+    }
+    found match { case one :: Nil => Some(one); case _ => None }
+  }
+
+  /** Words after which a `[` is a literal, not a subscript, even though
+    * they end in an identifier character. */
+  private val PreBracketKeywords = Set(
+    "IN", "THEN", "ELSE", "WHEN", "SELECT", "AND", "OR", "NOT", "ON",
+    "AS", "BETWEEN", "IS", "LIKE", "VALUES", "DISTINCT", "ALL", "BY",
+    "WHERE", "HAVING", "RETURN", "UNION", "EXCEPT", "INTERSECT")
+
+  private val SliceIdx = """^\s*(\d+)\s*:\s*(\d+)\s*$""".r
+
+  private val Comprehension =
+    """(?is)^\s*(.+?)\s+FOR\s+([A-Za-z_]\w*)\s+IN\s+(.+?)(\s+IF\s+(.+))?\s*$""".r
+
+  /** Bracket constructs, in one quote-aware pass over the whole text
+    * (a list literal's `[` and `]` may straddle string elements, so this
+    * cannot run segment-wise):
+    *
+    *   - literal position `[a, b]` → `array(a, b)`
+    *   - `ident[lo:hi]` (digit bounds) → `slice(ident, lo, hi-lo+1)` —
+    *     DuckDB slices are 1-based with inclusive end, Spark's slice is
+    *     1-based with a length
+    *   - `ident[k]` → `element_at(ident, k)` — 1-based on both engines
+    *     (Spark's raw `[k]` subscript is 0-based, so it is never kept)
+    *   - any other subscript shape is left untouched for the parser
+    */
+  private def rewriteBrackets(sql: String): String = {
+    val out = new StringBuilder
+    var stack = List.empty[Boolean] // true: '[' became array( → close with ')'
+    var i = 0
+    var inStr = false
+    def lastNonSpace: Char = {
+      var j = out.length - 1
+      while (j >= 0 && out(j).isWhitespace) j -= 1
+      if (j >= 0) out(j) else ' '
+    }
+    // start of the trailing subscriptable base in `out`: a simple
+    // (possibly dotted) identifier, optionally with ONE trailing balanced
+    // call-argument group — so both `tokens[i]` and
+    // `string_split(a.name, ' ')[1]` resolve (a paren-ended base left
+    // unresolved would fall through as Spark's 0-based raw subscript:
+    // a silent off-by-one, the one thing this pass must never produce)
+    def identStart: Int = {
+      var j = out.length - 1
+      if (j >= 0 && out(j) == ')') {
+        var depth = 1
+        var inS = false
+        j -= 1
+        while (j >= 0 && depth > 0) {
+          val ch = out(j)
+          if (inS) { if (ch == '\'') inS = false }
+          else ch match {
+            case '\'' => inS = true
+            case ')'  => depth += 1
+            case '('  => depth -= 1
+            case _    =>
+          }
+          j -= 1
+        }
+        if (depth > 0) return out.length // unbalanced: no safe base
+      }
+      while (j >= 0 && (out(j).isLetterOrDigit || out(j) == '_' || out(j) == '.')) j -= 1
+      j + 1
+    }
+    while (i < sql.length) {
+      val c = sql(i)
+      if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { out += c; inStr = true; i += 1 }
+      else c match {
+        case '[' =>
+          val kw = PreBracketKeywords.contains(
+            lastWordBefore(out.result(), out.length).toUpperCase)
+          val prev = lastNonSpace
+          val subscript = !kw && (prev.isLetterOrDigit || prev == '_' ||
+            prev == ')' || prev == ']' || prev == '\'')
+          if (!subscript) {
+            // DuckDB list comprehension [expr FOR x IN list [IF cond]]
+            matchBracket(sql, i) match {
+              case Some((inner, end)) if Comprehension.matches(inner) =>
+                val Comprehension(expr, v, list, _, cond) = inner
+                val src =
+                  if (cond == null) rewriteBrackets(list)
+                  else s"filter(${rewriteBrackets(list)}, $v -> ${rewriteBrackets(cond)})"
+                out ++= s"transform($src, $v -> ${rewriteBrackets(expr)})"
+                i = end + 1
+              case _ => out ++= "array("; stack ::= true; i += 1
+            }
+          }
+          else matchBracket(sql, i) match {
+            case Some((inner, end))
+                if identStart < out.length && !inner.contains('[') =>
+              val b = identStart
+              val base = out.substring(b)
+              (inner, topLevelColon(inner)) match {
+                case (SliceIdx(lo, hi), _) =>
+                  out.setLength(b)
+                  out ++= s"slice($base, $lo, ${hi.toInt - lo.toInt + 1})"
+                case (_, Some(c)) =>
+                  // expr slice a:b — 1-based inclusive end on DuckDB,
+                  // 1-based start+length on Spark
+                  val (lo, hi) = (inner.substring(0, c), inner.substring(c + 1))
+                  out.setLength(b)
+                  out ++= s"slice($base, ($lo), ($hi) - ($lo) + 1)"
+                case _ =>
+                  out.setLength(b)
+                  out ++= s"element_at($base, $inner)"
+              }
+              i = end + 1
+            case _ => out += '['; stack ::= false; i += 1
+          }
+        case ']' if stack.nonEmpty =>
+          out += (if (stack.head) ')' else ']'); stack = stack.tail; i += 1
+        case _ => out += c; i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** From `sql(at) == '['`, the bracket's inner text and the index of the
+    * matching `]` (quote- and nesting-aware). */
+  private def matchBracket(sql: String, at: Int): Option[(String, Int)] = {
+    var i = at + 1
+    var depth = 1
+    var inStr = false
+    val inner = new StringBuilder
+    while (i < sql.length && depth > 0) {
+      val c = sql(i)
+      if (inStr) { inner += c; if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inner += c; inStr = true
+        case '['  => depth += 1; inner += c
+        case ']'  => depth -= 1; if (depth > 0) inner += c
+        case _    => inner += c
+      }
+      i += 1
+    }
+    if (depth == 0) Some((inner.result(), i - 1)) else None
+  }
+
+  // ---- quote/paren-aware machinery --------------------------------------
+
+  /** Apply `f` to the CONTENT of each single-quoted string literal
+    * ('' escapes are preserved as-is and not passed through `f`). */
+  private def mapInString(sql: String, f: String => String): String = {
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql(i)
+      if (!inStr && c == '\'') { out += c; inStr = true }
+      else if (inStr && c == '\'') {
+        if (i + 1 < sql.length && sql(i + 1) == '\'') { lit ++= "''"; i += 1 }
+        else { out ++= f(lit.result()); lit.clear(); out += c; inStr = false }
+      } else if (inStr) lit += c
+      else out += c
+      i += 1
+    }
+    out ++= lit.result() // unterminated literal: emit as-is
+    out.result()
+  }
+
+  /** Apply `f` to the text outside single-quoted string literals,
+    * segment by segment ('' escapes stay inside their literal). */
+  private def mapNonString(sql: String, f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql(i)
+      if (!inStr && c == '\'') {
+        out ++= f(seg.result()); seg.clear()
+        out += c; inStr = true
+      } else if (inStr && c == '\'') {
+        out += c
+        if (i + 1 < sql.length && sql(i + 1) == '\'') { out += '\''; i += 1 }
+        else inStr = false
+      } else if (inStr) out += c
+      else seg += c
+      i += 1
+    }
+    out ++= f(seg.result())
+    out.result()
+  }
+
+  /** Rewrite every call of `name` (matched outside string literals, word
+    * boundary on the left) whose argument list `rule` accepts; balanced
+    * parens and quoted commas are respected. Rightmost-first so earlier
+    * indices stay valid, which also handles nesting (inner calls were
+    * already rewritten by an earlier rule pass). */
+  private def rewriteCalls(sql: String, name: String,
+      rule: List[String] => Option[String],
+      allow: (String, Int) => Boolean = (_, _) => true): String = {
+    val starts = callSites(sql, name)
+    starts.sortBy(-_).foldLeft(sql) { (s, at) =>
+      splitArgs(s, at + name.length) match {
+        case Some((argEnd, args)) if allow(s, at) =>
+          rule(args) match {
+            case Some(repl) => s.substring(0, at) + repl + s.substring(argEnd)
+            case None       => s
+          }
+        case _ => s
+      }
+    }
+  }
+
+  /** Offsets of `name` immediately followed by `(` (ignoring spaces),
+    * outside string literals, not preceded by an identifier char. */
+  private def callSites(sql: String, name: String): List[Int] = {
+    val found = List.newBuilder[Int]
+    var i = 0
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { inStr = true; i += 1 }
+      else if (sql.regionMatches(true, i, name, 0, name.length) &&
+          (i == 0 || (!sql(i - 1).isLetterOrDigit && sql(i - 1) != '_'))) {
+        var j = i + name.length
+        while (j < sql.length && sql(j).isWhitespace) j += 1
+        if (j < sql.length && sql(j) == '(') found += i
+        i += name.length
+      } else i += 1
+    }
+    found.result()
+  }
+
+  /** From the first `(` at/after `from`, return (index after the closing
+    * `)`, top-level comma-split args). */
+  private def splitArgs(sql: String, from: Int): Option[(Int, List[String])] = {
+    var i = from
+    while (i < sql.length && sql(i).isWhitespace) i += 1
+    if (i >= sql.length || sql(i) != '(') return None
+    i += 1
+    val args = List.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 1
+    var bdepth = 0 // list-literal brackets also protect their commas
+    var inStr = false
+    while (i < sql.length && depth > 0) {
+      val c = sql(i)
+      if (inStr) { cur += c; if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => cur += c; inStr = true
+        case '('  => depth += 1; cur += c
+        case ')'  => depth -= 1; if (depth > 0) cur += c
+        case '['  => bdepth += 1; cur += c
+        case ']'  => bdepth -= 1; cur += c
+        case ','  if depth == 1 && bdepth == 0 => args += cur.result(); cur.clear()
+        case _    => cur += c
+      }
+      i += 1
+    }
+    if (depth != 0) None
+    else {
+      val tail = cur.result()
+      val all = if (tail.trim.isEmpty && args.result().isEmpty) Nil
+                else args.result() :+ tail
+      Some((i, all))
+    }
+  }
+}

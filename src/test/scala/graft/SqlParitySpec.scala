@@ -83,6 +83,35 @@ class SqlParitySpec extends AnyFunSuite {
       s"only ${ran.length} oracle texts ran through spark.sql — front door untested")
   }
 
+  test("DuckDB-dialect oracle texts, machine-rewritten to ANSI, also match (>=150 required)") {
+    registerViews()
+    var ran = List.empty[String]
+    var skipped = List.empty[String]
+    val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, text) =>
+      // only the tranche the raw-parity test skips
+      val rawOk = try { spark.sql(text).queryExecution.analyzed; true }
+                  catch { case _: Exception => false }
+      if (rawOk) None
+      else graft.plans.DuckDialect.toSpark(text).flatMap { rw =>
+        val viaSql =
+          try Some(norm(spark.sql(rw)))
+          catch { case _: Exception => skipped ::= name; None }
+        viaSql.flatMap { sqlRows =>
+          ran ::= name
+          val dfRows = norm(SparkEntry.queries(name)(spark, sf))
+          if (sqlRows == dfRows) None
+          else Some(s"$name: rewritten SQL ${sqlRows.length} rows vs DataFrame ${dfRows.length}; " +
+            s"first diff: ${sqlRows.diff(dfRows).headOption.orElse(dfRows.diff(sqlRows).headOption)}")
+        }
+      } orElse { if (!rawOk) () else (); None }
+    }
+    info(s"dialect parity: ${ran.length} rewritten texts ran; " +
+      s"${skipped.length} rewritten-but-unparseable stay skipped")
+    assert(bad.isEmpty, s"rewritten-SQL-vs-DataFrame mismatches:\n${bad.mkString("\n")}")
+    assert(ran.length >= 150,
+      s"only ${ran.length} rewritten texts ran — the dialect shim regressed")
+  }
+
   test("injected SQL functions are bit-equal to their Column-API twins") {
     registerViews()
     // vectors come from the real embeddings table so dims/values are honest
