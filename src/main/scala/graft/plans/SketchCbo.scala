@@ -62,18 +62,35 @@ object SketchCbo {
     * — on null-heavy keys that mis-steers the decision (spurious salt,
     * missed broadcast). With the filter, `rowsL`/`rowsR` (the seed-0
     * marginal) count exactly the joinable rows. */
-  private def cells(df: DataFrame, key: Column): Array[Array[Long]] = {
-    val out = Array.fill(Depth, Width)(0L)
+  /** The sketch as a relation: ≤ Depth·Width rows of (seed, bucket, tot).
+    * This is what a production deployment persists per table at ingest —
+    * the planner then joins 1 KB cell tables instead of re-scanning the
+    * corpus (see [[writeSketch]]/[[planFromSketches]]). */
+  def sketchTable(df: DataFrame, key: Column): DataFrame =
     df.filter(key.isNotNull)
       .select(explode(array((0 until Depth).map { s =>
         struct(lit(s).as("seed"), bucket(lit(s), key).as("bucket"))
       }: _*)).as("sb"))
       .groupBy(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
       .agg(count(lit(1)).as("tot"))
+
+  /** Persist the per-table sketch at ingest time (one scan, 1 KB out). */
+  def writeSketch(df: DataFrame, key: Column, path: String): Unit =
+    sketchTable(df, key).coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Materialize a sketch relation (live or read back from parquet) into
+    * the dense cell array the decision arithmetic runs on. */
+  def toCells(sketch: DataFrame): Array[Array[Long]] = {
+    val out = Array.fill(Depth, Width)(0L)
+    sketch.select(col("seed").cast("int"), col("bucket").cast("int"),
+        col("tot").cast("long"))
       .collect()
-      .foreach(r => out(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
+      .foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getLong(2))
     out
   }
+
+  private def cells(df: DataFrame, key: Column): Array[Array[Long]] =
+    toCells(sketchTable(df, key))
 
   final case class JoinEstimate(
       rowsLeft: Long,
@@ -114,7 +131,43 @@ object SketchCbo {
       saltFanout: Double = 4.0,
       saltBuckets: Int = 8,
       leftSaltSource: Option[Column] = None): Planned = {
-    val (l, r, est) = estimate(left, right, col(key), col(key))
+    val (l, r, _) = estimate(left, right, col(key), col(key))
+    planFromCells(left, right, key, l, r,
+      broadcastRowLimit, saltFanout, saltBuckets, leftSaltSource)
+  }
+
+  /** [[plan]] but from PERSISTED sketches — the production path: the
+    * cell tables were written at ingest ([[writeSketch]]), so planning
+    * reads two ≤1 KB parquet files and never scans either join side.
+    * Decision arithmetic is byte-identical to the live path (both call
+    * [[planFromCells]]), which `ScaleShapeSpec` pins. */
+  def planFromSketches(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftSketch: DataFrame,
+      rightSketch: DataFrame,
+      broadcastRowLimit: Long = 500000,
+      saltFanout: Double = 4.0,
+      saltBuckets: Int = 8,
+      leftSaltSource: Option[Column] = None): Planned =
+    planFromCells(left, right, key, toCells(leftSketch), toCells(rightSketch),
+      broadcastRowLimit, saltFanout, saltBuckets, leftSaltSource)
+
+  private def planFromCells(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      l: Array[Array[Long]],
+      r: Array[Array[Long]],
+      broadcastRowLimit: Long,
+      saltFanout: Double,
+      saltBuckets: Int,
+      leftSaltSource: Option[Column]): Planned = {
+    // BigInt: two hot cells of ~2^31 each already overflow a Long product sum
+    val est = (0 until Depth).map { s =>
+      (0 until Width).map(b => BigInt(l(s)(b)) * BigInt(r(s)(b))).sum
+    }.min
     val rowsL = l(0).sum
     val rowsR = r(0).sum
     // the raw min-dot is one-sided (est >= exact) but carries an expected

@@ -926,6 +926,48 @@ object Joins {
             .groupBy(col("k"))
             .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("v_sum")))
       }
+    ),
+    Q(
+      "s18_cbo_persisted",
+      // SKETCH-DRIVEN JOIN STRATEGY, persisted-sketch leg — the
+      // production path the other three legs only promise in prose: the
+      // per-table CMS cell tables are written at INGEST (one scan each,
+      // ≤1 KB of parquet), and plan time reads those 1 KB relations
+      // instead of re-scanning either join side — the whole decision
+      // costs two tiny file reads plus driver arithmetic, which is what
+      // lets a 100 TB deployment afford a sketch-CBO per join. The
+      // decision arithmetic is the same code path as the live-scan legs
+      // (SketchCbo.planFromCells, pinned by ScaleShapeSpec), so the
+      // require() here proves the persisted cells carry enough signal to
+      // reproduce the decision. The oracle is the PLAIN join — the
+      // strategy may never change rows.
+      Some("""SELECT p.p_brand, count(*) AS n_items,
+             |CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS total_price
+             |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             |GROUP BY p.p_brand ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val fact = t.lineitem.withColumnRenamed("l_partkey", "partkey")
+        val dim = t.part.withColumnRenamed("p_partkey", "partkey")
+        // "ingest": one sketch pass per table, persisted as tiny parquet
+        val skDir = java.nio.file.Files
+          .createTempDirectory("graft-sketch-").toString
+        graft.plans.SketchCbo.writeSketch(fact, col("partkey"), s"$skDir/lineitem")
+        graft.plans.SketchCbo.writeSketch(dim, col("partkey"), s"$skDir/part")
+        // "plan": two ≤1024-row cell-table reads; neither side re-scanned
+        val planned = graft.plans.SketchCbo.planFromSketches(
+          fact, dim, "partkey",
+          spark.read.parquet(s"$skDir/lineitem"),
+          spark.read.parquet(s"$skDir/part"))
+        require(planned.est.strategy == "broadcast",
+          s"persisted-sketch CBO mis-planned the dim join: ${planned.est}")
+        ordered(
+          planned.df
+            .groupBy(col("p_brand"))
+            .agg(count(lit(1)).as("n_items"),
+              round(sum(col("l_extendedprice").cast("decimal(18,2)")), 4)
+                .cast("double").as("total_price")))
+      }
     )
   )
 }

@@ -570,6 +570,78 @@ class ScaleShapeSpec extends AnyFunSuite {
       .except(planned.df.select("k", "payload", "d")).isEmpty)
   }
 
+  test("SketchCbo: persisted sketch cells equal the live pass, decision identical") {
+    import graft.plans.SketchCbo
+    val t = graft.sources.Tables(spark, sf)
+    val fact = t.lineitem.withColumnRenamed("l_partkey", "partkey")
+    val dim = t.part.withColumnRenamed("p_partkey", "partkey")
+    val skDir = java.nio.file.Files.createTempDirectory("graft-sk-spec-").toString
+    SketchCbo.writeSketch(fact, col("partkey"), s"$skDir/f")
+    SketchCbo.writeSketch(dim, col("partkey"), s"$skDir/d")
+    // the persisted cells ARE the live cells — parquet round-trip loses
+    // nothing, so the ingest-time sketch carries the full decision signal
+    val liveF = SketchCbo.toCells(SketchCbo.sketchTable(fact, col("partkey")))
+    val liveD = SketchCbo.toCells(SketchCbo.sketchTable(dim, col("partkey")))
+    val persF = SketchCbo.toCells(spark.read.parquet(s"$skDir/f"))
+    val persD = SketchCbo.toCells(spark.read.parquet(s"$skDir/d"))
+    assert(liveF.flatten.toSeq == persF.flatten.toSeq, "fact cells drifted through parquet")
+    assert(liveD.flatten.toSeq == persD.flatten.toSeq, "dim cells drifted through parquet")
+    // and the two planning paths make the same call with the same numbers
+    val live = SketchCbo.plan(fact, dim, "partkey")
+    val pers = SketchCbo.planFromSketches(fact, dim, "partkey",
+      spark.read.parquet(s"$skDir/f"), spark.read.parquet(s"$skDir/d"))
+    assert(live.est == pers.est,
+      s"persisted-plan estimate diverged: live ${live.est} vs persisted ${pers.est}")
+    assert(pers.est.strategy == "broadcast")
+  }
+
+  test("SketchCbo salt vs AQE skew split: the salt valve pre-empts, AQE stays quiet") {
+    import spark.implicits._
+    // Planted skew heavy enough that AQE's own skew handling WOULD fire
+    // on the plain join under these (test-sized) skew thresholds. The
+    // precedence contract this test pins: when the sketch CBO salts, the
+    // hot key is spread BEFORE the shuffle, so AQE sees balanced
+    // partitions and its skew split must NOT also fire — the two valves
+    // never pay double mitigation. (Deployment guidance in BASELINE.md:
+    // prefer AQE's split when skew is unknown at plan time; prefer the
+    // sketch salt when the sketch already proves it — AQE then stays a
+    // no-op backstop either way.)
+    val fact = (1L to 60000L).map(i => (if (i % 100 == 0) i % 7 else 7L, i))
+      .toDF("k", "payload")
+    val dim = (0L until 40L).flatMap(k => (0 until 50).map(r => (k, s"d${k}_$r")))
+      .toDF("k", "d")
+    val conf = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 1. plain shuffle join on the planted skew: AQE's split DOES fire
+      val plain = fact.join(dim.hint("shuffle_merge"), "k")
+      plain.collect()
+      val plainPlan = plain.queryExecution.executedPlan.toString
+      assert(plainPlan.contains("skew=true"),
+        s"planted skew too weak — AQE did not split the plain join:\n$plainPlan")
+      // 2. sketch-CBO salt on the same inputs: pre-spread, AQE stays quiet
+      val planned = graft.plans.SketchCbo.plan(fact, dim, "k",
+        broadcastRowLimit = 10, saltFanout = 4.0, saltBuckets = 8,
+        leftSaltSource = Some($"payload"))
+      assert(planned.est.strategy == "salt", s"expected salt: ${planned.est}")
+      planned.df.collect()
+      val saltPlan = planned.df.queryExecution.executedPlan.toString
+      assert(!saltPlan.contains("skew=true"),
+        s"double mitigation: AQE skew split fired on the salted join:\n$saltPlan")
+      // and the valve changed the plan, not the rows
+      assert(planned.df.count() == plain.count())
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("t23 RFM: no window exec in the final plan, buckets == ntile(5)") {
     // the quintile scores come from GK-band boundary keys applied as a
     // per-row scalar — the FINAL plan (what runs over the billion-user
