@@ -542,6 +542,78 @@ class StreamingSpec extends AnyFunSuite {
       s"post-kill window counts wrong: ${counts()}")
   }
 
+  test("stateful-funnel kill-restart: recovered state refines depths exactly like the uninterrupted run") {
+    import spark.implicits._
+    // The third stateful family under the commit-marker crash recipe:
+    // flatMapGroupsWithState in UPDATE mode (three longs of state,
+    // idempotent forward-only transitions). Update mode cannot use the
+    // file sink directly, so the sink is foreachBatch appending parquet —
+    // deliberately at-least-once: a replayed batch re-emits the same
+    // refined rows, and the funnel contract makes that harmless (the
+    // deepest row per user is the final state; duplicates are identical
+    // rows). What MUST survive the crash is the per-user (v, c, p) state:
+    // a post-kill purchase only converts if the recovered click ts is
+    // there and strictly earlier.
+    def mkDirs() = {
+      val b = java.nio.file.Files.createTempDirectory("graft_funnel_kill").toString
+      (s"$b/src", s"$b/out", s"$b/ckpt")
+    }
+    val (src, out, ckpt) = mkDirs()
+    def drain(srcDir: String, outDir: String, ckptDir: String): Unit = {
+      val q = Streams.statefulFunnel(
+          spark.readStream.schema("user_id BIGINT, event_type STRING, ts BIGINT")
+            .parquet(srcDir).as[(Long, String, Long)])
+        .toDF().writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(outDir)
+        }
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def finalDepths(outDir: String): Set[(Long, Long, Long, Long, Int)] =
+      spark.read.schema("userId BIGINT, vTs BIGINT, cTs BIGINT, pTs BIGINT, depth INT")
+        .parquet(outDir)
+        .groupBy(col("userId"))
+        .agg(max(struct(col("depth"), col("vTs"), col("cTs"), col("pTs"))).as("s"))
+        .select(col("userId"), col("s.vTs"), col("s.cTs"), col("s.pTs"), col("s.depth"))
+        .as[(Long, Long, Long, Long, Int)].collect().toSet
+    val batch0 = Seq((1L, "view", 100L), (1L, "click", 200L), (2L, "view", 150L))
+    val batch1 = Seq((1L, "purchase", 300L)) // converts only via recovered c=200
+    val batch2 = Seq((2L, "click", 400L), (2L, "purchase", 250L)) // p BEFORE c: must not convert
+    batch0.toDF("user_id", "event_type", "ts").write.mode("append").parquet(src)
+    drain(src, out, ckpt)
+    batch1.toDF("user_id", "event_type", "ts").write.mode("append").parquet(src)
+    drain(src, out, ckpt)
+    // KILL: drop the newest commit marker — offsets/<N> present,
+    // commits/<N> missing, the exact crash window; restart replays batch 1
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    assert(commits.last.delete(), "could not remove the commit marker")
+    if (crc.exists()) crc.delete()
+    drain(src, out, ckpt) // replay against state version N-1
+    batch2.toDF("user_id", "event_type", "ts").write.mode("append").parquet(src)
+    drain(src, out, ckpt)
+    // uninterrupted twin: same batches, fresh checkpoint, no kill
+    val (src2, out2, ckpt2) = mkDirs()
+    (batch0 ++ batch1).toDF("user_id", "event_type", "ts").write.mode("append").parquet(src2)
+    drain(src2, out2, ckpt2)
+    batch2.toDF("user_id", "event_type", "ts").write.mode("append").parquet(src2)
+    drain(src2, out2, ckpt2)
+    val killed = finalDepths(out)
+    assert(killed == finalDepths(out2),
+      s"post-kill funnel diverged from the uninterrupted run: $killed vs ${finalDepths(out2)}")
+    // and the depths are the ones the state machine promises: user 1 fully
+    // converted through the RECOVERED click; user 2's out-of-order
+    // purchase (ts 250 < click 400) correctly did NOT convert
+    assert(killed == Set((1L, 100L, 200L, 300L, 3), (2L, 150L, 400L, -1L, 2)),
+      s"funnel depths wrong: $killed")
+  }
+
   test("streaming CDC into DocStore: bulk versioning per batch, replay is a no-op") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("ds_stream").toString
