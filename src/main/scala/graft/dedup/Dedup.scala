@@ -291,10 +291,35 @@ object Dedup {
                                       + 1 as int)),
                    x -> x.shingle)""").as("prefix"))
       .localCheckpoint()
-    val prefix = perDoc.select(col("doc_id"), explode(col("prefix")).as("shingle"))
+    // PPJoin+ candidate generation (round 10): the prefix relation also
+    // carries each shingle's 0-based POSITION in the doc's canonical
+    // array and the doc's set size, enabling two further LOSSLESS prunes
+    // inside the self-join — before the candidate distinct/verify ever
+    // materializes the pair:
+    //   - length filter: Jaccard >= t forces t·|x| <= |y| <= |x|/t, so
+    //     size-mismatched docs sharing a rare prefix shingle generate no
+    //     candidate at all;
+    //   - position filter (the PPJoin "+"): matching at positions
+    //     (px, py) bounds the overlap above by 1 + min(na-px-1, nb-py-1)
+    //     (everything before the match is disjoint by canonical order);
+    //     if that bound already misses the required overlap
+    //     α = ⌈t·(na+nb)/(1+t)⌉ (Jaccard>=t ⟺ inter >= α), the pair is
+    //     dead on arrival.
+    // Both prunes cut the candidate volume the sf10 sweep showed to be
+    // the shuffle-spill driver — the filters run inside the join's
+    // generated code, so pruned pairs never reach the exchange feeding
+    // the distinct. The oracle hash proves losslessness on real data.
+    val prefix = perDoc.select(col("doc_id"), col("n_sh"),
+      posexplode(col("prefix")).as(Seq("pos", "shingle")))
+    val t = minJaccard
     val cands = prefix.as("x")
       .join(prefix.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id") &&
+          col("y.n_sh") * lit(t) <= col("x.n_sh") &&
+          col("x.n_sh") * lit(t) <= col("y.n_sh") &&
+          (lit(1) + least(col("x.n_sh") - col("x.pos") - 1,
+                          col("y.n_sh") - col("y.pos") - 1)) >=
+            ceil(lit(t) * (col("x.n_sh") + col("y.n_sh")) / lit(1 + t)))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     cands

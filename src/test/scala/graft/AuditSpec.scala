@@ -73,6 +73,40 @@ class AuditSpec extends AnyFunSuite {
     }
   }
 
+  test("freeze_digests.tsv matches every query implementation (stale-freeze guard)") {
+    // the BASELINE.md freeze table prices PLANS; when a query's
+    // implementation changes, its frozen row may price a plan that no
+    // longer exists (the t23 class). The committed digest file pins the
+    // implementation each freeze was taken against: any drift fails here
+    // until `tools/run.sh graft.FreezeDigests > freeze_digests.tsv` is
+    // re-run — the conscious moment to RE-FREEZE the affected rows (or
+    // note in BASELINE.md why the old number still prices the new code).
+    val computed = graft.FreezeDigests.digests(repo.resolve("src/main/scala/graft"))
+    val storedPath = repo.resolve("freeze_digests.tsv")
+    assert(Files.exists(storedPath), "freeze_digests.tsv missing — generate it")
+    val stored = Files.readAllLines(storedPath).asScala
+      .filter(_.nonEmpty).map { l =>
+        val Array(n, d) = l.split("\t"); n -> d
+      }.toMap
+    val changed = computed.keySet.intersect(stored.keySet)
+      .filter(k => computed(k) != stored(k)).toSeq.sorted
+    val added = (computed.keySet -- stored.keySet).toSeq.sorted
+    val removed = (stored.keySet -- computed.keySet).toSeq.sorted
+    assert(changed.isEmpty && added.isEmpty && removed.isEmpty,
+      s"""query implementations drifted from their freeze digests —
+         |  changed: ${changed.mkString(", ")}
+         |  new (never frozen/digested): ${added.mkString(", ")}
+         |  removed (stale digest rows): ${removed.mkString(", ")}
+         |Re-freeze the affected BASELINE.md rows (idle medians, round-9
+         |methodology) or record why the frozen number still holds, then
+         |regenerate: tools/run.sh graft.FreezeDigests > freeze_digests.tsv""".stripMargin)
+    // and the digest surface is the whole registry — no query escapes
+    val registry = graft.SparkEntry.queries.keySet
+    val undigested = (registry -- computed.keySet).toSeq.sorted
+    assert(undigested.isEmpty,
+      s"queries with no digest (Q-block not found): ${undigested.mkString(", ")}")
+  }
+
   test("no unjustified driver materialization outside the audited files") {
     // .checkpoint() (reliable) is never used in local mode — it would
     // require a checkpoint dir and silently write to disk; the audit
