@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Text
+import graft.Materialize.{CutSyntax, Iter, Shared}
 
 /** Deduplication operators for the LLM-pipeline mandate (SURVEY.md §2.9
   * D4/D5 + BASELINE.json north_star).
@@ -123,7 +124,7 @@ object Dedup {
     // self-join below, and without a cut Spark re-derives the whole
     // shingle->hash->min pipeline (the expensive corpus scan) per side.
     // At 100 TB this is a persisted signatures table.
-    val sigs = minhashSignatures(docs, shingleWidth, numHashes).localCheckpoint()
+    val sigs = minhashSignatures(docs, shingleWidth, numHashes).cut(Shared)
     val bands = sigs.select(col("doc_id"), col("sig"),
         // "," separator: numeric components would otherwise collide on
         // concatenation ("12"+"3" == "1"+"23")
@@ -187,7 +188,7 @@ object Dedup {
           .select(col("shingle"))
         exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
       }
-    ).localCheckpoint()
+    ).cut(Shared)
     // sizes AFTER the cap: both the intersection and the union see the
     // same truncated shingle sets, so jaccard stays a true Jaccard of
     // the capped sets (and is still 1.0 for identical docs)
@@ -231,7 +232,7 @@ object Dedup {
         explode(Text.shingles(Text.tokenize(col("text")), shingleWidth)).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .distinct()
-      .localCheckpoint()
+      .cut(Shared)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x")
       .join(sh.as("y"),
@@ -273,7 +274,7 @@ object Dedup {
         explode(Text.shingles(Text.tokenize(col("text")), shingleWidth)).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .distinct()
-      .localCheckpoint() // feeds the df count and the df join — one tokenize
+      .cut(Shared) // feeds the df count and the df join — one tokenize
     val df = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // ONE per-doc aggregate yields everything at once: the (df, shingle)
     // canonical-sorted array gives the prefix (a slice), the verify set
@@ -290,7 +291,7 @@ object Dedup {
                    slice(arr, 1, cast(size(arr) - ceil(size(arr) * $minJaccard)
                                       + 1 as int)),
                    x -> x.shingle)""").as("prefix"))
-      .localCheckpoint()
+      .cut(Shared)
     // PPJoin+ candidate generation (round 10): the prefix relation also
     // carries each shingle's 0-based POSITION in the doc's canonical
     // array and the doc's set size, enabling two further LOSSLESS prunes
@@ -422,14 +423,14 @@ object Dedup {
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+      .cut(Shared)
     // initialization folds in round 1: comp = min(id, direct neighbors).
     // For the dominant case (isolated pairs/triangles) this IS the fixed
     // point, so the loop below runs exactly one confirming round.
     var labels = sym.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("comp"))
       .select(col("src").as("id"), col("comp"))
-      .localCheckpoint()
+      .cut(Iter)
     // convergence signal: the node set is fixed after initialization and
     // labels only ever DECREASE (in the id ordering), so for NUMERIC ids
     // sum(comp) is strictly monotone until the fixpoint — an exact change
@@ -450,7 +451,7 @@ object Dedup {
         .select(col("dst").as("id"), col("comp"))
       val next = labels.union(viaEdges)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
+        .cut(Iter)
       if (numericIds) {
         val s = labelSum(next)
         converged = s.compareTo(prevSum) == 0
@@ -495,7 +496,7 @@ object Dedup {
       .select(col("doc_id"), col("n_tok"), col("s"), gram.as("gram"))
       // both the df aggregate and the span join consume the gram
       // relation: materialize once instead of re-tokenizing the corpus
-      .localCheckpoint()
+      .cut(Shared)
     val dupg = grams.select(col("gram"), col("doc_id")).distinct()
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select(col("gram"))
@@ -555,12 +556,12 @@ object Dedup {
           .union(mins.select(col("u").as("a"), col("m").as("b")))
       canon(out)
     }
-    var e = canon(edges).localCheckpoint()
+    var e = canon(edges).cut(Iter)
     var prevCount = e.count()
     var converged = prevCount == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = step(step(e, large = true), large = false).localCheckpoint()
+      val next = step(step(e, large = true), large = false).cut(Iter)
       // edge-set fixed point, exactly: both sets are distinct-canonical,
       // so equal counts + (next \ e) empty  ⟺  set equality — one count
       // on checkpointed data + ONE anti-join, not two

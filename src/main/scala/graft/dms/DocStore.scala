@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Metadata, Text}
+import graft.Materialize.{CutSyntax, Shared}
 
 /** The DMS facade: every public entry point of the reference's `DMS`
   * class (src/DMS.py), re-expressed Spark-natively over a parquet-backed
@@ -233,7 +234,7 @@ class DocStore(spark: SparkSession, root: String, nShards: Int = 16) {
         lit("rw-r--r--").as("permission")))
       .withColumn("ingested_at", lit(at))
     batchId match {
-      case Some(id) => writeBatch(rows.localCheckpoint(), id, overwrite = true)
+      case Some(id) => writeBatch(rows.cut(Shared), id, overwrite = true)
       case None     => append(rows)
     }
   }
@@ -421,7 +422,7 @@ class DocStore(spark: SparkSession, root: String, nShards: Int = 16) {
     * frequencies and corpus size. Stale after writes until rebuilt —
     * the usual search-index contract. */
   def buildIndex(): Unit = {
-    val latest = latestText.localCheckpoint() // one corpus scan for all four
+    val latest = latestText.cut(Shared) // one corpus scan for all four
     val postings = postingsOf(latest)
     postings.repartition(col("term")).sortWithinPartitions(col("term"))
       .write.mode("overwrite").parquet(s"$root/_index/postings")

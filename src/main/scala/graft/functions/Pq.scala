@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materialize.{CutSyntax, Iter}
 
 /** Product quantization (PQ) — the memory-bound ANN codec (Jégou et al.
   * 2011, "Product Quantization for Nearest Neighbor Search"): split each
@@ -68,7 +69,7 @@ object Pq {
     * Returns (sub: int, cluster: int, centroid: array<double>). */
   def train(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
       iters: Int = 2, dim: Int = 64): DataFrame = {
-    val sv = subvectors(embeddings, m, dim / m).localCheckpoint()
+    val sv = subvectors(embeddings, m, dim / m).cut(Iter)
     val centroidAgg = udaf(Centroid)
     // the m×ksub codebook is driver state between rounds (Bounded.local):
     // fault-tolerant, broadcasts naturally, lineage flat — the corpus-

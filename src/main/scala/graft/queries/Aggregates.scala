@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Canon._
 import graft.sources.Tables
+import graft.Materialize.{CutSyntax, Shared}
 
 /** Aggregations — SURVEY.md §2.4 (A1–A9).
   *
@@ -1042,7 +1043,7 @@ object Aggregates {
           .join(t.part.select(col("p_partkey"), col("p_brand").as("brand")),
             col("l_partkey") === col("p_partkey"))
           .select(col("ok"), col("brand")).distinct()
-          .localCheckpoint()
+          .cut(Shared)
         val nt = items.agg(countDistinct(col("ok")).as("n_orders"))
         val m = items.groupBy(col("brand")).agg(count(lit(1)).as("cnt"))
         val pr = items.as("i1")

@@ -6,6 +6,7 @@ import graft.Canon._
 import graft.dedup.Dedup
 import graft.functions.Text
 import graft.sources.Tables
+import graft.Materialize.{CutSyntax, Shared}
 
 /** Deduplication over the documents corpus — SURVEY.md §2.9 D4/D5 + the
   * LLM-pipeline mandate (exact, MinHash+LSH, n-gram Jaccard, SimHash).
@@ -207,8 +208,8 @@ object DedupOps {
           concat(col("text"), lit(" v2")).as("text"))
       // at 100 TB sigIdx is the PERSISTED signatures table; only the
       // incoming batch pays the shingle->hash pipeline per ingest
-      val sigIdx = Dedup.minhashSignatures(d, 3, 8).localCheckpoint()
-      val sigNew = Dedup.minhashSignatures(incoming, 3, 8).localCheckpoint()
+      val sigIdx = Dedup.minhashSignatures(d, 3, 8).cut(Shared)
+      val sigNew = Dedup.minhashSignatures(incoming, 3, 8).cut(Shared)
       def bandSide(sigs: DataFrame, idName: String, sigName: String) =
         sigs.select(col("doc_id").as(idName), col("sig").as(sigName),
           explode(Dedup.bandKeys(col("sig"), 8, 2)).as("bk"))
@@ -335,19 +336,19 @@ object DedupOps {
             concat_ws(" ", reverse(Text.tokenize(col("text")))).as("text")))
         .unionByName(d.filter(col("doc_id") % 10 === 7)
           .select((col("doc_id") + 30000L).as("doc_id"), col("text")))
-        .localCheckpoint() // feeds the sha probe, the LSH side, the output
+        .cut(Shared) // feeds the sha probe, the LSH side, the output
       val known = d.select(sha2(col("text"), 256).as("sha")).distinct()
         .withColumn("known", lit(1))
       val ex = incoming.withColumn("sha", sha2(col("text"), 256))
         .join(known, Seq("sha"), "left")
         .select(col("doc_id"), col("text"),
           col("known").isNotNull.as("is_exact"))
-        .localCheckpoint()
+        .cut(Shared)
       // only exact-novel docs pay the signature pipeline (short-circuit)
       val sigNew = Dedup.minhashSignatures(
         ex.filter(!col("is_exact")).select(col("doc_id"), col("text")), 3, 8)
-        .localCheckpoint()
-      val sigIdx = Dedup.minhashSignatures(d, 3, 8).localCheckpoint()
+        .cut(Shared)
+      val sigIdx = Dedup.minhashSignatures(d, 3, 8).cut(Shared)
       def bandSide(sigs: DataFrame, idName: String, sigName: String) =
         sigs.select(col("doc_id").as(idName), col("sig").as(sigName),
           explode(Dedup.bandKeys(col("sig"), 8, 2)).as("bk"))
@@ -543,7 +544,7 @@ object DedupOps {
       val tagged = clusterAssign(t)
         .withColumn("split",
           when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
-        .localCheckpoint() // feeds the guard scalar and the per-split rows
+        .cut(Shared) // feeds the guard scalar and the per-split rows
       val guard = tagged.groupBy(col("cluster_id"))
         .agg(countDistinct(col("split")).as("cnt"))
         .agg(max(col("cnt")).as("max_splits_per_cluster"))
@@ -585,7 +586,7 @@ object DedupOps {
         (spark, dir) => {
           val t = Tables(spark, dir)
           val names = t.part.select(col("p_name").as("name")).distinct()
-            .localCheckpoint() // feeds grams and both verify sides
+            .cut(Shared) // feeds grams and both verify sides
           val grams = names
             .select(col("name"), explode(expr(
               "transform(sequence(1, length(name) - 1), i -> substring(name, i, 2))"))
@@ -1308,7 +1309,7 @@ object DedupOps {
         // expensive scan in the query, doubled. (At 100 TB this is a
         // persisted signatures table; localCheckpoint is its local stand-in.)
         val sims = Dedup.simhashes(t.documents.select(col("doc_id"), col("text")))
-          .localCheckpoint()
+          .cut(Shared)
         // one row per (doc, half): the half id is folded into the key so
         // hi-keys never join lo-keys; a single equi-join replaces the OR
         // join (nested loop) AND the two-join union (4 recomputations of
@@ -1649,7 +1650,7 @@ object DedupOps {
         // materialize once (each consumer prunes different columns, so
         // plain exchange reuse can't fire)
         val tf = u.groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf")).localCheckpoint()
+          .agg(count(lit(1)).as("tf")).cut(Shared)
         val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val nd = toks.agg(count(lit(1)).as("n_docs"))
         val w = tf.join(dfr.filter(col("df") <= 50), Seq("term"))
@@ -1657,7 +1658,7 @@ object DedupOps {
           .select(col("doc_id"), col("term"),
             (round(log(col("n_docs").cast("double") / col("df"))
               * lit(1000000d)).cast("long") * col("tf")).as("wi"))
-          .localCheckpoint()
+          .cut(Shared)
         val norms = w.groupBy(col("doc_id"))
           .agg(sum((col("wi") * col("wi")).cast("decimal(38,0)")).as("nrm"))
         val pairs = w.as("a")

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Canon._
 import graft.functions.Metadata
 import graft.sources.Tables
+import graft.Materialize.{CutSyntax, Shared}
 
 /** The DMS-native surface — SURVEY.md §2.9: versioned upsert (D8, fixing
   * the reference's string-sorted versions, DMS.py:391), row-level delete
@@ -715,7 +716,7 @@ object DmsOps {
               |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 6
               |ORDER BY ALL NULLS FIRST""".stripMargin),
       (spark, dir) => {
-        val hs = dhashFrame(spark, dir).localCheckpoint() // both join sides
+        val hs = dhashFrame(spark, dir).cut(Shared) // both join sides
         val bands = hs.select(col("media_id"), col("hi"), col("lo"),
           posexplode(array(
             col("lo").bitwiseAND(lit(65535L)),

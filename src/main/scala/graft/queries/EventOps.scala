@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Canon._
 import graft.functions.Bounded
 import graft.sources.Tables
+import graft.Materialize.{CutSyntax, Shared}
 
 /** Event-time operators over the events table — SURVEY.md §2.10.
   *
@@ -1262,7 +1263,7 @@ object EventOps {
           .withColumn("sr", -col("recency_days").cast("double"))
           .withColumn("sf", col("freq").cast("double"))
           .withColumn("sm", col("monetary"))
-          .localCheckpoint()
+          .cut(Shared)
         val n = base.count()
         // ntile(5) cut ranks: first (n mod 5) buckets hold ceil(n/5) rows
         val cuts = (1 to 4).map(i => i * (n / 5) + math.min(i.toLong, n % 5))

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Canon._
 import graft.sources.Tables
+import graft.Materialize.{CutSyntax, Iter, Shared}
 
 /** Graph analytics over the document corpus — the link-graph quality
   * signals a web-scale training-data pipeline runs next to dedup
@@ -121,7 +122,7 @@ object GraphOps {
           .select(least(col("src"), col("dst")).as("a"),
             greatest(col("src"), col("dst")).as("b"))
           .distinct()
-          .localCheckpoint() // feeds degrees, wedges and the triple join
+          .cut(Shared) // feeds degrees, wedges and the triple join
         val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
           .groupBy(col("v")).agg(count(lit(1)).as("d"))
         val wedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
@@ -259,7 +260,7 @@ object GraphOps {
           .select(least(col("src"), col("dst")).as("a"),
             greatest(col("src"), col("dst")).as("b"))
           .distinct()
-          .localCheckpoint()
+          .cut(Iter)
         def degrees(edges: org.apache.spark.sql.DataFrame) =
           edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
             .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -269,7 +270,7 @@ object GraphOps {
             .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
             .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
             .select(col("a"), col("b"))
-            .localCheckpoint()
+            .cut(Iter)
         }
         ordered(degrees(e).select(col("v").as("doc_id"), col("d").as("core_deg")))
       }
@@ -325,7 +326,7 @@ object GraphOps {
           .select(least(col("src"), col("dst")).as("a"),
             greatest(col("src"), col("dst")).as("b"))
           .distinct()
-          .localCheckpoint() // feeds adjacency (twice), degrees and the anti-join
+          .cut(Shared) // feeds adjacency (twice), degrees and the anti-join
         val adj = e.select(col("a").as("v"), col("b").as("w"))
           .unionAll(e.select(col("b").as("v"), col("a").as("w")))
         val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -395,7 +396,7 @@ object GraphOps {
             (col("doc_id") * 31 + k * 17 + 7) % n): _*)).as("dst"))
         val edges = e0.unionByName(
             e0.select(col("dst").as("src"), col("src").as("dst")))
-          .localCheckpoint() // feeds all 3 rounds; lineage cut like CC
+          .cut(Shared) // feeds all 3 rounds; lineage cut like CC
         var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
         for (_ <- 1 to 3) {
           // vote winner as a hash aggregate: max over (count, -label)
@@ -478,7 +479,7 @@ object GraphOps {
             (col("doc_id") * 31 + k * 17 + 7) % n): _*)).as("dst"))
         val edges = e0.unionByName(
             e0.select(col("dst").as("src"), col("src").as("dst")))
-          .localCheckpoint() // feeds 3 LPA rounds + the 2 scoring passes
+          .cut(Shared) // feeds 3 LPA rounds + the 2 scoring passes
         var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
         for (_ <- 1 to 3) {
           labels = edges.join(labels, edges("src") === labels("node"))
@@ -488,7 +489,7 @@ object GraphOps {
             .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("win"))
             .select(col("node"), (-col("win.neg")).as("lbl"))
         }
-        val lab = labels.localCheckpoint() // consumed by 3 scoring passes
+        val lab = labels.cut(Iter) // consumed by 3 scoring passes
         val twoM = lit(8L * n) // symmetrized list is exactly 8n rows
         val wc = edges
           .join(lab.select(col("node").as("sn"), col("lbl").as("cs")),
@@ -703,7 +704,7 @@ object GraphOps {
           .select(least(col("src"), col("dst")).as("a"),
             greatest(col("src"), col("dst")).as("b"))
           .distinct()
-          .localCheckpoint() // feeds degrees and the triple join
+          .cut(Shared) // feeds degrees and the triple join
         val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
           .groupBy(col("v")).agg(count(lit(1)).as("d"))
         val tr = e.as("e1")

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Canon._
 import graft.sources.Tables
+import graft.Materialize.{CutSyntax, Shared}
 
 /** Corpus sampling / domain mixing — the curation step every
   * training-data pipeline runs between filtering and tokenization:
@@ -426,7 +427,7 @@ object SampleOps {
               lit(256L)).as("b"))
           .groupBy(col("doc_id"), col("lang"), col("b"))
           .agg(count(lit(1)).as("n_db"))
-          .localCheckpoint()
+          .cut(Shared)
         val raw = db.groupBy(col("b")).agg(sum(col("n_db")).as("c_r"))
         val tgt = db.filter(col("lang") === "en")
           .groupBy(col("b")).agg(sum(col("n_db")).as("c_t"))

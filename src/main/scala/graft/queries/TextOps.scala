@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Canon._
 import graft.functions.{Text, Vectors}
 import graft.sources.Tables
+import graft.Materialize.{CutSyntax, Iter, Shared}
 
 /** Text-analysis surface over the documents corpus — SURVEY.md §2.9
   * D2/D3/D7 + the LLM-pipeline mandate (language-ID, quality scoring,
@@ -78,7 +79,7 @@ object TextOps {
         val xy = ranked.select(
           round(log(col("rank")) * lit(1000000d)).cast("long").as("xi"),
           round(log(col("tf")) * lit(1000000d)).cast("long").as("yi"))
-          .localCheckpoint() // feeds both the stats row and the centering
+          .cut(Shared) // feeds both the stats row and the centering
         val s = xy.agg(count(lit(1)).as("n"),
           sum(col("xi")).as("sx"), sum(col("yi")).as("sy"))
         val c = xy.crossJoin(broadcast(s))
@@ -393,7 +394,7 @@ object TextOps {
           .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
           .groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
-          .localCheckpoint()
+          .cut(Shared)
         val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
         postings
@@ -480,7 +481,7 @@ object TextOps {
           .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
           .groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
-          .localCheckpoint()
+          .cut(Shared)
         val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
         val nDocs = t.documents.agg(count(lit(1)).as("n"))
@@ -555,7 +556,7 @@ object TextOps {
               .as("term"), lit(1L).as("w")))
         val wp = wtok.groupBy(col("doc_id"), col("term"))
           .agg(sum(col("w")).as("wtf"))
-          .localCheckpoint() // postings backbone: feeds df, dl, and scores
+          .cut(Shared) // postings backbone: feeds df, dl, and scores
         val dfreq = wp.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val dl = wp.groupBy(col("doc_id")).agg(sum(col("wtf")).as("dlen"))
         val nDocs = t.documents.agg(count(lit(1)).as("n"))
@@ -1189,7 +1190,7 @@ object TextOps {
         // consumer prunes different columns) and the corpus is scanned
         // once, not four times
         val sw = u.groupBy(col("source"), col("term")).agg(count(lit(1)).as("n_sw"))
-          .localCheckpoint()
+          .cut(Shared)
         val w = sw.groupBy(col("term")).agg(sum(col("n_sw")).as("n_w"))
         val s = sw.groupBy(col("source")).agg(sum(col("n_sw")).as("n_s"))
         val tot = s.agg(sum(col("n_s")).as("n"))
@@ -1763,7 +1764,7 @@ object TextOps {
           |""".stripMargin)).as("p"))
         .select(col("p.a"), col("p.b"))
       val pc = prs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
-        .localCheckpoint() // feeds marginals, totals and the association rows
+        .cut(Shared) // feeds marginals, totals and the association rows
       val m = pc.select(col("a").as("w"), col("c"))
         .unionAll(pc.select(col("b").as("w"), col("c")))
         .groupBy(col("w")).agg(sum(col("c")).as("mw"))
@@ -1925,7 +1926,7 @@ object TextOps {
         .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-        .localCheckpoint() // pass 1, the harvest AND pass 2 all ride this
+        .cut(Shared) // pass 1, the harvest AND pass 2 all ride this
       val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
       val stats = dl.agg(avg(col("dlen")).as("avgdl"))
@@ -1993,7 +1994,7 @@ object TextOps {
         .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       var st = wc.select(col("word"), col("cnt"),
         concat(lit(S), regexp_replace(col("word"), "(.)", "$1" + S)).as("state"))
-        .localCheckpoint()
+        .cut(Iter)
       val merges = (1 to 3).map { r =>
         val syms = filter(split(col("state"), S), x => x =!= "")
         val pairs = zip_with(
@@ -2011,7 +2012,7 @@ object TextOps {
             replace(col("state"),
               concat(lit(S), col("p"), lit(S)),
               concat(lit(S), translate(col("p"), S, ""), lit(S))).as("state"))
-          .localCheckpoint()
+          .cut(Iter)
         m.select(lit(r).as("round"),
           element_at(split(col("p"), S), 1).as("left_sym"),
           element_at(split(col("p"), S), 2).as("right_sym"),
@@ -2218,7 +2219,7 @@ object TextOps {
         .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
+        .cut(Shared)
       val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
       val nDocs = t.documents.agg(count(lit(1)).as("n"))
@@ -2338,7 +2339,7 @@ object TextOps {
         .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-        .localCheckpoint() // feeds dl, cf, tot and the per-cell tf lookup
+        .cut(Shared) // feeds dl, cf, tot and the per-cell tf lookup
       val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
       val cf = postings.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
       val tot = postings.agg(sum(col("tf")).as("t"))
@@ -2491,7 +2492,7 @@ object TextOps {
       val postings = t.documents
         .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint() // feeds df and the scored join — one tokenize
+        .cut(Shared) // feeds df and the scored join — one tokenize
       val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = t.documents.agg(count(lit(1)).as("n_docs"))
       val idf = df.crossJoin(broadcast(n)) // 1-row corpus count
@@ -2859,7 +2860,7 @@ object TextOps {
       val tf = t.documents
         .select(explode(Text.tokenize(col("text"))).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-        .localCheckpoint() // feeds the sketch build AND the probe side
+        .cut(Shared) // feeds the sketch build AND the probe side
       val seeds = spark.range(0, 4).select(col("id").cast("int").as("seed"))
       val sk = tf.crossJoin(broadcast(seeds))
         .groupBy(col("seed"), bucket(col("seed"), col("term")).as("bucket"))

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Canon._
 import graft.sources.Tables
+import graft.Materialize.{CutSyntax, Shared}
 
 /** The remaining TPC-H query SHAPES (q2, q4, q9, q11, q12, q15, q16, q17,
   * q19, q20, q21), adapted to the testdata schema: there is no `partsupp`
@@ -190,7 +191,7 @@ object TpchExtra {
             col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("l_partkey"))
           .agg(sum(px * col("l_quantity").cast("decimal(12,2)")).as("value"))
-          .localCheckpoint() // feeds both the rows and the global total
+          .cut(Shared) // feeds both the rows and the global total
         val thresh = v.agg(
           (sum(col("value")) * lit(0.001).cast("decimal(4,3)")).as("thresh"))
         ordered(
@@ -261,7 +262,7 @@ object TpchExtra {
             col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
           .groupBy(col("l_suppkey"))
           .agg(sum(px * (lit(1) - disc)).as("total"))
-          .localCheckpoint() // feeds both the rows and the scalar max
+          .cut(Shared) // feeds both the rows and the scalar max
         val top = rev.agg(max(col("total")).as("mx"))
         ordered(
           rev.join(broadcast(top)).filter(col("total") === col("mx"))
@@ -319,7 +320,7 @@ object TpchExtra {
           .join(broadcast(t.part.filter(col("p_brand") === "Brand#23" &&
             col("p_size") <= 10).select(col("p_partkey"))),
             col("l_partkey") === col("p_partkey"))
-          .localCheckpoint() // the slice feeds both the avg and the sum
+          .cut(Shared) // the slice feeds both the avg and the sum
         val avgq = li.groupBy(col("p_partkey").as("ap"))
           .agg(avg(col("l_quantity")).as("aq"))
         li.join(broadcast(avgq), col("l_partkey") === col("ap"))

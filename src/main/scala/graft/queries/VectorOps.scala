@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Canon._
 import graft.functions.{Bounded, Centroid, Vectors}
 import graft.sources.Tables
+import graft.Materialize.{CutSyntax, Iter, Shared}
 
 /** Similarity search + vector aggregation over the embeddings table —
   * SURVEY.md §2.9 D6 + §2.4 A10 (LLM-pipeline mandate).
@@ -487,7 +488,7 @@ object VectorOps {
         val keys = e.select(col("vec_id"),
           explode(Vectors.lshTables(col("embedding"), planesPerTable = 4,
             nTables = 8)).as("b"))
-          .localCheckpoint()
+          .cut(Shared)
         val cand = keys.select(col("vec_id").as("i"), col("b"))
           .join(keys.select(col("vec_id").as("j"), col("b")), "b")
           .filter(col("i") < col("j"))
@@ -619,7 +620,7 @@ object VectorOps {
         // materialized once — the sample feeds both sides of the pair join
         val s = t.embeddings.filter(col("vec_id") % 5 === 0)
           .select(col("vec_id"), col("label"), col("embedding"))
-          .localCheckpoint()
+          .cut(Shared)
         val a = s.select(col("vec_id").as("ida"), col("label").as("la"), col("embedding").as("ea"))
         val b = s.select(col("vec_id").as("idb"), col("label").as("lb"), col("embedding").as("eb"))
         ordered(
@@ -945,7 +946,7 @@ object VectorOps {
         val e = t.embeddings
         val corpus = e.filter(col("vec_id") >= 20)
         // the index is consumed by all four probe settings: one build
-        val ivf = graft.functions.Ivf.index(corpus, cents).localCheckpoint()
+        val ivf = graft.functions.Ivf.index(corpus, cents).cut(Shared)
         val queries = e.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
         val wTop = Window.partitionBy(col("q_id"))
@@ -1389,7 +1390,7 @@ object VectorOps {
         // self-join and the final left join read the materialized copy
         val m = graft.functions.Ivf.assign(e, cents).join(e, "vec_id")
           .select(col("vec_id"), col("cluster"), col("embedding"))
-          .localCheckpoint()
+          .cut(Shared)
         val dup = m.as("x")
           .join(m.select(col("cluster"), col("vec_id").as("pid"),
             col("embedding").as("pemb")).as("y"),
@@ -1461,7 +1462,7 @@ object VectorOps {
         val e = t.embeddings
         val m = graft.functions.Ivf.assign(e, cents).join(e, "vec_id")
           .select(col("vec_id"), col("cluster"), col("embedding"))
-          .localCheckpoint() // both sides of the cluster-local self-join
+          .cut(Shared) // both sides of the cluster-local self-join
         val c = Vectors.cosineFast(col("embedding"), col("pemb"))
         val prs = m
           .join(m.select(col("cluster"), col("vec_id").as("dst"),
@@ -1567,7 +1568,7 @@ object VectorOps {
         val e = t.embeddings
           .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
           // feeds init, both assignment scans, and the final vec join
-          .localCheckpoint()
+          .cut(Shared)
         val init = e.filter(col("vec_id") < 8)
           .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
         def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -1729,7 +1730,7 @@ object VectorOps {
         val t = Tables(spark, dir)
         val e = t.embeddings
           .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
-          .localCheckpoint() // feeds all three assignment scans + mean joins
+          .cut(Shared) // feeds all three assignment scans + mean joins
         def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
           aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
             lit(0.0), (acc, x) => acc + x)
@@ -1758,7 +1759,7 @@ object VectorOps {
         val stats = (1 to 3).map { r =>
           // assignment consumed by the stats row, the movement joins
           // (this round + next) and the mean update — one scan, reused
-          val a = argmin(cents).localCheckpoint()
+          val a = argmin(cents).cut(Iter)
           val base = a.agg(
             countDistinct(col("cluster")).as("n_clusters"),
             round(sum(col("dq")).cast("double") / lit(1000000000000d), 4)

@@ -26,51 +26,65 @@ class AuditSpec extends AnyFunSuite {
     Files.walk(root).iterator().asScala
       .filter(p => p.toString.endsWith(".scala")).toSeq
 
-  /** Non-comment `localCheckpoint()` call sites per file, keyed by the
-    * path relative to `src/main/scala/graft/`.
+  /** Non-comment `Materialize.cut` call sites per file as
+    * (nShared, nIter), keyed by the path relative to
+    * `src/main/scala/graft/`.
     */
-  private def sourceCounts(): Map[String, Int] = {
+  private def sourceCounts(): Map[String, (Int, Int)] = {
     val root = repo.resolve("src/main/scala/graft")
     scalaFiles(root).flatMap { p =>
-      val n = Files.readAllLines(p).asScala.iterator
+      val code = Files.readAllLines(p).asScala.iterator
         .map(_.trim)
         .filterNot(s => s.startsWith("//") || s.startsWith("*") || s.startsWith("/*"))
-        // match `.localCheckpoint(` — any arg list, so the eager-flag
-        // overload `localCheckpoint(true/false)` cannot escape the audit
-        .map(s => "\\.localCheckpoint\\(".r.findAllIn(s).length)
-        .sum
-      if (n > 0) Some(root.relativize(p).toString -> n) else None
+        .toSeq
+      val nS = code.map(s => "\\.cut\\(Shared\\)".r.findAllIn(s).length).sum
+      val nI = code.map(s => "\\.cut\\(Iter\\)".r.findAllIn(s).length).sum
+      if (nS + nI > 0) Some(root.relativize(p).toString -> (nS, nI)) else None
     }.toMap
   }
 
-  private def auditedCounts(): Map[String, (Int, String)] = {
+  private def auditedCounts(): Map[String, (Int, Int)] = {
     val text = new String(Files.readAllBytes(repo.resolve("BASELINE.md")), "UTF-8")
-    val block = text.split("<!-- AUDIT:localCheckpoint")(1).split("AUDIT:end")(0)
+    val block = text.split("<!-- AUDIT:materialize")(1).split("AUDIT:end")(0)
     block.linesIterator.map(_.trim).filter(_.nonEmpty).map { line =>
-      val Array(file, n, cls) = line.split("\\s+")
-      file -> (n.toInt, cls)
+      val Array(file, s, i) = line.split("\\s+")
+      require(s.endsWith("a") && i.endsWith("b"), s"$file: bad row '$line'")
+      file -> (s.dropRight(1).toInt, i.dropRight(1).toInt)
     }.toMap
   }
 
-  test("BASELINE.md localCheckpoint audit table matches the source exactly") {
+  test("BASELINE.md materialization audit table matches the source exactly") {
     val truth = sourceCounts()
     val note = auditedCounts()
     val missing = truth.keySet -- note.keySet
     val stale = note.keySet -- truth.keySet
     val wrong = truth.keySet.intersect(note.keySet)
-      .filter(k => truth(k) != note(k)._1)
-      .map(k => s"$k: source ${truth(k)} vs table ${note(k)._1}")
+      .filter(k => truth(k) != note(k))
+      .map(k => s"$k: source ${truth(k)} vs table ${note(k)}")
     assert(missing.isEmpty && stale.isEmpty && wrong.isEmpty,
-      s"""localCheckpoint audit drift —
+      s"""Materialize.cut audit drift —
          |  uncounted files: ${missing.toSeq.sorted.mkString(", ")}
          |  stale table rows: ${stale.toSeq.sorted.mkString(", ")}
          |  wrong counts: ${wrong.toSeq.sorted.mkString("; ")}
-         |Update the AUDIT:localCheckpoint block in BASELINE.md WITH a
-         |class (a)/(b) justification for each new site.""".stripMargin)
-    // every row carries a justification class
-    note.foreach { case (f, (_, cls)) =>
-      assert(Set("a", "b", "a+b").contains(cls), s"$f: unknown class '$cls'")
-    }
+         |Update the AUDIT:materialize block in BASELINE.md WITH a class
+         |Shared=(a)/Iter=(b) count for each new site (DEPLOY.md §2).""".stripMargin)
+  }
+
+  test("raw localCheckpoint appears only inside Materialize itself") {
+    // every cut must route through Materialize.cut so the
+    // SPARK_GRAFT_RELIABLE swap covers it — a stray localCheckpoint()
+    // would silently stay executor-local on a cluster
+    val root = repo.resolve("src/main/scala/graft")
+    val offenders = scalaFiles(root)
+      .filterNot(_.getFileName.toString == "Materialize.scala")
+      .filter { p =>
+        Files.readAllLines(p).asScala.iterator
+          .map(_.trim)
+          .filterNot(s => s.startsWith("//") || s.startsWith("*") || s.startsWith("/*"))
+          .exists(s => "\\.localCheckpoint\\(".r.findAllIn(s).nonEmpty)
+      }
+    assert(offenders.isEmpty,
+      s"raw .localCheckpoint( outside Materialize (use .cut(Shared|Iter)): $offenders")
   }
 
   test("freeze_digests.tsv matches every query implementation (stale-freeze guard)") {
@@ -108,17 +122,18 @@ class AuditSpec extends AnyFunSuite {
   }
 
   test("no unjustified driver materialization outside the audited files") {
-    // .checkpoint() (reliable) is never used in local mode — it would
-    // require a checkpoint dir and silently write to disk; the audit
-    // covers localCheckpoint() only, so pin the invariant here
+    // raw .checkpoint() must also route through Materialize.cut(Iter):
+    // the reliable path needs the checkpoint-dir bootstrap and the audit
     val root = repo.resolve("src/main/scala/graft")
-    val offenders = scalaFiles(root).filter { p =>
-      Files.readAllLines(p).asScala.iterator
-        .map(_.trim)
-        .filterNot(s => s.startsWith("//") || s.startsWith("*") || s.startsWith("/*"))
-        .exists(s => s.contains(".checkpoint()"))
-    }
+    val offenders = scalaFiles(root)
+      .filterNot(_.getFileName.toString == "Materialize.scala")
+      .filter { p =>
+        Files.readAllLines(p).asScala.iterator
+          .map(_.trim)
+          .filterNot(s => s.startsWith("//") || s.startsWith("*") || s.startsWith("/*"))
+          .exists(s => s.contains(".checkpoint()"))
+      }
     assert(offenders.isEmpty,
-      s"reliable .checkpoint() in main (use localCheckpoint + audit): $offenders")
+      s"raw .checkpoint() in main (use Materialize.cut(Iter)): $offenders")
   }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DEPLOY.md §2's one-dial swap, proven: `SPARK_GRAFT_RELIABLE=1`
+  * (sysprop `graft.reliable=1` in-JVM) routes every `Materialize.cut`
+  * through `persist(DISK_ONLY_2)` / reliable `checkpoint()` instead of
+  * `localCheckpoint()`, and a full dedup chain — signatures → LSH band
+  * join → verify → connected components (iterative cuts) → corpus
+  * assignment — returns bit-identical rows either way.
+  */
+class MaterializeSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private def rows(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, sf)
+      .collect().map(_.toString).toSeq
+
+  test("reliable flag routes Shared cuts through persist and Iter through checkpoint") {
+    assert(!Materialize.reliable)
+    import spark.implicits._
+    val df = Seq(1, 2, 3).toDF("x")
+    sys.props("graft.reliable") = "1"
+    try {
+      assert(Materialize.reliable)
+      val shared = Materialize.cut(df, Materialize.Shared)
+      assert(shared.storageLevel.useDisk && shared.storageLevel.replication == 2)
+      shared.unpersist(blocking = false)
+      val iter = Materialize.cut(df, Materialize.Iter)
+      // reliable checkpoint: the plan is a scan of checkpointed data
+      assert(iter.queryExecution.optimizedPlan.toString.contains("LogicalRDD"))
+      assert(spark.sparkContext.getCheckpointDir.nonEmpty)
+    } finally sys.props.remove("graft.reliable")
+  }
+
+  test("d5_dedup_clusters is hash-identical under SPARK_GRAFT_RELIABLE") {
+    val local = rows("d5_dedup_clusters")
+    sys.props("graft.reliable") = "1"
+    val reliableRows =
+      try rows("d5_dedup_clusters")
+      finally {
+        sys.props.remove("graft.reliable")
+        // persisted Shared cuts from the reliable run are test-scoped;
+        // free them so later suites see a clean executor
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+    assert(local.nonEmpty)
+    assert(local == reliableRows,
+      s"reliable path diverged: ${local.size} vs ${reliableRows.size} rows")
+  }
+}
