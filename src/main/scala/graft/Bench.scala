@@ -51,6 +51,20 @@ object Bench {
       // can never masquerade as a fast success in BASELINE/SCALING rows
       if (ok) dt else -dt
     }
+    // Frozen per-query medians from BASELINE.md — the values the driver's
+    // 2x gate compares against. Parsing the human table keeps ONE source
+    // of truth: a re-freeze edits exactly one place.
+    val frozen: Map[String, Double] = {
+      val row = "\\| ([a-z0-9_]+) \\| ([0-9.]+) \\|".r
+      try {
+        val p = Seq("BASELINE.md", "/root/repo/BASELINE.md")
+          .map(java.nio.file.Paths.get(_)).find(java.nio.file.Files.exists(_))
+        p.map { f =>
+          val text = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+          row.findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }.getOrElse(Map.empty)
+      } catch { case _: Throwable => Map.empty }
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t1 = timeOne(fn)
       // One-shot samples on a shared local[32] box carry ±20-40% load
@@ -59,11 +73,28 @@ object Bench {
       // run and we keep the better one — the steady-state cost of the
       // plan, not the co-scheduling accident. Sub-0.3 s samples cannot
       // breach any frozen row, so they are not re-run.
-      val t = if (t1 > 0.3) {
-        val t2 = timeOne(fn)
-        if (t2 > 0) math.min(t1, t2) else t1 // a flaky re-run never hides the good sample
-      } else t1
-      name -> t
+      var samples = List(t1)
+      if (t1 > 0.3) samples ::= timeOne(fn)
+      def best = {
+        val ok = samples.filter(_ > 0)
+        if (ok.isEmpty) samples.min else ok.min
+      }
+      // Variance kill for the gate's false-positive class (round-10's
+      // d5_lsh_recall_measured read 3.11x its freeze on a ~2x loaded box
+      // while idle runs sat at 0.96x): any row still above 1.5x its
+      // FROZEN value after the min-of-2 gets two more runs, and the row
+      // reports the MEDIAN of all its samples — a single co-scheduling
+      // accident can no longer breach. Bounded cost: only suspect rows
+      // repeat, a healthy sweep re-runs nothing here.
+      val suspect = frozen.get(name).exists(f => best > 1.5 * f)
+      if (suspect) { samples ::= timeOne(fn); samples ::= timeOne(fn) }
+      val ok = samples.filter(_ > 0).sorted
+      val t =
+        if (ok.isEmpty) samples.min // all failed: keep a failure marker
+        else if (!suspect) ok.min
+        else if (ok.size % 2 == 1) ok(ok.size / 2)
+        else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+      (name, t, samples.size)
     }
     // 3-decimal rounding: local[32] noise is ±20-40%, sub-ms digits are
     // pure line-length. The driver's stdout capture keeps only the LAST
@@ -72,12 +103,16 @@ object Bench {
     // per-query map is ALSO written to BENCH_FULL.json in the repo so a
     // truncated capture never loses per-query durations.
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    // n_samples per multi-sampled row ("queries" stays flat numeric for
+    // downstream parsers; a missing key here means 1-2 samples, min kept)
+    val ns = results.collect { case (k, _, n) if n > 2 => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ > 0).sum
     val line =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failed":[${failed.mkString(",")}],"value":${r3(total)}}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"resampled":$ns,"failed":[${failed.mkString(",")}],"value":${r3(total)}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), line + "\n")
     catch { case _: Throwable => () } // repo may be read-only in some harnesses

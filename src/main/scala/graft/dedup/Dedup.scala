@@ -60,19 +60,34 @@ object Dedup {
       docs: DataFrame, // (doc_id, text)
       shingleWidth: Int,
       numHashes: Int
-  ): DataFrame = {
+  ): DataFrame =
     // no distinct(): duplicate shingles cannot change a minimum, and
     // dropping it removes an entire shuffle of the shingle strings
-    val sh = docs
-      .select(col("doc_id"),
-        explode(Text.shingles(Text.tokenize(col("text")), shingleWidth)).as("shingle"))
+    minhashSignaturesFromShingles(
+      docs.select(col("doc_id"),
+        explode(Text.shingles(Text.tokenize(col("text")), shingleWidth))
+          .as("shingle")),
+      numHashes)
+
+  /** [[minhashSignatures]] from an existing `(doc_id, shingle)` posting
+    * relation — the entry point when the caller already materialized the
+    * postings for other passes (exact-Jaccard legs, df counts): one cut
+    * relation then feeds every consumer instead of re-running the
+    * tokenize→shingle scan per pass. Duplicate or distinct postings give
+    * the same signature (min is idempotent), so both call shapes are
+    * hash-identical. */
+  def minhashSignaturesFromShingles(
+      sh: DataFrame, // (doc_id, shingle)
+      numHashes: Int
+  ): DataFrame = {
+    val based = sh
       .select(col("doc_id"),
         pmod(conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"),
           lit(MinhashP)).as("base"))
     val hashes = (0 until numHashes).map(seed =>
       pmod(col("base") * minhashA(seed) + minhashB(seed), lit(MinhashP)).as(s"h$seed"))
     val mins = (0 until numHashes).map(seed => min(col(s"h$seed")).as(s"s$seed"))
-    sh.select(col("doc_id") +: hashes: _*)
+    based.select(col("doc_id") +: hashes: _*)
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),

@@ -974,11 +974,19 @@ object DedupOps {
         val u = docs.unionByName(
           docs.select((col("doc_id") + 10000).as("doc_id"),
             concat(col("text"), suffix).as("text")))
+        // ONE distinct posting relation feeds every pass — sizes, both
+        // exact-Jaccard join sides AND the minhash signature build
+        // (signatures over distinct postings are identical: min is
+        // duplicate-blind). Without the cut the tokenize→shingle→md5
+        // corpus scan re-runs four times, and those redundant scans were
+        // exactly the spill surface that made this row the suite's most
+        // load-sensitive (idle 3.1 s vs 9.9 s on a ~2x loaded box).
         val sh = u
           .select(col("doc_id"),
             explode(graft.functions.Text.shingles(
               graft.functions.Text.tokenize(col("text")), 3)).as("shingle"))
           .distinct()
+          .cut(Shared)
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
         val inter = sh.select(col("doc_id").as("a"), col("shingle"))
           .join(sh.select(col("doc_id").as("b"), col("shingle")),
@@ -991,7 +999,7 @@ object DedupOps {
             col("n_sh").as("nb")), "a")
           .select(col("a"),
             (col("inter") * 1.0 / (col("na") + col("nb") - col("inter"))).as("j"))
-        val sig = Dedup.minhashSignatures(u, shingleWidth = 3, numHashes = 8)
+        val sig = Dedup.minhashSignaturesFromShingles(sh, numHashes = 8)
         val bands = sig.select(col("doc_id"),
           explode(Dedup.bandKeys(col("sig"), 8, 2)).as("key"))
         val caught = bands.select(col("doc_id").as("a"), col("key"))
