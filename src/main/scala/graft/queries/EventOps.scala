@@ -1199,23 +1199,22 @@ object EventOps {
       // are engine-independent. 100 TB shape: the fact collapses to ONE
       // per-user purchase aggregate (map-side partials); the quintiles
       // are NOT a global window — they are the a9_approx_quantiles
-      // discipline applied to ntile: a GK sketch reads a +-0.001 band
-      // around each of the 12 cut fractions, one exact pass counts
-      // strictly-below-band rows, a band-partitioned rank window (band
-      // rows only, ~0.2% of users each) extracts the exact order-
-      // statistic KEY (sort value, user_id) at each cut rank, and bucket
-      // (tie caveat: the ~0.2% band sizing assumes distinct sort values;
-      // under heavy ties at a cut — e.g. most users sharing freq=1 —
-      // lo==hi captures every tied row and one (mm,b) rank partition can
-      // hold a large user fraction. Correctness holds (the require()
-      // stays sound), but a tie-dominated deployment should special-case
-      // lo==hi: count duplicates of the single tied value exactly and
-      // pick the boundary arithmetically instead of windowing the band)
+      // discipline applied to ntile (graft.functions.ExactNtile): a GK
+      // sketch brackets each of the 12 cut values, one exact pass
+      // counts rows below/at both bracket endpoints, arithmetic on the
+      // tie masses places each boundary (inside a tie run or strictly
+      // between), and a band-partitioned rank window over ~0.2%-of-rows
+      // bands extracts the exact order-statistic KEY (sort value,
+      // user_id) at each cut rank. Heavy tie runs at a cut (e.g. most
+      // users sharing freq=1) are re-bracketed by a second sketch over
+      // the unique user_id, so no band partition exceeds ~2·eps·n rows
+      // in ANY tie regime (ExactNtileSpec pins the bound). Bucket
       // assignment is a pure per-row scalar against those 12 driver-held
       // boundary keys. Rank > cut ⟺ key > boundary key (keys are unique
       // under the user_id tie-break), so the result is bit-identical to
       // ntile. If the sketch bound ever failed, a boundary would vanish
-      // and the require() below fails loudly — never a silent mis-bucket.
+      // and ExactNtile's require() fails loudly — never a silent
+      // mis-bucket.
       Some("""WITH pur AS (
              |  SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
              |         sum(CAST(value AS DECIMAL(18,4))) AS mon
@@ -1265,66 +1264,22 @@ object EventOps {
           .withColumn("sm", col("monetary"))
           .cut(Shared)
         val n = base.count()
-        // ntile(5) cut ranks: first (n mod 5) buckets hold ceil(n/5) rows
-        val cuts = (1 to 4).map(i => i * (n / 5) + math.min(i.toLong, n % 5))
-        val qs = cuts.map(k => k.toDouble / n)
-        def clamp(d: Double) = math.min(1.0, math.max(0.0, d))
+        // exact ntile(5) boundary keys via GK-band refinement, ties
+        // handled arithmetically (graft.functions.ExactNtile — the
+        // round-10 caveat is now implemented there: a heavy tie run at
+        // a cut is bracketed by a SECOND sketch over the unique
+        // user_id, so no band partition ever exceeds ~2·eps·n rows in
+        // any tie regime; bounds spec'd by ExactNtileSpec)
         val measures = Seq("sr", "sf", "sm")
-        // pass 1: one GK sketch per measure (accuracy 10000 ⇒ rank error
-        // ≤ n/10000), read at each cut fraction ∓ 0.001 — the true order
-        // statistic's value is inside [lo, hi] by the GK bound
-        val skCols = measures.flatMap(c => Seq(
-          percentile_approx(col(c),
-            array(qs.map(q => lit(clamp(q - 0.001))): _*), lit(10000))
-            .as(s"lo_$c"),
-          percentile_approx(col(c),
-            array(qs.map(q => lit(clamp(q + 0.001))): _*), lit(10000))
-            .as(s"hi_$c")))
-        val sk = base.agg(skCols.head, skCols.tail: _*).collect()(0)
-        def bands(c: String): Seq[(Double, Double)] = {
-          val lo = sk.getAs[scala.collection.Seq[Double]](s"lo_$c")
-          val hi = sk.getAs[scala.collection.Seq[Double]](s"hi_$c")
-          lo.zip(hi).toSeq
-        }
-        // pass 2: exact strictly-below-band counts, one job for all 12
-        val cltCols = measures.flatMap(c =>
-          bands(c).zipWithIndex.map { case ((lo, _), i) =>
-            sum(when(col(c) < lo, 1L).otherwise(0L)).as(s"clt_${c}_$i")
-          })
-        val clt = base.agg(cltCols.head, cltCols.tail: _*).collect()(0)
-        // pass 3: rank inside each tiny band (band-partitioned window),
-        // pick the exact order-statistic key at each cut rank
-        val bandSpecs = measures.flatMap { c =>
-          bands(c).zipWithIndex.map { case ((lo, hi), i) =>
-            (c, i, lo, hi, cuts(i) - clt.getAs[Long](s"clt_${c}_$i"))
-          }
-        }
-        val picked = base.select(col("user_id"), explode(array(
-            bandSpecs.map { case (c, i, lo, hi, pick) =>
-              struct(lit(c).as("mm"), lit(i).as("b"), col(c).as("s"),
-                lit(lo).as("lo"), lit(hi).as("hi"), lit(pick).as("pick"))
-            }: _*)).as("e"))
-          .select(col("user_id"), col("e.*"))
-          .filter(col("s") >= col("lo") && col("s") <= col("hi"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("mm"), col("b"))
-              .orderBy(col("s"), col("user_id"))).cast("long"))
-          .filter(col("rn") === col("pick"))
-          .select(col("mm"), col("b"), col("s"), col("user_id")).collect()
-        require(picked.length == 12,
-          s"t23: expected 12 quintile boundary keys, got ${picked.length}")
-        val bnd: Map[String, Seq[(Double, Long)]] = picked
-          .groupBy(_.getString(0))
-          .map { case (c, rows) =>
-            c -> rows.sortBy(_.getInt(1))
-              .map(r => (r.getDouble(2), r.getLong(3))).toSeq
-          }
+        val cuts = graft.functions.ExactNtile.ntileCuts(n, 5)
+        val bandSpecs = graft.functions.ExactNtile.bands(
+          base, measures, "user_id", cuts, n)
+        val bnd = graft.functions.ExactNtile.boundaries(
+          base, bandSpecs, "user_id")
         // bucket = 1 + #{cut boundaries strictly before this key} — a
         // pure per-row scalar: no window, no join in the final plan
-        def score(c: String) = bnd(c).foldLeft(lit(1)) { case (acc, (bs, bu)) =>
-          acc + when(col(c) > bs ||
-            (col(c) === bs && col("user_id") > bu), 1).otherwise(0)
-        }
+        def score(c: String) =
+          graft.functions.ExactNtile.bucket(c, "user_id", bnd(c))
         val scored = base
           .withColumn("r", score("sr").cast("int"))
           .withColumn("f", score("sf").cast("int"))
