@@ -40,9 +40,19 @@ object DialectProbe {
       viaDf.diff(viaSql).take(5).foreach(r => println(s"DF-ONLY  $r"))
       spark.stop(); return
     }
+    // `full` mode: also EXECUTE each rewritten text (the spec's actual
+    // gate) so analyzed-but-crashing texts surface with their error
+    val full = args.lift(1).contains("full")
     var ok, rewrittenOk, failed = 0
     SparkEntry.oracleSql.toSeq.sortBy(_._1).foreach { case (name, text) =>
       Try(spark.sql(text).queryExecution.analyzed) match {
+        case Success(_) if full =>
+          Try(spark.sql(text).collect()) match {
+            case Success(_) => ok += 1
+            case Failure(e) =>
+              failed += 1
+              println(s"RAW-EXEC-FAIL $name: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(160)}")
+          }
         case Success(_) => ok += 1
         case Failure(_) if raw =>
           failed += 1
@@ -50,7 +60,10 @@ object DialectProbe {
         case Failure(e0) =>
           graft.plans.DuckDialect.toSpark(text) match {
             case Some(rw) =>
-              Try(spark.sql(rw).queryExecution.analyzed) match {
+              Try {
+                spark.sql(rw).queryExecution.analyzed
+                if (full) spark.sql(rw).collect()
+              } match {
                 case Success(_) => rewrittenOk += 1
                 case Failure(e) =>
                   failed += 1

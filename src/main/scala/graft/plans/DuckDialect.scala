@@ -39,9 +39,12 @@ package graft.plans
   *      subscript base (1 vs 0), so subscripts are left for the parser
   *      to reject rather than silently shifted
   *
-  * Not attempted (left to fail parse): `QUALIFY`, `time_bucket`,
-  * `quantile_disc`, stepped `range`, struct/list subscripting — the
-  * genuinely-DuckDB remainder.
+  * Not attempted (left to fail parse or fail loudly): recursive CTEs
+  * with distinct UNION (Spark requires UNION ALL), generators nested in
+  * expressions, DuckDB PIVOT, `read_csv`/`read_json` table functions,
+  * `UNION ALL BY NAME`, MAP literals, and a handful of comprehension
+  * shapes the bracket pass cannot prove — the genuinely-DuckDB
+  * remainder (19 of 336 texts at round 11).
   */
 object DuckDialect {
 
@@ -81,6 +84,16 @@ object DuckDialect {
       { case a :: Nil => Some(s"encode($a, 'UTF-8')"); case _ => None })
     s = rewriteCalls(s, "epoch_us", // CAST lifts DATE args like DuckDB does
       { case a :: Nil => Some(s"unix_micros(CAST($a AS TIMESTAMP))"); case _ => None })
+    s = rewriteCalls(s, "regexp_replace", // DuckDB backrefs are \1;
+      // Spark's (Java's) are $1 — a literal "\1" replacement silently
+      // substitutes the CHARACTER 1 (caught by d2_bpe parity). Only a
+      // quoted replacement literal is touched. Backslashes were doubled
+      // by the in-literal escape pass above, hence the \\\\ match.
+      { case a :: b :: c :: rest if c.trim.startsWith("'") &&
+            "\\\\\\\\[0-9]".r.findFirstIn(c).isDefined =>
+          val fixed = c.replaceAll("\\\\\\\\([0-9])", "\\$$1")
+          Some(s"regexp_replace($a,$b,$fixed${rest.map("," + _).mkString})")
+        case _ => None })
     s = rewriteCalls(s, "regexp_replace", // DuckDB 'g' flag = Spark default
       { case a :: b :: c :: g :: Nil if g.trim.equalsIgnoreCase("'g'") =>
           Some(s"regexp_replace($a,$b,$c)")
@@ -128,7 +141,27 @@ object DuckDialect {
       { case a :: d :: Nil if d.trim == "1" => Some(s"sequence(1, size($a))")
         case _ => None })
     s = mapNonString(s, _.replaceAll("(?i)\\bHUGEINT\\b", "BIGINT"))
+    // the minhash LCG multiplier: DuckDB promotes INTEGER products to
+    // BIGINT silently; Spark ANSI throws on the 32-bit overflow of
+    // (2*seed+1) * 1103515245 — pin the constant wide
+    s = mapNonString(s, _.replaceAll("\\b1103515245\\b", "CAST(1103515245 AS BIGINT)"))
     s = rewriteCalls(s, "list", orderedList)
+    s = rewriteCalls(s, "quantile_cont", // DuckDB's interpolated quantile
+      // == Spark's exact percentile (both linear-interpolate)
+      { case x :: q :: Nil => Some(s"percentile(($x), ($q))"); case _ => None })
+    s = rewriteCalls(s, "grouping", // multi-arg GROUPING bitmask: DuckDB's
+      // GROUPING(a,b) == Spark's grouping_id(a,b) (same bit order,
+      // rightmost arg = LSB); 1-arg grouping() parses natively
+      { case args if args.size >= 2 =>
+          Some(s"grouping_id(${args.mkString(",")})")
+        case _ => None })
+    s = hexCastToConv(s)
+    s = rewriteCalls(s, "regexp_extract_all", // DuckDB's 2-arg form
+      // returns FULL matches (group 0); Spark's defaults to group 1 and
+      // throws on group-free patterns — pin the group explicitly
+      { case a :: p :: Nil => Some(s"regexp_extract_all($a, $p, 0)")
+        case _ => None })
+    s = filterOverToCase(s)
     s = qualifyTopN(s)
     // DuckDB reads parquet straight from a quoted path; Spark spells it
     // with the format-qualified backtick identifier
@@ -141,6 +174,17 @@ object DuckDialect {
     s = mapNonString(s, _.replaceAll("(?i)\\s+IGNORE\\s+NULLS\\s*\\)", ") IGNORE NULLS"))
     s = mapNonString(s, renamesAndDiv)
     s = rewriteBrackets(s)
+    // AFTER rewriteBrackets (which spells v[r.range] as element_at): the
+    // FROM range(...) TVF column is BIGINT, Spark's element_at demands
+    // INT ordinals. Only a column literally NAMED range is cast — a map
+    // key must NOT be
+    for (fn <- Seq("element_at", "try_element_at"))
+      s = rewriteCalls(s, fn,
+        { case a :: b :: Nil
+            if b.trim.equalsIgnoreCase("range") ||
+               b.trim.toLowerCase.endsWith(".range") =>
+            Some(s"$fn(($a), CAST(($b) AS INT))")
+          case _ => None })
     if (s == sql) None else Some(s)
   }
 
@@ -179,9 +223,18 @@ object DuckDialect {
         // for Spark's string-literal escaping ('\\.' parses to \.)
         val esc = lit.flatMap(c => if (RegexMeta(c)) s"\\\\$c" else c.toString)
         Some(s"split($s, '$esc')")
-      } else None // non-literal separator: can't regex-escape textually
+      } else t match {
+        // chr(N) separator: the produced char reaches Spark's split as a
+        // regex — safe verbatim iff that codepoint is not a regex
+        // metacharacter (control chars like the chr(1) BPE joiner are)
+        case ChrCall(n) if n.toInt < 128 && !RegexMeta(n.toInt.toChar) =>
+          Some(s"split($s, $t)")
+        case _ => None // non-literal separator: can't regex-escape textually
+      }
     case _ => None
   }
+
+  private val ChrCall = """(?i)^chr\(\s*(\d+)\s*\)$""".r
 
   /** strftime %-codes → java.time pattern letters (the subset the corpus
     * uses; an unmapped % code vetoes the rewrite). */
@@ -303,6 +356,101 @@ object DuckDialect {
   /** The one QUALIFY shape the corpus uses — `FROM t QUALIFY
     * row_number() OVER (…) <= n` — becomes the standard subquery
     * spelling (Spark has no QUALIFY clause). */
+  /** DuckDB's md5-prefix integerization `('0x' || hex)::BIGINT` (and the
+    * `CAST(… AS BIGINT)` spelling): Spark's CAST rejects 0x-prefixed
+    * strings at runtime, but `conv(hex, 16, 10)` is its native base-16
+    * read — exact up to 2^64, and the corpus's 15-hex-digit (60-bit)
+    * md5 prefixes are well inside that. */
+  private val Hex0x = """\(\s*'0x'\s*\|\|""".r
+  private def hexCastToConv(sql: String): String = {
+    val ms = Hex0x.findAllMatchIn(sql).toList
+    ms.reverse.foldLeft(sql) { (s, m) =>
+      splitArgs(s, m.start) match {
+        case Some((end, arg :: Nil)) =>
+          val expr = arg.trim.stripPrefix("'0x'").trim.stripPrefix("||")
+          var j = end
+          while (j < s.length && s(j).isWhitespace) j += 1
+          if (s.regionMatches(true, j, "::BIGINT", 0, 8))
+            s.substring(0, m.start) +
+              s"CAST(conv($expr, 16, 10) AS BIGINT)" + s.substring(j + 8)
+          else if (s.regionMatches(true, j, "AS BIGINT", 0, 9)) {
+            // the CAST(('0x' || E) AS BIGINT) spelling: verify the inner
+            // group is CAST's own argument, then swap the whole CAST
+            var k = m.start - 1
+            while (k >= 0 && s(k).isWhitespace) k -= 1
+            if (k >= 0 && s(k) == '(') {
+              var c = k - 1
+              while (c >= 0 && s(c).isWhitespace) c -= 1
+              if (c >= 3 && s.regionMatches(true, c - 3, "CAST", 0, 4)) {
+                var e2 = j + 9
+                while (e2 < s.length && s(e2).isWhitespace) e2 += 1
+                if (e2 < s.length && s(e2) == ')')
+                  s.substring(0, c - 3) +
+                    s"CAST(conv($expr, 16, 10) AS BIGINT)" +
+                    s.substring(e2 + 1)
+                else s
+              } else s
+            } else s
+          } else s
+        case _ => s
+      }
+    }
+  }
+
+  /** `AGG(args) FILTER (WHERE cond) OVER …` → `AGG(CASE WHEN cond THEN
+    * args END) OVER …`. Spark's SQL supports the FILTER clause on plain
+    * aggregates but rejects it on WINDOW aggregates ("Window aggregate
+    * function with filter predicate is not supported yet"); the CASE
+    * form is the standard equivalent — the aggregate sees exactly the
+    * qualifying rows (count(*) counts a non-null marker). Non-window
+    * FILTER is left alone. Allow-listed aggregates only; any shape the
+    * backward call scan can't prove is left unchanged. */
+  private def filterOverToCase(sql: String): String = {
+    val aggs = Set("count", "sum", "avg", "min", "max")
+    callSites(sql, "FILTER").sortBy(-(_: Int)).foldLeft(sql) { (s, at) =>
+      splitArgs(s, at + "FILTER".length) match {
+        case Some((fEnd, fArgs)) if fArgs.nonEmpty &&
+            fArgs.mkString(",").trim.toUpperCase.startsWith("WHERE") =>
+          val cond = fArgs.mkString(",").trim.drop(5)
+          var j = fEnd
+          while (j < s.length && s(j).isWhitespace) j += 1
+          if (!s.regionMatches(true, j, "OVER", 0, 4)) s
+          else {
+            // backward: ... name ( args ) FILTER — balance the call parens
+            var k = at - 1
+            while (k >= 0 && s(k).isWhitespace) k -= 1
+            if (k < 0 || s(k) != ')') s
+            else {
+              var depth = 0; var m = k
+              while (m >= 0 && {
+                val c = s(m)
+                if (c == ')') depth += 1 else if (c == '(') depth -= 1
+                depth != 0
+              }) m -= 1
+              if (m < 0) s
+              else {
+                val argStr = s.substring(m + 1, k)
+                var e = m - 1
+                while (e >= 0 && s(e).isWhitespace) e -= 1
+                var b = e
+                while (b >= 0 && (s(b).isLetterOrDigit || s(b) == '_')) b -= 1
+                val fname = s.substring(b + 1, e + 1).toLowerCase
+                if (!aggs(fname)) s
+                else {
+                  val newArg =
+                    if (fname == "count" && argStr.trim == "*")
+                      s"CASE WHEN $cond THEN 1 END"
+                    else s"CASE WHEN $cond THEN $argStr END"
+                  s.substring(0, b + 1) + s"$fname($newArg)" + s.substring(fEnd)
+                }
+              }
+            }
+          }
+        case _ => s
+      }
+    }
+  }
+
   private def qualifyTopN(sql: String): String =
     QualifyRn.replaceAllIn(sql, m =>
       java.util.regex.Matcher.quoteReplacement(
@@ -497,8 +645,15 @@ object DuckDialect {
                   out.setLength(b)
                   out ++= s"slice($base, ($lo), ($hi) - ($lo) + 1)"
                 case _ =>
+                  // try_element_at: DuckDB subscripts yield NULL out of
+                  // bounds AND at index 0; Spark throws for both, and
+                  // try_element_at still throws on literal 0 — a NULLIF
+                  // guard restores DuckDB's 0→NULL (string map keys keep
+                  // the bare form: NULLIF('k', 0) would not type-check)
                   out.setLength(b)
-                  out ++= s"element_at($base, $inner)"
+                  val idx = if (inner.trim.startsWith("'")) inner
+                            else s"nullif($inner, 0)"
+                  out ++= s"try_element_at($base, $idx)"
               }
               i = end + 1
             case _ => out += '['; stack ::= false; i += 1

@@ -83,7 +83,7 @@ class SqlParitySpec extends AnyFunSuite {
       s"only ${ran.length} oracle texts ran through spark.sql — front door untested")
   }
 
-  test("DuckDB-dialect oracle texts, machine-rewritten to ANSI, also match (>=150 required)") {
+  test("DuckDB-dialect oracle texts, machine-rewritten to ANSI, also match (>=200 required)") {
     registerViews()
     var ran = List.empty[String]
     var skipped = List.empty[String]
@@ -108,7 +108,7 @@ class SqlParitySpec extends AnyFunSuite {
     info(s"dialect parity: ${ran.length} rewritten texts ran; " +
       s"${skipped.length} rewritten-but-unparseable stay skipped")
     assert(bad.isEmpty, s"rewritten-SQL-vs-DataFrame mismatches:\n${bad.mkString("\n")}")
-    assert(ran.length >= 150,
+    assert(ran.length >= 200,
       s"only ${ran.length} rewritten texts ran — the dialect shim regressed")
   }
 
