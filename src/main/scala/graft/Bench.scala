@@ -54,7 +54,9 @@ object Bench {
     // Frozen per-query medians from BASELINE.md — the values the driver's
     // 2x gate compares against. Parsing the human table keeps ONE source
     // of truth: a re-freeze edits exactly one place.
-    val frozen: Map[String, Double] = {
+    val frozen: Map[String, Double] = if (!sfDir.contains("sf0.1")) Map.empty else {
+      // frozen rows price sf0.1 only — at other SFs the 1.5x comparison
+      // is meaningless and would resample every row of a scale sweep
       val row = "\\| ([a-z0-9_]+) \\| ([0-9.]+) \\|".r
       try {
         val p = Seq("BASELINE.md", "/root/repo/BASELINE.md")

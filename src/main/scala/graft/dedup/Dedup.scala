@@ -284,58 +284,13 @@ object Dedup {
       shingleWidth: Int = 3,
       minJaccard: Double = 0.5
   ): DataFrame = {
-    val exploded = docs
-      .select(col("doc_id"),
-        explode(Text.shingles(Text.tokenize(col("text")), shingleWidth)).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .distinct()
-      .cut(Shared) // feeds the df count and the df join — one tokenize
-    val df = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    // ONE per-doc aggregate yields everything at once: the (df, shingle)
-    // canonical-sorted array gives the prefix (a slice), the verify set
-    // (a transform) and the size — no window passes, and one
-    // materialization (the per-doc index at scale) feeds the candidate
-    // join and both verify sides
-    val perDoc = exploded.join(df, Seq("shingle"))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("arr"))
-      .select(col("doc_id"),
-        expr("transform(arr, x -> x.shingle)").as("set"),
-        size(col("arr")).as("n_sh"),
-        expr(s"""transform(
-                   slice(arr, 1, cast(size(arr) - ceil(size(arr) * $minJaccard)
-                                      + 1 as int)),
-                   x -> x.shingle)""").as("prefix"))
-      .cut(Shared)
-    // PPJoin+ candidate generation (round 10): the prefix relation also
-    // carries each shingle's 0-based POSITION in the doc's canonical
-    // array and the doc's set size, enabling two further LOSSLESS prunes
-    // inside the self-join — before the candidate distinct/verify ever
-    // materializes the pair:
-    //   - length filter: Jaccard >= t forces t·|x| <= |y| <= |x|/t, so
-    //     size-mismatched docs sharing a rare prefix shingle generate no
-    //     candidate at all;
-    //   - position filter (the PPJoin "+"): matching at positions
-    //     (px, py) bounds the overlap above by 1 + min(na-px-1, nb-py-1)
-    //     (everything before the match is disjoint by canonical order);
-    //     if that bound already misses the required overlap
-    //     α = ⌈t·(na+nb)/(1+t)⌉ (Jaccard>=t ⟺ inter >= α), the pair is
-    //     dead on arrival.
-    // Both prunes cut the candidate volume the sf10 sweep showed to be
-    // the shuffle-spill driver — the filters run inside the join's
-    // generated code, so pruned pairs never reach the exchange feeding
-    // the distinct. The oracle hash proves losslessness on real data.
-    val prefix = perDoc.select(col("doc_id"), col("n_sh"),
-      posexplode(col("prefix")).as(Seq("pos", "shingle")))
-    val t = minJaccard
+    val perDoc = prefixIndex(docs, shingleWidth, minJaccard)
+    // PPJoin+ candidate generation: length + position prunes live in
+    // the join condition (see ppjoinCond), so pruned pairs never reach
+    // the exchange feeding the distinct
+    val prefix = prefixPostings(perDoc)
     val cands = prefix.as("x")
-      .join(prefix.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id") &&
-          col("y.n_sh") * lit(t) <= col("x.n_sh") &&
-          col("x.n_sh") * lit(t) <= col("y.n_sh") &&
-          (lit(1) + least(col("x.n_sh") - col("x.pos") - 1,
-                          col("y.n_sh") - col("y.pos") - 1)) >=
-            ceil(lit(t) * (col("x.n_sh") + col("y.n_sh")) / lit(1 + t)))
+      .join(prefix.as("y"), ppjoinCond(minJaccard))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     cands
@@ -348,6 +303,68 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** The PPJoin per-doc index: the (df, shingle) canonical-sorted array
+    * gives the prefix (a slice), the verify set (a transform) and the
+    * size in ONE per-doc aggregate — no window passes, and one
+    * materialization (the per-doc index at scale) feeds the candidate
+    * join and both verify sides. Shared with the candidate-volume
+    * recount diagnostic (`graft.CandCount`) so SCALING.md's counts
+    * measure exactly the production join. */
+  private[graft] def prefixIndex(
+      docs: DataFrame, shingleWidth: Int, minJaccard: Double): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"),
+        explode(Text.shingles(Text.tokenize(col("text")), shingleWidth)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .distinct()
+      .cut(Shared) // feeds the df count and the df join — one tokenize
+    val df = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    exploded.join(df, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("arr"))
+      .select(col("doc_id"),
+        expr("transform(arr, x -> x.shingle)").as("set"),
+        size(col("arr")).as("n_sh"),
+        expr(s"""transform(
+                   slice(arr, 1, cast(size(arr) - ceil(size(arr) * $minJaccard)
+                                      + 1 as int)),
+                   x -> x.shingle)""").as("prefix"))
+      .cut(Shared)
+  }
+
+  /** Position-carrying prefix postings of [[prefixIndex]]. */
+  private[graft] def prefixPostings(perDoc: DataFrame): DataFrame =
+    perDoc.select(col("doc_id"), col("n_sh"),
+      posexplode(col("prefix")).as(Seq("pos", "shingle")))
+
+  /** PPJoin+ candidate join condition over two [[prefixPostings]] sides
+    * aliased `x`/`y`: shared prefix shingle + doc-id dedup order, plus
+    * the two LOSSLESS prunes (switchable so the recount diagnostic can
+    * price each filter's contribution):
+    *   - length filter: Jaccard >= t forces t·|x| <= |y| <= |x|/t;
+    *   - position filter (the PPJoin "+"): matching at positions
+    *     (px, py) bounds the overlap above by 1 + min(na-px-1, nb-py-1)
+    *     (everything before the match is disjoint by canonical order);
+    *     if that bound misses the required overlap
+    *     α = ⌈t·(na+nb)/(1+t)⌉ (Jaccard>=t ⟺ inter >= α), the pair is
+    *     dead on arrival.
+    * Both prunes run inside the join's generated code, so pruned pairs
+    * never reach the exchange feeding the candidate distinct. */
+  private[graft] def ppjoinCond(
+      t: Double,
+      lengthFilter: Boolean = true,
+      positionFilter: Boolean = true): Column = {
+    val base = col("x.shingle") === col("y.shingle") &&
+      col("x.doc_id") < col("y.doc_id")
+    val len = col("y.n_sh") * lit(t) <= col("x.n_sh") &&
+      col("x.n_sh") * lit(t) <= col("y.n_sh")
+    val pos = (lit(1) + least(col("x.n_sh") - col("x.pos") - 1,
+                              col("y.n_sh") - col("y.pos") - 1)) >=
+      ceil(lit(t) * (col("x.n_sh") + col("y.n_sh")) / lit(1 + t))
+    Seq(Some(base), if (lengthFilter) Some(len) else None,
+      if (positionFilter) Some(pos) else None).flatten.reduce(_ && _)
   }
 
   /** 32-bit SimHash over tokens: per-bit majority vote of token-hash bits,
