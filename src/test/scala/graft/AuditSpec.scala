@@ -121,6 +121,32 @@ class AuditSpec extends AnyFunSuite {
       s"queries with no digest (Q-block not found): ${undigested.mkString(", ")}")
   }
 
+  test("helper-file edits re-digest the queries that reference them") {
+    // the round-10 gap, demonstrated closed: the PPJoin+ edit to
+    // Dedup.scala re-priced d5_jaccard_prefix without tripping the old
+    // Q-block-only digest. Simulate exactly that edit class on a copy
+    // of the tree: ANY change to Dedup.scala must change the digest of
+    // every query referencing Dedup, and no unrelated query's.
+    val root = repo.resolve("src/main/scala/graft")
+    val tmp = Files.createTempDirectory("graft_fd")
+    scalaFiles(root).foreach { p =>
+      val dest = tmp.resolve(root.relativize(p).toString)
+      Files.createDirectories(dest.getParent)
+      Files.copy(p, dest)
+    }
+    val before = graft.FreezeDigests.digests(tmp)
+    val dedup = tmp.resolve("dedup/Dedup.scala")
+    Files.writeString(dedup,
+      new String(Files.readAllBytes(dedup), "UTF-8") + "\n// helper edit\n")
+    val after = graft.FreezeDigests.digests(tmp)
+    assert(before("d5_jaccard_prefix") != after("d5_jaccard_prefix"),
+      "a Dedup.scala edit no longer trips the d5_jaccard_prefix digest")
+    assert(before("d5_minhash_pairs") != after("d5_minhash_pairs"))
+    // an unrelated query (no Dedup reference) keeps its digest
+    assert(before("w2_ntile") == after("w2_ntile"))
+    assert(before("tpch_q12") == after("tpch_q12"))
+  }
+
   test("no unjustified driver materialization outside the audited files") {
     // raw .checkpoint() must also route through Materialize.cut(Iter):
     // the reliable path needs the checkpoint-dir bootstrap and the audit

@@ -807,4 +807,81 @@ class StreamingSpec extends AnyFunSuite {
     val want = Streams.tumblingCounts(fixture.toDF()).count()
     assert(spark.table("t8_sink").count() == want)
   }
+
+  test("heavy-hitters kill-restart: replayed MG state matches the uninterrupted run and the exact recount") {
+    import spark.implicits._
+    // The FOURTH stateful family under the commit-marker crash recipe
+    // (sessions, windowed agg, funnel — now the sharded Misra-Gries
+    // sketch with its gen-counter snapshots). The crash window is the
+    // same: offsets/<N> written, commits/<N> missing; restart replays
+    // batch N against state version N-1. Both the state (shard counter
+    // maps) and the gen counters must come back deterministically: the
+    // replayed batch re-folds the same rows into the same recovered map
+    // and re-emits an IDENTICAL snapshot row, so the max-gen row per
+    // shard — the sketch a consumer reads — is bit-equal to the
+    // uninterrupted twin's.
+    val tokens = graft.sources.Tables(spark, sf).documents
+      .select(explode(graft.functions.Text.tokenize(col("text"))).as("t"))
+      .as[String].collect().toSeq
+    val batches = tokens.grouped((tokens.size + 2) / 3).toSeq
+    def mkDirs() = {
+      val b = java.nio.file.Files.createTempDirectory("graft_mg_kill").toString
+      (s"$b/src", s"$b/out", s"$b/ckpt")
+    }
+    def drain(srcDir: String, outDir: String, ckptDir: String): Unit = {
+      val q = Streams.heavyHittersStream(
+          spark.readStream.schema("t STRING").parquet(srcDir).as[String],
+          shards = 8, k = 64)
+        .toDF().writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(outDir)
+        }
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def finalSnaps(outDir: String): Map[Int, (Long, Seq[(String, Long)])] =
+      spark.read.parquet(outDir).as[Streams.MgSnap].collect()
+        .groupBy(_.shard).map { case (sh, ss) =>
+          val top = ss.maxBy(_.gen)
+          sh -> (top.gen, top.terms.zip(top.lbs).toSeq)
+        }
+    val (src, out, ckpt) = mkDirs()
+    batches(0).toDF("t").write.mode("append").parquet(src)
+    drain(src, out, ckpt)
+    batches(1).toDF("t").write.mode("append").parquet(src)
+    drain(src, out, ckpt)
+    // KILL: drop the newest commit marker — the exact crash window
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    assert(commits.last.delete(), "could not remove the commit marker")
+    if (crc.exists()) crc.delete()
+    drain(src, out, ckpt) // replay batch 1 against state version 0
+    batches(2).toDF("t").write.mode("append").parquet(src)
+    drain(src, out, ckpt)
+    // uninterrupted twin — same micro-batch boundaries (gen counts
+    // micro-batches, so the twin must see three, not a coalesced two)
+    val (src2, out2, ckpt2) = mkDirs()
+    batches.foreach { b =>
+      b.toDF("t").write.mode("append").parquet(src2)
+      drain(src2, out2, ckpt2)
+    }
+    val killed = finalSnaps(out)
+    assert(killed == finalSnaps(out2),
+      "post-kill MG snapshots diverged from the uninterrupted run")
+    // and the recovered sketch still satisfies the exact-oracle contract
+    // that a6_heavy_hitters_stream hash-checks: candidates have no false
+    // negatives above the n/(k+1) bar, and the pass-2 exact recount of
+    // the candidates IS the exact heavy-hitter set
+    val cands = killed.values.flatMap(_._2.map(_._1)).toSet
+    val n = tokens.size
+    val counts = tokens.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = counts.filter { case (_, c) => c * 50 > n }.keySet
+    assert(want.nonEmpty && want.subsetOf(cands), s"missing: ${want -- cands}")
+    assert(cands.filter(t => counts(t) * 50 > n) == want)
+  }
 }
