@@ -134,12 +134,41 @@ object Dedup {
       rowsPerBand: Int = 2,
       minEstJaccard: Double = 0.5
   ): DataFrame = {
-    val nBands = numHashes / rowsPerBand
     // materialize the signatures ONCE: they feed both sides of the band
     // self-join below, and without a cut Spark re-derives the whole
     // shingle->hash->min pipeline (the expensive corpus scan) per side.
-    // At 100 TB this is a persisted signatures table.
-    val sigs = minhashSignatures(docs, shingleWidth, numHashes).cut(Shared)
+    // At 100 TB this is a persisted signatures table (see [[writeIndex]]
+    // / [[minhashPairsFromSignatures]] — the d5_lsh_persisted leg).
+    minhashPairsFromSignatures(
+      minhashSignatures(docs, shingleWidth, numHashes).cut(Shared),
+      numHashes, rowsPerBand, minEstJaccard)
+  }
+
+  /** Ingest-time write of the dedup backbone: the per-doc MinHash
+    * signature table as parquet (DEPLOY.md §3 bullet 2). A production
+    * pipeline writes this ONCE per ingest; every near-dup query then
+    * plans from the index and never re-scans the corpus text —
+    * `d5_lsh_persisted` is the hash-checked proof (same rows as the
+    * live `d5_minhash_pairs`, plan contains a parquet scan of the index
+    * and zero md5/tokenize work). */
+  def writeIndex(
+      docs: DataFrame,
+      path: String,
+      shingleWidth: Int = 3,
+      numHashes: Int = 16): Unit =
+    minhashSignatures(docs, shingleWidth, numHashes)
+      .write.mode("overwrite").parquet(path)
+
+  /** The band-join half of [[minhashPairs]], from an existing
+    * `(doc_id, sig)` signature relation — live (cut) or persisted
+    * (parquet index read back). Bit-identical output either way. */
+  def minhashPairsFromSignatures(
+      sigs: DataFrame,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 2,
+      minEstJaccard: Double = 0.5
+  ): DataFrame = {
+    val nBands = numHashes / rowsPerBand
     val bands = sigs.select(col("doc_id"), col("sig"),
         // "," separator: numeric components would otherwise collide on
         // concatenation ("12"+"3" == "1"+"23")

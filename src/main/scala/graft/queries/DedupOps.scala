@@ -42,6 +42,44 @@ object DedupOps {
        |  FROM toks WHERE len(tokens) >= 3
        |)""".stripMargin
 
+  /** Shared by d5_minhash_pairs (live) and d5_lsh_persisted (index):
+    * persistence is transparent, so ONE oracle checks both legs. */
+  private val minhashPairsOracle: Option[String] =
+    Some(s"""WITH $shinglesCte,
+              |sigs AS (
+              |  -- same universal-hash family as Dedup.minhashSignatures:
+              |  -- h_seed(x) = (x*a + b) mod P over the 60-bit md5 prefix
+              |  SELECT doc_id, seed,
+              |         min(((('0x' || substring(md5(shingle), 1, 15))::BIGINT
+              |                % 2147483647)
+              |              * (((2 * seed + 1) * 1103515245) % 2147483647)
+              |              + ((seed * 40503 + 12345) % 2147483647))
+              |             % 2147483647) AS sig
+              |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed)
+              |  GROUP BY doc_id, seed
+              |),
+              |bands AS (
+              |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+              |         string_agg(sig::VARCHAR, ',' ORDER BY sig) AS band_key
+              |  FROM sigs GROUP BY doc_id, band
+              |),
+              |cands AS (
+              |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              |  FROM bands x JOIN bands y
+              |    ON x.band = y.band AND x.band_key = y.band_key
+              |   AND x.doc_id < y.doc_id
+              |)
+              |SELECT c.a, c.b,
+              |       sum(CASE WHEN sx.sig = sy.sig THEN 1 ELSE 0 END) / 8.0
+              |         AS est_jaccard
+              |FROM cands c
+              |JOIN sigs sx ON sx.doc_id = c.a
+              |JOIN sigs sy ON sy.doc_id = c.b AND sy.seed = sx.seed
+              |GROUP BY c.a, c.b
+              |HAVING est_jaccard >= 0.5
+              |ORDER BY ALL NULLS FIRST""".stripMargin)
+
+
   /** Shared DuckDB CTE chain (requires `WITH RECURSIVE` + [[shinglesCte]]
     * in scope): MinHash signatures → LSH bands → verified pairs →
     * symmetric edges → recursive reachability → per-doc cluster
@@ -1023,45 +1061,40 @@ object DedupOps {
     ),
     Q(
       "d5_minhash_pairs",
-      Some(s"""WITH $shinglesCte,
-              |sigs AS (
-              |  -- same universal-hash family as Dedup.minhashSignatures:
-              |  -- h_seed(x) = (x*a + b) mod P over the 60-bit md5 prefix
-              |  SELECT doc_id, seed,
-              |         min(((('0x' || substring(md5(shingle), 1, 15))::BIGINT
-              |                % 2147483647)
-              |              * (((2 * seed + 1) * 1103515245) % 2147483647)
-              |              + ((seed * 40503 + 12345) % 2147483647))
-              |             % 2147483647) AS sig
-              |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed)
-              |  GROUP BY doc_id, seed
-              |),
-              |bands AS (
-              |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-              |         string_agg(sig::VARCHAR, ',' ORDER BY sig) AS band_key
-              |  FROM sigs GROUP BY doc_id, band
-              |),
-              |cands AS (
-              |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-              |  FROM bands x JOIN bands y
-              |    ON x.band = y.band AND x.band_key = y.band_key
-              |   AND x.doc_id < y.doc_id
-              |)
-              |SELECT c.a, c.b,
-              |       sum(CASE WHEN sx.sig = sy.sig THEN 1 ELSE 0 END) / 8.0
-              |         AS est_jaccard
-              |FROM cands c
-              |JOIN sigs sx ON sx.doc_id = c.a
-              |JOIN sigs sy ON sy.doc_id = c.b AND sy.seed = sx.seed
-              |GROUP BY c.a, c.b
-              |HAVING est_jaccard >= 0.5
-              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      minhashPairsOracle,
       (spark, dir) => {
         val t = Tables(spark, dir)
         val docs = t.documents.select(col("doc_id"), col("text"))
         ordered(
           Dedup.minhashPairs(docs, shingleWidth = 3, numHashes = 8,
             rowsPerBand = 2, minEstJaccard = 0.5)
+        )
+      }
+    ),
+    Q(
+      "d5_lsh_persisted",
+      // PERSISTED DEDUP BACKBONE (DEPLOY.md paragraph 3 bullet 2, the
+      // d5 twin of s18_cbo_persisted): Dedup.writeIndex writes the
+      // per-doc MinHash signature table ONCE (the ingest-time artifact a
+      // 100 TB pipeline maintains), then the band join + estimate plan
+      // FROM THE PARQUET INDEX — query time never touches the corpus
+      // text (ScaleShapeSpec pins the plan: a parquet scan of the index,
+      // zero md5/tokenize). Output is bit-identical to the live
+      // d5_minhash_pairs, so the same oracle hash-checks BOTH legs —
+      // proving persistence is transparent, exactly the property that
+      // lets ingest amortize the signature scan across every downstream
+      // near-dup query. The demo pays the index write inside the query;
+      // production writes once per ingest.
+      minhashPairsOracle,
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val docs = t.documents.select(col("doc_id"), col("text"))
+        val idx = java.nio.file.Files.createTempDirectory("graft_lsh_idx")
+          .resolve("signatures").toString
+        Dedup.writeIndex(docs, idx, shingleWidth = 3, numHashes = 8)
+        ordered(
+          Dedup.minhashPairsFromSignatures(spark.read.parquet(idx),
+            numHashes = 8, rowsPerBand = 2, minEstJaccard = 0.5)
         )
       }
     ),

@@ -33,20 +33,28 @@ class MaterializeSpec extends AnyFunSuite {
     } finally sys.props.remove("graft.reliable")
   }
 
-  test("d5_dedup_clusters is hash-identical under SPARK_GRAFT_RELIABLE") {
-    val local = rows("d5_dedup_clusters")
-    sys.props("graft.reliable") = "1"
-    val reliableRows =
-      try rows("d5_dedup_clusters")
-      finally {
-        sys.props.remove("graft.reliable")
-        // persisted Shared cuts from the reliable run are test-scoped;
-        // free them so later suites see a clean executor
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-      }
-    assert(local.nonEmpty)
-    assert(local == reliableRows,
-      s"reliable path diverged: ${local.size} vs ${reliableRows.size} rows")
-  }
+  // One chain per Iter-cut family: d5_dedup_clusters (CC min-label loop
+  // + Shared signature/posting cuts, dedup/Dedup.scala),
+  // d2_bpe_merges (the BPE merge-round var-reassignment loop,
+  // queries/TextOps.scala), d6_kmeans_lloyd (the Lloyd assignment cut
+  // inside the iteration, queries/VectorOps.scala). Together they
+  // exercise Shared persist + Iter checkpoint across all three loop
+  // disciplines the audit table records.
+  for (q <- Seq("d5_dedup_clusters", "d2_bpe_merges", "d6_kmeans_lloyd"))
+    test(s"$q is hash-identical under SPARK_GRAFT_RELIABLE") {
+      val local = rows(q)
+      sys.props("graft.reliable") = "1"
+      val reliableRows =
+        try rows(q)
+        finally {
+          sys.props.remove("graft.reliable")
+          // persisted Shared cuts from the reliable run are test-scoped;
+          // free them so later suites see a clean executor
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
+      assert(local.nonEmpty)
+      assert(local == reliableRows,
+        s"reliable path diverged: ${local.size} vs ${reliableRows.size} rows")
+    }
 }

@@ -665,4 +665,33 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(got.except(want).isEmpty && want.except(got).isEmpty,
       "GK-boundary buckets diverge from ntile(5)")
   }
+
+  test("persisted LSH index: the band query plans from parquet, never the corpus") {
+    // DEPLOY.md §3 bullet 2, proven at the plan level (the d5 twin of
+    // the s18_cbo_persisted discipline): after Dedup.writeIndex, the
+    // near-dup query's plan is a parquet scan of the signature index +
+    // the band join — zero md5/tokenize work, i.e. query time never
+    // re-scans corpus text. Rows are bit-identical to the live leg, so
+    // persistence is transparent (d5_lsh_persisted hash-checks this
+    // against the shared DuckDB oracle too).
+    val docs = graft.sources.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_lsh_idx_spec")
+      .resolve("signatures").toString
+    graft.dedup.Dedup.writeIndex(docs, idx, shingleWidth = 3, numHashes = 8)
+    val fromIdx = graft.dedup.Dedup.minhashPairsFromSignatures(
+      spark.read.parquet(idx), numHashes = 8, rowsPerBand = 2,
+      minEstJaccard = 0.5)
+    val fromIdxRows = fromIdx.collect().map(_.toString).sorted.toSeq
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("parquet"),
+      s"index leg does not scan the persisted index:\n$plan")
+    assert(!plan.toLowerCase.contains("md5"),
+      "index leg re-derives signatures at query time")
+    val live = graft.dedup.Dedup
+      .minhashPairs(docs, shingleWidth = 3, numHashes = 8, rowsPerBand = 2,
+        minEstJaccard = 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromIdxRows == live, "persisted index diverged from the live leg")
+  }
 }
