@@ -172,6 +172,10 @@ object DuckDialect {
     s = mapNonString(s, _.replaceAll("\\*\\s*1\\.0\\s*/", "* CAST(1.0 AS DOUBLE) /"))
     // DuckDB puts IGNORE NULLS inside the call parens; Spark after them
     s = mapNonString(s, _.replaceAll("(?i)\\s+IGNORE\\s+NULLS\\s*\\)", ") IGNORE NULLS"))
+    // ANSI double-quoted IDENTIFIERS in alias position: Spark spells
+    // them with backticks ("O" would parse as a string literal or not
+    // at all). Alias position only — a bare "x" elsewhere stays put.
+    s = mapNonString(s, _.replaceAll("(?i)\\bAS\\s+\"([^\"]+)\"", "AS `$1`"))
     s = mapNonString(s, renamesAndDiv)
     s = rewriteBrackets(s)
     // AFTER rewriteBrackets (which spells v[r.range] as element_at): the
