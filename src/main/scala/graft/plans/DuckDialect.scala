@@ -44,7 +44,7 @@ package graft.plans
   * expressions, DuckDB PIVOT, `read_csv`/`read_json` table functions,
   * `UNION ALL BY NAME`, MAP literals, and a handful of comprehension
   * shapes the bracket pass cannot prove — the genuinely-DuckDB
-  * remainder (19 of 336 texts at round 11).
+  * remainder (18 of 337 texts at round 11).
   */
 object DuckDialect {
 
@@ -644,10 +644,16 @@ object DuckDialect {
                   out ++= s"slice($base, $lo, ${hi.toInt - lo.toInt + 1})"
                 case (_, Some(c)) =>
                   // expr slice a:b — 1-based inclusive end on DuckDB,
-                  // 1-based start+length on Spark
-                  val (lo, hi) = (inner.substring(0, c), inner.substring(c + 1))
+                  // 1-based start+length on Spark; DuckDB's open ends
+                  // ([a:] = to end, [:b] = from start) map to
+                  // size(base) / start 1
+                  val (lo0, hi0) = (inner.substring(0, c), inner.substring(c + 1))
+                  val lo = if (lo0.trim.isEmpty) "1" else lo0
                   out.setLength(b)
-                  out ++= s"slice($base, ($lo), ($hi) - ($lo) + 1)"
+                  if (hi0.trim.isEmpty)
+                    out ++= s"slice($base, ($lo), size($base))"
+                  else
+                    out ++= s"slice($base, ($lo), ($hi0) - ($lo) + 1)"
                 case _ =>
                   // try_element_at: DuckDB subscripts yield NULL out of
                   // bounds AND at index 0; Spark throws for both, and
