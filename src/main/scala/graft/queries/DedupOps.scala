@@ -994,7 +994,7 @@ object DedupOps {
               |       CAST(sum(hit) AS BIGINT) AS n_caught,
               |       round(sum(hit) * 1.0 / count(*), 4) AS measured,
               |       round(CAST(25600000000 -
-              |         (400 - (2*decile+1)*(2*decile+1))
+              |         CAST(400 - (2*decile+1)*(2*decile+1) AS BIGINT)
               |         * (400 - (2*decile+1)*(2*decile+1))
               |         * (400 - (2*decile+1)*(2*decile+1))
               |         * (400 - (2*decile+1)*(2*decile+1)) AS DOUBLE)
@@ -1153,7 +1153,8 @@ object DedupOps {
               |  JOIN sizes na ON na.doc_id = a
               |  JOIN sizes nb ON nb.doc_id = b
               |),
-              |th AS (SELECT CAST(unnest(range(3, 10)) AS INT) AS t10)
+              |th AS (SELECT CAST(t10b AS INT) AS t10
+              |       FROM (SELECT unnest(range(3, 10)) AS t10b))
               |SELECT th.t10,
               |       count(p.a) AS n_pairs,
               |       count(DISTINCT p.b) AS n_docs_removed

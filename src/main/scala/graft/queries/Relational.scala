@@ -608,7 +608,8 @@ object Relational {
              |            % 3968) % 62 AS INT)) AS bits
              |  FROM li CROSS JOIN s GROUP BY 1, 2
              |),
-             |probes AS (SELECT unnest(range(0, 5)) * 2999 + 7 AS pkey),
+             |probes AS (SELECT pk * 2999 + 7 AS pkey
+             |           FROM (SELECT unnest(range(0, 5)) AS pk)),
              |grid AS (
              |  SELECT DISTINCT li.file_id, p.pkey FROM li CROSS JOIN probes p
              |),

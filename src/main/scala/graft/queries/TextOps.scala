@@ -1251,7 +1251,8 @@ object TextOps {
              |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS chunk_idx,
              |         ss[i] AS start_pos,
              |         es[i] - ss[i] + 1 AS chunk_len,
-             |         md5(text[ss[i]:es[i]]) AS chunk_md5
+             |         md5(substring(text, CAST(ss[i] AS INT),
+             |                       CAST(es[i] - ss[i] + 1 AS INT))) AS chunk_md5
              |  FROM sp CROSS JOIN UNNEST(range(1, len(ss) + 1)) AS t(i)
              |)
              |SELECT doc_id, chunk_idx, start_pos, chunk_len, chunk_md5,

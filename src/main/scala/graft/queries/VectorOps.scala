@@ -896,7 +896,8 @@ object VectorOps {
               |                            ORDER BY sim DESC, cluster ASC) AS pr
               |  FROM pscore
               |),
-              |np AS (SELECT CAST(unnest([1, 2, 4, 8]) AS INTEGER) AS n_probe),
+              |np AS (SELECT CAST(npb AS INTEGER) AS n_probe
+              |       FROM (SELECT unnest([1, 2, 4, 8]) AS npb)),
               |probes AS (
               |  SELECT np.n_probe, prk.q_id, prk.qv, prk.cluster
               |  FROM np JOIN prk ON prk.pr <= np.n_probe

@@ -108,7 +108,7 @@ class SqlParitySpec extends AnyFunSuite {
     info(s"dialect parity: ${ran.length} rewritten texts ran; " +
       s"${skipped.length} rewritten-but-unparseable stay skipped")
     assert(bad.isEmpty, s"rewritten-SQL-vs-DataFrame mismatches:\n${bad.mkString("\n")}")
-    assert(ran.length >= 200,
+    assert(ran.length >= 225,
       s"only ${ran.length} rewritten texts ran — the dialect shim regressed")
   }
 
