@@ -1439,9 +1439,13 @@ object Aggregates {
       // one sqrt + one rounded division (plain normal approximation,
       // no tie-variance correction — values are continuous doubles, so
       // ties are measure-zero; the exact 2U beside z keeps the check
-      // honest either way). 100 TB shape: one global rank — the same
-      // single range-partitioned sort o1 pays — then one 1-row fold
-      // with map-side partials; nothing else shuffles.
+      // honest either way). 100 TB shape: NO corpus-wide rank window —
+      // the fact collapses first to a per-DISTINCT-VALUE aggregate
+      // (map-side partials), rmin is a prefix sum over that reduced
+      // relation (rmin = cum − c + 1), and the doubled click rank sum
+      // folds per value as n1c·(2·cum − c + 1); one 1-row fold ends it.
+      // The prefix-sum window rides the aggregated relation, which the
+      // ScaleShapeSpec empty-partition-window fence verifies.
       Some("""WITH u AS (
              |  SELECT event_type, value FROM events
              |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
@@ -1469,14 +1473,20 @@ object Aggregates {
           .filter(col("event_type").isin("click", "purchase") &&
             col("value").isNotNull)
           .select(col("event_type"), col("value"))
-        val rk = u.select(col("event_type"),
-          rank().over(Window.orderBy(col("value"))).as("rmin"),
-          count(lit(1)).over(Window.partitionBy(col("value"))).as("c"))
-        val s = rk.agg(
-          sum(when(col("event_type") === "click",
-            lit(2) * col("rmin") + col("c") - 1).otherwise(0L)).as("r2a"),
-          count(when(col("event_type") === "click", 1)).as("n1"),
-          count(when(col("event_type") === "purchase", 1)).as("n2"))
+        // per-distinct-value counts first (map-side partials), THEN the
+        // prefix sum over the reduced relation: rank(v) = cum(v) − c(v) + 1,
+        // so Σ_click (2·rmin + c − 1) = Σ_v n1c(v)·(2·cum(v) − c(v) + 1)
+        val g = u.groupBy(col("value")).agg(
+          count(lit(1)).as("c"),
+          count(when(col("event_type") === "click", 1)).as("n1c"),
+          count(when(col("event_type") === "purchase", 1)).as("n2c"))
+        val cum = g.withColumn("cum",
+          sum(col("c")).over(Window.orderBy(col("value"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val s = cum.agg(
+          sum(col("n1c") * (lit(2) * col("cum") - col("c") + 1)).as("r2a"),
+          sum(col("n1c")).as("n1"),
+          sum(col("n2c")).as("n2"))
         val u2 = col("r2a") - col("n1") * (col("n1") + 1)
         ordered(
           s.select(col("n1"), col("n2"), u2.as("u_times_2"),

@@ -498,9 +498,14 @@ object SampleOps {
       // ntile over (difficulty, doc_id) is a deterministic total order;
       // token sums are exact BIGINTs and the share divides them once.
       // 100 TB shape: one scan derives (doc, difficulty, n_tokens); the
-      // quartile edges become approx-quantile cut points at true scale
-      // (same contract), and everything after rides the 4-row phase
-      // relation.
+      // quartile edges are NOT a global window — they are the three
+      // exact order-statistic keys at the ntile(4) cut ranks, found by
+      // the GK-sketch→exact-refine discipline (graft.functions
+      // .ExactNtile, the same machinery t23 rides): bounded passes,
+      // band partitions ≤ ~2·eps·n rows in any tie regime, bucket
+      // assignment a pure per-row scalar against 3 driver-held keys —
+      // bit-identical to ntile, zero corpus-wide single-partition
+      // sorts. Everything after rides the 4-row phase relation.
       Some("""WITH toks AS (
              |  SELECT doc_id, n_chars,
              |         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -521,14 +526,27 @@ object SampleOps {
              |GROUP BY phase
              |ORDER BY ALL NULLS FIRST""".stripMargin),
       (spark, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val t = Tables(spark, dir)
+        // corpus-derived relation consumed by five passes (count,
+        // sketch, tie counts, band refine, final agg) → one cut
         val toks = t.documents
           .select(col("doc_id"), col("n_chars"),
             size(graft.functions.Text.tokenize(col("text"))).cast("long")
               .as("n_tokens"))
+          .withColumn("sc", col("n_chars").cast("double"))
+          .cut(Shared)
+        val n = toks.count()
+        // exact ntile(4) boundary keys without a global window: GK
+        // bracket → exact tie-aware counts → bounded band refine
+        // (graft.functions.ExactNtile; bit-identical to ntile, bounds
+        // spec'd by ExactNtileSpec, loud require() on sketch breach)
+        val cuts = graft.functions.ExactNtile.ntileCuts(n, 4)
+        val bandSpecs = graft.functions.ExactNtile.bands(
+          toks, Seq("sc"), "doc_id", cuts, n)
+        val keys = graft.functions.ExactNtile.boundaries(
+          toks, bandSpecs, "doc_id")("sc")
         val phased = toks.withColumn("phase",
-          ntile(4).over(Window.orderBy(col("n_chars"), col("doc_id"))))
+          graft.functions.ExactNtile.bucket("sc", "doc_id", keys).cast("int"))
         val tot = toks.agg(sum(col("n_tokens")).as("t"))
         ordered(
           phased.crossJoin(broadcast(tot)) // 1-row corpus-token scalar

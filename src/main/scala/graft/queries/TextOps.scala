@@ -1441,7 +1441,12 @@ object TextOps {
     * discipline keeps libm's last ulp out of the hash), the dominant
     * language and its share, and exact mean/median document length.
     * Everything is one corpus scan into a handful of 1-row aggregates;
-    * the median is an exact order statistic at rank ceil(n/2). */
+    * the median is an exact order statistic at rank ceil(n/2) — found
+    * NOT by a corpus-wide row_number (a single-partition sort at
+    * 100 TB) but by the GK-sketch→exact-refine discipline
+    * (graft.functions.ExactNtile with the single median cut rank):
+    * bounded passes, band ≤ ~2·eps·n rows in any tie regime, the
+    * boundary value driver-held — bit-identical to the rank filter. */
   private lazy val dataCardQ = Q(
     "d9_data_card",
     Some("""WITH d AS (
@@ -1488,8 +1493,12 @@ object TextOps {
            |ORDER BY ALL NULLS FIRST""".stripMargin),
     (spark, dir) => {
       val t = Tables(spark, dir)
+      // corpus relation consumed by the totals, the per-lang rollup,
+      // and ExactNtile's bounded median passes → one cut
       val d = t.documents.select(col("doc_id"), col("lang"), col("source"),
         col("n_chars"), size(Text.tokenize(col("text"))).cast("long").as("nt"))
+        .withColumn("snt", col("nt").cast("double"))
+        .cut(Shared)
       val tot = d.agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"),
         countDistinct(col("lang")).as("n_langs"),
@@ -1508,11 +1517,17 @@ object TextOps {
           Window.orderBy(col("c").desc, col("lang").asc)).as("rn"))
         .filter(col("rn") === 1)
         .select(col("lang").as("top_lang"), col("c").as("top_c"))
-      val med = d.select(col("nt"),
-          row_number().over(Window.orderBy(col("nt"), col("doc_id"))).as("rn"))
-        .crossJoin(broadcast(tot.select(col("n_docs"))))
-        .filter(col("rn") === expr("(n_docs + 1) DIV 2"))
-        .select(col("nt").as("median_tokens"))
+      // exact median via GK bracket → tie-aware exact counts → bounded
+      // band refine (graft.functions.ExactNtile with the single cut
+      // rank (n+1) DIV 2) — no corpus-wide window; the nt values are
+      // token counts (≪ 2^53), so the double round-trip is lossless
+      val nDocs = d.count()
+      val medBands = graft.functions.ExactNtile.bands(
+        d, Seq("snt"), "doc_id", Seq((nDocs + 1L) / 2L), nDocs)
+      val medKey = graft.functions.ExactNtile.boundaries(
+        d, medBands, "doc_id")("snt").head
+      val med = spark.range(1)
+        .select(lit(medKey._1.toLong).as("median_tokens"))
       ordered(
         tot.crossJoin(broadcast(ent)).crossJoin(broadcast(top))
           .crossJoin(broadcast(med))

@@ -666,6 +666,49 @@ class ScaleShapeSpec extends AnyFunSuite {
       "GK-boundary buckets diverge from ntile(5)")
   }
 
+  test("no corpus-sized window with an empty partition spec, anywhere") {
+    // the single-partition global-window hazard class (t23 round-10,
+    // d11_curriculum / d9_data_card round-11) fenced permanently: an
+    // ntile/row_number over the WHOLE corpus with no PARTITION BY is a
+    // one-task sort at 100 TB. A window with an empty partition spec is
+    // acceptable only when its input has been reduced first — an
+    // Aggregate or Limit on every path from the window to every leaf.
+    // Queries whose defining semantic IS a (pre-filtered) total order
+    // are named below with the reduction that bounds them.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, GlobalLimit, LocalLimit, LocalRelation, LogicalPlan,
+      Window => LWindow}
+    def reduced(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case _: GlobalLimit => true
+      case _: LocalLimit => true
+      case _: LocalRelation => true // driver-held, constant-bounded
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(reduced)
+    }
+    val fenced = Set(
+      "w2_ntile", // the W2 operator demonstration itself: a total order
+      // over orders pre-filtered to o_custkey < 100 — the global order
+      // is the operator's defining semantic (VERDICT r11 'watch' note)
+      "o2_limit_sort", "o3_topk" // global ORDER BY ... LIMIT demos where
+      // Spark plans TakeOrderedAndProject, but the oracle-parity tie
+      // column rides a rank window before the limit
+    )
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        if (fenced(name)) None
+        else {
+          val lp = fn(spark, sf).queryExecution.optimizedPlan
+          val bad = lp.collect {
+            case w: LWindow if w.partitionSpec.isEmpty && !reduced(w.child) => w
+          }
+          if (bad.nonEmpty) Some(name) else None
+        }
+    }
+    assert(offenders.isEmpty,
+      s"corpus-sized empty-partition windows in: $offenders")
+  }
+
   test("persisted LSH index: the band query plans from parquet, never the corpus") {
     // DEPLOY.md §3 bullet 2, proven at the plan level (the d5 twin of
     // the s18_cbo_persisted discipline): after Dedup.writeIndex, the
