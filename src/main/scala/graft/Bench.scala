@@ -8,6 +8,28 @@ object Bench {
     val cpus = Graft.defaultCpus
     val spark = Graft.session(master = s"local[$cpus]",
       appName = "graft-bench") // shuffle partitions: Graft.defaultShuffle
+    // Per-query shuffle/spill telemetry: wall-clock alone cannot
+    // distinguish a plan regression (more bytes moved) from
+    // co-scheduling noise (same bytes, slower box) — round 11 had 21
+    // phantom >1.5x-vs-prior-round rows that were pure load. Task-end
+    // metrics accumulate here and each query reports the delta. The
+    // listener bus is async, so a tail of events can attribute to the
+    // next query — the numbers are diagnostic (plan-shape evidence),
+    // not gated; the release() + System.gc() between queries leaves the
+    // bus ample drain time in practice.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          }
+        }
+      })
     // force FULL materialization of every column — under count() Catalyst
     // prunes sorts and projections, understating the verified query
     def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
@@ -41,15 +63,20 @@ object Bench {
     val only = sys.env.get("GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
+    // (seconds, shuffle-write MB, spill MB) for one run; telemetry is
+    // the listener delta across the run (first sample per query is kept)
     def timeOne(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Double = {
+        : (Double, Double, Double) = {
+      val (sh0, sp0) = (shuffleBytes.get, spillBytes.get)
       val t0 = System.nanoTime()
       val ok = try { run(fn); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       release()
+      val sh = (shuffleBytes.get - sh0) / 1e6
+      val sp = (spillBytes.get - sp0) / 1e6
       // failures are marked with a NEGATIVE duration so a crashed query
       // can never masquerade as a fast success in BASELINE/SCALING rows
-      if (ok) dt else -dt
+      (if (ok) dt else -dt, sh, sp)
     }
     // Frozen per-query medians from BASELINE.md — the values the driver's
     // 2x gate compares against. Parsing the human table keeps ONE source
@@ -68,7 +95,7 @@ object Bench {
       } catch { case _: Throwable => Map.empty }
     }
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t1 = timeOne(fn)
+      val (t1, sh, sp) = timeOne(fn)
       // One-shot samples on a shared local[32] box carry ±20-40% load
       // noise (the gate compares them to frozen multi-run medians), so
       // any sample slow enough to matter for the 2x gate gets a second
@@ -76,8 +103,8 @@ object Bench {
       // plan, not the co-scheduling accident. Sub-0.3 s samples cannot
       // breach any frozen row, so they are not re-run.
       var samples = List(t1)
-      if (t1 > 0.3) samples ::= timeOne(fn)
-      (name, fn, samples)
+      if (t1 > 0.3) samples ::= timeOne(fn)._1
+      (name, fn, samples, sh, sp)
     }
     // Variance kill for the gate's false-positive class (round-10's
     // d5_lsh_recall_measured read 3.11x its freeze on a ~2x loaded box
@@ -87,21 +114,25 @@ object Bench {
     // sweeps each read a different alphabetically-adjacent cluster at
     // 2-5x, every such row 0.7-1.4x when isolated later), so immediate
     // re-runs share the spike's fate while deferred ones land in a
-    // different window. The row reports the MIN over the two
-    // time-separated windows: the frozen values are idle medians, the
-    // measurement side wants the plan's steady-state cost — a genuine
-    // plan regression raises EVERY sample, so the min still trips the
-    // gate; only a load spike has a fast sample to find. Bounded cost:
+    // different window. A resampled row reports the MIN over the
+    // DEFERRED window ONLY — not the global min: keeping any lucky
+    // early sample would bias suspect rows downward exactly where
+    // scrutiny is highest, letting a genuine 1.5-2x regression hide
+    // behind one fluke. A real plan regression raises the deferred
+    // samples too, so it still trips the gate; a load spike does not.
+    // ALL samples land in the "samples" field so a reader can tell a
+    // bimodal spike (fast+slow mix) from a uniform shift. Bounded cost:
     // suspect rows only, a healthy sweep re-runs nothing here.
-    val results = firstPass.map { case (name, fn, samples0) =>
+    val results = firstPass.map { case (name, fn, samples0, sh, sp) =>
       def best(ss: List[Double]) = {
         val ok = ss.filter(_ > 0)
         if (ok.isEmpty) ss.min else ok.min
       }
       val suspect = frozen.get(name).exists(f => best(samples0) > 1.5 * f)
-      val samples =
-        if (suspect) timeOne(fn) :: timeOne(fn) :: samples0 else samples0
-      (name, best(samples), samples.size)
+      if (suspect) {
+        val deferred = List(timeOne(fn)._1, timeOne(fn)._1)
+        (name, best(deferred), deferred ++ samples0, sh, sp)
+      } else (name, best(samples0), samples0, sh, sp)
     }
     // 3-decimal rounding: local[32] noise is ±20-40%, sub-ms digits are
     // pure line-length. The driver's stdout capture keeps only the LAST
@@ -110,16 +141,25 @@ object Bench {
     // per-query map is ALSO written to BENCH_FULL.json in the repo so a
     // truncated capture never loses per-query durations.
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    // n_samples per multi-sampled row ("queries" stays flat numeric for
-    // downstream parsers; a missing key here means 1-2 samples, min kept)
-    val ns = results.collect { case (k, _, n) if n > 2 => "\"" + k + "\":" + n }
+    // resampled rows: EVERY sample (newest first), so a reader can tell
+    // a bimodal load spike from a uniform regression ("queries" stays
+    // flat numeric for downstream parsers; a missing key = 1-2 samples)
+    val ns = results.collect { case (k, _, ss, _, _) if ss.size > 2 =>
+      "\"" + k + "\":[" + ss.map(r3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // plan-shape telemetry (first sample per query): shuffle write MB +
+    // spill MB — a wall-clock jump WITHOUT a byte jump is load, not plan
+    val shm = results.map { case (k, _, _, sh, _) => "\"" + k + "\":" + r3(sh) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+    val spm = results.collect { case (k, _, _, _, sp) if sp > 0.0005 =>
+      "\"" + k + "\":" + r3(sp)
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, v, _, _, _) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ > 0).sum
     val line =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"resampled":$ns,"failed":[${failed.mkString(",")}],"value":${r3(total)}}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"resampled":$ns,"shuffle_mb":$shm,"spill_mb":$spm,"failed":[${failed.mkString(",")}],"value":${r3(total)}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), line + "\n")
     catch { case _: Throwable => () } // repo may be read-only in some harnesses

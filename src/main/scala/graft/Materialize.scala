@@ -25,6 +25,13 @@ import org.apache.spark.storage.StorageLevel
   *     Reliable path: `checkpoint()` to the job's fault-tolerant
   *     checkpoint dir — lineage MUST truncate or the plan grows with the
   *     round count, so persist alone is not a substitute.
+  *   - [[Barrier]] — class (c): the relation feeds a write that
+  *     OVERWRITES one of its own input paths (DocStore.uploadBatch's
+  *     idempotent batch replay reads the store root it then
+  *     dynamic-partition-overwrites). Lineage must sever EAGERLY in
+  *     both modes or Spark throws "Cannot overwrite a path that is also
+  *     being read from" — so the reliable path is `checkpoint()` (an
+  *     eager fault-tolerant materialization), never a lazy persist.
   *
   * Both paths are proven hash-identical on a full dedup chain
   * (`MaterializeSpec`: `d5_dedup_clusters` under the flag). The audit in
@@ -39,6 +46,9 @@ object Materialize {
   case object Shared extends Kind
   /** Class (b): iterative lineage cut. */
   case object Iter extends Kind
+  /** Class (c): feeds a write that overwrites its own input path —
+    * must sever eagerly in both modes. */
+  case object Barrier extends Kind
 
   /** Cluster-safe mode: env `SPARK_GRAFT_RELIABLE=1` for jobs, system
     * property `graft.reliable=1` for in-JVM tests (env is immutable). */
@@ -50,13 +60,16 @@ object Materialize {
     if (!reliable) df.localCheckpoint()
     else kind match {
       case Shared => df.persist(StorageLevel.DISK_ONLY_2)
-      case Iter =>
+      case Iter | Barrier =>
         val sc = df.sparkSession.sparkContext
-        // idempotent: first Iter cut of the job picks the dir (HDFS on a
+        // idempotent: first cut of the job picks the dir (HDFS on a
         // cluster via SPARK_GRAFT_CHECKPOINT_DIR; local target/ in tests)
         if (sc.getCheckpointDir.isEmpty)
           sc.setCheckpointDir(sys.env.getOrElse(
             "SPARK_GRAFT_CHECKPOINT_DIR", "target/checkpoints"))
+        // eager: Barrier sites overwrite a path they read, so the blocks
+        // must exist BEFORE the write job plans; Iter sites need the
+        // truncated lineage for the next round either way
         df.checkpoint()
     }
 

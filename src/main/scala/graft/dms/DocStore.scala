@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Metadata, Text}
-import graft.Materialize.{CutSyntax, Shared}
+import graft.Materialize.{Barrier, CutSyntax, Shared}
 
 /** The DMS facade: every public entry point of the reference's `DMS`
   * class (src/DMS.py), re-expressed Spark-natively over a parquet-backed
@@ -234,7 +234,12 @@ class DocStore(spark: SparkSession, root: String, nShards: Int = 16) {
         lit("rw-r--r--").as("permission")))
       .withColumn("ingested_at", lit(at))
     batchId match {
-      case Some(id) => writeBatch(rows.cut(Shared), id, overwrite = true)
+      // Barrier, not Shared: the replay write dynamic-partition-
+      // OVERWRITES the very store root `rows`'s lineage reads (via
+      // `all`/`latest`), so the cut must sever eagerly in reliable mode
+      // too — a lazy persist leaves the read-path in the plan and Spark
+      // refuses the overwrite (MaterializeSpec pins this under the flag)
+      case Some(id) => writeBatch(rows.cut(Barrier), id, overwrite = true)
       case None     => append(rows)
     }
   }

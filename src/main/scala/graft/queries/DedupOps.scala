@@ -1089,8 +1089,13 @@ object DedupOps {
       (spark, dir) => {
         val t = Tables(spark, dir)
         val docs = t.documents.select(col("doc_id"), col("text"))
-        val idx = java.nio.file.Files.createTempDirectory("graft_lsh_idx")
-          .resolve("signatures").toString
+        // FIXED per-SF path (writeIndex overwrites): repeated bench /
+        // verify sweeps re-use one directory instead of accumulating a
+        // fresh never-deleted temp dir per invocation
+        val idx = java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          "graft_lsh_idx_" + Integer.toHexString(dir.hashCode),
+          "signatures").toString
         Dedup.writeIndex(docs, idx, shingleWidth = 3, numHashes = 8)
         ordered(
           Dedup.minhashPairsFromSignatures(spark.read.parquet(idx),

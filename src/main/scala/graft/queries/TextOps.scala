@@ -20,6 +20,32 @@ import graft.Materialize.{CutSyntax, Iter, Shared}
   */
 object TextOps {
 
+  /** One oracle text, TWO hash-checked legs: the live `d3_search_bm25`
+    * (tokenize at query time) and `d3_search_bm25_persisted` (plans
+    * from the parquet index `graft.functions.TextIndex.writeIndex`
+    * wrote) — identical output proves index persistence is transparent,
+    * exactly like the d5_lsh_persisted / d5_minhash_pairs twin. */
+  private lazy val bm25OracleSql =
+    Some(s"""WITH $toksCte,
+            |tok AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+            |postings AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            |dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY 1),
+            |stats AS (SELECT avg(dlen) AS avgdl,
+            |                 (SELECT count(*) FROM documents) AS n FROM dl)
+            |SELECT p.doc_id,
+            |  round(sum(
+            |    ln((stats.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+            |    * (p.tf * 2.2)
+            |    / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dlen / stats.avgdl))
+            |  ), 4) AS bm25
+            |FROM postings p
+            |JOIN (SELECT term, count(*) AS df FROM postings GROUP BY 1) d USING (term)
+            |JOIN dl USING (doc_id) CROSS JOIN stats
+            |WHERE p.term IN ('spark', 'window', 'shuffle')
+            |GROUP BY p.doc_id
+            |ORDER BY bm25 DESC, doc_id ASC
+            |LIMIT 20""".stripMargin)
+
   private val toksCte =
     """toks AS (
       |  SELECT doc_id,
@@ -452,25 +478,7 @@ object TextOps {
       // BM25 ranking (k1=1.2, b=0.75) — the production-grade D3 scorer:
       // idf = ln((N - df + 0.5)/(df + 0.5) + 1), tf saturation + doc
       // length normalization. Same postings backbone as d3_search_tfidf.
-      Some(s"""WITH $toksCte,
-              |tok AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
-              |postings AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-              |dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY 1),
-              |stats AS (SELECT avg(dlen) AS avgdl,
-              |                 (SELECT count(*) FROM documents) AS n FROM dl)
-              |SELECT p.doc_id,
-              |  round(sum(
-              |    ln((stats.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-              |    * (p.tf * 2.2)
-              |    / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dlen / stats.avgdl))
-              |  ), 4) AS bm25
-              |FROM postings p
-              |JOIN (SELECT term, count(*) AS df FROM postings GROUP BY 1) d USING (term)
-              |JOIN dl USING (doc_id) CROSS JOIN stats
-              |WHERE p.term IN ('spark', 'window', 'shuffle')
-              |GROUP BY p.doc_id
-              |ORDER BY bm25 DESC, doc_id ASC
-              |LIMIT 20""".stripMargin),
+      bm25OracleSql,
       (spark, dir) => {
         val t = Tables(spark, dir)
         val queryTerms = Seq("spark", "window", "shuffle")
@@ -498,6 +506,34 @@ object TextOps {
           .agg(r4(sum(score)).as("bm25"))
           .orderBy(col("bm25").desc, col("doc_id").asc)
           .limit(20)
+      }
+    ),
+    Q(
+      "d3_search_bm25_persisted",
+      // PERSISTED SEARCH BACKBONE (the d3 sibling of d5_lsh_persisted,
+      // completing the third ingest-time artifact family after CBO
+      // sketches and LSH signatures): TextIndex.writeIndex tokenizes the
+      // corpus ONCE and writes postings/df/doclen/stats as parquet; the
+      // BM25 query then plans FROM THE INDEX — term-filtered parquet
+      // scans with pushed In(term,...) filters, zero tokenize at query
+      // time (ScaleShapeSpec pins the plan: index scans only, the
+      // documents parquet never appears). Output is bit-identical to the
+      // live d3_search_bm25, so the same oracle hash-checks BOTH legs —
+      // persistence is transparent, and ingest amortizes the tokenize
+      // pass across every downstream search. The demo pays the index
+      // write inside the query; production writes once per ingest.
+      bm25OracleSql,
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // FIXED per-SF path (writeIndex overwrites): repeated sweeps
+        // reuse one directory instead of leaking temp dirs
+        val idx = java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          "graft_text_idx_" + Integer.toHexString(dir.hashCode)).toString
+        graft.functions.TextIndex.writeIndex(
+          t.documents.select(col("doc_id"), col("text")), idx)
+        graft.functions.TextIndex.bm25(
+          spark, idx, Seq("spark", "window", "shuffle"))
       }
     ),
     Q(

@@ -30,7 +30,7 @@ class AuditSpec extends AnyFunSuite {
     * (nShared, nIter), keyed by the path relative to
     * `src/main/scala/graft/`.
     */
-  private def sourceCounts(): Map[String, (Int, Int)] = {
+  private def sourceCounts(): Map[String, (Int, Int, Int)] = {
     val root = repo.resolve("src/main/scala/graft")
     scalaFiles(root).flatMap { p =>
       val code = Files.readAllLines(p).asScala.iterator
@@ -39,17 +39,26 @@ class AuditSpec extends AnyFunSuite {
         .toSeq
       val nS = code.map(s => "\\.cut\\(Shared\\)".r.findAllIn(s).length).sum
       val nI = code.map(s => "\\.cut\\(Iter\\)".r.findAllIn(s).length).sum
-      if (nS + nI > 0) Some(root.relativize(p).toString -> (nS, nI)) else None
+      val nB = code.map(s => "\\.cut\\(Barrier\\)".r.findAllIn(s).length).sum
+      if (nS + nI + nB > 0)
+        Some(root.relativize(p).toString -> (nS, nI, nB))
+      else None
     }.toMap
   }
 
-  private def auditedCounts(): Map[String, (Int, Int)] = {
+  private def auditedCounts(): Map[String, (Int, Int, Int)] = {
     val text = new String(Files.readAllBytes(repo.resolve("BASELINE.md")), "UTF-8")
     val block = text.split("<!-- AUDIT:materialize")(1).split("AUDIT:end")(0)
     block.linesIterator.map(_.trim).filter(_.nonEmpty).map { line =>
-      val Array(file, s, i) = line.split("\\s+")
-      require(s.endsWith("a") && i.endsWith("b"), s"$file: bad row '$line'")
-      file -> (s.dropRight(1).toInt, i.dropRight(1).toInt)
+      // `file Na Nb [Nc]` — the c column (Barrier, self-overwriting
+      // write sites) is optional and defaults to 0
+      val parts = line.split("\\s+")
+      val (file, s, i) = (parts(0), parts(1), parts(2))
+      val c = parts.lift(3).getOrElse("0c")
+      require(s.endsWith("a") && i.endsWith("b") && c.endsWith("c"),
+        s"$file: bad row '$line'")
+      file -> (s.dropRight(1).toInt, i.dropRight(1).toInt,
+        c.dropRight(1).toInt)
     }.toMap
   }
 
@@ -67,7 +76,8 @@ class AuditSpec extends AnyFunSuite {
          |  stale table rows: ${stale.toSeq.sorted.mkString(", ")}
          |  wrong counts: ${wrong.toSeq.sorted.mkString("; ")}
          |Update the AUDIT:materialize block in BASELINE.md WITH a class
-         |Shared=(a)/Iter=(b) count for each new site (DEPLOY.md §2).""".stripMargin)
+         |Shared=(a)/Iter=(b)/Barrier=(c) count for each new site
+         |(DEPLOY.md §2).""".stripMargin)
   }
 
   test("raw localCheckpoint appears only inside Materialize itself") {

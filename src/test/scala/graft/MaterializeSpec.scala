@@ -57,4 +57,37 @@ class MaterializeSpec extends AnyFunSuite {
       assert(local == reliableRows,
         s"reliable path diverged: ${local.size} vs ${reliableRows.size} rows")
     }
+
+  test("uploadBatch replay works under SPARK_GRAFT_RELIABLE (Barrier cut)") {
+    // the one cut site whose downstream write OVERWRITES its own input
+    // path: uploadBatch(batchId) reads the store root (via all/latest)
+    // and then dynamic-partition-overwrites it. A lazy persist leaves
+    // the read in the plan and Spark throws "Cannot overwrite a path
+    // that is also being read from" — the Barrier cut severs eagerly in
+    // reliable mode too. Replay semantics must match local mode exactly.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, encode}
+    def docs(rows: (String, String)*) = rows.toSeq.toDF("filename", "txt")
+      .select(col("filename"), encode(col("txt"), "UTF-8").as("content"))
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    sys.props("graft.reliable") = "1"
+    try {
+      val store = new graft.dms.DocStore(spark,
+        java.nio.file.Files.createTempDirectory("graft_dms_rel").toString,
+        nShards = 4)
+      store.uploadBatch(docs(("a.txt", "a v1")), ts, batchId = Some("b0"))
+      // crashed partial attempt, then the full replay of the same batch
+      store.uploadBatch(docs(("a.txt", "a v2 partial")), ts, batchId = Some("b1"))
+      store.uploadBatch(docs(("a.txt", "a v2"), ("b.txt", "b v1")), ts,
+        batchId = Some("b1"))
+      assert(store.versions("a.txt") == Seq(1, 2))
+      assert(new String(store.download("a.txt").get, "UTF-8") == "a v2")
+      assert(store.versions("b.txt") == Seq(1))
+      assert(store.all.count() == 3)
+    } finally {
+      sys.props.remove("graft.reliable")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
 }

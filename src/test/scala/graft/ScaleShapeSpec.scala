@@ -737,4 +737,31 @@ class ScaleShapeSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(fromIdxRows == live, "persisted index diverged from the live leg")
   }
+
+  test("persisted text index: BM25 plans from parquet with pushed term filters, never the corpus") {
+    // the d3 sibling of the LSH pin above — the third ingest-time
+    // artifact family: after TextIndex.writeIndex, the BM25 query's
+    // plan is term-filtered parquet scans of the index (postings + df,
+    // with In(term, ...) pushed to the scan) — the documents relation
+    // and its tokenize pass never appear at query time. Rows are
+    // bit-identical to the live leg (d3_search_bm25_persisted also
+    // hash-checks this against the shared DuckDB oracle).
+    val idx = java.nio.file.Files.createTempDirectory("graft_text_idx_spec")
+      .toString
+    graft.functions.TextIndex.writeIndex(
+      graft.sources.Tables(spark, sf).documents
+        .select(col("doc_id"), col("text")), idx)
+    val terms = Seq("spark", "window", "shuffle")
+    val fromIdx = graft.functions.TextIndex.bm25(spark, idx, terms)
+    val idxRows = fromIdx.collect().map(_.toString).toSeq
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    assert(plan.contains(idx), s"BM25 leg does not scan the persisted index:\n$plan")
+    assert(!plan.contains("documents"),
+      "BM25 index leg re-reads the corpus at query time")
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"query-term filter not pushed to the index scan:\n$plan")
+    val live = SparkEntry.queries("d3_search_bm25")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(idxRows == live, "persisted text index diverged from the live leg")
+  }
 }

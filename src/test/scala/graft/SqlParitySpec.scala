@@ -60,7 +60,7 @@ class SqlParitySpec extends AnyFunSuite {
       .map(_.toSeq.map(String.valueOf).mkString("\u0001")).sorted.toIndexedSeq
   }
 
-  test("every Spark-parseable oracle text matches its DataFrame program (>=20 required)") {
+  test("every Spark-parseable oracle text matches its DataFrame program (>=95 required)") {
     registerViews()
     var ran = List.empty[String]
     var skipped = 0
@@ -79,11 +79,11 @@ class SqlParitySpec extends AnyFunSuite {
     }
     info(s"spark.sql parity: ${ran.length} ran, $skipped DuckDB-only skipped")
     assert(bad.isEmpty, s"SQL-vs-DataFrame mismatches:\n${bad.mkString("\n")}")
-    assert(ran.length >= 20,
+    assert(ran.length >= 95,
       s"only ${ran.length} oracle texts ran through spark.sql — front door untested")
   }
 
-  test("DuckDB-dialect oracle texts, machine-rewritten to ANSI, also match (>=200 required)") {
+  test("DuckDB-dialect oracle texts, machine-rewritten to ANSI, also match (>=228 required)") {
     registerViews()
     var ran = List.empty[String]
     var skipped = List.empty[String]
@@ -108,7 +108,7 @@ class SqlParitySpec extends AnyFunSuite {
     info(s"dialect parity: ${ran.length} rewritten texts ran; " +
       s"${skipped.length} rewritten-but-unparseable stay skipped")
     assert(bad.isEmpty, s"rewritten-SQL-vs-DataFrame mismatches:\n${bad.mkString("\n")}")
-    assert(ran.length >= 225,
+    assert(ran.length >= 228,
       s"only ${ran.length} rewritten texts ran — the dialect shim regressed")
   }
 
