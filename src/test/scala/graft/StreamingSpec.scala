@@ -884,4 +884,101 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty && want.subsetOf(cands), s"missing: ${want -- cands}")
     assert(cands.filter(t => counts(t) * 50 > n) == want)
   }
+
+  /** The commit-marker crash recipe shared by the two remaining stateful
+    * stream families (T15s dedup+count state, T16s watermarked windowed
+    * counts): drop the newest `commits/<N>` marker so restart replays
+    * batch N against state version N-1, then compare the final per-key
+    * values with an uninterrupted twin that saw the same micro-batch
+    * boundaries. Counts only grow across Update-mode emissions, so
+    * max-per-key is the deterministic "current value" read. */
+  private def killRestartCounts(
+      name: String,
+      batches: Seq[org.apache.spark.sql.DataFrame],
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String], cntCol: String): Unit = {
+    def mkDirs() = {
+      val b = java.nio.file.Files.createTempDirectory(s"graft_${name}_kill").toString
+      (s"$b/src", s"$b/out", s"$b/ckpt")
+    }
+    val schema = batches.head.schema
+    def drain(srcDir: String, outDir: String, ckptDir: String): Unit = {
+      val q = transform(spark.readStream.schema(schema).parquet(srcDir))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(outDir)
+        }
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def finals(outDir: String): Map[Seq[String], Long] =
+      spark.read.parquet(outDir)
+        .groupBy(keyCols.map(col): _*).agg(max(col(cntCol)).as("v"))
+        .collect()
+        .map(r => keyCols.indices.map(i => String.valueOf(r.get(i))) -> r.getLong(keyCols.size))
+        .toMap
+    val (src, out, ckpt) = mkDirs()
+    batches(0).write.mode("append").parquet(src)
+    drain(src, out, ckpt)
+    batches(1).write.mode("append").parquet(src)
+    drain(src, out, ckpt)
+    // KILL: drop the newest commit marker — the exact crash window
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    assert(commits.last.delete(), "could not remove the commit marker")
+    if (crc.exists()) crc.delete()
+    drain(src, out, ckpt) // replay the batch against the prior state
+    batches(2).write.mode("append").parquet(src)
+    drain(src, out, ckpt)
+    // uninterrupted twin, same micro-batch boundaries
+    val (src2, out2, ckpt2) = mkDirs()
+    batches.foreach { b =>
+      b.write.mode("append").parquet(src2)
+      drain(src2, out2, ckpt2)
+    }
+    val killed = finals(out)
+    assert(killed.nonEmpty)
+    assert(killed == finals(out2),
+      s"$name: post-kill counts diverged from the uninterrupted run")
+  }
+
+  test("T15s kill-restart: replayed new-user state neither drops nor double-counts users") {
+    import spark.implicits._
+    // FIFTH stateful family under the recipe: dropDuplicates(user_id)
+    // dedup state + per-day counts. The replayed batch re-folds the same
+    // rows into the recovered dedup set, so a user first seen in the
+    // replayed batch claims the same day exactly once.
+    val evs = graft.sources.Tables(spark, sf).events
+      .select(col("user_id"), col("ts"))
+      .orderBy(col("ts"), col("user_id"))
+      .as[(Long, Timestamp)].collect().toSeq
+    val batches = evs.grouped((evs.size + 2) / 3).toSeq
+      .map(_.toDF("user_id", "ts"))
+    killRestartCounts("t15", batches, Streams.newUserCounts,
+      Seq("day"), "new_users")
+  }
+
+  test("T16s kill-restart: replayed drift-bucket state keeps every (window, bucket) count exact") {
+    import spark.implicits._
+    // SIXTH stateful family: watermarked (window, bucket) counts. The
+    // watermark position is itself checkpointed state — the replayed
+    // batch must re-aggregate into the recovered window cells without
+    // re-advancing past them.
+    val evDf = graft.sources.Tables(spark, sf).events
+    val mm = evDf.agg(min(col("value")).as("lo"), max(col("value")).as("hi")).head()
+    val lo = mm.getDouble(0); val width = (mm.getDouble(1) - lo) / 10
+    val evs = evDf.select(col("ts"), col("value"))
+      .orderBy(col("ts"), col("value"))
+      .as[(Timestamp, Double)].collect().toSeq
+    val batches = evs.grouped((evs.size + 2) / 3).toSeq
+      .map(_.toDF("ts", "value"))
+    killRestartCounts("t16", batches,
+      df => Streams.psiBucketCounts(df, lo, width),
+      Seq("w_start", "bucket"), "n")
+  }
 }
