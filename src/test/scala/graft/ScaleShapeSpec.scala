@@ -200,6 +200,8 @@ class ScaleShapeSpec extends AnyFunSuite {
       // build side is 1 row of corpus stats, k centroids, or the query
       // set — a BNLJ over a broadcast of constant size, not O(n*m)):
       "d3_search_tfidf", "d3_search_bm25", // 1-row n_docs / avgdl stats
+      "d3_search_bm25_persisted", // the same 1-row (n, avgdl) stats
+      // broadcast, read from the persisted index's stats parquet
       "d7_quantile_norm", // 1-row corpus-total scalar (pooled lookup is an equi-join)
       "d7_pmi_assoc", // 1-row pair-total scalar (marginal joins are equi)
       "g2_triangles", // three 1-row scalar aggregates (triple join is equi)
