@@ -47,6 +47,26 @@ object Pca {
     if (lead < 0) v.map(-_) else v
   }
 
+  /** Raw UNNORMALIZED power rounds — the golden-fixture hash face
+    * (d6_pca_golden, the d7_compression_golden recipe): on a small
+    * integer-valued fixture with a power-of-two row count, every
+    * product, partial sum and mean (÷2^k) is a dyadic rational far
+    * inside float32 range, so ALL arithmetic — including the per-round
+    * float casts — is exact and therefore order-independent across
+    * partitions: the same [[Centroid]]/dot machinery the corpus path
+    * runs becomes hash-checkable against a SQL oracle. The normalized
+    * corpus path ([[dominantDirection]]) stays spec-mode: its
+    * per-round float sums are order-sensitive by nature. */
+  def powerRounds(embs: DataFrame, vecCol: String, dim: Int, iters: Int,
+      v0: Array[Double]): Array[Double] = {
+    val centroidU = udaf(Centroid)
+    var v = v0
+    for (_ <- 0 until iters)
+      v = embs.select(centroidU(scaledBy(col(vecCol), v)).as("m"))
+        .collect().head.getSeq[Double](0).toArray
+    v
+  }
+
   /** Rayleigh quotient E[(x·v)^2] of a direction — the variance (energy)
     * the corpus carries along v; one scan. */
   def energy(embs: DataFrame, vecCol: String, v: Array[Double]): Double = {

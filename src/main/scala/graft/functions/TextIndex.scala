@@ -4,9 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Ingest-time write of the TEXT-RETRIEVAL backbone — the d3 sibling of
-  * `graft.dedup.Dedup.writeIndex` (LSH signatures) and
-  * `graft.plans.SketchCbo.writeSketch` (CBO cells), completing the
-  * third and last ingest-time artifact family.
+  * `graft.dedup.Dedup.writeIndex` (LSH signatures),
+  * `graft.plans.SketchCbo.writeSketch` (CBO cells) and
+  * `graft.functions.AnnIndex.writeIndex` (IVF-PQ codes) — the third of
+  * the four ingest-time artifact families, with incremental
+  * maintenance via [[mergeBatch]].
   *
   * A production search pipeline tokenizes the corpus ONCE per ingest
   * and persists four relations; every query-time scorer (TF-IDF, BM25,
@@ -48,6 +50,86 @@ object TextIndex {
     // the live leg's avg over docs that have at least one token
     dl.agg(avg(col("dlen")).as("avgdl"))
       .crossJoin(docs.agg(count(lit(1)).as("n")))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Incremental index maintenance — an ingest BATCH updates the four
+    * persisted relations WITHOUT re-tokenizing the corpus (the
+    * d5_incremental_lsh discipline applied to the text index): only
+    * the batch is tokenized; existing postings for replaced doc_ids
+    * are dropped by an anti-join (doc_id-pushed parquet scan) and the
+    * batch postings unioned in; df is maintained as old df + a
+    * term-DELTA computed from the batch postings and the (small,
+    * id-filtered) replaced postings — never a re-aggregation of the
+    * whole vocabulary from postings; doclen merges the same way; stats
+    * re-folds the merged DOCLEN relation (doc-count-sized — orders of
+    * magnitude below the postings, let alone the corpus).
+    *
+    * Upsert semantics: a batch doc replaces any existing doc with the
+    * same id, else inserts. Writes overwrite paths they read, so each
+    * merged relation severs lineage eagerly first
+    * ([[graft.Materialize]] class (c) Barrier — the DocStore
+    * uploadBatch discipline). At 100 TB postings/doclen are
+    * partitioned (by term range / doc range) and the merge becomes a
+    * dynamic-partition overwrite of touched partitions only; the
+    * single-file overwrite here is the local-mode spelling of the same
+    * plan. d3_bm25_index_incremental proves build(corpus∖batch) +
+    * mergeBatch(batch) ≡ writeIndex(corpus) bit-for-bit through BM25. */
+  def mergeBatch(spark: SparkSession, path: String, batch: DataFrame): Unit = {
+    import graft.Materialize.CutSyntax
+    import graft.Materialize.Barrier
+    val batchPost = batch
+      .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .cut(Barrier) // consumed by three writes that overwrite inputs
+    val batchIds = batch.select(col("doc_id")).distinct()
+    val oldPost = spark.read.parquet(s"$path/postings")
+    // replaced docs' old postings: a doc_id-semi-joined scan — batch-
+    // sized output, and the broadcast id set prunes at the scan
+    val replacedPost = oldPost
+      .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+    // term delta for df: +1 per (new doc, term), −1 per (replaced doc,
+    // term) — rides batch size only
+    val dfDelta = batchPost.select(col("term"), lit(1L).as("d"))
+      .unionAll(replacedPost.select(col("term"), lit(-1L).as("d")))
+      .groupBy(col("term")).agg(sum(col("d")).as("ddf"))
+      .cut(Barrier)
+    val mergedPost = oldPost
+      .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+      .unionByName(batchPost)
+      .cut(Barrier) // overwrites its own input path
+    mergedPost.write.mode("overwrite").parquet(s"$path/postings")
+    val oldDf = spark.read.parquet(s"$path/df")
+    val mergedDf = oldDf
+      .join(dfDelta, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("ddf"), lit(0L)))
+          .as("df"))
+      .filter(col("df") > 0)
+      .cut(Barrier)
+    mergedDf.write.mode("overwrite").parquet(s"$path/df")
+    val batchDl = batchPost.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("dlen"))
+    val oldDl = spark.read.parquet(s"$path/doclen")
+    // batch ids already present BEFORE the merge (counted pre-merge —
+    // doclen stands in as the doc catalog here; a production ingest
+    // would consult the store's id authority, which also covers
+    // zero-token docs)
+    val nPresentBefore = oldDl
+      .join(broadcast(batchIds), Seq("doc_id"), "left_semi").count()
+    val mergedDl = oldDl
+      .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+      .unionByName(batchDl)
+      .cut(Barrier) // overwrites its own input path
+    mergedDl.write.mode("overwrite").parquet(s"$path/doclen")
+    // n: previous doc count − replaced + batch; avgdl re-folds the
+    // merged DOCLEN (doc-count-sized), matching writeIndex's semantics
+    val oldN = spark.read.parquet(s"$path/stats")
+      .select(col("n")).collect()(0).getLong(0)
+    val nNew = oldN - nPresentBefore + batchIds.count()
+    mergedDl.agg(avg(col("dlen")).as("avgdl"))
+      .select(col("avgdl"), lit(nNew).as("n"))
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 

@@ -39,19 +39,39 @@ package graft.plans
   *      subscript base (1 vs 0), so subscripts are left for the parser
   *      to reject rather than silently shifted
   *
-  * Not attempted (left to fail parse or fail loudly): recursive CTEs
-  * with distinct UNION (their fixed-point TERMINATION depends on the
-  * distinct — UNION ALL would loop forever, so no textual rewrite is
-  * semantics-preserving) and `read_csv`/`read_json` table functions
-  * with option maps (Spark SQL has no in-query reader options) — the
-  * genuinely-DuckDB remainder (7 of 337 texts at round 12; every one
-  * already passes the hash gate as a DataFrame program).
+  * Recursive CTEs with distinct UNION (round 13): Spark's native
+  * recursive CTE is UNION ALL only — a converged min-label/reach
+  * iteration re-emits the same rows forever, so no DIRECT translation
+  * terminates. The front-door spelling is [[recursiveUnroll]]: K
+  * accumulate-DISTINCT rounds as ordinary chained CTEs
+  * (r_{i+1} = DISTINCT(r_i ∪ step(r_i))), monotone in i, equal to
+  * DuckDB's fixpoint for every K ≥ rounds-to-converge — and the parity
+  * gate HASH-COMPARES the unrolled text against the DataFrame program,
+  * so an insufficient K fails loudly, never silently. (The engine
+  * itself never runs this shape: its CC is convergence-counted
+  * large/small-star — the unroll exists to give the ORACLE TEXT a
+  * front-door spelling.)
+  *
+  * Not attempted (left to fail parse or fail loudly):
+  * `read_csv`/`read_json` table functions with option maps (Spark SQL
+  * has no in-query reader options) — the genuinely-DuckDB remainder
+  * (2 of 346 texts at round 13; both already pass as spec-checked
+  * reader programs).
   */
 object DuckDialect {
 
   /** Rewrite `sql`; None if no rule applied (text already ANSI or
     * untranslatable without one of the rules firing). */
   def toSpark(sql: String): Option[String] = {
+    val sql0 = recursiveUnroll(sql)
+    toSparkInner(sql0) match {
+      case some @ Some(_)         => some
+      case None if sql0 != sql    => Some(sql0)
+      case None                   => None
+    }
+  }
+
+  private def toSparkInner(sql: String): Option[String] = {
     // DuckDB single-quoted literals are verbatim (backslash is a plain
     // character); Spark's default parser treats backslash as an escape.
     // Double every in-literal backslash FIRST so '\s+' still means the
@@ -291,6 +311,123 @@ object DuckDialect {
             else None
           case _ => None })
     if (s == sql) None else Some(s)
+  }
+
+  /** `WITH RECURSIVE … name(n, r) AS ( SELECT x, x FROM T  UNION
+    * SELECT name.n, a.d FROM name JOIN rel a ON a.s = name.r ) …` →
+    * K rounds of MIN-LABEL PROPAGATION over self-loop-augmented edges
+    * (see the object Scaladoc) — the engine's own CC round, spelled as
+    * ordinary chained CTEs.
+    *
+    * WHY not a literal accumulate-DISTINCT unroll: each such round
+    * references the previous round TWICE (carry + extend), and Spark
+    * inlines deterministic CTE references — the plan tree doubles per
+    * round (measured: 290 → 2 306 explain lines from K=5 to K=8 on a
+    * toy base; the real shingle chain OOMs the driver at K=10). The
+    * label-propagation round references its predecessor ONCE, so the
+    * inlined plan is a LINEAR chain of K join+min-aggregates over a
+    * |V|-row relation — and it computes the same thing the recursion's
+    * only consumer asks for:
+    *
+    * lab_0(v) = v;  lab_{i+1}(v) = min(lab_i(u) : u ∈ succ(v) ∪ {v})
+    *           = min label reachable from v in ≤ i+1 steps,
+    *
+    * which equals min(r) GROUP BY n over the reachability closure for
+    * every K ≥ diameter. The rewrite therefore fires ONLY when the
+    * closure is consumed exactly that way: the sole reference to
+    * `name` outside its definition must be a `SELECT n [AS …],
+    * min(r) AS … FROM name GROUP BY n` block (the `comp` shape all
+    * five CC oracles share). Any other consumer → no rewrite (stay
+    * ledgered: a path-multiset consumer would need the true closure).
+    * K = 10 covers any dup-family diameter by orders of magnitude;
+    * the parity gate's hash compare is the loud check on K. */
+  private def recursiveUnroll(sql: String, rounds: Int = 10): String = {
+    if ("(?i)\\bWITH\\s+RECURSIVE\\b".r.findFirstIn(sql).isEmpty) return sql
+    val RecDef = "(?s)\\b([A-Za-z_]\\w*)\\s*\\(([^()]*)\\)\\s+(?i:AS)\\s*\\(".r
+    val q = java.util.regex.Pattern.quote(_: String)
+    val hit = RecDef.findAllMatchIn(sql).flatMap { m =>
+      val name = m.group(1)
+      matchParen(sql, m.end - 1).flatMap { case (body, closeAt) =>
+        val selfRef = ("(?i)\\b" + q(name) + "\\b").r.findFirstIn(body).isDefined
+        val u = topLevelKw(body, "UNION", 0)
+        val unionAll = u >= 0 &&
+          body.substring(u + 5).trim.toUpperCase.startsWith("ALL")
+        if (selfRef && u >= 0 && !unionAll)
+          Some((name, m.group(2).trim, body, m.start, closeAt, u))
+        else None
+      }
+    }.toList.headOption
+    hit match {
+      case None => sql
+      case Some((name, cols, body, defStart, closeAt, u)) =>
+        val colNames = cols.split(",").map(_.trim)
+        if (colNames.length != 2) return sql
+        val Seq(c1, c2) = colNames.toSeq
+        val base = body.substring(0, u).trim
+        val step = body.substring(u + 5).trim
+        // base must seed every node with ITS OWN id: SELECT x, x FROM T
+        val BaseRe = "(?is)^SELECT\\s+(\\w+)\\s*,\\s*\\1\\s+FROM\\s+(\\w+)$".r
+        // step must extend the label column along one edge relation:
+        // SELECT name.c1, a.d FROM name JOIN rel a ON a.s = name.c2
+        val StepRe = ("(?is)^SELECT\\s+" + q(name) + "\\.(\\w+)\\s*,\\s*" +
+          "(\\w+)\\.(\\w+)\\s+FROM\\s+" + q(name) +
+          "\\s+JOIN\\s+(\\w+)\\s+(\\w+)\\s+ON\\s+" +
+          "(\\w+)\\.(\\w+)\\s*=\\s*" + q(name) + "\\.(\\w+)$").r
+        (BaseRe.findFirstMatchIn(base), StepRe.findFirstMatchIn(step)) match {
+          case (Some(b), Some(s))
+              if s.group(1) == c1 && s.group(8) == c2 &&
+                s.group(2) == s.group(5) && s.group(5) == s.group(6) =>
+            val seedCol = b.group(1); val seedTab = b.group(2)
+            val rel = s.group(4); val dCol = s.group(3); val sCol = s.group(7)
+            // the sole external consumer must be min(c2) per c1
+            val remainder = sql.substring(0, defStart) +
+              sql.substring(closeAt + 1)
+            val refs = ("(?i)\\b" + q(name) + "\\b").r
+              .findAllMatchIn(remainder).size
+            val MinUse = ("(?is)SELECT\\s+" + q(c1) +
+              "(?:\\s+AS\\s+\\w+)?\\s*,\\s*min\\(" + q(c2) +
+              "\\)\\s+AS\\s+\\w+\\s+FROM\\s+" + q(name) +
+              "\\s+GROUP\\s+BY\\s+" + q(c1)).r
+            if (refs != 1 || MinUse.findFirstIn(remainder).isEmpty) return sql
+            val sb = new StringBuilder
+            sb ++= s"${name}__rel AS (SELECT $sCol AS __src, $dCol AS __dst " +
+              s"FROM $rel UNION ALL SELECT $seedCol AS __src, " +
+              s"$seedCol AS __dst FROM $seedTab)"
+            sb ++= s", ${name}__r0 AS (SELECT $seedCol AS $c1, " +
+              s"$seedCol AS $c2 FROM $seedTab)"
+            for (i <- 1 to rounds)
+              sb ++= s", ${name}__r$i AS (SELECT __e.__src AS $c1, " +
+                s"min(__p.$c2) AS $c2 FROM ${name}__r${i - 1} __p " +
+                s"JOIN ${name}__rel __e ON __e.__dst = __p.$c1 " +
+                s"GROUP BY __e.__src)"
+            sb ++= s", $name AS (SELECT $c1, $c2 FROM ${name}__r$rounds)"
+            val out = sql.substring(0, defStart) + sb.result() +
+              sql.substring(closeAt + 1)
+            out.replaceAll("(?i)\\bWITH\\s+RECURSIVE\\b", "WITH")
+          case _ => sql
+        }
+    }
+  }
+
+  /** Matching ')' for the '(' at offset `at`: (inner text, close index);
+    * string-literal aware. */
+  private def matchParen(sql: String, at: Int): Option[(String, Int)] = {
+    var i = at + 1
+    var depth = 1
+    var inStr = false
+    val inner = new StringBuilder
+    while (i < sql.length && depth > 0) {
+      val c = sql(i)
+      if (inStr) { inner += c; if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inner += c; inStr = true
+        case '('  => depth += 1; inner += c
+        case ')'  => depth -= 1; if (depth > 0) inner += c
+        case _    => inner += c
+      }
+      i += 1
+    }
+    if (depth == 0) Some((inner.result(), i - 1)) else None
   }
 
   /** The last identifier/keyword ending directly before offset `at`

@@ -1091,11 +1091,10 @@ object DedupOps {
         val docs = t.documents.select(col("doc_id"), col("text"))
         // FIXED per-SF path (writeIndex overwrites): repeated bench /
         // verify sweeps re-use one directory instead of accumulating a
-        // fresh never-deleted temp dir per invocation
-        val idx = java.nio.file.Paths.get(
-          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-          "graft_lsh_idx_" + Integer.toHexString(dir.hashCode),
-          "signatures").toString
+        // fresh never-deleted temp dir per invocation; derived from the
+        // canonical SF path, never hashCode (graft.IndexPaths)
+        val idx = java.nio.file.Paths
+          .get(graft.IndexPaths.forSf("lsh", dir), "signatures").toString
         Dedup.writeIndex(docs, idx, shingleWidth = 3, numHashes = 8)
         ordered(
           Dedup.minhashPairsFromSignatures(spark.read.parquet(idx),

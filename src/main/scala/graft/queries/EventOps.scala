@@ -787,9 +787,12 @@ object EventOps {
       // argmax with ties broken by the smallest value, and the single
       // division by t1·t2 happens once on the winning row. 100 TB shape:
       // one scan tags halves against a broadcast midpoint scalar, then
-      // everything rides the DISTINCT-VALUE relation (the generator's
-      // 2-decimal grid — bounded); the running sums are one window over
-      // that bounded grid, never over raw events.
+      // everything rides the DISTINCT-VALUE relation — bounded for this
+      // generator's 2-decimal grid, but NOT for a continuous value
+      // column, so the running half-CDFs use the range-bucketed
+      // distributed prefix sum (graft.functions.PrefixSum) and the
+      // totals a 1-row broadcast fold; no whole-relation window either
+      // way.
       Some("""WITH e AS (SELECT value, epoch_us(ts) AS us FROM events),
              |mm AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
              |c AS (
@@ -824,14 +827,18 @@ object EventOps {
           .agg(
             coalesce(sum(when(col("us") < col("mid"), 1L)), lit(0L)).as("c1"),
             coalesce(sum(when(col("us") >= col("mid"), 1L)), lit(0L)).as("c2"))
-        // windows ride the distinct-value grid, not the event stream
-        val wOrd = Window.orderBy(col("value"))
-        val wAll = Window.partitionBy()
-        val scored = c.select(col("value"),
-            sum(col("c1")).over(wOrd).as("cum1"),
-            sum(col("c2")).over(wOrd).as("cum2"),
-            sum(col("c1")).over(wAll).as("t1"),
-            sum(col("c2")).over(wAll).as("t2"))
+        // the running half-CDFs ride the distinct-value relation — which
+        // this generator's 2-decimal grid keeps bounded, but a
+        // continuous value column would not; the range-bucketed
+        // distributed prefix sum (graft.functions.PrefixSum, one shared
+        // bucket pass for both halves) makes the shape scale-safe either
+        // way, and the totals are a broadcast 1-row fold instead of a
+        // whole-relation window
+        val cum = graft.functions.PrefixSum.cumOverDistinct(
+          c, "value", Seq("c1" -> "cum1", "c2" -> "cum2"), 32)
+        // totals fold the (already cut) cum relation — one broadcast row
+        val tot = cum.agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+        val scored = cum.crossJoin(broadcast(tot)) // 1-row totals scalar
           .select(col("value"),
             abs(col("cum1") * col("t2") - col("cum2") * col("t1")).as("num"),
             col("t1"), col("t2"))

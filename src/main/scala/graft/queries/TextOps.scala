@@ -526,12 +526,41 @@ object TextOps {
       (spark, dir) => {
         val t = Tables(spark, dir)
         // FIXED per-SF path (writeIndex overwrites): repeated sweeps
-        // reuse one directory instead of leaking temp dirs
-        val idx = java.nio.file.Paths.get(
-          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-          "graft_text_idx_" + Integer.toHexString(dir.hashCode)).toString
+        // reuse one directory instead of leaking temp dirs; derived
+        // from the canonical SF path, never hashCode (graft.IndexPaths)
+        val idx = graft.IndexPaths.forSf("text", dir)
         graft.functions.TextIndex.writeIndex(
           t.documents.select(col("doc_id"), col("text")), idx)
+        graft.functions.TextIndex.bm25(
+          spark, idx, Seq("spark", "window", "shuffle"))
+      }
+    ),
+    Q(
+      "d3_bm25_index_incremental",
+      // INCREMENTAL INDEX MAINTENANCE (round-12 VERDICT ask #5 — the
+      // d5_incremental_lsh discipline applied to the text index): the
+      // corpus is indexed WITHOUT one seventh of the documents, then
+      // that held-out batch arrives as an ingest and
+      // TextIndex.mergeBatch folds it in — tokenizing ONLY the batch,
+      // anti-joining replaced postings by pushed doc_id, maintaining df
+      // by term-delta arithmetic (never re-aggregating the vocabulary)
+      // and re-folding stats from the doc-count-sized doclen. The BM25
+      // query over the MERGED index hash-matches the full-rebuild
+      // oracle — proving build(corpus∖batch) + merge(batch) ≡
+      // writeIndex(corpus) bit-for-bit, i.e. index maintenance cost
+      // rides batch size while queries stay exact. The demo pays
+      // build + merge inside the query; production merges per ingest.
+      bm25OracleSql,
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val docs = t.documents.select(col("doc_id"), col("text"))
+        val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        val idx = graft.IndexPaths.forSf("textinc", dir)
+        // fresh base index each invocation (writeIndex overwrites), so
+        // the merge is exercised — not a no-op over prior state
+        graft.functions.TextIndex.writeIndex(
+          docs.filter(pmod(col("doc_id"), lit(7)) =!= 0), idx)
+        graft.functions.TextIndex.mergeBatch(spark, idx, batch)
         graft.functions.TextIndex.bm25(
           spark, idx, Seq("spark", "window", "shuffle"))
       }

@@ -59,6 +59,114 @@ object VectorOps {
       s"[($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE) " +
       s"FOR i IN range(1, len($a) + 1)]), (acc, x) -> acc + x)"
 
+  /** Shared by d6_ivfpq_search (live) and d6_ivfpq_persisted (index
+    * twin): persistence is transparent — one oracle text hash-checks
+    * BOTH legs (the d5_minhash_pairs / d5_lsh_persisted recipe). */
+  private lazy val ivfpqOracle: Option[String] = Some(
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+              |ed AS (
+              |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+              |  FROM embeddings
+              |),
+              |icents AS (
+              |  SELECT cluster, [CAST(x AS DOUBLE) FOR x IN centroid] AS cv
+              |  FROM '/root/repo/fixtures/ivf_centroids.parquet'
+              |),
+              |corpus AS (SELECT vec_id, v FROM ed WHERE vec_id >= 20),
+              |qd AS (SELECT vec_id AS q_id, v AS qv FROM ed WHERE vec_id < 20),
+              |ascore AS (
+              |  SELECT corpus.vec_id, icents.cluster,
+              |         ${cosSql("corpus.v", "icents.cv")} AS sim
+              |  FROM corpus CROSS JOIN icents
+              |),
+              |asg AS (
+              |  SELECT vec_id,
+              |         CAST(9999 - (max(CAST(round((sim + 1.0) * 5e14) AS HUGEINT)
+              |                          * 10000 + (9999 - cluster)) % 10000)
+              |              AS INTEGER) AS cluster
+              |  FROM ascore GROUP BY vec_id
+              |),
+              |pscore AS (
+              |  SELECT q.q_id, icents.cluster,
+              |         ${cosSql("q.qv", "icents.cv")} AS sim
+              |  FROM qd q CROSS JOIN icents
+              |),
+              |probes AS (
+              |  SELECT q_id, cluster FROM (
+              |    SELECT q_id, cluster,
+              |           row_number() OVER (PARTITION BY q_id
+              |                              ORDER BY sim DESC, cluster ASC) AS pr
+              |    FROM pscore)
+              |  WHERE pr <= 2
+              |),
+              |cand AS (
+              |  SELECT p.q_id, a.vec_id FROM probes p JOIN asg a USING (cluster)
+              |),
+              |pcents AS (
+              |  SELECT sub, cluster, centroid
+              |  FROM '/root/repo/fixtures/pq_centroids.parquet'
+              |),
+              |subs AS (SELECT unnest(range(8)) AS sub),
+              |csv AS (
+              |  SELECT e.vec_id, s.sub,
+              |         e.embedding[s.sub*8+1 : s.sub*8+8] AS subvec
+              |  FROM e CROSS JOIN subs s WHERE e.vec_id >= 20
+              |),
+              |scored AS (
+              |  SELECT csv.vec_id, csv.sub, c.cluster,
+              |         ${d2Sql("csv.subvec", "c.centroid")} AS d2
+              |  FROM csv JOIN pcents c USING (sub)
+              |),
+              |codes AS (
+              |  SELECT vec_id, sub,
+              |         CAST(9999 - ((((max(CAST(round((0.0 - d2) * 1e13) AS HUGEINT)
+              |                             * 10000 + (9999 - cluster))) % 10000)
+              |                       + 10000) % 10000) AS INTEGER) AS code
+              |  FROM scored GROUP BY vec_id, sub
+              |),
+              |qsv AS (
+              |  SELECT e.vec_id AS q_id, s.sub,
+              |         e.embedding[s.sub*8+1 : s.sub*8+8] AS qsub
+              |  FROM e CROSS JOIN subs s WHERE e.vec_id < 20
+              |),
+              |dtable AS (
+              |  SELECT q.q_id, q.sub, c.cluster AS code,
+              |         CAST(round(${d2Sql("q.qsub", "c.centroid")}, 9)
+              |              AS DECIMAL(28,9)) AS dd
+              |  FROM qsv q JOIN pcents c USING (sub)
+              |),
+              |adc AS (
+              |  SELECT cn.q_id, cn.vec_id, sum(d.dd) AS adc
+              |  FROM cand cn
+              |  JOIN codes k ON k.vec_id = cn.vec_id
+              |  JOIN dtable d ON d.q_id = cn.q_id AND d.sub = k.sub
+              |                AND d.code = k.code
+              |  GROUP BY cn.q_id, cn.vec_id
+              |),
+              |short AS (
+              |  SELECT q_id, vec_id FROM (
+              |    SELECT q_id, vec_id,
+              |           row_number() OVER (PARTITION BY q_id
+              |                              ORDER BY adc ASC, vec_id ASC) AS srn
+              |    FROM adc) WHERE srn <= 20
+              |),
+              |rr AS (
+              |  SELECT s.q_id, s.vec_id,
+              |         ${d2Sql("qe.embedding", "ce.embedding")} AS l2
+              |  FROM short s
+              |  JOIN e qe ON qe.vec_id = s.q_id
+              |  JOIN e ce ON ce.vec_id = s.vec_id
+              |),
+              |ranked AS (
+              |  SELECT q_id, vec_id, l2,
+              |         row_number() OVER (PARTITION BY q_id
+              |                            ORDER BY l2 ASC, vec_id ASC) AS rn
+              |  FROM rr
+              |)
+              |SELECT q_id, rn, vec_id, round(l2, 4) AS l2
+              |FROM ranked WHERE rn <= 5
+              |ORDER BY ALL NULLS FIRST""".stripMargin)
+
   val all: Seq[Q] = Seq(
     Q(
       "d6_cluster_quality",
@@ -591,6 +699,66 @@ object VectorOps {
           v.zipWithIndex.map { case (c, i) => (i, c) }
             .toSeq.toDF("dim", "component")
         )
+      }
+    ),
+    Q(
+      "d6_pca_golden",
+      // The hash-checkable face of the power-iteration gate (the
+      // d7_compression_golden recipe applied to d6_pca_power): a LITERAL
+      // 4×3 integer matrix, v0 = (1,1,1), three UNNORMALIZED rounds of
+      // v ← mean(x·(x·v)) through the REAL distributed machinery
+      // (Centroid aggregate + codegen dot, Pca.powerRounds). Every
+      // product and partial sum is a dyadic rational (integer inputs,
+      // mean ÷4 = a binary shift) far inside float32 range, so all
+      // arithmetic — including the per-round float casts — is EXACT and
+      // order-independent across partitions; the oracle unrolls the same
+      // three rounds in plain SQL and must agree bit-for-bit. The final
+      // unit direction divides by sqrt(va²+vb²+vc²) with the IDENTICAL
+      // expression tree in both engines (each op correctly rounded →
+      // identical doubles). Corpus-independent by design; the
+      // corpus-scale leg stays d6_pca_power (rows-only, spec-backed:
+      // normalized float sums are order-sensitive by nature).
+      Some("""WITH m(vec_id, a, b, c) AS (VALUES
+             |  (1, 1.0, 2.0, 0.0), (2, 2.0, 1.0, 1.0),
+             |  (3, 0.0, 1.0, 3.0), (4, 3.0, 0.0, 1.0)),
+             |r1 AS (SELECT avg(a*(a+b+c)) AS va, avg(b*(a+b+c)) AS vb,
+             |              avg(c*(a+b+c)) AS vc FROM m),
+             |r2 AS (SELECT avg(a*(a*r1.va+b*r1.vb+c*r1.vc)) AS va,
+             |              avg(b*(a*r1.va+b*r1.vb+c*r1.vc)) AS vb,
+             |              avg(c*(a*r1.va+b*r1.vb+c*r1.vc)) AS vc
+             |       FROM m CROSS JOIN r1),
+             |r3 AS (SELECT avg(a*(a*r2.va+b*r2.vb+c*r2.vc)) AS va,
+             |              avg(b*(a*r2.va+b*r2.vb+c*r2.vc)) AS vb,
+             |              avg(c*(a*r2.va+b*r2.vb+c*r2.vc)) AS vc
+             |       FROM m CROSS JOIN r2),
+             |n AS (SELECT sqrt(va*va+vb*vb+vc*vc) AS nrm FROM r3),
+             |u AS (SELECT 0 AS dim, va AS raw FROM r3
+             |      UNION ALL SELECT 1, vb FROM r3
+             |      UNION ALL SELECT 2, vc FROM r3)
+             |SELECT u.dim, round(u.raw, 4) AS component,
+             |       round(u.raw / n.nrm, 4) AS unit
+             |FROM u CROSS JOIN n
+             |ORDER BY ALL NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        import spark.implicits._
+        val fixture = Seq(
+          (1L, Array(1f, 2f, 0f)), (2L, Array(2f, 1f, 1f)),
+          (3L, Array(0f, 1f, 3f)), (4L, Array(3f, 0f, 1f)))
+          .toDF("vec_id", "embedding")
+          // spread across partitions: exactness must not depend on a
+          // single-partition accident
+          .repartition(4, col("vec_id"))
+        val v = graft.functions.Pca.powerRounds(
+          fixture, "embedding", dim = 3, iters = 3,
+          v0 = Array(1.0, 1.0, 1.0))
+        // identical IEEE tree to the oracle's sqrt(va*va+vb*vb+vc*vc)
+        val nrm = math.sqrt(v(0) * v(0) + v(1) * v(1) + v(2) * v(2))
+        ordered(
+          v.zipWithIndex
+            .map { case (c, i) => (i, c, c / nrm) }.toSeq
+            .toDF("dim", "raw", "u")
+            .select(col("dim"), round(col("raw"), 4).as("component"),
+              round(col("u"), 4).as("unit")))
       }
     ),
     Q(
@@ -1207,109 +1375,7 @@ object VectorOps {
       // cost nProbe/k of the corpus. Every stage reuses a fixture-exact
       // path proven above (d6_ivf_search's assignment/probes +
       // d6_pq_search's codes/ADC), so the whole composite hash-matches.
-      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-              |ed AS (
-              |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
-              |  FROM embeddings
-              |),
-              |icents AS (
-              |  SELECT cluster, [CAST(x AS DOUBLE) FOR x IN centroid] AS cv
-              |  FROM '/root/repo/fixtures/ivf_centroids.parquet'
-              |),
-              |corpus AS (SELECT vec_id, v FROM ed WHERE vec_id >= 20),
-              |qd AS (SELECT vec_id AS q_id, v AS qv FROM ed WHERE vec_id < 20),
-              |ascore AS (
-              |  SELECT corpus.vec_id, icents.cluster,
-              |         ${cosSql("corpus.v", "icents.cv")} AS sim
-              |  FROM corpus CROSS JOIN icents
-              |),
-              |asg AS (
-              |  SELECT vec_id,
-              |         CAST(9999 - (max(CAST(round((sim + 1.0) * 5e14) AS HUGEINT)
-              |                          * 10000 + (9999 - cluster)) % 10000)
-              |              AS INTEGER) AS cluster
-              |  FROM ascore GROUP BY vec_id
-              |),
-              |pscore AS (
-              |  SELECT q.q_id, icents.cluster,
-              |         ${cosSql("q.qv", "icents.cv")} AS sim
-              |  FROM qd q CROSS JOIN icents
-              |),
-              |probes AS (
-              |  SELECT q_id, cluster FROM (
-              |    SELECT q_id, cluster,
-              |           row_number() OVER (PARTITION BY q_id
-              |                              ORDER BY sim DESC, cluster ASC) AS pr
-              |    FROM pscore)
-              |  WHERE pr <= 2
-              |),
-              |cand AS (
-              |  SELECT p.q_id, a.vec_id FROM probes p JOIN asg a USING (cluster)
-              |),
-              |pcents AS (
-              |  SELECT sub, cluster, centroid
-              |  FROM '/root/repo/fixtures/pq_centroids.parquet'
-              |),
-              |subs AS (SELECT unnest(range(8)) AS sub),
-              |csv AS (
-              |  SELECT e.vec_id, s.sub,
-              |         e.embedding[s.sub*8+1 : s.sub*8+8] AS subvec
-              |  FROM e CROSS JOIN subs s WHERE e.vec_id >= 20
-              |),
-              |scored AS (
-              |  SELECT csv.vec_id, csv.sub, c.cluster,
-              |         ${d2Sql("csv.subvec", "c.centroid")} AS d2
-              |  FROM csv JOIN pcents c USING (sub)
-              |),
-              |codes AS (
-              |  SELECT vec_id, sub,
-              |         CAST(9999 - ((((max(CAST(round((0.0 - d2) * 1e13) AS HUGEINT)
-              |                             * 10000 + (9999 - cluster))) % 10000)
-              |                       + 10000) % 10000) AS INTEGER) AS code
-              |  FROM scored GROUP BY vec_id, sub
-              |),
-              |qsv AS (
-              |  SELECT e.vec_id AS q_id, s.sub,
-              |         e.embedding[s.sub*8+1 : s.sub*8+8] AS qsub
-              |  FROM e CROSS JOIN subs s WHERE e.vec_id < 20
-              |),
-              |dtable AS (
-              |  SELECT q.q_id, q.sub, c.cluster AS code,
-              |         CAST(round(${d2Sql("q.qsub", "c.centroid")}, 9)
-              |              AS DECIMAL(28,9)) AS dd
-              |  FROM qsv q JOIN pcents c USING (sub)
-              |),
-              |adc AS (
-              |  SELECT cn.q_id, cn.vec_id, sum(d.dd) AS adc
-              |  FROM cand cn
-              |  JOIN codes k ON k.vec_id = cn.vec_id
-              |  JOIN dtable d ON d.q_id = cn.q_id AND d.sub = k.sub
-              |                AND d.code = k.code
-              |  GROUP BY cn.q_id, cn.vec_id
-              |),
-              |short AS (
-              |  SELECT q_id, vec_id FROM (
-              |    SELECT q_id, vec_id,
-              |           row_number() OVER (PARTITION BY q_id
-              |                              ORDER BY adc ASC, vec_id ASC) AS srn
-              |    FROM adc) WHERE srn <= 20
-              |),
-              |rr AS (
-              |  SELECT s.q_id, s.vec_id,
-              |         ${d2Sql("qe.embedding", "ce.embedding")} AS l2
-              |  FROM short s
-              |  JOIN e qe ON qe.vec_id = s.q_id
-              |  JOIN e ce ON ce.vec_id = s.vec_id
-              |),
-              |ranked AS (
-              |  SELECT q_id, vec_id, l2,
-              |         row_number() OVER (PARTITION BY q_id
-              |                            ORDER BY l2 ASC, vec_id ASC) AS rn
-              |  FROM rr
-              |)
-              |SELECT q_id, rn, vec_id, round(l2, 4) AS l2
-              |FROM ranked WHERE rn <= 5
-              |ORDER BY ALL NULLS FIRST""".stripMargin),
+      ivfpqOracle,
       (spark, dir) => {
         val t = Tables(spark, dir)
         val ivfCents = spark.read.parquet("/root/repo/fixtures/ivf_centroids.parquet")
@@ -1339,6 +1405,44 @@ object VectorOps {
             .withColumn("rn", row_number().over(w))
             .filter(col("rn") <= 5)
             .select(col("q_id"), col("rn"), col("vec_id"), r4(col("l2")).as("l2"))
+        )
+      }
+    ),
+    Q(
+      "d6_ivfpq_persisted",
+      // PERSISTED ANN BACKBONE (the d6 twin of d5_lsh_persisted /
+      // d3_search_bm25_persisted — the FOURTH and final ingest-time
+      // artifact family): AnnIndex.writeIndex encodes the corpus ONCE
+      // (IVF assignment + PQ codes, the two corpus×codebook
+      // broadcast-argmax passes that dominate every live ANN query) and
+      // persists codebooks/inverted-file/codes as parquet; the IVF-PQ
+      // search then plans FROM THE INDEX — at query time the float
+      // corpus is scanned only for the 20-row exact rerank and the
+      // 20-query probe side (ScaleShapeSpec pins the plan: exactly two
+      // embeddings scans, index parquet for everything else). Output is
+      // bit-identical to the live d6_ivfpq_search, so the same oracle
+      // hash-checks BOTH legs — persistence is transparent. The demo
+      // pays the index write inside the query; production writes once
+      // per ingest and buckets ivf+codes by cluster so a probe reads
+      // nProbe/k of the index.
+      ivfpqOracle,
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val e = t.embeddings
+        val corpus = e.filter(col("vec_id") >= 20)
+        val queries = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val idx = graft.IndexPaths.forSf("ann", dir)
+        graft.functions.AnnIndex.writeIndex(corpus,
+          spark.read.parquet("/root/repo/fixtures/ivf_centroids.parquet"),
+          spark.read.parquet("/root/repo/fixtures/pq_centroids.parquet"),
+          idx)
+        ordered(
+          graft.functions.AnnIndex
+            .ivfpqSearch(spark, idx, queries, corpus,
+              nProbe = 2, shortlist = 20, topK = 5)
+            .select(col("q_id"), col("rn"), col("vec_id"),
+              r4(col("l2")).as("l2"))
         )
       }
     ),

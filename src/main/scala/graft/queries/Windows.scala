@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Canon._
 import graft.sources.Tables
+import graft.Materialize.{CutSyntax, Shared}
 
 /** Window functions — SURVEY.md §2.5 (W1–W5).
   *
@@ -650,15 +651,19 @@ object Windows {
       // over spend sorted ascending (tie-broken by custkey; tied spends
       // give rank-permutation-invariant sums, so the tiebreak only pins
       // engine agreement, not the value). 100 TB shape: the raw fact
-      // collapses to ONE per-customer hash aggregate (map-side partials)
-      // and every window after that rides the customer relation, which is
-      // orders-of-magnitude smaller than the fact; the unpartitioned rank
-      // is the one global pass — at true scale it becomes a range-
-      // partitioned sort + per-partition offset (the same plan Spark uses
-      // for a global orderBy), and the decile edges come from
-      // approx-quantiles instead of ntile. All spend sums are exact
+      // collapses to ONE per-customer hash aggregate (map-side partials);
+      // the per-customer relation is still corpus-entity-sized, so
+      // NOTHING after it is a global window (the round-12 audit finding,
+      // fixed round 13): deciles come from ExactNtile GK-band boundary
+      // keys applied as a per-row scalar (bit-identical to ntile — the
+      // t23 recipe), and the exact rank-formula Σ rn·s decomposes over
+      // per-DISTINCT-value tie runs whose cumulative count rides the
+      // range-bucketed distributed prefix sum (PrefixSum: GK range
+      // boundaries, driver-held offsets, window partitioned by bucket —
+      // the distributed-sort cost envelope). All spend sums are exact
       // DECIMAL; doubles appear only in the final share/gini divisions,
-      // rounded once.
+      // rounded once. The oracle keeps the window spelling — it IS the
+      // semantic spec the scale shape must reproduce bit-for-bit.
       Some("""WITH spend AS (
              |  SELECT o_custkey,
              |         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS s
@@ -691,19 +696,46 @@ object Windows {
              |ORDER BY ALL NULLS FIRST""".stripMargin),
       (spark, dir) => {
         val t = Tables(spark, dir)
+        // multi-consumed per-customer relation (ExactNtile's bounded
+        // passes + the per-value gini aggregate + the final select)
         val spend = t.orders
           .groupBy(col("o_custkey"))
           .agg(sum(money(col("o_totalprice"))).as("s"))
-        val wAll = Window.orderBy(col("s"), col("o_custkey"))
-        val ranked = spend.select(col("s"),
-          row_number().over(wAll).as("rn"),
-          ntile(10).over(wAll).as("decile"))
-        val g = ranked.agg(
-          round((lit(2) * sum(col("rn") * col("s"))).cast("double")
-              / (count(lit(1)) * sum(col("s")).cast("double"))
-              - (count(lit(1)) + lit(1.0)) / count(lit(1)), 4).as("gini"),
-          sum(col("s")).as("tot"))
-        val d = ranked.groupBy(col("decile"))
+          // monotone sort key for the GK machinery: 4-decimal money
+          // sums are double-exact (scaled < 2^53), so (sd, custkey)
+          // ordering == (s, custkey) ordering bit-for-bit
+          .withColumn("sd", col("s").cast("double"))
+          .cut(Shared)
+        val n = spend.count()
+        // deciles WITHOUT the global window: exact ntile(10) boundary
+        // keys via GK-band refinement (graft.functions.ExactNtile — the
+        // t23 recipe), then a pure per-row bucket scalar
+        val cuts = graft.functions.ExactNtile.ntileCuts(n, 10)
+        val bnd = graft.functions.ExactNtile.boundaries(spend,
+          graft.functions.ExactNtile.bands(spend, Seq("sd"), "o_custkey",
+            cuts, n),
+          "o_custkey")
+        val withDec = spend.withColumn("decile",
+          graft.functions.ExactNtile.bucket("sd", "o_custkey", bnd("sd"))
+            .cast("int"))
+        // exact rank-formula gini WITHOUT the global row_number: a tie
+        // run of m customers at spend s holds consecutive ranks
+        // rmin..rmin+m−1 (rmin = cum − m + 1), so Σ rn·s decomposes per
+        // DISTINCT value as s·(m·rmin + m(m−1)/2) — all-BIGINT factors,
+        // exact decimal products; cum rides the range-bucketed
+        // distributed prefix sum (graft.functions.PrefixSum), never one
+        // empty-partition WindowExec task
+        val byVal = spend.groupBy(col("s")).agg(count(lit(1)).as("m"))
+        val cum = graft.functions.PrefixSum
+          .cumOverDistinct(byVal, "s", "m", "cum")
+        val rw = col("m") * (col("cum") - col("m") + 1) +
+          expr("m * (m - 1) DIV 2")
+        val g = cum.agg(
+          round((lit(2) * sum(rw * col("s"))).cast("double")
+              / (sum(col("m")) * sum(col("m") * col("s")).cast("double"))
+              - (sum(col("m")) + lit(1.0)) / sum(col("m")), 4).as("gini"),
+          sum(col("m") * col("s")).as("tot"))
+        val d = withDec.groupBy(col("decile"))
           .agg(count(lit(1)).as("n_customers"), sum(col("s")).as("ds"))
         val wCum = Window.orderBy(col("decile"))
         ordered(

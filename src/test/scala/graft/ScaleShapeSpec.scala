@@ -226,6 +226,14 @@ class ScaleShapeSpec extends AnyFunSuite {
       // the same k-row centroid cross joins (assignment + probe
       // selection); candidate scoring itself is equi-joins on
       // (cluster) and (q_id, sub, code)
+      "d6_ivfpq_persisted", // the index twin: probe selection still
+      // cross-joins the k-row codebook broadcast (query side only —
+      // the corpus-side assignment/encoding cross joins are GONE,
+      // paid at ingest by AnnIndex.writeIndex; the ANN plan pin below
+      // proves it); ADC + rerank are equi-joins
+      "d3_bm25_index_incremental", // same 1-row (n, avgdl) stats
+      // broadcast as d3_search_bm25_persisted, read from the MERGED
+      // index's stats parquet
       "d6_sq_rerank", // stage-1 shortlist: broadcast query set x corpus
       // over int8 vectors (4x lighter than the float equivalent above)
       "d11_mixture_planner", // 1-row grand-totals scalar broadcast onto
@@ -668,47 +676,136 @@ class ScaleShapeSpec extends AnyFunSuite {
       "GK-boundary buckets diverge from ntile(5)")
   }
 
-  test("no corpus-sized window with an empty partition spec, anywhere") {
-    // the single-partition global-window hazard class (t23 round-10,
-    // d11_curriculum / d9_data_card round-11) fenced permanently: an
-    // ntile/row_number over the WHOLE corpus with no PARTITION BY is a
-    // one-task sort at 100 TB. A window with an empty partition spec is
-    // acceptable only when its input has been reduced first — an
-    // Aggregate or Limit on every path from the window to every leaf.
-    // Queries whose defining semantic IS a (pre-filtered) total order
-    // are named below with the reduction that bounds them.
+  // ---- shared fence vocabulary (ROUND-13 TIGHTENING — the round-12
+  // audit's blind spot) ----
+  //
+  // An Aggregate only bounds its output when the grouping keys are a
+  // DOMAIN-bounded grid (term/day/flag/type/decile — cardinality set by
+  // the vocabulary, calendar or a literal code set, not by corpus row
+  // count). Grouping on an ENTITY key (customer, user, document,
+  // vector, order, event) or on a CONTINUOUS measure (a17's
+  // groupBy(value): the "reduction" can be ~1×) yields a
+  // corpus-entity-sized relation — w13_lorenz's groupBy(o_custkey) sat
+  // under a "reduced" ntile exactly this way for two rounds.
+  private val entityKeys = Set(
+    // entity identifiers across every table in TESTDATA.md
+    "o_custkey", "c_custkey", "user_id", "doc_id", "vec_id", "q_id",
+    "event_id", "o_orderkey", "l_orderkey", "p_partkey", "ps_partkey",
+    "s_suppkey", "chunk_id", "session_id", "url", "id",
+    // continuous measures: grouping by the value itself reduces ~nothing
+    "value", "s", "sd", "pd", "price", "monetary", "freq")
+
+  // tiny literal code domains: a window PARTITIONed solely on these
+  // over a corpus-sized child is as single-task as no partitioning
+  private val lowCardCols = Set(
+    "l_returnflag", "l_linestatus", "o_orderstatus", "event_type",
+    "variant", "flag", "which", "side", "status")
+
+  private def boundedPlan(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      BinaryComparison, Literal}
     import org.apache.spark.sql.catalyst.plans.logical.{
-      Aggregate, GlobalLimit, LocalLimit, LocalRelation, LogicalPlan,
-      Window => LWindow}
-    def reduced(p: LogicalPlan): Boolean = p match {
-      case _: Aggregate => true
+      Aggregate, Filter, GlobalLimit, LocalLimit, LocalRelation,
+      WindowGroupLimit}
+    p match {
+      case a: Aggregate =>
+        val refs = a.groupingExpressions
+          .flatMap(_.references.toSeq.map(_.name.toLowerCase))
+        // empty grouping = 1-row global fold; entity/measure-keyed
+        // grouping bounds nothing — but a Limit below still would
+        if (refs.forall(r => !entityKeys.contains(r))) true
+        else a.children.forall(boundedPlan)
+      case f: Filter =>
+        // a literal range/equality bound on an entity key (the W-demo
+        // prefilters: o_custkey < 50) selects O(k) entities — bounded
+        val refs = f.condition.references.toSeq.map(_.name.toLowerCase)
+        val literalEntityBound = refs.nonEmpty &&
+          refs.forall(entityKeys.contains) &&
+          f.condition.collectFirst {
+            case b: BinaryComparison
+              if b.left.isInstanceOf[Literal] || b.right.isInstanceOf[Literal]
+              => b
+          }.nonEmpty
+        literalEntityBound || f.children.forall(boundedPlan)
+      case _: WindowGroupLimit => true // rank/row_number pushdown: each
+      // map task pre-prunes to the top slice before the shuffle
       case _: GlobalLimit => true
       case _: LocalLimit => true
       case _: LocalRelation => true // driver-held, constant-bounded
       case leaf if leaf.children.isEmpty => false
-      case other => other.children.forall(reduced)
+      case other => other.children.forall(boundedPlan)
     }
+  }
+
+  test("no corpus-sized window with an empty partition spec, anywhere") {
+    // the single-partition global-window hazard class (t23 round-10,
+    // d11_curriculum / d9_data_card round-11, w13_lorenz / a17 /
+    // a9_trimmed_mean round-12→13) fenced permanently: an
+    // ntile/row_number over the WHOLE corpus with no PARTITION BY is a
+    // one-task sort at 100 TB. A window with an empty partition spec is
+    // acceptable only when its input has been BOUNDED first — see
+    // boundedPlan for what now counts (round-13 tightening: an
+    // Aggregate on entity keys or continuous measures no longer does).
+    // Queries whose defining semantic IS a (pre-filtered) total order
+    // are named below with the reduction that bounds them.
     val fenced = Set(
       "w2_ntile", // the W2 operator demonstration itself: a total order
       // over orders pre-filtered to o_custkey < 100 — the global order
       // is the operator's defining semantic (VERDICT r11 'watch' note)
-      "o2_limit_sort", "o3_topk" // global ORDER BY ... LIMIT demos where
-      // Spark plans TakeOrderedAndProject, but the oracle-parity tie
-      // column rides a rank window before the limit
+      "o4_skyline" // the global frontier-merge pass: its child is the
+      // per-bucket LOCAL frontier (lossless Pareto pruning — the
+      // skyline analogue of a partial aggregate), so the global window
+      // sees |buckets| × |local frontier| points, not the corpus; the
+      // fence cannot see a data-dependent reduction, so the exemption
+      // is named here with its justification
     )
+    // stale exemptions are themselves a hazard (a future query reusing
+    // the name would be silently exempt) — ADVICE r12
+    assert(fenced.subsetOf(SparkEntry.queries.keySet),
+      s"fence exemptions name unregistered queries: " +
+        s"${fenced -- SparkEntry.queries.keySet}")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         if (fenced(name)) None
         else {
           val lp = fn(spark, sf).queryExecution.optimizedPlan
           val bad = lp.collect {
-            case w: LWindow if w.partitionSpec.isEmpty && !reduced(w.child) => w
+            case w: LWindow if w.partitionSpec.isEmpty &&
+              !boundedPlan(w.child) => w
           }
           if (bad.nonEmpty) Some(name) else None
         }
     }
     assert(offenders.isEmpty,
       s"corpus-sized empty-partition windows in: $offenders")
+  }
+
+  test("no corpus-sized window partitioned only by a literal-domain key") {
+    // the a9_trimmed_mean shape (round-12 audit finding #2): a window
+    // PARTITIONed solely on a tiny literal code domain (return flag,
+    // line status, event type) over a non-reduced child still pushes
+    // corpus/|domain| rows through each sort task — 3 partitions is as
+    // single-task as 1 at 100 TB. Partitioning must include at least
+    // one entity-keyed or range-bucketed column, or the child must be
+    // domain-bounded first.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val lp = fn(spark, sf).queryExecution.optimizedPlan
+        val bad = lp.collect {
+          case w: LWindow if w.partitionSpec.nonEmpty && {
+            val refs = w.partitionSpec
+              .flatMap(_.references.toSeq.map(_.name.toLowerCase))
+            refs.nonEmpty && refs.forall(lowCardCols.contains) &&
+              !boundedPlan(w.child)
+          } => w
+        }
+        if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"literal-domain-partitioned corpus windows in: $offenders")
   }
 
   test("persisted LSH index: the band query plans from parquet, never the corpus") {
@@ -765,5 +862,44 @@ class ScaleShapeSpec extends AnyFunSuite {
     val live = SparkEntry.queries("d3_search_bm25")(spark, sf)
       .collect().map(_.toString).toSeq
     assert(idxRows == live, "persisted text index diverged from the live leg")
+  }
+
+  test("persisted ANN index: IVF-PQ plans from parquet, floats only for probe + rerank") {
+    // the d6 twin of the two pins above — the FOURTH ingest-time
+    // artifact family: after AnnIndex.writeIndex, the IVF-PQ search's
+    // plan reads codebooks/inverted-file/codes from the index; the
+    // embeddings parquet appears EXACTLY twice (the query side and the
+    // shortlist exact rerank) — the corpus assignment and PQ encoding
+    // passes (each a full embeddings scan through the argmax
+    // aggregates) never run at query time. Rows are bit-identical to
+    // the live composite (d6_ivfpq_persisted also hash-checks this
+    // against the shared DuckDB oracle).
+    val t = graft.sources.Tables(spark, sf)
+    val e = t.embeddings
+    val corpus = e.filter(col("vec_id") >= 20)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_ann_idx_spec")
+      .toString
+    graft.functions.AnnIndex.writeIndex(corpus,
+      spark.read.parquet("/root/repo/fixtures/ivf_centroids.parquet"),
+      spark.read.parquet("/root/repo/fixtures/pq_centroids.parquet"), idx)
+    val fromIdx = graft.functions.AnnIndex
+      .ivfpqSearch(spark, idx, queries, corpus)
+    fromIdx.collect() // force AQE final plan
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    assert(plan.contains(s"$idx/ivf") && plan.contains(s"$idx/codes"),
+      s"search leg does not scan the persisted index:\n$plan")
+    val embScans = plan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("embeddings"))
+    assert(embScans <= 2,
+      s"index leg re-encodes the corpus at query time ($embScans embeddings scans):\n$plan")
+    val live = SparkEntry.queries("d6_ivfpq_search")(spark, sf)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("l2"))
+      .collect().map(_.toString).sorted.toSeq
+    val idxCanon = fromIdx
+      .select(col("q_id"), col("rn"), col("vec_id"), round(col("l2"), 4).as("l2"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(idxCanon == live, "persisted ANN index diverged from the live leg")
   }
 }

@@ -112,19 +112,14 @@ class SqlParitySpec extends AnyFunSuite {
       s"only ${ran.length} rewritten texts ran — the dialect shim regressed")
   }
 
-  test("the non-front-door remainder is exactly the documented seven texts") {
+  test("the non-front-door remainder is exactly the documented two texts") {
     // The ledger: every oracle text is either (a) Spark-parseable raw,
-    // (b) machine-rewritten by DuckDialect to a text Spark analyzes, or
-    // (c) one of these seven, each impossible for a CONSERVATIVE
+    // (b) machine-rewritten by DuckDialect to a text Spark analyzes
+    // (round 13 folded the five WITH RECURSIVE … UNION fixpoint texts
+    // in here: DuckDialect.recursiveUnroll spells them as K
+    // accumulate-DISTINCT rounds, hash-compared like every other
+    // rewrite), or (c) one of these two, impossible for a CONSERVATIVE
     // textual rewrite — not a shim coverage gap:
-    //   - five connected-components oracles use WITH RECURSIVE ...
-    //     UNION (distinct): DuckDB's fixpoint terminates when the
-    //     accumulated DISTINCT set stops growing, while Spark's
-    //     recursive CTE supports only UNION ALL, whose step for a
-    //     converged min-label iteration re-emits the same rows forever
-    //     — the semantics are untranslatable text-to-text (the
-    //     DataFrame programs implement the loop with explicit
-    //     convergence counting instead, hash-checked);
     //   - the two S4 source demos read files through DuckDB's
     //     read_csv/read_json table functions with an inline
     //     columns={...} options struct; Spark SQL's file-table syntax
@@ -135,9 +130,6 @@ class SqlParitySpec extends AnyFunSuite {
     // unrewritten new oracle) and must be triaged, not ledgered.
     registerViews()
     val ledger = Set(
-      "d11_cluster_split", "d4_keep_best_per_cluster",
-      "d5_cluster_size_profile", "d5_dedup_clusters",
-      "d5_dedup_clusters_logstar", // recursive-CTE UNION fixpoints
       "s4_csv_source", "s4_json_source") // read_csv/read_json options
     val outside = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
       case (name, text) =>
