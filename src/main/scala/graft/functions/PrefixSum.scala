@@ -50,7 +50,7 @@ object PrefixSum {
       orderCol: String,
       sumCol: String,
       cumName: String,
-      buckets: Int = 32
+      buckets: Int = 0
   ): DataFrame =
     cumOverDistinct(df, orderCol, Seq(sumCol -> cumName), buckets)
 
@@ -61,8 +61,17 @@ object PrefixSum {
       df: DataFrame,
       orderCol: String,
       sums: Seq[(String, String)],
-      buckets: Int
+      buckets0: Int
   ): DataFrame = {
+    // buckets <= 0 → auto: ride the session's shuffle-partition dial
+    // (the knob that already grows with the cluster — Graft.session /
+    // SPARK_GRAFT_SHUFFLE), capped where the per-row boundary/offset
+    // scalars stop being cheap codegen; past the cap the offsets would
+    // become a broadcast join on the bucket id (same plan, wider dial)
+    val buckets =
+      if (buckets0 > 0) buckets0
+      else math.min(
+        df.sparkSession.sessionState.conf.numShufflePartitions, 128)
     require(buckets >= 1, s"PrefixSum: buckets must be >= 1, got $buckets")
     require(sums.nonEmpty, "PrefixSum: no sum columns given")
     val base = df.cut(Shared)

@@ -835,7 +835,7 @@ object EventOps {
         // way, and the totals are a broadcast 1-row fold instead of a
         // whole-relation window
         val cum = graft.functions.PrefixSum.cumOverDistinct(
-          c, "value", Seq("c1" -> "cum1", "c2" -> "cum2"), 32)
+          c, "value", Seq("c1" -> "cum1", "c2" -> "cum2"), 0)
         // totals fold the (already cut) cum relation — one broadcast row
         val tot = cum.agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
         val scored = cum.crossJoin(broadcast(tot)) // 1-row totals scalar
