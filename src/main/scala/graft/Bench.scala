@@ -81,7 +81,12 @@ object Bench {
     // Frozen per-query medians from BASELINE.md — the values the driver's
     // 2x gate compares against. Parsing the human table keeps ONE source
     // of truth: a re-freeze edits exactly one place.
-    val frozen: Map[String, Double] = if (!sfDir.contains("sf0.1")) Map.empty else {
+    // basename EXACT match (ADVICE r13): a substring test would let a
+    // sweep on sf0.12 (or any path merely containing "sf0.1") mis-price
+    // frozen rows here and clobber BENCH_FULL.json below
+    val isCanonicalSf =
+      java.nio.file.Paths.get(sfDir).getFileName.toString == "sf0.1"
+    val frozen: Map[String, Double] = if (!isCanonicalSf) Map.empty else {
       // frozen rows price sf0.1 only — at other SFs the 1.5x comparison
       // is meaningless and would resample every row of a scale sweep
       val row = "\\| ([a-z0-9_]+) \\| ([0-9.]+) \\|".r
@@ -173,7 +178,7 @@ object Bench {
     // only an UNFILTERED sf0.1 sweep is the repo artifact: a
     // GRAFT_BENCH_ONLY subset or a scale-sweep run must not clobber
     // the full-surface line a later reader takes for the whole bench
-    if (only.isEmpty && sfDir.contains("sf0.1"))
+    if (only.isEmpty && isCanonicalSf)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), line + "\n")
       catch { case _: Throwable => () } // repo may be read-only in some harnesses

@@ -20,14 +20,25 @@ package graft
 object IndexPaths {
 
   /** e.g. forSf("lsh", "/root/testdata/sf0.01") →
-    * /tmp/graft_lsh_idx_root_testdata_sf0.01 */
+    * /tmp/graft_lsh_idx_root_testdata_sf0.01_a1b2c3d4
+    *
+    * The readable name alone is NOT injective (the sanitizer collapses
+    * every non-alphanumeric run to '_', so /root/test_data/sf0.1 and
+    * /root/test/data/sf0.1 would share a name — ADVICE r13); a short
+    * SHA-1 of the UNsanitized canonical path is appended so distinct
+    * SF dirs can never silently share an index, while the prefix stays
+    * human-readable in a directory listing. */
   def forSf(kind: String, sfDir: String): String = {
-    val canon = java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize
+    val canonPath = java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize
       .toString
+    val canon = canonPath
       .replaceAll("[^A-Za-z0-9.]+", "_")
       .replaceAll("^_+|_+$", "")
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(canonPath.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
     java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft_${kind}_idx_$canon").toString
+      s"graft_${kind}_idx_${canon}_$sha").toString
   }
 }

@@ -11,13 +11,17 @@ import org.apache.spark.sql.functions._
   * maintenance via [[mergeBatch]].
   *
   * A production search pipeline tokenizes the corpus ONCE per ingest
-  * and persists four relations; every query-time scorer (TF-IDF, BM25,
+  * and persists five relations; every query-time scorer (TF-IDF, BM25,
   * phrase/boolean/QL composition) then plans FROM the parquet index
   * and never re-reads corpus text:
   *
   *   - `postings` (term, doc_id, tf) — the inverted index proper;
   *   - `df`       (term, df)         — per-term document frequency;
   *   - `doclen`   (doc_id, dlen)     — per-doc token count (= Σ tf);
+  *   - `ids`      (doc_id)           — the doc catalog (INCLUDING
+  *                                     zero-token docs, which never
+  *                                     reach postings/doclen but still
+  *                                     count toward n for idf);
   *   - `stats`    1 row (n, avgdl)   — collection size + mean length.
   *
   * At 100 TB the win is twofold. The tokenize + group-by pass over raw
@@ -45,6 +49,11 @@ object TextIndex {
       .write.mode("overwrite").parquet(s"$path/df")
     val dl = written.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
     dl.write.mode("overwrite").parquet(s"$path/doclen")
+    // the doc catalog — the id authority mergeBatch counts replacements
+    // against (doclen cannot stand in: a zero-token doc has no doclen
+    // row but IS a document for idf purposes — ADVICE r13)
+    docs.select(col("doc_id")).distinct()
+      .write.mode("overwrite").parquet(s"$path/ids")
     // n comes from the DOCUMENT relation, not the postings (a doc with
     // zero tokens is still a document for idf purposes); avgdl matches
     // the live leg's avg over docs that have at least one token
@@ -53,7 +62,7 @@ object TextIndex {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
-  /** Incremental index maintenance — an ingest BATCH updates the four
+  /** Incremental index maintenance — an ingest BATCH updates the five
     * persisted relations WITHOUT re-tokenizing the corpus (the
     * d5_incremental_lsh discipline applied to the text index): only
     * the batch is tokenized; existing postings for replaced doc_ids
@@ -112,12 +121,18 @@ object TextIndex {
     val batchDl = batchPost.groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("dlen"))
     val oldDl = spark.read.parquet(s"$path/doclen")
-    // batch ids already present BEFORE the merge (counted pre-merge —
-    // doclen stands in as the doc catalog here; a production ingest
-    // would consult the store's id authority, which also covers
-    // zero-token docs)
-    val nPresentBefore = oldDl
+    // batch ids already present BEFORE the merge, counted against the
+    // persisted `ids` CATALOG — not doclen, which misses zero-token
+    // docs and would inflate n when such a doc is replaced (ADVICE
+    // r13); the catalog merges by the same anti-join + union
+    val oldIds = spark.read.parquet(s"$path/ids")
+    val nPresentBefore = oldIds
       .join(broadcast(batchIds), Seq("doc_id"), "left_semi").count()
+    val mergedIds = oldIds
+      .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+      .unionByName(batchIds)
+      .cut(Barrier) // overwrites its own input path
+    mergedIds.write.mode("overwrite").parquet(s"$path/ids")
     val mergedDl = oldDl
       .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
       .unionByName(batchDl)
