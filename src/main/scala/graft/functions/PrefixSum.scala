@@ -1,8 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.Materialize.{CutSyntax, Shared}
 
 /** EXACT distributed prefix sum without an unpartitioned window — the
@@ -36,6 +37,14 @@ import graft.Materialize.{CutSyntax, Shared}
   * carried as BigDecimal on the driver and cast back, so the result is
   * bit-identical to the single-window spelling (PrefixSumSpec pins
   * this on both long and decimal columns, ties included).
+  *
+  * Offsets reach the rows one of two ways: a codegen'd when-chain for
+  * the ungrouped ≤128-bucket case (no join, no shuffle — the common
+  * dial), or a BROADCAST JOIN on the bucket key past that cap and for
+  * every GROUPED call (the offset table is |groups|×B rows — still a
+  * driver-held grid, but a when-chain of that width would blow codegen;
+  * the broadcast join is the same plan with a wider dial —
+  * PrefixSumSpec pins bit-parity across both paths).
   */
 object PrefixSum {
 
@@ -62,16 +71,48 @@ object PrefixSum {
       orderCol: String,
       sums: Seq[(String, String)],
       buckets0: Int
+  ): DataFrame =
+    cumOverDistinctBy(df, Seq.empty, orderCol, sums, buckets0)
+
+  /** GROUPED form: `cumName` = running sum of `sumCol` over rows
+    * ordered by `orderCol` ascending WITHIN each `partCols` group (the
+    * per-source CDF of d7_quantile_norm; per-cohort rank statistics).
+    * Rows must have distinct non-null `orderCol` values per group.
+    *
+    * Shape: boundaries stay GLOBAL over the order column (one GK fold —
+    * a monotone bucketing composes under any grouping), buckets become
+    * (group, range-bucket) — each holding ~n/(|groups|·B) rows — and
+    * the driver holds |groups|×B exclusive offsets keyed by group,
+    * applied back via a broadcast join. The driver grid requires
+    * |groups| bounded (a literal code domain: source, lang, variant) —
+    * exactly the case where a plain Window.partitionBy(group) would
+    * push corpus/|groups| rows through each sort task at 100 TB. For
+    * entity-keyed groups (millions of small groups) use the plain
+    * window: its partitions are already fine-grained there. */
+  def cumOverDistinctBy(
+      df: DataFrame,
+      partCols: Seq[String],
+      orderCol: String,
+      sumCol: String,
+      cumName: String
+  ): DataFrame =
+    cumOverDistinctBy(df, partCols, orderCol, Seq(sumCol -> cumName), 0)
+
+  def cumOverDistinctBy(
+      df: DataFrame,
+      partCols: Seq[String],
+      orderCol: String,
+      sums: Seq[(String, String)],
+      buckets0: Int
   ): DataFrame = {
     // buckets <= 0 → auto: ride the session's shuffle-partition dial
     // (the knob that already grows with the cluster — Graft.session /
-    // SPARK_GRAFT_SHUFFLE), capped where the per-row boundary/offset
-    // scalars stop being cheap codegen; past the cap the offsets would
-    // become a broadcast join on the bucket id (same plan, wider dial)
+    // SPARK_GRAFT_SHUFFLE). No hard cap: past 128 the offsets switch
+    // from the codegen when-chain to the broadcast join below, so a
+    // cluster-sized dial widens the plan instead of blowing codegen.
     val buckets =
       if (buckets0 > 0) buckets0
-      else math.min(
-        df.sparkSession.sessionState.conf.numShufflePartitions, 128)
+      else df.sparkSession.sessionState.conf.numShufflePartitions
     require(buckets >= 1, s"PrefixSum: buckets must be >= 1, got $buckets")
     require(sums.nonEmpty, "PrefixSum: no sum columns given")
     val base = df.cut(Shared)
@@ -91,39 +132,84 @@ object PrefixSum {
     val bucketCol = bounds
       .foldLeft(lit(0)) { (acc, b) => acc + when(od > b, 1).otherwise(0) }
     val withB = base.withColumn("__psb", bucketCol)
-    // per-bucket totals -> driver-held EXCLUSIVE prefix offsets (B rows;
-    // BigDecimal carries both BIGINT and DECIMAL sums exactly)
-    val totalsDf = withB.groupBy(col("__psb"))
-      .agg(sum(col(sums.head._1)).as("__t0"),
+    // per-(group, bucket) totals -> driver-held EXCLUSIVE prefix
+    // offsets per group (|groups|×B rows; BigDecimal carries both
+    // BIGINT and DECIMAL sums exactly). coalesce: an all-null sumCol
+    // slice must yield a ZERO total, not a driver NPE (ADVICE r13) —
+    // matching the window side, where sum over nulls adds nothing.
+    val keyCols = partCols.map(col) :+ col("__psb")
+    val totalsDf = withB.groupBy(keyCols: _*)
+      .agg(coalesce(sum(col(sums.head._1)), lit(0)).as("__t0"),
         sums.tail.zipWithIndex.map { case ((s, _), i) =>
-          sum(col(s)).as(s"__t${i + 1}")
+          coalesce(sum(col(s)), lit(0)).as(s"__t${i + 1}")
         }: _*)
+    val g = partCols.length
     val sumTypes = sums.indices.map(i => totalsDf.schema(s"__t$i").dataType)
     val totalRows = totalsDf.collect()
-      .map(r => (r.getInt(0),
-        sums.indices.map(i => BigDecimal(r.get(i + 1).toString))))
-      .sortBy(_._1)
-    val accs = Array.fill(sums.length)(BigDecimal(0))
-    val offsets: Seq[(Int, Seq[BigDecimal])] = totalRows.toSeq.map {
-      case (b, ts) =>
-        val o = (b, accs.toSeq)
+      .map(r => (partCols.indices.map(r.get).toSeq, r.getInt(g),
+        sums.indices.map(i => BigDecimal(r.get(g + 1 + i).toString))))
+      .sortBy(_._2)
+    // exclusive running offsets WITHIN each group, in bucket order
+    val accByGroup =
+      scala.collection.mutable.Map.empty[Seq[Any], Array[BigDecimal]]
+    val offsets: Seq[(Seq[Any], Int, Seq[BigDecimal])] = totalRows.toSeq.map {
+      case (grp, b, ts) =>
+        val accs =
+          accByGroup.getOrElseUpdate(grp, Array.fill(sums.length)(BigDecimal(0)))
+        val o = (grp, b, accs.toSeq)
         ts.zipWithIndex.foreach { case (t, i) => accs(i) += t }
         o
     }
-    val wIn = Window.partitionBy(col("__psb")).orderBy(col(orderCol))
+    val wIn = Window.partitionBy(keyCols: _*).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCums = sums.zipWithIndex.foldLeft(withB) {
+    val withOffsets: DataFrame =
+      if (partCols.isEmpty && offsets.size <= 128) {
+        // codegen when-chain: no join, offsets inlined as literals —
+        // the original path, kept so common plans stay digest-stable
+        sums.indices.foldLeft(withB) { (acc0, i) =>
+          val st = sumTypes(i)
+          val offCol = offsets
+            .foldLeft(lit(null).cast(st.sql)) { case (acc, (_, b, offs)) =>
+              when(col("__psb") === b, lit(offs(i).underlying).cast(st.sql))
+                .otherwise(acc)
+            }
+          acc0.withColumn(s"__pso$i", offCol)
+        }
+      } else {
+        // broadcast join on (group, bucket): the offsets relation is a
+        // driver-held grid (|groups|×B rows); offsets travel as exact
+        // decimal STRINGS and cast back to the native sum type, so the
+        // join path is bit-identical to the when-chain
+        val spark = df.sparkSession
+        val offSchema = StructType(
+          partCols.map(c => totalsDf.schema(c)) ++
+            (StructField("__psb", IntegerType) +:
+              sums.indices.map(i =>
+                StructField(s"__psos$i", org.apache.spark.sql.types.StringType))))
+        val offRows = offsets.map { case (grp, b, offs) =>
+          Row.fromSeq(grp ++ (b +: offs.map(_.underlying.toPlainString)))
+        }
+        val offDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(offRows, 1), offSchema)
+          .select((partCols.map(col) :+ col("__psb")) ++
+            sums.indices.map(i =>
+              col(s"__psos$i").cast(sumTypes(i).sql).as(s"__pso$i")): _*)
+        // eqNullSafe: a null GROUP value is a legitimate group key
+        val cond = (partCols :+ "__psb")
+          .map(c => withB(c) <=> offDf(c))
+          .reduce(_ && _)
+        partCols.foldLeft(
+          withB.join(broadcast(offDf), cond).drop(offDf("__psb"))) {
+          (d, c) => d.drop(offDf(c))
+        }
+      }
+    val withCums = sums.zipWithIndex.foldLeft(withOffsets) {
       case (acc0, ((sumCol, cumName), i)) =>
         val st = sumTypes(i)
-        val offCol = offsets
-          .foldLeft(lit(null).cast(st.sql)) { case (acc, (b, offs)) =>
-            when(col("__psb") === b, lit(offs(i).underlying).cast(st.sql))
-              .otherwise(acc)
-          }
         acc0.withColumn(cumName,
-          (coalesce(offCol, lit(0).cast(st.sql)) +
+          (coalesce(col(s"__pso$i"), lit(0).cast(st.sql)) +
             sum(col(sumCol)).over(wIn)).cast(st.sql))
     }
-    withCums.drop("__psb")
+    withCums.drop("__psb").drop(sums.indices.map(i => s"__pso$i"): _*)
   }
 }
