@@ -170,17 +170,23 @@ object SampleOps {
              |ORDER BY ALL NULLS FIRST""".stripMargin),
       (spark, dir) => {
         val t = Tables(spark, dir)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source")).orderBy(col("doc_id"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val sized = t.documents
+          .select(col("doc_id"), col("source"),
+            graft.functions.Text.tokenCount(col("text")).cast("long").as("n_tok"))
+        // per-source running cumsum via the GROUPED range-bucketed
+        // prefix sum (round 14): a window PARTITIONed only by `source`
+        // (a 20-value literal domain) would push corpus/20 rows through
+        // one sort task at 100 TB — the a9_trimmed_mean shape. doc_id
+        // is unique per source, so the distinct-orderCol contract holds;
+        // the driver carries |sources|×B offsets and every sort task
+        // sees a (source, doc_id-range) slice.
+        // shard = floor(tokens-before-this-doc / budget): a doc starts
+        // in the shard its predecessor left open (greedy packing)
         ordered(
-          t.documents
-            .select(col("doc_id"), col("source"),
-              graft.functions.Text.tokenCount(col("text")).cast("long").as("n_tok"))
-            // shard = floor(tokens-before-this-doc / budget): a doc starts
-            // in the shard its predecessor left open (greedy packing)
+          graft.functions.PrefixSum
+            .cumOverDistinctBy(sized, Seq("source"), "doc_id", "n_tok", "cum")
             .withColumn("shard",
-              floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(4096L)))
+              floor((col("cum") - col("n_tok")) / lit(4096L)))
             .groupBy(col("source"), col("shard"))
             .agg(count(lit(1)).as("n_docs"),
               sum(col("n_tok")).as("shard_tokens"),
@@ -241,10 +247,18 @@ object SampleOps {
         ordered(
           t.documents
             .select(col("doc_id"), col("source"))
-            .withColumn("rk", row_number().over(rk).cast("long"))
+            .withColumn("rk0", row_number().over(rk))
+            // the 200-doc TOTAL budget is a LITERAL cap on every
+            // per-source quota (m = 200·wt div tw ≤ 200), so filtering
+            // on it first turns the per-source ranking into a
+            // WindowGroupLimit plan (round 14): each map task pre-prunes
+            // to its local top-200 per source BEFORE the shuffle, so the
+            // sort task sees ≤ 200·|map tasks| rows, not corpus/20
+            .filter(col("rk0") <= 200)
             .join(broadcast(quota), Seq("source"))
-            .filter(col("rk") <= col("m"))
-            .select(col("doc_id"), col("source"), col("rk"))
+            .filter(col("rk0") <= col("m"))
+            .select(col("doc_id"), col("source"),
+              col("rk0").cast("long").as("rk"))
         )
       }
     ),

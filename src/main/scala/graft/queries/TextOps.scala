@@ -1406,11 +1406,12 @@ object TextOps {
     // boundaries, identical in both engines); the pooled value table
     // (one row per DISTINCT score, with its cumulative count) is
     // exploded into per-rank rows so the lookup is an EQUI-join on the
-    // index — linear in corpus size, never a range join. 100 TB note:
-    // the per-source ranking windows partition by source; the pooled
-    // side here is exact (distinct scores + cumsum) — at real scale the
-    // pooled CDF would come from the GK sketch (a9_approx_quantiles)
-    // with this exact query as its oracle fence.
+    // index — linear in corpus size, never a range join. 100 TB shape
+    // (round-14: both legs de-globalized): the per-source rank rides
+    // the GROUPED range-bucketed prefix sum (driver holds |sources|×B
+    // offsets; tie ranks come from (source, score)-partitioned
+    // windows), and the pooled CDF rides PrefixSum.cumOverDistinct —
+    // no window anywhere partitioned by less than a range bucket.
     Some("""WITH s AS (
            |  SELECT doc_id, source, CAST(length(text) AS INTEGER) AS score
            |  FROM documents
@@ -1869,23 +1870,45 @@ object TextOps {
     * is replaced by the pooled-distribution value at the doc's
     * within-source quantile, via the all-integer index mapping described
     * on `d7_quantile_norm`. Output adds `norm_score`. */
-  def quantileNormalize(s: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def quantileNormalize(s0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val r = s
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("source")).orderBy(col("score"), col("doc_id"))))
-      .withColumn("ns", count(lit(1)).over(Window.partitionBy(col("source"))))
+    import graft.functions.PrefixSum
+    // consumed five ways (per-value counts, tie ranks, per-source
+    // totals, corpus total, pooled CDF) — materialize once
+    val s = s0.cut(Shared)
+    // Leg (a) — the per-source rank WITHOUT a per-source corpus window
+    // (the a9_trimmed_mean shape, retired round 13; a window
+    // PARTITIONed only by `source` still pushes corpus/|sources| rows
+    // through one sort task at 100 TB). rank = cum-count of the
+    // source's smaller scores (grouped range-bucketed prefix sum over
+    // the per-(source, score) counts — graft.functions.PrefixSum, the
+    // distributed-sort-shaped plan) + the doc's position within its tie
+    // group (a window partitioned by (source, score): tie-group-sized
+    // partitions, fine-grained at any scale).
+    val perVal = s.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("svcnt"))
+    val cumBySource = PrefixSum
+      .cumOverDistinctBy(perVal, Seq("source"), "score", "svcnt", "scum")
+    val ns = s.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val ranked = s
+      .withColumn("tierk", row_number().over(
+        Window.partitionBy(col("source"), col("score")).orderBy(col("doc_id"))))
+      .join(cumBySource, Seq("source", "score"))
+      .withColumn("rk", col("scum") - col("svcnt") + col("tierk"))
+      .join(broadcast(ns), Seq("source")) // |sources|-row literal domain
     val n = s.agg(count(lit(1)).as("nt"))
-    val idx = r.crossJoin(broadcast(n)) // 1-row corpus total
+    val idx = ranked.crossJoin(broadcast(n)) // 1-row corpus total
       .select(col("doc_id"), col("source"), col("score"),
         when(col("ns") === 1, expr("(nt + 1) div 2"))
           .otherwise(expr("1 + ((rk - 1) * (nt - 1)) div (ns - 1)")).as("pidx"))
-    // pooled CDF on DISTINCT values (bounded), exploded to per-rank rows
-    // so the lookup is an equi-join; the unpartitioned window runs over
-    // that bounded distinct-value relation, not the corpus
-    val pc = s.groupBy(col("score").as("pscore"))
+    // Leg (b) — the pooled CDF over DISTINCT scores: for a continuous
+    // score the distinct-value relation is ~corpus-sized (ties are
+    // measure-zero), so the cumulative count rides the range-bucketed
+    // prefix sum (the a17/t17 discipline), never an unpartitioned
+    // window; exploded to per-rank rows so the lookup is an EQUI-join
+    val pv = s.groupBy(col("score").as("pscore"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("pscore"))))
+    val pc = PrefixSum.cumOverDistinct(pv, "pscore", "cnt", "cum")
       .select(col("pscore"),
         explode(sequence(col("cum") - col("cnt") + 1, col("cum"))).as("pidx"))
     idx.join(pc, Seq("pidx"))
