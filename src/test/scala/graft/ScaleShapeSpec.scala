@@ -676,8 +676,7 @@ class ScaleShapeSpec extends AnyFunSuite {
       "GK-boundary buckets diverge from ntile(5)")
   }
 
-  // ---- shared fence vocabulary (ROUND-13 TIGHTENING — the round-12
-  // audit's blind spot) ----
+  // ---- shared fence vocabulary (ROUND-14: TYPE- AND PROBE-DRIVEN) ----
   //
   // An Aggregate only bounds its output when the grouping keys are a
   // DOMAIN-bounded grid (term/day/flag/type/decile — cardinality set by
@@ -687,24 +686,111 @@ class ScaleShapeSpec extends AnyFunSuite {
   // groupBy(value): the "reduction" can be ~1×) yields a
   // corpus-entity-sized relation — w13_lorenz's groupBy(o_custkey) sat
   // under a "reduced" ntile exactly this way for two rounds.
+  //
+  // Round-13's tightening was enumerative and lost the race within one
+  // round: d7_quantile_norm's `score` was missing from the
+  // continuous-measure name list and `source` from lowCardCols, so
+  // both of its corpus-scale windows passed silently (VERDICT r13).
+  // Round 14 detects structurally instead:
+  //   - continuous measures BY TYPE: a grouping key of Double/Float/
+  //     Decimal type is continuous no matter what it is named;
+  //   - illusory reductions BY MEASUREMENT: an Aggregate whose keys
+  //     pass the name/type screens is probed — its output/input row
+  //     ratio at fence SF must show a real reduction (grouping 500
+  //     docs by length(text) keeps 313 rows — 0.63, corpus-sized;
+  //     grouping the token stream by term keeps vocab/tokens ≈ 0.001);
+  //   - low-cardinality literal domains BY A DISTINCT-COUNT PROBE of
+  //     the testdata schema (≤ 64 distinct values at fence SF = a
+  //     literal code domain), unioned with the derived-column names
+  //     queries alias such domains to.
   private val entityKeys = Set(
     // entity identifiers across every table in TESTDATA.md
     "o_custkey", "c_custkey", "user_id", "doc_id", "vec_id", "q_id",
     "event_id", "o_orderkey", "l_orderkey", "p_partkey", "ps_partkey",
     "s_suppkey", "chunk_id", "session_id", "url", "id",
-    // continuous measures: grouping by the value itself reduces ~nothing
-    "value", "s", "sd", "pd", "price", "monetary", "freq")
+    // continuous measures kept as a belt (the TYPE rule is the real
+    // detector now; these cost nothing and keep old red cases red)
+    "value", "s", "sd", "pd", "price", "monetary", "freq", "score",
+    "pscore")
 
   // tiny literal code domains: a window PARTITIONed solely on these
-  // over a corpus-sized child is as single-task as no partitioning
-  private val lowCardCols = Set(
-    "l_returnflag", "l_linestatus", "o_orderstatus", "event_type",
-    "variant", "flag", "which", "side", "status")
+  // over a corpus-sized child is as single-task as no partitioning.
+  // Hand-named DERIVED columns (query aliases) union with the probed
+  // testdata columns below — the probe owns every physical column.
+  private val lowCardCols: Set[String] = Set(
+    "variant", "flag", "which", "side", "status") ++ probedLowCard
+
+  /** Every PHYSICAL testdata column with ≤ 64 distinct values at BOTH
+    * probe SFs — the literal code domains (source, lang, flags,
+    * statuses, region/nation keys...) measured from the data instead
+    * of hand-listed (round-13's list lacked `source`; ADVICE r13).
+    * TWO SFs because a single-SF count cannot tell a literal domain
+    * from an entity key that is merely small at toy scale: user_id is
+    * 15 distinct at sf0.001 but 150 at sf0.01 — it GROWS with the
+    * corpus, so a window partitioned by it gets finer with the data
+    * (fine at 100 TB); `source` stays 20 at every SF, so the same
+    * window stays corpus/20 per task (the a9_trimmed_mean hazard). */
+  private lazy val probedLowCard: Set[String] = {
+    def lowCardAt(dir: String): Set[String] = {
+      val t = graft.sources.Tables(spark, dir)
+      Seq(t.region, t.nation, t.customer, t.supplier, t.part,
+        t.orders, t.lineitem, t.documents, t.embeddings, t.events)
+        .flatMap { df =>
+          val atomic = df.schema.fields.filter { f =>
+            import org.apache.spark.sql.types._
+            f.dataType match {
+              case StringType | BooleanType | ByteType | ShortType |
+                   IntegerType | LongType | FloatType | DoubleType |
+                   DateType | TimestampType => true
+              case _: DecimalType => true
+              case _ => false
+            }
+          }
+          if (atomic.isEmpty) Seq.empty
+          else {
+            val row = df.select(atomic.map(f =>
+              countDistinct(col(f.name)).as(f.name)).toSeq: _*).collect()(0)
+            atomic.indices.collect {
+              case i if row.getLong(i) <= 64 => atomic(i).name.toLowerCase
+            }
+          }
+        }.toSet
+    }
+    (lowCardAt(sf) intersect lowCardAt("/root/testdata/sf0.01")) -- entityKeys
+  }
+
+  private def continuousType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.DoubleType |
+         org.apache.spark.sql.types.FloatType => true
+    case _: org.apache.spark.sql.types.DecimalType => true
+    case _ => false
+  }
+
+  // reduction-ratio probe, cached by canonicalized plan (the same
+  // Aggregate reappears across many queries' windows): a grouping that
+  // keeps more than 20% of its input rows at fence SF is corpus-sized
+  // masquerading as a domain grid. 0.2 sits an order of magnitude from
+  // both sides measured on the testdata (distinct-length 0.63 vs
+  // vocabulary 0.001, calendar days ≤0.01).
+  private val reductionCache =
+    scala.collection.mutable.Map.empty[String, Boolean]
+  private def aggregateReduces(
+      a: org.apache.spark.sql.catalyst.plans.logical.Aggregate): Boolean =
+    reductionCache.getOrElseUpdate(a.canonicalized.toString, {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      try {
+        val out = ColumnBridge.ofRows(spark, a).count()
+        val in = ColumnBridge.ofRows(spark, a.child).count()
+        in == 0L || out.toDouble / in <= 0.2
+      } catch { case _: Throwable => false } // unprobeable → not bounded
+    })
 
   private def boundedPlan(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.{
-      BinaryComparison, Literal}
+      EqualTo, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan,
+      LessThanOrEqual, Literal}
     import org.apache.spark.sql.catalyst.plans.logical.{
       Aggregate, Filter, GlobalLimit, LocalLimit, LocalRelation,
       WindowGroupLimit}
@@ -712,20 +798,43 @@ class ScaleShapeSpec extends AnyFunSuite {
       case a: Aggregate =>
         val refs = a.groupingExpressions
           .flatMap(_.references.toSeq.map(_.name.toLowerCase))
-        // empty grouping = 1-row global fold; entity/measure-keyed
-        // grouping bounds nothing — but a Limit below still would
-        if (refs.forall(r => !entityKeys.contains(r))) true
+        val nameEntity = refs.exists(entityKeys.contains)
+        // a Double/Float/Decimal grouping key is continuous BY TYPE —
+        // unless it is itself a probed literal domain (l_quantity is
+        // DECIMAL but 50 distinct values at every SF: a TPC-H grid
+        // column, not a measure)
+        val typeContinuous = a.groupingExpressions.exists { e =>
+          continuousType(e.dataType) && {
+            val ers = e.references.toSeq.map(_.name.toLowerCase)
+            ers.isEmpty || !ers.forall(probedLowCard.contains)
+          }
+        }
+        // empty grouping = 1-row global fold; entity/continuous keys
+        // bound nothing — but a Limit below still would; everything
+        // else must PROVE its reduction to the probe
+        if (a.groupingExpressions.isEmpty) true
+        else if (nameEntity || typeContinuous) a.children.forall(boundedPlan)
+        else if (aggregateReduces(a)) true
         else a.children.forall(boundedPlan)
       case f: Filter =>
-        // a literal range/equality bound on an entity key (the W-demo
-        // prefilters: o_custkey < 50) selects O(k) entities — bounded
+        // a literal UPPER bound / equality / IN on an entity key (the
+        // W-demo prefilters: o_custkey < 50) selects O(k) entities —
+        // bounded. Direction matters (ADVICE r13): `vec_id >= 20` or
+        // `id =!= 0` selects ~everything; only key < lit, key <= lit,
+        // key = lit, key IN (lits) — and their mirrored spellings —
+        // count as bounding.
         val refs = f.condition.references.toSeq.map(_.name.toLowerCase)
         val literalEntityBound = refs.nonEmpty &&
           refs.forall(entityKeys.contains) &&
           f.condition.collectFirst {
-            case b: BinaryComparison
-              if b.left.isInstanceOf[Literal] || b.right.isInstanceOf[Literal]
-              => b
+            case LessThan(_, Literal(_, _))            => ()
+            case LessThanOrEqual(_, Literal(_, _))     => ()
+            case EqualTo(_, Literal(_, _))             => ()
+            case EqualTo(Literal(_, _), _)             => ()
+            case GreaterThan(Literal(_, _), _)         => ()
+            case GreaterThanOrEqual(Literal(_, _), _)  => ()
+            case i: In if i.list.forall(_.isInstanceOf[Literal]) => ()
+            case _: InSet                              => ()
           }.nonEmpty
         literalEntityBound || f.children.forall(boundedPlan)
       case _: WindowGroupLimit => true // rank/row_number pushdown: each
@@ -736,6 +845,55 @@ class ScaleShapeSpec extends AnyFunSuite {
       case leaf if leaf.children.isEmpty => false
       case other => other.children.forall(boundedPlan)
     }
+  }
+
+  import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+
+  /** The two offender shapes, factored so the red-team test below can
+    * point them at a KNOWN-BAD plan and prove the fence bites. */
+  private def emptySpecOffenders(
+      lp: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    lp.collect {
+      case w: LWindow if w.partitionSpec.isEmpty && !boundedPlan(w.child) => w
+    }
+  private def lowCardOnlyOffenders(
+      lp: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    lp.collect {
+      case w: LWindow if w.partitionSpec.nonEmpty && {
+        val refs = w.partitionSpec
+          .flatMap(_.references.toSeq.map(_.name.toLowerCase))
+        refs.nonEmpty && refs.forall(lowCardCols.contains) &&
+          !boundedPlan(w.child)
+      } => w
+    }
+
+  test("fence red-team: the retired d7_quantile_norm spelling fails both fence tests") {
+    // the exact round-13 blind spot, rebuilt inline: if either leg
+    // stops being flagged, the fence has regressed to name-list blindness
+    import org.apache.spark.sql.expressions.Window
+    val s = graft.sources.Tables(spark, sf).documents
+      .select(col("doc_id"), col("source"), length(col("text")).as("score"))
+    // leg (a): per-source rank windows — partitioned ONLY by a probed
+    // literal domain (20 sources) over the unreduced corpus
+    val legA = s
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("score"), col("doc_id"))))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy(col("source"))))
+    assert(lowCardOnlyOffenders(legA.queryExecution.optimizedPlan).nonEmpty,
+      "fence regression: the per-source corpus window passed (probedLowCard lost `source`?)")
+    // leg (b): unpartitioned cumulative window over groupBy(score) —
+    // an INTEGER-typed continuous measure only the reduction probe sees
+    val legB = s.groupBy(col("score").as("pscore"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("pscore"))))
+    assert(emptySpecOffenders(legB.queryExecution.optimizedPlan).nonEmpty,
+      "fence regression: the distinct-score CDF window passed (reduction probe broken?)")
+    // and the ADVICE r13 Filter escape hatch: a lower-bound literal
+    // filter must NOT bound an empty-partition window's child
+    val legC = s.filter(col("doc_id") >= 20)
+      .withColumn("rk", row_number().over(Window.orderBy(col("score"), col("doc_id"))))
+    assert(emptySpecOffenders(legC.queryExecution.optimizedPlan).nonEmpty,
+      "fence regression: `doc_id >= 20` counted as a bounding filter")
   }
 
   test("no corpus-sized window with an empty partition spec, anywhere") {
@@ -765,17 +923,12 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(fenced.subsetOf(SparkEntry.queries.keySet),
       s"fence exemptions name unregistered queries: " +
         s"${fenced -- SparkEntry.queries.keySet}")
-    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         if (fenced(name)) None
         else {
           val lp = fn(spark, sf).queryExecution.optimizedPlan
-          val bad = lp.collect {
-            case w: LWindow if w.partitionSpec.isEmpty &&
-              !boundedPlan(w.child) => w
-          }
-          if (bad.nonEmpty) Some(name) else None
+          if (emptySpecOffenders(lp).nonEmpty) Some(name) else None
         }
     }
     assert(offenders.isEmpty,
@@ -785,24 +938,37 @@ class ScaleShapeSpec extends AnyFunSuite {
   test("no corpus-sized window partitioned only by a literal-domain key") {
     // the a9_trimmed_mean shape (round-12 audit finding #2): a window
     // PARTITIONed solely on a tiny literal code domain (return flag,
-    // line status, event type) over a non-reduced child still pushes
-    // corpus/|domain| rows through each sort task — 3 partitions is as
-    // single-task as 1 at 100 TB. Partitioning must include at least
-    // one entity-keyed or range-bucketed column, or the child must be
-    // domain-bounded first.
-    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // line status, event type, source) over a non-reduced child still
+    // pushes corpus/|domain| rows through each sort task — 3 partitions
+    // is as single-task as 1 at 100 TB. Partitioning must include at
+    // least one entity-keyed or range-bucketed column, or the child
+    // must be domain-bounded first.
+    val fenced = Set(
+      "s14_compaction_plan", // greedy sequential file packing: the
+      // running sum is inherently order-dependent per source, but its
+      // INPUT is the file inventory — a metadata relation (one row per
+      // parquet FILE, not per document), orders of magnitude below the
+      // corpus; acceptable with this scale note (VERDICT r13 'watch')
+      "w2_ranking" // the W2 operator demonstration itself (the
+      // literal-domain sibling of the empty-spec test's w2_ntile
+      // exemption): rank/dense_rank/ntile per nation over ALL
+      // customers — the per-literal-domain total order IS the
+      // semantic being demonstrated. Production per-group rankings
+      // partition by entity keys (w1, w3-w9: user_id/doc_id — fine-
+      // grained at any scale) or ride rank pushdown under a literal
+      // cap (d11_temperature_mix) / the grouped prefix sum
+      // (d10_pack_shards) when the group is a literal domain.
+    )
+    assert(fenced.subsetOf(SparkEntry.queries.keySet),
+      s"fence exemptions name unregistered queries: " +
+        s"${fenced -- SparkEntry.queries.keySet}")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val lp = fn(spark, sf).queryExecution.optimizedPlan
-        val bad = lp.collect {
-          case w: LWindow if w.partitionSpec.nonEmpty && {
-            val refs = w.partitionSpec
-              .flatMap(_.references.toSeq.map(_.name.toLowerCase))
-            refs.nonEmpty && refs.forall(lowCardCols.contains) &&
-              !boundedPlan(w.child)
-          } => w
+        if (fenced(name)) None
+        else {
+          val lp = fn(spark, sf).queryExecution.optimizedPlan
+          if (lowCardOnlyOffenders(lp).nonEmpty) Some(name) else None
         }
-        if (bad.nonEmpty) Some(name) else None
     }
     assert(offenders.isEmpty,
       s"literal-domain-partitioned corpus windows in: $offenders")
