@@ -46,6 +46,49 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$path/codes")
   }
 
+  /** Incremental index maintenance — an ingest BATCH updates the two
+    * corpus-sized relations (`ivf`, `codes`) WITHOUT re-encoding the
+    * corpus (the [[TextIndex.mergeBatch]] recipe applied to the ANN
+    * backbone): only the batch runs the two codebook argmax passes
+    * (IVF assignment + PQ encoding — each a batch×codebook broadcast
+    * cross join, riding BATCH size); existing rows for replaced
+    * vec_ids are dropped by a broadcast-id anti-join (vec_id-pushable
+    * at the parquet scan) and the batch rows unioned in. Codebooks
+    * stay FROZEN — the production regime between retrains; a drifted
+    * corpus re-trains and re-ingests via [[writeIndex]].
+    *
+    * Upsert semantics: a batch vector replaces any existing vector
+    * with the same id, else inserts. Each merged relation overwrites
+    * the path it was read from, so lineage is severed eagerly first
+    * ([[graft.Materialize]] Barrier — the DocStore uploadBatch
+    * discipline). At 100 TB `ivf`+`codes` are bucketed by cluster and
+    * the merge becomes a dynamic-partition overwrite of the touched
+    * clusters only; the single-dir overwrite here is the local-mode
+    * spelling of the same plan. d6_ivfpq_index_incremental proves
+    * build(corpus∖batch) + mergeBatch(batch) ≡ writeIndex(corpus)
+    * bit-for-bit through the IVF-PQ search. */
+  def mergeBatch(spark: SparkSession, path: String, batch: DataFrame,
+      m: Int = 8, dim: Int = 64): Unit = {
+    import graft.Materialize.{CutSyntax, Barrier}
+    val ivfCents = spark.read.parquet(s"$path/ivf_centroids")
+    val pqCents = spark.read.parquet(s"$path/pq_centroids")
+    val batchIds = batch.select(col("vec_id")).distinct()
+    val batchIvf = Ivf.assign(batch, ivfCents)
+    val batchCodes = Pq.assign(batch, pqCents, m, dim)
+    val oldIvf = spark.read.parquet(s"$path/ivf")
+    val mergedIvf = oldIvf
+      .join(broadcast(batchIds), Seq("vec_id"), "left_anti")
+      .unionByName(batchIvf)
+      .cut(Barrier) // overwrites its own input path
+    mergedIvf.write.mode("overwrite").parquet(s"$path/ivf")
+    val oldCodes = spark.read.parquet(s"$path/codes")
+    val mergedCodes = oldCodes
+      .join(broadcast(batchIds), Seq("vec_id"), "left_anti")
+      .unionByName(batchCodes)
+      .cut(Barrier) // overwrites its own input path
+    mergedCodes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
   /** IVF-PQ top-k from a persisted index — bit-identical to the live
     * composite (d6_ivfpq_search), zero corpus assignment/encoding at
     * query time. `queries` = (q_id, qe); `corpusFloats` = (vec_id,
