@@ -52,11 +52,21 @@ package graft.plans
   * large/small-star — the unroll exists to give the ORACLE TEXT a
   * front-door spelling.)
   *
-  * Not attempted (left to fail parse or fail loudly):
-  * `read_csv`/`read_json` table functions with option maps (Spark SQL
-  * has no in-query reader options) — the genuinely-DuckDB remainder
-  * (2 of 346 texts at round 13; both already pass as spec-checked
-  * reader programs).
+  * `read_csv`/`read_json` table functions (round 14 — the last two
+  * ledgered texts): Spark SQL's file-format table syntax
+  * (`csv.`path``/`json.`path``) takes no options, so the option map
+  * is COMPILED INTO a casting subquery instead — `columns = {...}`
+  * becomes one `CAST(col AS type) AS name` per field (struct types
+  * recursively as `STRUCT<...>`), csv `header = true` becomes a
+  * null-safe filter dropping the row whose first column equals the
+  * first field's name (the header line — a data row can only collide
+  * if its first field literally holds the column name, impossible for
+  * the non-string key columns these sources key on), and json
+  * `format = 'newline_delimited'` is Spark's json default. Any other
+  * option, a non-literal path, or an unmapped type leaves the text
+  * unchanged (conservative), and the parity gate hash-compares the
+  * rewrite against the DataFrame reader program, so a wrong spelling
+  * fails loudly.
   */
 object DuckDialect {
 
@@ -78,6 +88,11 @@ object DuckDialect {
     // regex \s+ after Spark's un-escaping — every later rule then
     // operates on (and generates) Spark-escaped text.
     var s = mapInString(sql, _.replace("\\", "\\\\"))
+    // reader table functions first: their `columns = {...}` option map
+    // must be consumed whole before the brace/bracket literal passes
+    // could misread it
+    s = readerTables(s, "read_csv")
+    s = readerTables(s, "read_json")
     // `FROM range(a, b)` is a Spark table-valued function with DuckDB's
     // exact end-exclusive semantics — only rewrite range() in expression
     // position, where DuckDB yields a LIST and Spark needs sequence()
@@ -438,6 +453,142 @@ object DuckDialect {
     val end = j + 1
     while (j >= 0 && (txt(j).isLetterOrDigit || txt(j) == '_')) j -= 1
     txt.substring(j + 1, end)
+  }
+
+  // ---- reader table functions (read_csv / read_json) ---------------------
+
+  /** Split on top-level commas: quotes, parens and braces all shield. */
+  private def splitTopArgs(inner: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    inner.foreach { c =>
+      if (inStr) { cur += c; if (c == '\'') inStr = false }
+      else c match {
+        case '\''              => cur += c; inStr = true
+        case '(' | '{' | '['  => depth += 1; cur += c
+        case ')' | '}' | ']'  => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.result(); cur.clear()
+        case _                 => cur += c
+      }
+    }
+    out += cur.result()
+    out.toList
+  }
+
+  /** DuckDB type name → Spark SQL type text; None = unmapped (leave the
+    * whole reader call alone). STRUCT(a T, b U) recurses to
+    * STRUCT<`a`: T', `b`: U'>. */
+  private def sparkTypeOf(t: String): Option[String] = {
+    val tt = t.trim
+    val up = tt.toUpperCase
+    if (up.startsWith("STRUCT(") && tt.endsWith(")")) {
+      val fields = splitTopArgs(tt.substring(7, tt.length - 1)).map { f =>
+        val ft = f.trim
+        val sp = ft.indexOf(' ')
+        if (sp < 0) return None
+        sparkTypeOf(ft.substring(sp + 1)) match {
+          case Some(st) => s"`${ft.substring(0, sp).trim}`: $st"
+          case None     => return None
+        }
+      }
+      Some(s"STRUCT<${fields.mkString(", ")}>")
+    } else up match {
+      case "INTEGER" | "INT" | "INT4"    => Some("INT")
+      case "BIGINT" | "INT8"             => Some("BIGINT")
+      case "SMALLINT" | "INT2"           => Some("SMALLINT")
+      case "TINYINT" | "INT1"            => Some("TINYINT")
+      case "VARCHAR" | "TEXT" | "STRING" => Some("STRING")
+      case "DOUBLE" | "FLOAT8"           => Some("DOUBLE")
+      case "FLOAT" | "REAL" | "FLOAT4"   => Some("FLOAT")
+      case "BOOLEAN" | "BOOL"            => Some("BOOLEAN")
+      case "DATE"                        => Some("DATE")
+      case "TIMESTAMP"                   => Some("TIMESTAMP")
+      case d if d.startsWith("DECIMAL")  => Some(d)
+      case _                             => None
+    }
+  }
+
+  private val ColPair = """(?s)^\s*'([^']*)'\s*:\s*'([^']*)'\s*$""".r
+
+  /** One `read_csv`/`read_json` occurrence → the casting subquery
+    * described in the scaladoc; unchanged if any part is outside the
+    * conservative grammar. Recurses over later occurrences. */
+  private def readerTables(sql: String, fn: String): String = {
+    val lower = sql.toLowerCase
+    var from = 0
+    var at = -1
+    // first occurrence at a word boundary, outside string literals
+    // (cheap scan: reader calls never appear inside the corpus' quoted
+    // literals, and a quoted hit just fails matchParen's grammar below)
+    while (at < 0 && { at = lower.indexOf(fn + "(", from); at >= 0 } &&
+        at > 0 && (sql(at - 1).isLetterOrDigit || sql(at - 1) == '_')) {
+      from = at + 1; at = -1
+    }
+    if (at < 0) return sql
+    matchParen(sql, at + fn.length) match {
+      case None => sql
+      case Some((inner, close)) =>
+        val tail = readerTables(sql.substring(close + 1), fn)
+        rewriteReader(fn, inner) match {
+          case Some(rw) => sql.substring(0, at) + rw + tail
+          case None     => sql.substring(0, close + 1) + tail
+        }
+    }
+  }
+
+  private def rewriteReader(fn: String, inner: String): Option[String] = {
+    val args = splitTopArgs(inner).map(_.trim)
+    if (args.isEmpty) return None
+    val path = args.head match {
+      case p if p.length >= 2 && p.head == '\'' && p.last == '\'' &&
+          !p.substring(1, p.length - 1).contains('\'') =>
+        p.substring(1, p.length - 1)
+      case _ => return None
+    }
+    var header = false
+    var ndjson = false
+    var cols: Option[List[(String, String)]] = None
+    args.tail.foreach { opt =>
+      val eq = opt.indexOf('=')
+      if (eq < 0) return None
+      val key = opt.substring(0, eq).trim.toLowerCase
+      val v = opt.substring(eq + 1).trim
+      key match {
+        case "header" if v.equalsIgnoreCase("true") => header = true
+        case "format" if v.equalsIgnoreCase("'newline_delimited'") =>
+          ndjson = true
+        case "columns" if v.startsWith("{") && v.endsWith("}") =>
+          val pairs = splitTopArgs(v.substring(1, v.length - 1)).map {
+            case ColPair(n, t) => sparkTypeOf(t) match {
+              case Some(st) => (n, st)
+              case None     => return None
+            }
+            case _ => return None
+          }
+          if (pairs.isEmpty) return None
+          cols = Some(pairs)
+        case _ => return None // unknown option: stay conservative
+      }
+    }
+    cols.map { fields =>
+      if (fn == "read_csv") {
+        val sel = fields.zipWithIndex
+          .map { case ((n, st), i) => s"CAST(_c$i AS $st) AS `$n`" }
+          .mkString(", ")
+        val where =
+          if (header) s" WHERE NOT (_c0 <=> '${fields.head._1}')" else ""
+        s"(SELECT $sel FROM csv.`$path`$where)"
+      } else { // read_json: Spark's json source is NDJSON by default,
+        // matching format = 'newline_delimited' (and absent-format)
+        val _ = ndjson
+        val sel = fields
+          .map { case (n, st) => s"CAST(`$n` AS $st) AS `$n`" }
+          .mkString(", ")
+        s"(SELECT $sel FROM json.`$path`)"
+      }
+    }
   }
 
   // ---- rule bodies -------------------------------------------------------

@@ -112,25 +112,18 @@ class SqlParitySpec extends AnyFunSuite {
       s"only ${ran.length} rewritten texts ran — the dialect shim regressed")
   }
 
-  test("the non-front-door remainder is exactly the documented two texts") {
+  test("the non-front-door remainder is EMPTY: every oracle text has a front-door spelling") {
     // The ledger: every oracle text is either (a) Spark-parseable raw,
-    // (b) machine-rewritten by DuckDialect to a text Spark analyzes
+    // or (b) machine-rewritten by DuckDialect to a text Spark analyzes
     // (round 13 folded the five WITH RECURSIVE … UNION fixpoint texts
-    // in here: DuckDialect.recursiveUnroll spells them as K
-    // accumulate-DISTINCT rounds, hash-compared like every other
-    // rewrite), or (c) one of these two, impossible for a CONSERVATIVE
-    // textual rewrite — not a shim coverage gap:
-    //   - the two S4 source demos read files through DuckDB's
-    //     read_csv/read_json table functions with an inline
-    //     columns={...} options struct; Spark SQL's file-table syntax
-    //     (`csv.`path``) takes no options, so the text cannot carry
-    //     the schema/delimiter contract (the queries exercise
-    //     spark.read options directly, spec-checked in SourcesSpec).
-    // Anything NEW appearing here is a regression in the shim (or an
-    // unrewritten new oracle) and must be triaged, not ledgered.
+    // in via recursiveUnroll; round 14 closed the last two —
+    // read_csv/read_json option maps now compile to casting subqueries
+    // over Spark's csv./json. file-table syntax, hash-compared like
+    // every other rewrite). Anything appearing here is a regression in
+    // the shim (or an unrewritten new oracle) and must be triaged, not
+    // ledgered.
     registerViews()
-    val ledger = Set(
-      "s4_csv_source", "s4_json_source") // read_csv/read_json options
+    val ledger = Set.empty[String]
     val outside = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
       case (name, text) =>
         val rawOk = try { spark.sql(text).queryExecution.analyzed; true }
