@@ -39,6 +39,30 @@ object IndexProbe {
       pairs.write.format("noop").mode("overwrite").save()
       println(f"lsh_from_index_${pass}_sec=${(System.nanoTime - t1) / 1e9}%.3f")
     }
+    // ANN: IVF-PQ search FROM the persisted index (the round-14 decade
+    // recount) — probe + ADC + shortlist rerank, zero corpus encoding;
+    // the embeddings-scan count pins that the float corpus serves only
+    // the query side and the shortlist rerank at any SF
+    {
+      import org.apache.spark.sql.functions.col
+      val e = graft.sources.Tables(spark, dir).embeddings
+      val corpus = e.filter(col("vec_id") >= 20)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      for (pass <- Seq("cold", "warm")) {
+        val t2 = System.nanoTime
+        val ann = graft.functions.AnnIndex.ivfpqSearch(
+          spark, IndexPaths.forSf("ann", dir), queries, corpus,
+          nProbe = 2, shortlist = 20, topK = 5)
+        ann.write.format("noop").mode("overwrite").save()
+        println(f"ann_from_index_${pass}_sec=${(System.nanoTime - t2) / 1e9}%.3f")
+        if (pass == "warm") {
+          val plan = ann.queryExecution.executedPlan.toString
+          println("ANN_EMB_SCANS " + plan.linesIterator.count(l =>
+            l.contains("Scan parquet") && l.contains("embeddings")))
+        }
+      }
+    }
     spark.stop()
   }
 }
