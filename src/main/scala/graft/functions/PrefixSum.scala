@@ -177,20 +177,23 @@ object PrefixSum {
         }
       } else {
         // broadcast join on (group, bucket): the offsets relation is a
-        // driver-held grid (|groups|×B rows); offsets travel as exact
-        // decimal STRINGS and cast back to the native sum type, so the
-        // join path is bit-identical to the when-chain
+        // driver-held grid (|groups|×B rows) re-planted as a
+        // LocalRelation (the Bounded.local discipline — no upstream
+        // lineage, broadcasts naturally, survives executor loss);
+        // offsets travel as exact decimal STRINGS and cast back to the
+        // native sum type, so the join path is bit-identical to the
+        // when-chain
         val spark = df.sparkSession
         val offSchema = StructType(
           partCols.map(c => totalsDf.schema(c)) ++
             (StructField("__psb", IntegerType) +:
               sums.indices.map(i =>
                 StructField(s"__psos$i", org.apache.spark.sql.types.StringType))))
-        val offRows = offsets.map { case (grp, b, offs) =>
-          Row.fromSeq(grp ++ (b +: offs.map(_.underlying.toPlainString)))
-        }
-        val offDf = spark.createDataFrame(
-          spark.sparkContext.parallelize(offRows, 1), offSchema)
+        val offRows: java.util.List[Row] = java.util.Arrays.asList(
+          offsets.map { case (grp, b, offs) =>
+            Row.fromSeq(grp ++ (b +: offs.map(_.underlying.toPlainString)))
+          }: _*)
+        val offDf = spark.createDataFrame(offRows, offSchema)
           .select((partCols.map(col) :+ col("__psb")) ++
             sums.indices.map(i =>
               col(s"__psos$i").cast(sumTypes(i).sql).as(s"__pso$i")): _*)

@@ -234,6 +234,11 @@ class ScaleShapeSpec extends AnyFunSuite {
       "d3_bm25_index_incremental", // same 1-row (n, avgdl) stats
       // broadcast as d3_search_bm25_persisted, read from the MERGED
       // index's stats parquet
+      "d6_ivfpq_index_incremental", // the merge demo re-encodes the
+      // held-out BATCH inside the query (batch x k-row codebook cross
+      // joins — the same fenced shape as d6_ivfpq_search, riding batch
+      // size at ingest), then searches from the merged index where the
+      // only remaining cross join is the query-side probe selection
       "d6_sq_rerank", // stage-1 shortlist: broadcast query set x corpus
       // over int8 vectors (4x lighter than the float equivalent above)
       "d11_mixture_planner", // 1-row grand-totals scalar broadcast onto
@@ -432,10 +437,25 @@ class ScaleShapeSpec extends AnyFunSuite {
       s"interval join degenerated to a nested loop:\n$plan")
   }
 
-  test("shard packing is one window pass: no join, single shuffle tree") {
-    val plan = executedPlan(SparkEntry.queries("d10_pack_shards")(spark, sf))
-    assert(!plan.contains("Join"), s"unexpected join in packing plan:\n$plan")
+  test("shard packing: grouped prefix-sum shape, no nested loop, bucket-partitioned window") {
+    // round 14: the per-source cumsum rides PrefixSum.cumOverDistinctBy,
+    // so the plan gains the driver-grid offset BROADCAST join (a
+    // |sources|x32-row LocalRelation build side) — but never a nested
+    // loop, and the cumulative window must be partitioned by MORE than
+    // the literal source domain (the (source, bucket) slice)
+    val df = SparkEntry.queries("d10_pack_shards")(spark, sf)
+    val plan = executedPlan(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested loop in packing plan:\n$plan")
     assert("\\bWindow\\b".r.findAllIn(plan).length >= 1)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val sourceOnly = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.nonEmpty &&
+        w.partitionSpec.flatMap(_.references.toSeq.map(_.name.toLowerCase))
+          .toSet == Set("source") => w
+    }
+    assert(sourceOnly.isEmpty,
+      "packing cumsum regressed to a source-only window (corpus/20 per sort task)")
   }
 
   test("train/val/test split is a pure projection before its aggregate") {
