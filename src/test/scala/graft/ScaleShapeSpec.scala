@@ -994,6 +994,78 @@ class ScaleShapeSpec extends AnyFunSuite {
       s"literal-domain-partitioned corpus windows in: $offenders")
   }
 
+  test("no corpus-to-corpus join keyed solely on a literal domain") {
+    // the JOIN-side analogue of the literal-domain window hazard: an
+    // equi-join whose every key is a probed literal domain (source,
+    // lang, event_type...) with BOTH sides unbounded produces
+    // corpus²/|domain| rows through each hash bucket — a skew
+    // catastrophe at 100 TB that no partitioning dial fixes. One side
+    // bounded (a per-source quota, a broadcast stats row) is the
+    // normal and fine shape; the fence only fires when neither is.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    // a side whose every leaf is a NON-SCALING relation (the TPC-H
+    // region/nation dimensions, the committed fixture files) is as
+    // bounded as a literal: its size IS the literal domain — that is
+    // precisely why joining THROUGH it on n_nationkey/n_regionkey is
+    // the classic broadcast-dim shape, not the hazard
+    def dimSide(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean = {
+      import org.apache.spark.sql.execution.datasources.{
+        HadoopFsRelation, LogicalRelation}
+      val leaves = p.collectLeaves()
+      leaves.nonEmpty && leaves.forall {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            val paths = fs.location.rootPaths.mkString(",").toLowerCase
+            paths.contains("region.parquet") ||
+              paths.contains("nation.parquet") ||
+              paths.contains("/fixtures/") ||
+              paths.contains("s4_region") // the 5-row committed fixtures
+          case _ => false
+        }
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          true // driver-held, constant-bounded
+        case _ => false
+      }
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val lp = fn(spark, sf).queryExecution.optimizedPlan
+        val bad = lp.collect {
+          case j: LJoin if {
+            val eqKeys = j.condition.toSeq.flatMap(_.collect {
+              case EqualTo(l, r) => Seq(l, r)
+            }).flatten
+            val refs = eqKeys.flatMap(_.references.toSeq.map(_.name.toLowerCase))
+            refs.nonEmpty && refs.forall(lowCardCols.contains) &&
+              !(boundedPlan(j.left) || dimSide(j.left)) &&
+              !(boundedPlan(j.right) || dimSide(j.right))
+          } => j
+        }
+        if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"literal-domain-keyed corpus joins in: $offenders")
+    // and the fence itself bites: a synthetic corpus x corpus join on
+    // `source` must be flagged
+    val docs = graft.sources.Tables(spark, sf).documents
+    val synth = docs.select(col("doc_id"), col("source"))
+      .join(docs.select(col("source"), col("text")), "source")
+    val synthBad = synth.queryExecution.optimizedPlan.collect {
+      case j: LJoin if {
+        val refs = j.condition.toSeq.flatMap(_.collect {
+          case EqualTo(l, r) => Seq(l, r)
+        }).flatten.flatMap(_.references.toSeq.map(_.name.toLowerCase))
+        refs.nonEmpty && refs.forall(lowCardCols.contains) &&
+          !(boundedPlan(j.left) || dimSide(j.left)) &&
+          !(boundedPlan(j.right) || dimSide(j.right))
+      } => j
+    }
+    assert(synthBad.nonEmpty,
+      "join fence regression: a corpus x corpus join on `source` passed")
+  }
+
   test("persisted LSH index: the band query plans from parquet, never the corpus") {
     // DEPLOY.md §3 bullet 2, proven at the plan level (the d5 twin of
     // the s18_cbo_persisted discipline): after Dedup.writeIndex, the
