@@ -19,6 +19,17 @@ import graft.Materialize.{CutSyntax, Shared}
   */
 object Windows {
 
+  /** Shared by w2_ranking (the operator demo) and w2_ranking_bucketed
+    * (its scale-safe grouped-prefix-sum twin): one oracle text
+    * hash-checks both legs. */
+  private val w2RankingOracle: Option[String] =
+    Some("""SELECT c_nationkey, c_custkey,
+           rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile
+           FROM customer
+           WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+           ORDER BY ALL NULLS FIRST""")
+
   val all: Seq[Q] = Seq(
     Q(
       "w1_latest_per_key",
@@ -46,12 +57,7 @@ object Windows {
     ),
     Q(
       "w2_ranking",
-      Some("""SELECT c_nationkey, c_custkey,
-             rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
-             ntile(4) OVER w AS quartile
-             FROM customer
-             WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
-             ORDER BY ALL NULLS FIRST"""),
+      w2RankingOracle,
       (spark, dir) => {
         val t = Tables(spark, dir)
         val w = Window.partitionBy(col("c_nationkey"))
@@ -63,6 +69,61 @@ object Windows {
             rank().over(w).as("rnk"),
             dense_rank().over(w).as("drnk"),
             ntile(4).over(w).as("quartile")
+          )
+        )
+      }
+    ),
+    Q(
+      "w2_ranking_bucketed",
+      // THE SCALE-SAFE TWIN of the W2 operator demo above (round 14 —
+      // the same oracle text hash-checks BOTH legs): w2_ranking's
+      // windows partition only by c_nationkey, a 25-value literal
+      // domain, so each sort task carries customers/25 at 100 TB (the
+      // fence exempts the demo by name because rank/dense_rank/ntile
+      // ARE its semantics). This spelling computes identical output
+      // with no window below (nation, range-bucket): the per-nation
+      // position rides the GROUPED range-bucketed prefix sum over
+      // per-(nation, acctbal) counts (tie ranks from
+      // (nation, acctbal)-partitioned windows — tie-group-sized), and
+      // because the demo's ordering (acctbal DESC, custkey ASC) is
+      // UNIQUE, rank = dense_rank = that position; ntile(4) is then
+      // pure integer arithmetic on (position, nation size): the first
+      // ns mod 4 quartiles take (ns div 4)+1 rows, the rest ns div 4 —
+      // the standard NTILE law both engines implement.
+      w2RankingOracle,
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val c = t.customer
+          .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+          .cut(Shared) // consumed by per-value counts, tie ranks, sizes
+        val perVal = c.groupBy(col("c_nationkey"), col("c_acctbal"))
+          .agg(count(lit(1)).as("cnt"))
+          // PrefixSum orders ascending; DESC acctbal = ASC negation
+          // (exact for decimals)
+          .withColumn("negbal", -col("c_acctbal"))
+        val cum = graft.functions.PrefixSum
+          .cumOverDistinctBy(perVal, Seq("c_nationkey"), "negbal", "cnt", "cum")
+          .drop("negbal")
+        val ns = c.groupBy(col("c_nationkey")).agg(count(lit(1)).as("ns"))
+        val ranked = c
+          .withColumn("tierk", row_number().over(
+            Window.partitionBy(col("c_nationkey"), col("c_acctbal"))
+              .orderBy(col("c_custkey"))))
+          .join(cum, Seq("c_nationkey", "c_acctbal"))
+          .withColumn("rn", (col("cum") - col("cnt") + col("tierk")).cast("int"))
+          .join(broadcast(ns), Seq("c_nationkey")) // 25-row literal domain
+        ordered(
+          ranked.select(
+            col("c_nationkey"),
+            col("c_custkey"),
+            col("rn").as("rnk"),
+            col("rn").as("drnk"),
+            expr("""CAST(CASE
+                   |  WHEN rn <= (ns % 4) * ((ns div 4) + 1)
+                   |    THEN (rn - 1) div ((ns div 4) + 1) + 1
+                   |  ELSE (ns % 4) + ((rn - (ns % 4) * ((ns div 4) + 1)) - 1)
+                   |         div (ns div 4) + 1
+                   |END AS INT)""".stripMargin).as("quartile")
           )
         )
       }

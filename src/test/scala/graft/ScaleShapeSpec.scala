@@ -973,11 +973,14 @@ class ScaleShapeSpec extends AnyFunSuite {
       // literal-domain sibling of the empty-spec test's w2_ntile
       // exemption): rank/dense_rank/ntile per nation over ALL
       // customers — the per-literal-domain total order IS the
-      // semantic being demonstrated. Production per-group rankings
-      // partition by entity keys (w1, w3-w9: user_id/doc_id — fine-
-      // grained at any scale) or ride rank pushdown under a literal
-      // cap (d11_temperature_mix) / the grouped prefix sum
-      // (d10_pack_shards) when the group is a literal domain.
+      // semantic being demonstrated, and its SCALE-SAFE TWIN
+      // w2_ranking_bucketed (grouped prefix-sum position + integer
+      // NTILE law, hash-checked against the SAME oracle) passes this
+      // fence unfenced — the exemption covers the demo spelling only.
+      // Production per-group rankings partition by entity keys
+      // (w1, w3-w9: user_id/doc_id — fine-grained at any scale) or
+      // ride rank pushdown under a literal cap (d11_temperature_mix)
+      // / the grouped prefix sum (d10_pack_shards, the w2 twin).
     )
     assert(fenced.subsetOf(SparkEntry.queries.keySet),
       s"fence exemptions name unregistered queries: " +
